@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.engine.Qf._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §2.3) over
+  * `documents`.
+  *
+  * Scale design: all near-dup detection goes through inverted indexes
+  * (explode on shingle / LSH band) + shuffle joins on those keys — never a
+  * cross join. Candidate pairs are then verified distributively with exact
+  * set arithmetic. Jaccard thresholds compare with integer
+  * cross-multiplication (`k*inter >= m*union`), no float boundary issues.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct word 3-gram shingles per doc (docs with >= 3 tokens). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("words", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("words")) >= 3)
+      .withColumn("grams", array_distinct(expr(
+        "transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")))
+      .select("doc_id", "grams")
+
+  /** DuckDB mirror of `shingled` (1-based list indexing). */
+  private val shingledSql: String =
+    """SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+      |WHERE len(w) >= 3""".stripMargin
+
+  /** Inverted-index all-pairs Jaccard (exact for J >= any threshold > 0):
+    * docs sharing no shingle can never reach the threshold. */
+  private def jaccardPairs(sh: DataFrame, num: Int, den: Int): DataFrame = {
+    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
+    val inter = posting.as("a").join(posting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * den >= col("un") * num)
+      .select(col("doc_a"), col("doc_b"), (dbl(col("inter")) / dbl(col("un"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def jaccardPairsSql(num: Int, den: Int): String =
+    s"""WITH sh AS ($shingledSql),
+       |posting AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+       |sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON doc_a = na.doc_id
+       |JOIN sizes nb ON doc_b = nb.doc_id
+       |WHERE inter * $den >= (na.n + nb.n - inter) * $num
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- d01
+  /** Exact dedup via content hash, keep-min-id per group. */
+  def d01(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", md5(col("text")))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy("h")
+  val d01Sql: String =
+    """SELECT h, COUNT(*) AS n_copies, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+      |FROM (SELECT doc_id, md5(text) AS h FROM documents)
+      |GROUP BY h ORDER BY h""".stripMargin
+
+  // ---------------------------------------------------------------- d02
+  /** MinHash (128 perms) + LSH banding (32 bands x 4 rows) candidate
+    * generation, then exact-Jaccard verification at >= 0.8.
+    *
+    * The minhash signature is computed in ONE aggregation (128 min()
+    * columns with map-side partial aggregation — not a doc x perm
+    * shuffle). P(miss | J >= 0.8) = (1 - 0.8^4)^32 < 5e-8, so the output
+    * equals the exact all-pairs oracle on any realistic dataset.
+    */
+  def d02(spark: SparkSession, dir: String): DataFrame = {
+    // Carter-Wegman universal hash family mod 2^31-1: a*h fits in a long
+    // (< 2^62) and a ranges over the FULL multiplicative group, so the 128
+    // permutations are genuinely independent (a small-`a` family would be
+    // order-preserving in h and break min-wise independence).
+    val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val rnd = new scala.util.Random(42)
+    val perms = Array.fill(128)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
+
+    val sh = shingled(spark, dir).cache()
+    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
+    val minhashCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"m$i")
+    }
+    val sig = posting.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
+    val bandCols = (0 until 32).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64((j * 4 until j * 4 + 4).map(i => col(s"m$i")): _*).as("key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on candidates only
+    val ga = sh.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = sh.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    candidates.join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
+      .withColumn("un", size(col("grams_a")).cast("long") + size(col("grams_b")).cast("long") - col("inter"))
+      .filter(col("inter") * 5 >= col("un") * 4)
+      .select(col("doc_a"), col("doc_b"), (dbl(col("inter")) / dbl(col("un"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val d02Sql: String = jaccardPairsSql(4, 5) // J >= 0.8
+
+  // ---------------------------------------------------------------- d03
+  /** Distributed all-pairs 3-gram Jaccard >= 0.5 via shingle inverted
+    * index (exact: J >= 0.5 implies a shared shingle). */
+  def d03(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingled(spark, dir), 1, 2)
+  val d03Sql: String = jaccardPairsSql(1, 2) // J >= 0.5
+
+  // ---------------------------------------------------------------- d04
+  /** 64-bit SimHash + 16-bit Hamming-band near-dup buckets (rows-only
+    * check: no portable SQL oracle for the hash kernel). */
+  def d04(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    val sums = tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = sums.select(col("doc_id"), simhash.as("simhash"))
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"), shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val bands = sig.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- d05
+  /** Embedding-cosine near-dup pairs. Exact all-pairs semantics (the
+    * approximate scale path is s02/s03); the O(n^2) compare is blocked by
+    * broadcasting one side and stays fully codegen'd — double math folds
+    * sequentially over the vector exactly like the DuckDB list_reduce
+    * oracle (IEEE: 0.0 + x == x). */
+  def d05(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.35d)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+  val d05Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+      |  FROM e)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+      |        / (a.nrm * b.nrm), 6) AS cos
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE ROUND(list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+      |        / (a.nrm * b.nrm), 6) >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "d01_exact_dedup" -> (d01 _),
+    "d02_minhash_lsh" -> (d02 _),
+    "d03_ngram_jaccard" -> (d03 _),
+    "d04_simhash" -> (d04 _),
+    "d05_embedding_neardup" -> (d05 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" -> d01Sql,
+    "d02_minhash_lsh" -> d02Sql,
+    "d03_ngram_jaccard" -> d03Sql,
+    "d05_embedding_neardup" -> d05Sql,
+  )
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Qf, Tables}
+import graft.engine.Qf._
+
+/** Event analytics (SURVEY.md §2.2): the KSE pipeline's query surface in
+  * batch form over the `events` table. All time arithmetic runs on epoch
+  * milliseconds (`ms`, = DuckDB `epoch_ms(ts)`) so both engines compare
+  * identical integers regardless of ns/µs timestamp precision.
+  *
+  * Scale notes: every window partitions by `user_id` (bounded state per
+  * key); aggregations are map-side-combinable; no driver-side loops.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val GapMs = 30L * 60 * 1000 // 30-minute session gap
+
+  // ---------------------------------------------------------------- e01
+  /** Gap-based sessionization (30 min) via lag + cumulative-sum windows. */
+  def e01(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(wr))
+      .groupBy("user_id", "sess_idx")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ms")).as("start_ms"),
+           max(col("ms")).as("end_ms"),
+           (max(col("ms")) - min(col("ms"))).as("dur_ms"))
+      .orderBy("user_id", "sess_idx")
+  }
+  val e01Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
+       |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f)
+       |SELECT user_id, sess_idx, COUNT(*) AS n_events, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+       |  MAX(ms) - MIN(ms) AS dur_ms
+       |FROM s GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin
+
+  // ---------------------------------------------------------------- e02
+  /** 1-hour tumbling window counts / sums / distinct users by type. */
+  def e02(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ets")), "yyyy-MM-dd HH:00").as("hour"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("value")).as("total_value"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour", "event_type")
+  val e02Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- e03
+  /** Ordered funnel view → click → purchase (strictly increasing time). */
+  def e03(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ms")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ms").as("vms"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ms") > col("vms"))
+      .groupBy("user_id").agg(min("ms").as("cms"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ms") > col("cms"))
+      .groupBy("user_id").agg(min("ms").as("pms"))
+    v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("step1_view"))
+      .unionByName(c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("step2_click")))
+      .unionByName(p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("step3_purchase")))
+      .select("stage", "n_users")
+      .orderBy("stage")
+  }
+  val e03Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (SELECT user_id, MIN(ms) AS vms FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(ms) AS cms FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND ms > vms GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(ms) AS pms FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND ms > cms GROUP BY e.user_id)
+      |SELECT 'step1_view' AS stage, COUNT(*) AS n_users FROM v
+      |UNION ALL SELECT 'step2_click', COUNT(*) FROM c
+      |UNION ALL SELECT 'step3_purchase', COUNT(*) FROM p
+      |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------- e04
+  /** Day-0 → day-N cohort retention on distinct active days. */
+  def e04(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("user_id"), floor(col("ms") / lit(86400000.0d)).as("day"))
+      .distinct()
+    val f = d.groupBy("user_id").agg(min("day").as("day0"))
+    d.join(f, "user_id")
+      .withColumn("day_offset", (col("day") - col("day0")).cast("long"))
+      .filter(col("day_offset").isin(0L, 1L, 2L, 3L, 7L, 14L))
+      .groupBy("day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day_offset")
+  }
+  val e04Sql: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(FLOOR(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS day0 FROM d GROUP BY user_id)
+      |SELECT CAST(d.day - f.day0 AS BIGINT) AS day_offset, COUNT(DISTINCT d.user_id) AS n_users
+      |FROM d JOIN f ON d.user_id = f.user_id
+      |WHERE d.day - f.day0 IN (0, 1, 2, 3, 7, 14)
+      |GROUP BY 1 ORDER BY day_offset""".stripMargin
+
+  // ---------------------------------------------------------------- e05
+  /** Top-k users by purchase value with rank. */
+  def e05(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("total_purchase").desc, col("user_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(dsum(col("value")).as("total_purchase"), count(lit(1)).as("n_purchases"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("user_id", "total_purchase", "n_purchases", "rnk")
+      .orderBy("rnk", "user_id")
+  }
+  val e05Sql: String =
+    """WITH p AS (SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_purchase,
+      |    COUNT(*) AS n_purchases
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |r AS (SELECT *, CAST(RANK() OVER (ORDER BY total_purchase DESC, user_id) AS BIGINT) AS rnk FROM p)
+      |SELECT user_id, total_purchase, n_purchases, rnk FROM r WHERE rnk <= 10
+      |ORDER BY rnk, user_id""".stripMargin
+
+  // ---------------------------------------------------------------- e06
+  /** JSON property extraction from event payloads. */
+  def e06(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  val e06Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "e01_sessionize" -> (e01 _),
+    "e02_tumbling_window" -> (e02 _),
+    "e03_funnel" -> (e03 _),
+    "e04_retention" -> (e04 _),
+    "e05_top_users" -> (e05 _),
+    "e06_json_extract" -> (e06 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e01_sessionize" -> e01Sql,
+    "e02_tumbling_window" -> e02Sql,
+    "e03_funnel" -> e03Sql,
+    "e04_retention" -> e04Sql,
+    "e05_top_users" -> e05Sql,
+    "e06_json_extract" -> e06Sql,
+  )
+}

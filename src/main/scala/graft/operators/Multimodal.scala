@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Multimodal-column handling (SURVEY.md §2.6): media treated as opaque
+  * binary payloads with typed metadata. This container has no image/audio
+  * codecs, so the decode KERNEL in m02 is a clearly-marked deterministic
+  * stub — the Spark-side plumbing (binary schema, partition-parallel
+  * decode via mapPartitions over a typed Dataset, fixed-width feature
+  * output) is real and is what matters at 100 TB.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- m01
+  /** Binary payload column + typed metadata (size / hash / kind). */
+  def m01(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+              octet_length(col("payload")).cast("long").as("n_bytes"),
+              md5(col("text")).as("content_hash"),
+              when(octet_length(col("payload")) > 400, lit("large")).otherwise(lit("small")).as("kind"))
+      .orderBy("doc_id")
+  val m01Sql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_hash,
+      |  CASE WHEN octet_length(CAST(text AS BLOB)) > 400 THEN 'large' ELSE 'small' END AS kind
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m02
+  /** Partition-parallel decode -> feature-extract plumbing.
+    *
+    * Real: binary column in, `mapPartitions` over a typed Dataset (the
+    * shape a JNI/codec-backed decoder would use — one codec init per
+    * partition, streamed rows), fixed 16-dim feature vector + width/height
+    * metadata out.
+    *
+    * STUB: `fakeDecode` stands in for the actual image/audio codec (none
+    * in this container). It is deterministic: a 16-bin byte histogram
+    * normalized by payload length, dimensions derived from the content
+    * hash. Swap `fakeDecode` for a real codec to productionize.
+    */
+  def m02(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select("doc_id", "payload")
+    val spark2 = spark
+    import spark2.implicits._
+    val decoded = docs.as[(Long, Array[Byte])].mapPartitions { rows =>
+      // codec-per-partition init would go here
+      rows.map { case (id, bytes) => fakeDecode(id, bytes) }
+    }
+    decoded.toDF("doc_id", "modality", "width", "height", "features")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stand-in for a media codec: 16-bin byte histogram
+    * (normalized) + pseudo-dimensions from a rolling content hash. */
+  private def fakeDecode(id: Long, bytes: Array[Byte]): (Long, String, Int, Int, Array[Double]) = {
+    val hist = new Array[Double](16)
+    var h = 1125899906842597L // rolling content hash (FNV-ish)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xFF) % 16) += 1.0
+      h = h * 31 + (bytes(i) & 0xFF)
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toDouble
+    var j = 0
+    while (j < 16) { hist(j) /= n; j += 1 }
+    val w = 64 + (math.abs(h) % 1024).toInt
+    val hgt = 64 + (math.abs(h / 1024) % 1024).toInt
+    (id, "image", w, hgt, hist)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m01_binary_meta" -> (m01 _),
+    "m02_decode_features" -> (m02 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m01_binary_meta" -> m01Sql,
+  )
+}

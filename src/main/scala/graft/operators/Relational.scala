@@ -1,0 +1,483 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Qf, Tables}
+import graft.engine.Qf._
+
+/** Relational core (SURVEY.md §2.1): 20 batch-analytics operators over the
+  * TPC-H-ish tables, built with the declarative DataFrame API so Catalyst
+  * owns pushdown / broadcast / AQE decisions.
+  *
+  * Every query carries a DuckDB oracle (`oracle` map) computed with the
+  * identical exact-arithmetic strategy (Qf) so result hashes match bit-wise.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  // revenue term used by several queries: exact decimal product
+  private def revenueTerm(price: Column, disc: Column): Column =
+    dec(price) * dec(lit(1) - disc)
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))"
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: multi-aggregate groupBy. */
+  def q01(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
+        dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")) * dec(lit(1) + col("l_tax")))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM($revenueSql * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Predicate + projection pushdown scan over part. */
+  def q02(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_size").between(5, 20) && col("p_type").isin("PROMO", "ECONOMY"))
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .orderBy("p_partkey")
+  val q02Sql: String =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+      |FROM part
+      |WHERE p_size BETWEEN 5 AND 20 AND p_type IN ('PROMO','ECONOMY')
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3-style: 3-table join + agg + top-k. */
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .select(col("o_orderkey"), dayStr(col("o_orderdate")).as("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+  val q03Sql: String =
+    s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-07-01'
+       |  AND l_shipdate > TIMESTAMP '1998-07-01'
+       |GROUP BY o_orderkey, o_orderdate
+       |ORDER BY revenue DESC, o_orderkey
+       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** EXISTS semi-join + agg (TPC-H Q4 adapted to available columns). */
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+  val q04Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** 6-table star join; dims explicitly broadcast. */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val s = broadcast(Tables.supplier(spark, dir))
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+  val q05Sql: String =
+    s"""SELECT r_name, n_name,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** Selective single-table agg (TPC-H Q6). */
+  def q06(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") >= lit(0.04d) && col("l_discount") <= lit(0.06d) &&
+              col("l_quantity") < lit(24.0d))
+      .agg(dbl(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n_items"))
+  val q06Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= CAST(0.04 AS DOUBLE) AND l_discount <= CAST(0.06 AS DOUBLE)
+      |  AND l_quantity < CAST(24 AS DOUBLE)""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** rank() window: top-3 customers per market segment by balance. */
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_name"), col("c_acctbal"),
+              rank().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("c_mktsegment", "rnk", "c_custkey")
+  }
+  val q07Sql: String =
+    """SELECT c_mktsegment, c_custkey, c_name, c_acctbal, CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+      |        RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |      FROM customer)
+      |WHERE rnk <= 3
+      |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Running total + lag windows per customer (decimal-exact cumsum). */
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), dayStr(col("o_orderdate")).as("o_day"),
+              col("o_totalprice"),
+              dbl(sum(dec(col("o_totalprice"))).over(wr)).as("running_total"),
+              dbl(coalesce(lag(dec(col("o_totalprice")), 1).over(w), lit(0).cast(Qf.D12))).as("prev_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+  val q08Sql: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_day, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  CAST(COALESCE(LAG(CAST(o_totalprice AS DECIMAL(12,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS prev_price
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** GROUP BY ROLLUP hierarchy aggregation. */
+  def q09(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+           dsum(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+              col("sum_qty"), col("sum_price"), col("n"))
+      .orderBy("rf", "ls")
+  val q09Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Exact count-distinct per group. */
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  val q10Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** NOT EXISTS anti-join with extra predicate. */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, dir).filter(col("o_totalprice") > lit(300000.0d))
+    Tables.customer(spark, dir)
+      .join(bigOrders, col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+  val q11Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > CAST(300000 AS DOUBLE))
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** INTERSECT / EXCEPT set operators, tagged union of both results. */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val a = l.filter(col("l_returnflag") === "A").select(col("l_partkey").as("k")).distinct()
+    val r = l.filter(col("l_returnflag") === "R").select(col("l_partkey").as("k")).distinct()
+    a.intersect(r).withColumn("tag", lit("both"))
+      .unionByName(a.except(r).withColumn("tag", lit("only_a")))
+      .select("tag", "k")
+      .orderBy("tag", "k")
+  }
+  val q12Sql: String =
+    """SELECT 'both' AS tag, k FROM (
+      |  SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A'
+      |  INTERSECT
+      |  SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R')
+      |UNION ALL
+      |SELECT 'only_a' AS tag, k FROM (
+      |  SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A'
+      |  EXCEPT
+      |  SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R')
+      |ORDER BY tag, k""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Pivot-style sum(CASE WHEN) matrix by line status. */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    def qtyIf(status: String) =
+      dbl(sum(when(col("l_linestatus") === status, dec(col("l_quantity"))).otherwise(lit(0).cast(Qf.D12))))
+    def cntIf(status: String) =
+      sum(when(col("l_linestatus") === status, 1L).otherwise(0L))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(qtyIf("F").as("qty_f"), qtyIf("O").as("qty_o"),
+           cntIf("F").as("n_f"), cntIf("O").as("n_o"))
+      .orderBy("l_returnflag")
+  }
+  val q13Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** String functions: upper/substring/regexp_extract/concat/length. */
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+              upper(col("c_name")).as("name_u"),
+              substring(col("c_name"), 10, 9).as("id_part"),
+              regexp_extract(col("c_name"), "[0-9]+", 0).cast("long").as("id_num"),
+              concat(col("c_mktsegment"), lit("/"), col("c_name")).as("tagged"),
+              length(col("c_name")).cast("long").as("name_len"))
+      .orderBy("c_custkey")
+  val q14Sql: String =
+    """SELECT c_custkey, UPPER(c_name) AS name_u, SUBSTRING(c_name, 10, 9) AS id_part,
+      |  CAST(regexp_extract(c_name, '[0-9]+', 0) AS BIGINT) AS id_num,
+      |  c_mktsegment || '/' || c_name AS tagged,
+      |  CAST(LENGTH(c_name) AS BIGINT) AS name_len
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** date_trunc / extract / year-month grouping. */
+  def q15(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+               month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("total"),
+           min(dayStr(col("o_orderdate"))).as("first_day"))
+      .orderBy("yr", "mo")
+  val q15Sql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr, CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Scalar subquery comparison (price above global exact average). */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val avgDf = p.agg(davg(col("p_retailprice")).as("avg_price"))
+    p.crossJoin(broadcast(avgDf))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+  val q16Sql: String =
+    """SELECT p_partkey, p_name, p_retailprice
+      |FROM part
+      |WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Post-aggregation HAVING filter. */
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("n") >= 5)
+      .orderBy("l_partkey")
+  val q17Sql: String =
+    """SELECT l_partkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 5
+      |ORDER BY l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Exact median per group via row_number (no interpolation — identical
+    * arithmetic on both engines: mean of the one or two middle values). */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    val wc = Window.partitionBy("c_mktsegment")
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_acctbal"),
+              row_number().over(w).cast("long").as("rn"),
+              count(lit(1)).over(wc).as("cnt"))
+      .filter(col("rn") === floor((col("cnt") + 1) / 2) || col("rn") === floor((col("cnt") + 2) / 2))
+      .groupBy("c_mktsegment")
+      .agg((dbl(sum(dec(col("c_acctbal")))) / count(lit(1))).as("median_bal"))
+      .orderBy("c_mktsegment")
+  }
+  val q18Sql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS median_bal
+      |FROM (SELECT c_mktsegment, c_acctbal,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rn,
+      |        COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+      |      FROM customer)
+      |WHERE rn = FLOOR((cnt + 1) / 2) OR rn = FLOOR((cnt + 2) / 2)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** coalesce / nullif / null-safe comparisons. */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val zero = lit(0.0d)
+    val nonzeroDisc = when(col("l_discount") === zero, lit(null).cast("double")).otherwise(col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(nonzeroDisc).as("n_disc"),
+           sum(when(col("l_discount") <=> zero, 1L).otherwise(0L)).as("n_zero"),
+           dbl(sum(dec(coalesce(nonzeroDisc, lit(0.05d))))).as("disc_adj"))
+      .orderBy("l_returnflag")
+  }
+  val q19Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(NULLIF(l_discount, CAST(0 AS DOUBLE))) AS n_disc,
+      |  CAST(SUM(CASE WHEN l_discount IS NOT DISTINCT FROM CAST(0 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(SUM(CAST(COALESCE(NULLIF(l_discount, CAST(0 AS DOUBLE)), CAST(0.05 AS DOUBLE)) AS DECIMAL(12,2))) AS DOUBLE) AS disc_adj
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Supplier→nation revenue rollup (join + agg, broadcast dims). */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val s = broadcast(Tables.supplier(spark, dir))
+    val n = broadcast(Tables.nation(spark, dir))
+    l.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+  val q20Sql: String =
+    s"""SELECT n_name,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_top_revenue" -> (q03 _),
+    "q04_order_priority" -> (q04 _),
+    "q05_region_revenue" -> (q05 _),
+    "q06_forecast_revenue" -> (q06 _),
+    "q07_window_rank" -> (q07 _),
+    "q08_running_total" -> (q08 _),
+    "q09_rollup" -> (q09 _),
+    "q10_distinct_agg" -> (q10 _),
+    "q11_anti_join" -> (q11 _),
+    "q12_set_ops" -> (q12 _),
+    "q13_conditional_agg" -> (q13 _),
+    "q14_string_ops" -> (q14 _),
+    "q15_date_ops" -> (q15 _),
+    "q16_scalar_subquery" -> (q16 _),
+    "q17_having" -> (q17 _),
+    "q18_percentile" -> (q18 _),
+    "q19_null_handling" -> (q19 _),
+    "q20_nation_revenue" -> (q20 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_top_revenue" -> q03Sql,
+    "q04_order_priority" -> q04Sql,
+    "q05_region_revenue" -> q05Sql,
+    "q06_forecast_revenue" -> q06Sql,
+    "q07_window_rank" -> q07Sql,
+    "q08_running_total" -> q08Sql,
+    "q09_rollup" -> q09Sql,
+    "q10_distinct_agg" -> q10Sql,
+    "q11_anti_join" -> q11Sql,
+    "q12_set_ops" -> q12Sql,
+    "q13_conditional_agg" -> q13Sql,
+    "q14_string_ops" -> q14Sql,
+    "q15_date_ops" -> q15Sql,
+    "q16_scalar_subquery" -> q16Sql,
+    "q17_having" -> q17Sql,
+    "q18_percentile" -> q18Sql,
+    "q19_null_handling" -> q19Sql,
+    "q20_nation_revenue" -> q20Sql,
+  )
+}

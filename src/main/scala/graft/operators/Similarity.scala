@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+import graft.engine.Qf._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.4).
+  *
+  *  - s01: brute-force cosine top-k — the exactness baseline. Blocked
+  *    broadcast join, fully codegen'd vector math.
+  *  - s02: random-hyperplane LSH bucketing — the scale path: candidates
+  *    only within a bucket (shuffle on bucket key, no cross join).
+  *  - s03: IVF-style cell probing with deterministic centroids.
+  *
+  * All vector math is double, folded sequentially over the array exactly
+  * like the DuckDB `list_reduce` oracle (IEEE: 0.0 + x == x).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withNormVec(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
+
+  private val dotExpr = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  // ---------------------------------------------------------------- s01
+  /** Brute-force cosine top-5 neighbors for every vector. */
+  def s01(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
+    val n = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    q.join(broadcast(n), col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "cos")
+      .orderBy("q_id", "rnk", "n_id")
+  }
+  val s01Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |p AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |    ROUND(list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+      |          / (a.nrm * b.nrm), 6) AS cos
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |r AS (
+      |  SELECT q_id, n_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+      |  FROM p)
+      |SELECT q_id, n_id, rnk, cos FROM r WHERE rnk <= 5
+      |ORDER BY q_id, rnk, n_id""".stripMargin
+
+  // ---------------------------------------------------------------- s02
+  /** Random-hyperplane LSH: 12 fixed seeded hyperplanes -> 12-bit bucket;
+    * top-3 neighbors within bucket (rows-only check). */
+  def s02(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val planes = {
+      val rnd = new scala.util.Random(7)
+      Array.fill(12)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      val planeArr = s"array(${p.map(x => s"${x}D").mkString(",")})"
+      when(expr(s"aggregate(zip_with(v, $planeArr, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0d,
+           lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = e.withColumn("bucket", bucket)
+    val q = b.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+    val n = b.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    q.join(n, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "bucket", "n_id", "rnk", "cos")
+      .orderBy("q_id", "rnk", "n_id")
+  }
+
+  // ---------------------------------------------------------------- s03
+  /** IVF-style ANN: deterministic centroids = the 16 lowest vec_ids;
+    * every vector is assigned to its nearest centroid cell; queries probe
+    * the 2 nearest cells (rows-only check). */
+  def s03(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    val cents = e.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cent_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cent_id"))
+    val assign = e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("cos", expr(dotExpr) / (col("na") * col("nb")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val members = e.join(assign, "vec_id")
+      .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cent_id"))
+    val probes = e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("cos", expr(dotExpr) / (col("na") * col("nb")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
+      .join(probes, "q_id")
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    q.join(members, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 6))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "cos")
+      .orderBy("q_id", "rnk", "n_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s01_ann_brute_topk" -> (s01 _),
+    "s02_ann_lsh" -> (s02 _),
+    "s03_ann_ivf" -> (s03 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s01_ann_brute_topk" -> s01Sql,
+  )
+}

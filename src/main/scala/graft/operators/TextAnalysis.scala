@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.engine.Qf._
+
+/** Text analysis for LLM-data pipelines (SURVEY.md §2.5) over `documents`.
+  * All kernels are native Column expressions (codegen'd, no UDFs):
+  * tokenization via split+filter, counting via length arithmetic, so the
+  * hot path stays inside whole-stage codegen and the identical integer
+  * arithmetic runs on the DuckDB oracle side.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Non-empty whitespace tokens: filter(split(text,' '), x -> x != ''). */
+  private val wordsCol: Column = expr("filter(split(text, ' '), x -> x != '')")
+  private val wordsSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  private val stopList = Seq("the", "a", "of", "to", "and", "in")
+  private val stopSqlIn = stopList.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  // ---------------------------------------------------------------- t01
+  /** Per-language token statistics. */
+  def t01(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(wordsCol).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("total_tokens"),
+           (dbl(sum(col("n_tok"))) / count(lit(1))).as("avg_tokens"),
+           max(col("n_tok")).as("max_tokens"),
+           min(col("n_tok")).as("min_tokens"))
+      .orderBy("lang")
+  val t01Sql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       |  CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+       |  CAST(MIN(n_tok) AS BIGINT) AS min_tokens
+       |FROM (SELECT lang, CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- t02
+  /** Per-document quality score: stopword ratio, punctuation ratio,
+    * length saturation — one weighted sum, identical op order both sides. */
+  def t02(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(wordsCol).cast("long"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("n_stop",
+        size(expr(s"filter(filter(split(text, ' '), x -> x != ''), w -> w IN $stopSqlIn)")).cast("long"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
+      .withColumn("stop_ratio", dbl(col("n_stop")) / dbl(col("n_tok")))
+      .withColumn("punct_ratio", dbl(col("n_punct")) / dbl(length(col("text"))))
+      .withColumn("len_norm", dbl(least(col("n_tok"), lit(100L))) / lit(100.0d))
+      .withColumn("quality",
+        round(lit(0.3d) * (lit(1.0d) - col("punct_ratio"))
+          + lit(0.3d) * (lit(1.0d) - col("stop_ratio"))
+          + lit(0.4d) * col("len_norm"), 6))
+      .select("doc_id", "n_tok", "n_stop", "n_punct", "quality")
+      .orderBy("doc_id")
+  val t02Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1)
+       |SELECT doc_id, n_tok, n_stop, n_punct,
+       |  ROUND(0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_char AS DOUBLE))
+       |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+       |      + 0.4 * (CAST(LEAST(n_tok, 100) AS DOUBLE) / 100.0), 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t03
+  /** Marker-word language-ID heuristic: count marker occurrences per
+    * language, argmax with a fixed tie order; confusion-matrix output. */
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> " the ", "es" -> " la ", "de" -> " der ", "fr" -> " le ", "zh" -> " zh ")
+
+  def t03(spark: SparkSession, dir: String): DataFrame = {
+    // occurrences of marker m in padded text (non-overlapping, exact ints)
+    def score(m: String): Column =
+      (length(concat(lit(" "), col("text"), lit(" ")))
+        - length(expr(s"replace(concat(' ', text, ' '), '$m', '')"))) / lit(m.length)
+    val scored = markers.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (lang, m)) => df.withColumn(s"s_$lang", score(m))
+    }
+    val best = markers.map(_._1).map(l => col(s"s_$l"))
+    val predicted = markers.map(_._1).foldRight(lit("und")) {
+      case (l, acc) => when(col(s"s_$l") === greatest(best: _*) && greatest(best: _*) > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+  val t03Sql: String = {
+    val scores = markers.map { case (l, m) =>
+      s"(LENGTH(' ' || text || ' ') - LENGTH(replace(' ' || text || ' ', '$m', ''))) / ${m.length} AS s_$l"
+    }.mkString(",\n    ")
+    val bestExpr = markers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+    val caseExpr = markers.map { case (l, _) =>
+      s"WHEN s_$l = $bestExpr AND $bestExpr > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH s AS (
+       |  SELECT lang,
+       |    $scores
+       |  FROM documents)
+       |SELECT lang, $caseExpr AS predicted, COUNT(*) AS n
+       |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t04
+  /** Normalized-text fingerprint; per-source duplication stats. */
+  def t04(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("fp")).as("n_unique"),
+           (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
+      .orderBy("source")
+  val t04Sql: String =
+    """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+      |  COUNT(*) - COUNT(DISTINCT fp) AS n_dups
+      |FROM (SELECT source, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "t01_token_stats" -> (t01 _),
+    "t02_quality_score" -> (t02 _),
+    "t03_langid" -> (t03 _),
+    "t04_fingerprint" -> (t04 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t01_token_stats" -> t01Sql,
+    "t02_quality_score" -> t02Sql,
+    "t03_langid" -> t03Sql,
+    "t04_fingerprint" -> t04Sql,
+  )
+}
