@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.engine.Qf._
+import graft.functions.VectorFunctions
 
 /** Deduplication operators for LLM-data pipelines (SURVEY.md §2.3) over
   * `documents`.
@@ -173,13 +174,14 @@ object Dedup {
     * sequentially over the vector exactly like the DuckDB list_reduce
     * oracle (IEEE: 0.0 + x == x). */
   def d05(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
+      .select(col("vec_id"), col("embedding").as("v"), expr("vec_norm(embedding)").as("nrm"))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("vec_dot(va, vb)"))
       .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 6))
       .filter(col("cos") >= 0.35d)
       .select("vec_a", "vec_b", "cos")

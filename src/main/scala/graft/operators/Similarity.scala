@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.Tables
 import graft.engine.Qf._
+import graft.functions.VectorFunctions
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.4).
   *
@@ -20,17 +21,26 @@ import graft.engine.Qf._
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Raw float vector + codegen'd norm; float elements widen to double
+    * inside the kernels, bit-identical to a transform-to-double pipeline. */
   private def withNormVec(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
+    df.select(col("vec_id"), col("embedding").as("v"), expr("vec_norm(embedding)").as("nrm"))
 
-  private val dotExpr = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  /** The embeddings table arrives as one small file -> one partition; the
+    * pair-generating joins would then run as a single task. Spread the
+    * STREAM side across the cluster before fan-out (the broadcast side
+    * must not be repartitioned). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  private val dotExpr = "vec_dot(va, vb)"
 
   // ---------------------------------------------------------------- s01
   /** Brute-force cosine top-5 neighbors for every vector. */
   def s01(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
     val e = withNormVec(Tables.embeddings(spark, dir))
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
+    val q = spread(e.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na")))
     val n = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     q.join(broadcast(n), col("q_id") =!= col("n_id"))
@@ -63,6 +73,7 @@ object Similarity {
   /** Random-hyperplane LSH: 12 fixed seeded hyperplanes -> 12-bit bucket;
     * top-3 neighbors within bucket (rows-only check). */
   def s02(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
     val dim = 64
     val planes = {
       val rnd = new scala.util.Random(7)
@@ -71,7 +82,7 @@ object Similarity {
     val e = withNormVec(Tables.embeddings(spark, dir))
     val bucket = planes.zipWithIndex.map { case (p, j) =>
       val planeArr = s"array(${p.map(x => s"${x}D").mkString(",")})"
-      when(expr(s"aggregate(zip_with(v, $planeArr, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0d,
+      when(expr(s"vec_dot(v, $planeArr)") > 0d,
            lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val b = e.withColumn("bucket", bucket)
@@ -91,11 +102,12 @@ object Similarity {
     * every vector is assigned to its nearest centroid cell; queries probe
     * the 2 nearest cells (rows-only check). */
   def s03(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
     val e = withNormVec(Tables.embeddings(spark, dir))
     val cents = e.orderBy("vec_id").limit(16)
       .select(col("vec_id").as("cent_id"), col("v").as("vb"), col("nrm").as("nb"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cent_id"))
-    val assign = e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val assign = spread(e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na")))
       .join(broadcast(cents), lit(true))
       .withColumn("cos", expr(dotExpr) / (col("na") * col("nb")))
       .withColumn("rk", row_number().over(wAssign))
@@ -104,7 +116,7 @@ object Similarity {
     val members = e.join(assign, "vec_id")
       .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))
     val wProbe = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cent_id"))
-    val probes = e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val probes = spread(e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na")))
       .join(broadcast(cents), lit(true))
       .withColumn("cos", expr(dotExpr) / (col("na") * col("nb")))
       .withColumn("rk", row_number().over(wProbe))
