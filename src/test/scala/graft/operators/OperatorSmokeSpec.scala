@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Spot-checks per operator family at sf0.001 (full oracle equivalence is
+  * driven by Verify + the DuckDB gate; these keep `sbt test` meaningful
+  * standalone and document expected shapes). */
+class OperatorSmokeSpec extends SparkSpec {
+
+  test("every SURVEY §2 query key is registered with an oracle or rows-only check") {
+    val expected = Set(
+      "q01_pricing_summary", "q02_filter_project", "q03_top_revenue", "q04_order_priority",
+      "q05_region_revenue", "q06_forecast_revenue", "q07_window_rank", "q08_running_total",
+      "q09_rollup", "q10_distinct_agg", "q11_anti_join", "q12_set_ops", "q13_conditional_agg",
+      "q14_string_ops", "q15_date_ops", "q16_scalar_subquery", "q17_having", "q18_percentile",
+      "q19_null_handling", "q20_nation_revenue",
+      "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
+      "e06_json_extract",
+      "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash",
+      "d05_embedding_neardup",
+      "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf",
+      "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint",
+      "m01_binary_meta", "m02_decode_features")
+    assert(SparkEntry.queries.keySet == expected)
+    // oracle keys must be a subset of query keys
+    assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
+    // rows-only exceptions are exactly the non-SQL-expressible ones
+    assert(expected -- SparkEntry.oracleSql.keySet ==
+      Set("d04_simhash", "s02_ann_lsh", "s03_ann_ivf", "m02_decode_features"))
+  }
+
+  test("q01 pricing summary: 3x2 flag/status matrix with exact decimal sums") {
+    val rows = Relational.q01(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[String]("l_returnflag")).distinct.sorted.sameElements(Array("A", "N", "R")))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+      assert(r.getAs[Double]("sum_charge") >= r.getAs[Double]("sum_disc_price"))
+    }
+  }
+
+  test("q07 window rank: exactly top-3 per segment, rank within [1,3]") {
+    val rows = Relational.q07(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
+    assert(bySeg.size == 5)
+    bySeg.values.foreach { seg =>
+      assert(seg.length == 3)
+      assert(seg.map(_.getAs[Long]("rnk")).sorted.sameElements(Array(1L, 2L, 3L)))
+    }
+  }
+
+  test("e01 sessionization: session stats are internally consistent") {
+    val rows = Events.e01(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("end_ms") >= r.getAs[Long]("start_ms"))
+      assert(r.getAs[Long]("dur_ms") == r.getAs[Long]("end_ms") - r.getAs[Long]("start_ms"))
+      assert(r.getAs[Long]("n_events") >= 1L)
+    }
+  }
+
+  test("d03 jaccard pairs are all >= 0.5 and ordered") {
+    val rows = Dedup.d03(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("d02 minhash+LSH equals exact all-pairs at J >= 0.8 (d03 restricted)") {
+    val lsh = Dedup.d02(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = Dedup.d03(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.8)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh == exact)
+  }
+
+  test("s01 brute-force ANN: 5 neighbors per query, cosine non-increasing") {
+    val rows = Similarity.s01(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 500)
+    byQ.values.foreach { ns =>
+      assert(ns.length == 5)
+      val ordered = ns.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("m02 decode plumbing: deterministic features, normalized histogram") {
+    val rows = Multimodal.m02(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Double]]("features")
+      assert(f.length == 16)
+      assert(math.abs(f.sum - 1.0) < 1e-9)
+    }
+    // determinism: same input -> same features
+    val again = Multimodal.m02(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+}
