@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{DotProduct, VecNorm}
+
+/** Injects graft's codegen'd expressions into every session built with
+  * these extensions — usable via `spark.sql.extensions=graft.engine.GraftExtensions`
+  * on any cluster (spark-submit) or through [[Engine.session]] locally.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecNorm(exprs.head)))
+  }
+}
+
+/** SparkSession factory encoding graft's scale posture:
+  *  - AQE on (runtime re-plan, skew-join splitting) — Spark 4 default,
+  *    asserted here so a misconfigured cluster can't silently lose it;
+  *  - shuffle partitions sized to the executor core count locally (the
+  *    32-thread test box), NOT the 200 default — on a real cluster this
+  *    is overridden to ~2-3x total cores;
+  *  - UTC session timezone for deterministic date semantics;
+  *  - graft extensions (codegen'd vector kernels) pre-registered.
+  */
+object Engine {
+  def session(cores: Int, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

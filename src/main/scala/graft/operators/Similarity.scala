@@ -105,27 +105,23 @@ object Similarity {
     VectorFunctions.register(spark)
     val e = withNormVec(Tables.embeddings(spark, dir))
     val cents = e.orderBy("vec_id").limit(16)
-      .select(col("vec_id").as("cent_id"), col("v").as("vb"), col("nrm").as("nb"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cent_id"))
-    val assign = spread(e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na")))
+      .select(col("vec_id").as("cent_id"), col("v").as("vc"), col("nrm").as("nc"))
+    // ONE vector x centroid pass ranks all cells per vector; the ranked
+    // rows carry the vector payload, so cell membership (rk = 1) and the
+    // 2-cell probe list (rk <= 2) both project straight out of it —
+    // no re-joins back to the embeddings table.
+    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val ranked = spread(e.select(col("vec_id"), col("v"), col("nrm")))
       .join(broadcast(cents), lit(true))
-      .withColumn("cos", expr(dotExpr) / (col("na") * col("nb")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
-    val members = e.join(assign, "vec_id")
+      .withColumn("ccos", expr("vec_dot(v, vc)") / (col("nrm") * col("nc")))
+      .withColumn("rk", row_number().over(wCell))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"), col("rk"))
+    val members = ranked.filter(col("rk") === 1)
       .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))
-    val wProbe = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cent_id"))
-    val probes = spread(e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na")))
-      .join(broadcast(cents), lit(true))
-      .withColumn("cos", expr(dotExpr) / (col("na") * col("nb")))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= 2)
-      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
-      .join(probes, "q_id")
+    val probes = ranked.filter(col("rk") <= 2)
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"), col("cell"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    q.join(members, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+    probes.join(members, Seq("cell")).filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 6))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= 5)
