@@ -22,13 +22,18 @@ object TextAnalysis {
   private val stopSqlIn = stopList.map(s => s"'$s'").mkString("(", ", ", ")")
 
   // ---------------------------------------------------------------- t01
-  /** Per-language token statistics. */
+  /** Per-language token statistics: whitespace tokens plus a BPE-ish
+    * regex tokenization (alpha runs / digit runs / single symbols — the
+    * shape subword tokenizers pre-split on). */
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
   def t01(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("n_tok", size(wordsCol).cast("long"))
+      .withColumn("n_bpe", size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).cast("long"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_tok")).as("total_tokens"),
+           sum(col("n_bpe")).as("total_bpe_tokens"),
            (dbl(sum(col("n_tok"))) / count(lit(1))).as("avg_tokens"),
            max(col("n_tok")).as("max_tokens"),
            min(col("n_tok")).as("min_tokens"))
@@ -36,10 +41,13 @@ object TextAnalysis {
   val t01Sql: String =
     s"""SELECT lang, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
        |  CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
        |  CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
        |  CAST(MIN(n_tok) AS BIGINT) AS min_tokens
-       |FROM (SELECT lang, CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents)
+       |FROM (SELECT lang, CAST(len($wordsSql) AS BIGINT) AS n_tok,
+       |        CAST(len(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS n_bpe
+       |      FROM documents)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- t02
