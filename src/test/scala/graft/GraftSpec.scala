@@ -1,0 +1,26 @@
+package graft
+
+class GraftSpec extends SparkSpec {
+
+  test("registerViews exposes every table to plain SQL with graft functions") {
+    Graft.registerViews(spark, sf)
+    val n = spark.sql("SELECT COUNT(*) FROM lineitem").head().getLong(0)
+    assert(n == 6000L)
+    // derived event columns present
+    val ms = spark.sql("SELECT ms, ets FROM events ORDER BY event_id LIMIT 1").head()
+    assert(ms.getLong(0) > 1700000000000L)
+    // graft SQL functions usable directly from SQL
+    val cos = spark.sql(
+      """SELECT vec_dot(a.embedding, b.embedding) / (vec_norm(a.embedding) * vec_norm(b.embedding))
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY a.vec_id LIMIT 1""".stripMargin).head().getDouble(0)
+    assert(cos >= -1.0 && cos <= 1.0)
+  }
+
+  test("run dispatches named operators and rejects unknown names") {
+    assert(Graft.run(spark, sf, "q06_forecast_revenue").count() == 1L)
+    val e = intercept[IllegalArgumentException](Graft.run(spark, sf, "nope"))
+    assert(e.getMessage.contains("unknown operator"))
+    assert(Graft.operators.size == 40)
+  }
+}
