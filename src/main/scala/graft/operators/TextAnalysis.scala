@@ -125,6 +125,31 @@ object TextAnalysis {
        |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t05
+  /** PII-style redaction pass: scrub number-like and email-like spans,
+    * report redaction counts per source — the pre-training scrub shape.
+    * Counting trick: spans = (len(orig) - len(replace-with-empty)) is
+    * fragile for variable-length matches, so count via extract_all. */
+  private val numPat = "[0-9]+"
+  private val mailPat = "[a-z0-9]+@[a-z0-9.]+"
+  def t05(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_num", size(regexp_extract_all(col("text"), lit(numPat), lit(0))).cast("long"))
+      .withColumn("n_mail", size(regexp_extract_all(col("text"), lit(mailPat), lit(0))).cast("long"))
+      .withColumn("clean", regexp_replace(regexp_replace(col("text"), mailPat, "<EMAIL>"), numPat, "<NUM>"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_num")).as("n_num_redactions"),
+           sum(col("n_mail")).as("n_mail_redactions"),
+           sum(length(col("clean")).cast("long")).as("clean_chars"))
+      .orderBy("source")
+  val t05Sql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(text, '$numPat'))) AS BIGINT) AS n_num_redactions,
+       |  CAST(SUM(len(regexp_extract_all(text, '$mailPat'))) AS BIGINT) AS n_mail_redactions,
+       |  CAST(SUM(LENGTH(regexp_replace(regexp_replace(text, '$mailPat', '<EMAIL>', 'g'), '$numPat', '<NUM>', 'g'))) AS BIGINT) AS clean_chars
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- t04
   /** Normalized-text fingerprint; per-source duplication stats. */
   def t04(spark: SparkSession, dir: String): DataFrame =
@@ -147,6 +172,7 @@ object TextAnalysis {
     "t02_quality_score" -> (t02 _),
     "t03_langid" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
+    "t05_redaction" -> (t05 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -154,5 +180,6 @@ object TextAnalysis {
     "t02_quality_score" -> t02Sql,
     "t03_langid" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
+    "t05_redaction" -> t05Sql,
   )
 }

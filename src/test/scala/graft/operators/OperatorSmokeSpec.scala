@@ -19,7 +19,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash",
       "d05_embedding_neardup",
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf",
-      "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint",
+      "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
       "m01_binary_meta", "m02_decode_features")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
