@@ -55,6 +55,24 @@ object PipelineDemo {
     InMemoryTransport.indexed("events_hourly").toSeq.sortBy(_._2).foreach {
       case (id, json) => println(s"$id -> $json")
     }
+
+    // file-replay path: same windowed pipeline fed from a drop directory
+    val drop = java.nio.file.Files.createTempDirectory("events-drop")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      drop.resolve("events-000.parquet"))
+    val replay = WindowedAggPipeline.tumbling(
+      FileEventSource.stream(spark, drop.toString), watermark = "1 hour")
+    val replayQ = replay.writeStream
+      .format("memory").queryName("replay")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    replayQ.awaitTermination(120000)
+    replayQ.stop()
+    val n = spark.table("replay").agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    println(s"=== file replay: $n events re-aggregated over " +
+      s"${spark.table("replay").count()} hourly buckets ===")
     spark.stop()
   }
 }
