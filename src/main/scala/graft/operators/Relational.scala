@@ -435,6 +435,20 @@ object Relational {
        |JOIN nation ON s_nationkey = n_nationkey
        |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q21
+  /** Sketch-based approximate aggregates — the 100 TB substitute for
+    * exact distinct/percentile when cardinality explodes: HLL++ distinct
+    * and t-digest-style quantiles in one pass, map-side combinable.
+    * rows-only check (approximation has no DuckDB-equivalent bits). */
+  def q21(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps_1pct"),
+           expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("price_quantiles"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -456,6 +470,7 @@ object Relational {
     "q18_percentile" -> (q18 _),
     "q19_null_handling" -> (q19 _),
     "q20_nation_revenue" -> (q20 _),
+    "q21_approx_stats" -> (q21 _),
   )
 
   val oracle: Map[String, String] = Map(
