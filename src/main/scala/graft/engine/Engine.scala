@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, VecNorm}
+import graft.functions.{DotProduct, VecNorm, WordNGrams, WordTokens}
 
 /** Injects graft's codegen'd expressions into every session built with
   * these extensions — usable via `spark.sql.extensions=graft.engine.GraftExtensions`
@@ -21,6 +21,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecNorm(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_tokens"),
+      new ExpressionInfo(classOf[WordTokens].getName, "word_tokens"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordTokens(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordNGrams(exprs.head, exprs(1).eval().asInstanceOf[Int])))
   }
 }
 
@@ -42,6 +52,9 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // wide aggregations (minhash: 128 min() columns) must stay inside
+      // whole-stage codegen; the 100-field default silently drops them out
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

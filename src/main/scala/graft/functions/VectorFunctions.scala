@@ -27,6 +27,9 @@ object VectorFunctions {
     if (!reg.functionExists(FunctionIdentifier("vec_dot"))) {
       reg.createOrReplaceTempFunction("vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("vec_norm", exprs => VecNorm(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction("word_tokens", exprs => WordTokens(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction("word_ngrams", exprs => WordNGrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
     }
   }
 

@@ -18,14 +18,15 @@ import graft.functions.VectorFunctions
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct word 3-gram shingles per doc (docs with >= 3 tokens). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** Distinct word 3-gram shingles per doc (docs with >= 3 tokens);
+    * codegen-path kernel (graft.functions.WordNGrams), same output as the
+    * composable filter/transform/array_distinct form. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
     Tables.documents(spark, dir)
-      .withColumn("words", expr("filter(split(text, ' '), x -> x != '')"))
-      .filter(size(col("words")) >= 3)
-      .withColumn("grams", array_distinct(expr(
-        "transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")))
-      .select("doc_id", "grams")
+      .select(col("doc_id"), expr("word_ngrams(text, 3)").as("grams"))
+      .filter(size(col("grams")) >= 1)
+  }
 
   /** DuckDB mirror of `shingled` (1-based list indexing). */
   private val shingledSql: String =
@@ -111,8 +112,11 @@ object Dedup {
       struct(lit(j).as("band"),
         xxhash64((j * 4 until j * 4 + 4).map(i => col(s"m$i")): _*).as("key"))
     }
+    // cache the (tiny) band table: the self-join below would otherwise
+    // recompute the whole 128-column signature aggregation for each side
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache()
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -141,8 +145,9 @@ object Dedup {
   /** 64-bit SimHash + 16-bit Hamming-band near-dup buckets (rows-only
     * check: no portable SQL oracle for the hash kernel). */
   def d04(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
     val tokens = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      .select(col("doc_id"), explode(expr("word_tokens(text)")).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")

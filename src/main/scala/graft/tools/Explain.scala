@@ -1,7 +1,7 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
+import graft.engine.Engine
 
 /** Dev tool: print the formatted physical plan (and optionally time) for
   * named queries. Usage: runMain graft.tools.Explain <sfDir> <name> [time]
@@ -11,14 +11,13 @@ object Explain {
     val sfDir = args(0)
     val names = args(1).split(",")
     val time = args.length > 2 && args(2) == "time"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Engine.session(cpus, "graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
+    if (time) { // warm JVM/codegen so timings reflect the engine
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      SparkEntry.entry(spark).count()
+    }
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"===== $name =====")
