@@ -449,6 +449,21 @@ object Relational {
            count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q22
+  /** Dynamic pivot: one output column per line status (DataFrame .pivot
+    * with pinned values so the schema is static and plannable). */
+  def q22(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dbl(sum(dec(col("l_quantity")))))
+      .orderBy("l_returnflag")
+  val q22Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS O
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -471,6 +486,7 @@ object Relational {
     "q19_null_handling" -> (q19 _),
     "q20_nation_revenue" -> (q20 _),
     "q21_approx_stats" -> (q21 _),
+    "q22_pivot" -> (q22 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -494,5 +510,6 @@ object Relational {
     "q18_percentile" -> q18Sql,
     "q19_null_handling" -> q19Sql,
     "q20_nation_revenue" -> q20Sql,
+    "q22_pivot" -> q22Sql,
   )
 }

@@ -13,7 +13,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "q05_region_revenue", "q06_forecast_revenue", "q07_window_rank", "q08_running_total",
       "q09_rollup", "q10_distinct_agg", "q11_anti_join", "q12_set_ops", "q13_conditional_agg",
       "q14_string_ops", "q15_date_ops", "q16_scalar_subquery", "q17_having", "q18_percentile",
-      "q19_null_handling", "q20_nation_revenue", "q21_approx_stats",
+      "q19_null_handling", "q20_nation_revenue", "q21_approx_stats", "q22_pivot",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract",
       "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash",
