@@ -73,6 +73,24 @@ object PipelineDemo {
     val n = spark.table("replay").agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
     println(s"=== file replay: $n events re-aggregated over " +
       s"${spark.table("replay").count()} hourly buckets ===")
+
+    // stream-stream attribution: purchases joined to preceding views
+    val wire2 = MemoryStream[String]
+    val parsed2 = EventParser.valid(EventParser.parse(wire2.toDF().toDF("value")))
+    val attributed = AttributionJoin.attribute(
+      parsed2.filter(col("event_type") === "view"),
+      parsed2.filter(col("event_type") === "purchase"),
+      watermark = "5 minutes", window = "1 hour")
+    val attrQ = attributed.writeStream
+      .format("memory").queryName("attr").outputMode(OutputMode.Append()).start()
+    wire2.addData(
+      ev(10, "2024-01-01T00:10:00Z", 1, "view", 0.0),
+      ev(11, "2024-01-01T00:40:00Z", 1, "purchase", 19.99),
+      ev(12, "2024-01-01T03:00:00Z", 2, "purchase", 5.0)) // no prior view
+    attrQ.processAllAvailable()
+    attrQ.stop()
+    println("=== attributed purchases (purchase_id <- view_id) ===")
+    spark.table("attr").select("purchase_id", "view_id", "value").show()
     spark.stop()
   }
 }
