@@ -116,6 +116,8 @@ object Similarity {
       .withColumn("ccos", expr("vec_dot(v, vc)") / (col("nrm") * col("nc")))
       .withColumn("rk", row_number().over(wCell))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"), col("rk"))
+      .filter(col("rk") <= 2)
+      .cache() // the member/probe self-join below reads it from both sides
     val members = ranked.filter(col("rk") === 1)
       .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))
     val probes = ranked.filter(col("rk") <= 2)
