@@ -97,15 +97,62 @@ object Similarity {
       .orderBy("q_id", "rnk", "n_id")
   }
 
+  /** Lloyd's k-means on cosine distance, DataFrame-native: assignment is
+    * a broadcast vector x centroid pass (distributed); the k-vector model
+    * update collects only k x dim doubles to the driver per iteration —
+    * the standard iterative-ML exception to "no driver-side data".
+    * Deterministic init: the k lowest vec_ids. */
+  def trainCentroids(spark: SparkSession, e: DataFrame, k: Int, iters: Int)
+      : Array[(Int, Array[Double])] = {
+    VectorFunctions.register(spark)
+    var cents: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(k)
+      .select("v").collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](0).map(_.toDouble).toArray)
+      }
+    val sc = spark
+    import sc.implicits._
+    for (_ <- 1 to iters) {
+      val centDf = cents.toSeq.toDF("cent_id", "vc")
+        .withColumn("nc", expr("vec_norm(vc)"))
+      val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = e.join(broadcast(centDf), lit(true))
+        .withColumn("ccos", expr("vec_dot(v, vc)") / (col("nrm") * col("nc")))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+        .select(col("cent_id").as("cell"), col("v"))
+      val dims = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = dims.groupBy(_.getAs[Int]("cell"))
+      cents = cents.map { case (id, old) =>
+        byCell.get(id) match {
+          case Some(rows) =>
+            val arr = new Array[Double](old.length)
+            rows.foreach(r => arr(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+            (id, arr)
+          case None => (id, old) // empty cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
   // ---------------------------------------------------------------- s03
-  /** IVF-style ANN: deterministic centroids = the 16 lowest vec_ids;
-    * every vector is assigned to its nearest centroid cell; queries probe
-    * the 2 nearest cells (rows-only check). */
+  /** IVF ANN: k-means-trained centroids (2 Lloyd's iterations from a
+    * deterministic init); every vector is assigned to its nearest
+    * centroid cell; queries probe the 2 nearest cells (rows-only check). */
   def s03(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = withNormVec(Tables.embeddings(spark, dir))
-    val cents = e.orderBy("vec_id").limit(16)
-      .select(col("vec_id").as("cent_id"), col("v").as("vc"), col("nrm").as("nc"))
+    val sc = spark
+    import sc.implicits._
+    val cents = trainCentroids(spark, e, k = 16, iters = 2).toSeq
+      .toDF("cent_id", "vc")
+      .withColumn("nc", expr("vec_norm(vc)"))
     // ONE vector x centroid pass ranks all cells per vector; the ranked
     // rows carry the vector payload, so cell membership (rk = 1) and the
     // 2-cell probe list (rk <= 2) both project straight out of it —
