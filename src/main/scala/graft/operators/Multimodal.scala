@@ -77,9 +77,43 @@ object Multimodal {
     (id, "image", w, hgt, hist)
   }
 
+  // ---------------------------------------------------------------- m03
+  /** Frame-sampling fan-out: one payload row explodes into k evenly-spaced
+    * frame rows (the video shape: sample frames, then decode each). The
+    * sampler is pure Column arithmetic — sequence of byte offsets — so the
+    * fan-out happens distributed BEFORE any decode; the per-frame decode
+    * kernel is the same deterministic stub as m02 (no codecs in image).
+    * At 100 TB the ordering matters: explode-then-decode keeps each
+    * decode task small and lets AQE size partitions by frame count, vs
+    * decode-then-explode which would ship whole videos between stages. */
+  def m03(spark: SparkSession, dir: String): DataFrame = {
+    val frames = 4
+    val docs = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", octet_length(col("payload")))
+      .filter(col("n_bytes") >= frames)
+      .select(col("doc_id"), col("payload"),
+        posexplode(expr(s"transform(sequence(0, $frames - 1), " +
+          s"i -> CAST(i * (n_bytes / $frames) AS INT))")).as(Seq("frame_idx", "offset")))
+    val spark2 = spark
+    import spark2.implicits._
+    docs.as[(Long, Array[Byte], Int, Int)].mapPartitions { rows =>
+      rows.map { case (id, bytes, idx, off) =>
+        // STUB frame decode: 8-byte window at the sampled offset
+        val end = math.min(off + 8, bytes.length)
+        var h = 1125899906842597L
+        var i = off
+        while (i < end) { h = h * 31 + (bytes(i) & 0xFF); i += 1 }
+        (id, idx, off, math.abs(h % 1000000L) / 1000000.0)
+      }
+    }.toDF("doc_id", "frame_idx", "offset", "frame_feature")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> (m01 _),
     "m02_decode_features" -> (m02 _),
+    "m03_frame_sample" -> (m03 _),
   )
 
   val oracle: Map[String, String] = Map(

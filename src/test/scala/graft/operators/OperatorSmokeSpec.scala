@@ -20,13 +20,13 @@ class OperatorSmokeSpec extends SparkSpec {
       "d05_embedding_neardup",
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
-      "m01_binary_meta", "m02_decode_features")
+      "m01_binary_meta", "m02_decode_features", "m03_frame_sample")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
     // rows-only exceptions are exactly the non-SQL-expressible ones
     assert(expected -- SparkEntry.oracleSql.keySet ==
-      Set("d04_simhash", "s02_ann_lsh", "s03_ann_ivf", "m02_decode_features", "q21_approx_stats"))
+      Set("d04_simhash", "s02_ann_lsh", "s03_ann_ivf", "m02_decode_features", "m03_frame_sample", "q21_approx_stats"))
   }
 
   test("q01 pricing summary: 3x2 flag/status matrix with exact decimal sums") {
