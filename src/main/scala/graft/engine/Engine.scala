@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{DotProduct, VecNorm, WordNGrams, WordTokens}
+import graft.plans.CosineTopKStrategy
 
 /** Injects graft's codegen'd expressions into every session built with
   * these extensions — usable via `spark.sql.extensions=graft.engine.GraftExtensions`
@@ -11,6 +12,7 @@ import graft.functions.{DotProduct, VecNorm, WordNGrams, WordTokens}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => CosineTopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

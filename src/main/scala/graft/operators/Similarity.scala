@@ -36,18 +36,19 @@ object Similarity {
   private val dotExpr = "vec_dot(va, vb)"
 
   // ---------------------------------------------------------------- s01
-  /** Brute-force cosine top-5 neighbors for every vector. */
+  /** Brute-force cosine top-5 neighbors for every vector, via the custom
+    * CosineTopK whole-operator (logical node + Strategy + exec): emits
+    * N x k rows directly from a bounded per-query buffer instead of
+    * materializing the N^2 pair stream through window machinery. */
   def s01(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.CosineTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.CosineTopKStrategy
     val e = withNormVec(Tables.embeddings(spark, dir))
     val q = spread(e.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na")))
     val n = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    q.join(broadcast(n), col("q_id") =!= col("n_id"))
-      .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 6))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select("q_id", "n_id", "rnk", "cos")
+    graft.plans.CosineTopK(spark, q, n, k = 5)
       .orderBy("q_id", "rnk", "n_id")
   }
   val s01Sql: String =
