@@ -141,6 +141,36 @@ object Dedup {
     jaccardPairs(shingled(spark, dir), 1, 2)
   val d03Sql: String = jaccardPairsSql(1, 2) // J >= 0.5
 
+  // ---------------------------------------------------------------- d06
+  /** Scale-path variant of d03: drop shingles whose document frequency
+    * exceeds `maxDf` BEFORE the self-join (hot "stop-gram" postings
+    * produce O(df^2) candidate pairs while contributing little evidence
+    * for high-Jaccard pairs), then verify candidates with FULL shingle
+    * sets so reported Jaccard values stay exact. Recall is traded only
+    * for pairs whose overlap is exclusively hot shingles (rows-only
+    * check — d03 remains the exact baseline). */
+  def d06(spark: SparkSession, dir: String): DataFrame = {
+    val maxDf = 50
+    val sh = shingled(spark, dir)
+    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val rare = posting.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("g")
+    val rarePosting = posting.join(rare, "g")
+    val candidates = rarePosting.as("a").join(rarePosting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ga = sh.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = sh.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    candidates.join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
+      .withColumn("un", size(col("grams_a")).cast("long") + size(col("grams_b")).cast("long") - col("inter"))
+      .filter(col("inter") * 2 >= col("un"))
+      .select(col("doc_a"), col("doc_b"), (dbl(col("inter")) / dbl(col("un"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---------------------------------------------------------------- d04
   /** 64-bit SimHash + 16-bit Hamming-band near-dup buckets (rows-only
     * check: no portable SQL oracle for the hash kernel). */
@@ -211,6 +241,7 @@ object Dedup {
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_lsh" -> (d02 _),
     "d03_ngram_jaccard" -> (d03 _),
+    "d06_jaccard_capped" -> (d06 _),
     "d04_simhash" -> (d04 _),
     "d05_embedding_neardup" -> (d05 _),
   )

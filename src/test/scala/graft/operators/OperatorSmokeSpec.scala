@@ -16,7 +16,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "q19_null_handling", "q20_nation_revenue", "q21_approx_stats", "q22_pivot",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract",
-      "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash",
+      "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash", "d06_jaccard_capped",
       "d05_embedding_neardup",
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
@@ -26,7 +26,7 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
     // rows-only exceptions are exactly the non-SQL-expressible ones
     assert(expected -- SparkEntry.oracleSql.keySet ==
-      Set("d04_simhash", "s02_ann_lsh", "s03_ann_ivf", "m02_decode_features", "m03_frame_sample", "q21_approx_stats"))
+      Set("d04_simhash", "d06_jaccard_capped", "s02_ann_lsh", "s03_ann_ivf", "m02_decode_features", "m03_frame_sample", "q21_approx_stats"))
   }
 
   test("q01 pricing summary: 3x2 flag/status matrix with exact decimal sums") {
@@ -65,6 +65,18 @@ class OperatorSmokeSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getAs[Double]("jaccard") >= 0.5)
       assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("d06 capped candidates are a subset of d03 exact pairs with equal jaccard") {
+    val exact = Dedup.d03(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    val capped = Dedup.d06(spark, sf).collect()
+    assert(capped.nonEmpty)
+    capped.foreach { r =>
+      val k = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(exact.contains(k), s"d06 produced a pair d03 lacks: $k")
+      assert(exact(k) == r.getAs[Double]("jaccard"), s"jaccard drifted for $k")
     }
   }
 
