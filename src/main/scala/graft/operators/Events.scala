@@ -156,6 +156,32 @@ object Events {
       |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- e07
+  /** Per-user lifetime stats: activity span, per-type counts, purchase
+    * value — the profile table a personalization pipeline materializes. */
+  def e07(spark: SparkSession, dir: String): DataFrame = {
+    def cntIf(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L))
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ms")).as("first_ms"),
+           max(col("ms")).as("last_ms"),
+           cntIf("view").as("n_views"),
+           cntIf("click").as("n_clicks"),
+           cntIf("purchase").as("n_purchases"),
+           dbl(sum(when(col("event_type") === "purchase", dec(col("value")))
+             .otherwise(lit(0).cast(Qf.D12)))).as("purchase_value"))
+      .orderBy("user_id")
+  }
+  val e07Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_window" -> (e02 _),
@@ -163,6 +189,7 @@ object Events {
     "e04_retention" -> (e04 _),
     "e05_top_users" -> (e05 _),
     "e06_json_extract" -> (e06 _),
+    "e07_user_stats" -> (e07 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -172,5 +199,6 @@ object Events {
     "e04_retention" -> e04Sql,
     "e05_top_users" -> e05Sql,
     "e06_json_extract" -> e06Sql,
+    "e07_user_stats" -> e07Sql,
   )
 }

@@ -464,6 +464,50 @@ object Relational {
       |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS O
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q23
+  /** RANGE-frame window: 3-month moving average of monthly revenue.
+    * The frame is value-based (month sequence number), not row-based —
+    * missing months genuinely shrink the window. */
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+               month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(sum(dec(col("o_totalprice"))).as("total_dec"))
+      .withColumn("mseq", col("yr") * 12 + col("mo"))
+    val w = Window.orderBy(col("mseq")).rangeBetween(-2, 0)
+    monthly.select(col("yr"), col("mo"),
+        dbl(col("total_dec")).as("monthly_total"),
+        (dbl(sum(col("total_dec")).over(w)) / count(lit(1)).over(w)).as("mov_avg_3m"))
+      .orderBy("yr", "mo")
+  }
+  val q23Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr, CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_dec
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT *, yr * 12 + mo AS mseq FROM m)
+      |SELECT yr, mo, CAST(total_dec AS DOUBLE) AS monthly_total,
+      |  CAST(SUM(total_dec) OVER (ORDER BY mseq RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(*) OVER (ORDER BY mseq RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg_3m
+      |FROM s ORDER BY yr, mo""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** GROUP BY CUBE: all grouping-set combinations of flag x status. */
+  def q24(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+              col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+  val q24Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -487,6 +531,8 @@ object Relational {
     "q20_nation_revenue" -> (q20 _),
     "q21_approx_stats" -> (q21 _),
     "q22_pivot" -> (q22 _),
+    "q23_moving_avg" -> (q23 _),
+    "q24_cube" -> (q24 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -511,5 +557,7 @@ object Relational {
     "q19_null_handling" -> q19Sql,
     "q20_nation_revenue" -> q20Sql,
     "q22_pivot" -> q22Sql,
+    "q23_moving_avg" -> q23Sql,
+    "q24_cube" -> q24Sql,
   )
 }
