@@ -182,6 +182,42 @@ object Events {
       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- e08
+  /** As-of join, batch form: each purchase picks the LATEST view at or
+    * before it by the same user. Implemented Spark-first as a single
+    * carried-forward window over the unioned event stream (one shuffle
+    * by user, no range join blow-up); the oracle cross-validates against
+    * DuckDB's native ASOF JOIN. Views are deduped to one per (user, ms)
+    * keeping the max event id so both engines break ms-ties identically. */
+  def e08(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("event_id")).as("view_id"))
+      .select(col("user_id"), col("ms"), col("view_id"),
+              lit(null).cast("long").as("purchase_id"), lit(0).as("marker"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"), lit(null).cast("long").as("view_id"),
+              col("event_id").as("purchase_id"), lit(1).as("marker"))
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("marker"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("last_view",
+        last(when(col("marker") === 0, struct(col("ms").as("vms"), col("view_id"))), ignoreNulls = true).over(w))
+      .filter(col("marker") === 1 && col("last_view").isNotNull)
+      .select(col("purchase_id"), col("last_view.view_id").as("view_id"),
+              (col("ms") - col("last_view.vms")).as("gap_ms"))
+      .orderBy("purchase_id")
+  }
+  val e08Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (SELECT user_id, ms, MAX(event_id) AS view_id FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id, ms),
+      |p AS (SELECT user_id, ms, event_id AS purchase_id FROM e WHERE event_type = 'purchase')
+      |SELECT purchase_id, view_id, p.ms - v.ms AS gap_ms
+      |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ms <= p.ms
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_window" -> (e02 _),
@@ -190,6 +226,7 @@ object Events {
     "e05_top_users" -> (e05 _),
     "e06_json_extract" -> (e06 _),
     "e07_user_stats" -> (e07 _),
+    "e08_asof_join" -> (e08 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -200,5 +237,6 @@ object Events {
     "e05_top_users" -> e05Sql,
     "e06_json_extract" -> e06Sql,
     "e07_user_stats" -> e07Sql,
+    "e08_asof_join" -> e08Sql,
   )
 }
