@@ -1,0 +1,37 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch write side of the engine: lay data out so future scans prune.
+  *
+  * At 100 TB the write-time layout IS the query plan: partition columns
+  * become directory-level pruning (a date filter skips whole days on
+  * disk), and sorting within partitions gives parquet min/max row-group
+  * skipping on the sort keys.
+  */
+object Warehouse {
+  /** Write `df` partitioned by `partitionCols` (directory pruning) and
+    * sorted within files by `sortCols` (row-group min/max skipping). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String], sortCols: Seq[String]): Unit = {
+    val sorted =
+      if (sortCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+          .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else df
+    sorted.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Derived day partition column from an epoch-ms column (the standard
+    * event-warehouse layout: dt=YYYY-MM-DD directories). */
+  def withDayPartition(df: DataFrame, msCol: String): DataFrame =
+    df.withColumn("dt", date_format(timestamp_millis(col(msCol)), "yyyy-MM-dd"))
+
+  /** Read back a warehouse path (partition columns come back as data). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
