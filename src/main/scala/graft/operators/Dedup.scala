@@ -143,29 +143,30 @@ object Dedup {
 
   // ---------------------------------------------------------------- d06
   /** Scale-path variant of d03: drop shingles whose document frequency
-    * exceeds `maxDf` BEFORE the self-join (hot "stop-gram" postings
-    * produce O(df^2) candidate pairs while contributing little evidence
-    * for high-Jaccard pairs), then verify candidates with FULL shingle
-    * sets so reported Jaccard values stay exact. Recall is traded only
-    * for pairs whose overlap is exclusively hot shingles (rows-only
-    * check — d03 remains the exact baseline). */
+    * exceeds `maxDf` BEFORE the self-join — hot "stop-gram" postings cost
+    * O(df^2) pair rows while contributing little evidence for
+    * high-Jaccard pairs. Intersections are COUNTED in the pair
+    * aggregation (same shape as d03 — no per-pair array_intersect);
+    * unions use full shingle-set sizes, so when hot shingles exist the
+    * reported jaccard is a lower bound and the threshold is conservative
+    * (rows-only check — d03 remains the exact baseline). */
   def d06(spark: SparkSession, dir: String): DataFrame = {
     val maxDf = 50
-    val sh = shingled(spark, dir)
+    val sh = shingled(spark, dir).cache()
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val rare = posting.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("g")
     val rarePosting = posting.join(rare, "g")
-    val candidates = rarePosting.as("a").join(rarePosting.as("b"),
+    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
+    val inter = rarePosting.as("a").join(rarePosting.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val ga = sh.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-    val gb = sh.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-    candidates.join(ga, "doc_a").join(gb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
-      .withColumn("un", size(col("grams_a")).cast("long") + size(col("grams_b")).cast("long") - col("inter"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("un", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 2 >= col("un"))
       .select(col("doc_a"), col("doc_b"), (dbl(col("inter")) / dbl(col("un"))).as("jaccard"))
       .orderBy("doc_a", "doc_b")
