@@ -71,30 +71,40 @@ object Similarity {
       |ORDER BY q_id, rnk, n_id""".stripMargin
 
   // ---------------------------------------------------------------- s02
-  /** Random-hyperplane LSH: 12 fixed seeded hyperplanes -> 12-bit bucket;
-    * top-3 neighbors within bucket (rows-only check). */
+  /** Random-hyperplane LSH, multi-table OR-construction: L=2 independent
+    * tables of 10 sign bits each. A pair is a candidate if it collides in
+    * ANY table (union + distinct), which is the standard recall knob —
+    * P(candidate) = 1 - (1 - p^bits)^L for per-plane agreement p. Top-3
+    * per query among candidates (rows-only check; s01 is the exact
+    * baseline). */
   def s02(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val dim = 64
-    val planes = {
-      val rnd = new scala.util.Random(7)
-      Array.fill(12)(Array.fill(dim)(rnd.nextGaussian()))
-    }
+    val nTables = 2
+    val bits = 10
     val e = withNormVec(Tables.embeddings(spark, dir))
-    val bucket = planes.zipWithIndex.map { case (p, j) =>
-      val planeArr = s"array(${p.map(x => s"${x}D").mkString(",")})"
-      when(expr(s"vec_dot(v, $planeArr)") > 0d,
-           lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val b = e.withColumn("bucket", bucket)
-    val q = b.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
-    val n = b.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
+    val candidates = (0 until nTables).map { t =>
+      val planes = {
+        val rnd = new scala.util.Random(7 + t)
+        Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+      }
+      val bucket = planes.zipWithIndex.map { case (p, j) =>
+        val planeArr = s"array(${p.map(x => s"${x}D").mkString(",")})"
+        when(expr(s"vec_dot(v, $planeArr)") > 0d, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val b = e.select(col("vec_id"), bucket.as("bucket"))
+      b.as("x").join(b.as("y"), col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"))
+    }.reduce(_ unionByName _).distinct()
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
+    val n = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    q.join(n, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+    candidates.join(q, "q_id").join(broadcast(n), "n_id")
       .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
-      .select("q_id", "bucket", "n_id", "rnk", "cos")
+      .select("q_id", "n_id", "rnk", "cos")
       .orderBy("q_id", "rnk", "n_id")
   }
 
