@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Gap-based sessionization with custom state — the streaming twin of the
@@ -46,6 +47,53 @@ object SessionPipeline {
             case None    => state.remove()
           }
           closed.result().iterator
+      }
+  }
+
+  /** Sessionization with EVENT-TIME TIMEOUT: a user who goes silent has
+    * their open session emitted (and state evicted) once the watermark
+    * passes `lastMs + GapMs`. This is what makes the "bounded state"
+    * claim true for dead keys — plain [[sessionize]] would hold their
+    * open session forever. `events` must carry `user_id` and an `ets`
+    * timestamp column (watermark source). */
+  def sessionizeWithTimeout(events: DataFrame, watermark: String = "30 minutes"): Dataset[Session] = {
+    implicit val stEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[Session]
+    implicit val tupEnc = Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP)
+    events
+      .withWatermark("ets", watermark)
+      .select(col("user_id"), col("ets"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[(Long, java.sql.Timestamp)], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.startMs, s.lastMs, s.n, s.lastMs - s.startMs))
+          } else {
+            val sorted = evs.map(_._2.getTime).toSeq.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { ms =>
+              open match {
+                case Some(s) if ms - s.lastMs <= GapMs =>
+                  open = Some(s.copy(lastMs = ms, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.startMs, s.lastMs, s.n, s.lastMs - s.startMs)
+                  open = Some(OpenSession(ms, ms, 1))
+                case None =>
+                  open = Some(OpenSession(ms, ms, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // evict once the watermark passes the session's gap horizon
+              state.setTimeoutTimestamp(s.lastMs + GapMs)
+            }
+            closed.result().iterator
+          }
       }
   }
 }

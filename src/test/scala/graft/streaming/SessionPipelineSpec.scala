@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.streaming.SessionPipeline.{Ev, Session}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
 
 class SessionPipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -45,6 +46,32 @@ class SessionPipelineSpec extends SparkSpec {
       input.addData(Ev(5L, 1000L + SessionPipeline.GapMs)) // exactly at gap: still same session
       query.processAllAvailable()
       assert(spark.table("sessions2").count() == 0)
+    } finally query.stop()
+  }
+
+  test("event-time timeout emits the open session of a user who went silent") {
+    implicit val sq = spark.sqlContext
+    def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = SessionPipeline.sessionizeWithTimeout(
+      input.toDF().toDF("user_id", "ets"), watermark = "10 minutes")
+    val query = sessions.writeStream
+      .format("memory").queryName("timeout_sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((1L, ts("2024-01-01T00:00:00Z")), (1L, ts("2024-01-01T00:05:00Z")))
+      query.processAllAvailable()
+      assert(spark.table("timeout_sessions").count() == 0) // still open
+      // another user's event pushes the watermark far past user 1's gap horizon
+      input.addData((2L, ts("2024-01-01T03:00:00Z")))
+      query.processAllAvailable()
+      input.addData((2L, ts("2024-01-01T03:00:01Z"))) // extra batch so timeouts fire
+      query.processAllAvailable()
+      val out = spark.table("timeout_sessions").as[Session].collect().filter(_.userId == 1L)
+      assert(out.length == 1, s"expected user 1's timed-out session, got ${out.mkString(";")}")
+      assert(out.head == Session(1L, ts("2024-01-01T00:00:00Z").getTime,
+        ts("2024-01-01T00:05:00Z").getTime, 2L, 300000L))
     } finally query.stop()
   }
 }
