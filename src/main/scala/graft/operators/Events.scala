@@ -117,15 +117,24 @@ object Events {
       |GROUP BY 1 ORDER BY day_offset""".stripMargin
 
   // ---------------------------------------------------------------- e05
-  /** Top-k users by purchase value with rank. */
+  /** Top-k users by purchase value with rank.
+    *
+    * The global top-k is orderBy().limit(k) — planned as
+    * TakeOrderedAndProject (per-partition partial top-k, k rows to the
+    * driver-side reduce) — NOT a whole-table unpartitioned WindowExec.
+    * The rank re-derivation then runs over exactly k rows, partitioned by
+    * a constant so no "No Partition Defined" window exists in the plan.
+    * (RANK == ROW_NUMBER here: the ordering carries the unique user_id
+    * tie-break, so the oracle's RANK() semantics are preserved.) */
   def e05(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("total_purchase").desc, col("user_id"))
-    Tables.events(spark, dir)
+    val top = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(dsum(col("value")).as("total_purchase"), count(lit(1)).as("n_purchases"))
-      .withColumn("rnk", rank().over(w).cast("long"))
-      .filter(col("rnk") <= 10)
+      .orderBy(col("total_purchase").desc, col("user_id"))
+      .limit(10)
+    val w = Window.partitionBy(lit(1)).orderBy(col("total_purchase").desc, col("user_id"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
       .select("user_id", "total_purchase", "n_purchases", "rnk")
       .orderBy("rnk", "user_id")
   }

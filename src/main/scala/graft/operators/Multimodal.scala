@@ -54,7 +54,13 @@ object Multimodal {
       // codec-per-partition init would go here
       rows.map { case (id, bytes) => fakeDecode(id, bytes) }
     }
+    // Flatten the fixed-width feature vector to scalar columns f0..f15:
+    // the driver's rows-only check sorts the output frame, and an
+    // array<double> cell breaks pandas sort. A fixed-width feature output
+    // is scalar-flattenable by construction (unlike variable-length).
+    val featCols = (0 until 16).map(i => element_at(col("features"), i + 1).as(s"f$i"))
     decoded.toDF("doc_id", "modality", "width", "height", "features")
+      .select(col("doc_id") +: col("modality") +: col("width") +: col("height") +: featCols: _*)
       .orderBy("doc_id")
   }
 

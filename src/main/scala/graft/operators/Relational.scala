@@ -445,7 +445,11 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
            approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps_1pct"),
-           expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("price_quantiles"),
+           // scalar columns (not one array<double>): the driver's rows-only
+           // check sorts the output frame, and array cells break that sort
+           expr("approx_percentile(l_extendedprice, 0.5)").as("price_p50"),
+           expr("approx_percentile(l_extendedprice, 0.95)").as("price_p95"),
+           expr("approx_percentile(l_extendedprice, 0.99)").as("price_p99"),
            count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 

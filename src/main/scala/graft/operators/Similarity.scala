@@ -72,16 +72,26 @@ object Similarity {
 
   // ---------------------------------------------------------------- s02
   /** Random-hyperplane LSH, multi-table OR-construction: L=2 independent
-    * tables of 10 sign bits each. A pair is a candidate if it collides in
+    * tables of sign bits. A pair is a candidate if it collides in
     * ANY table (union + distinct), which is the standard recall knob —
     * P(candidate) = 1 - (1 - p^bits)^L for per-plane agreement p. Top-3
     * per query among candidates (rows-only check; s01 is the exact
-    * baseline). */
+    * baseline).
+    *
+    * Scale posture: `bits` grows with log2(N) so the EXPECTED BUCKET WIDTH
+    * stays ~constant — fixed bits would make the within-bucket self-join
+    * O(sum b^2) ~ O(N^2 / 2^bits) again at 10^9 vectors. The candidate
+    * verify join carries no broadcast hint: candidates join the
+    * embeddings table by key via shuffle (AQE may still choose broadcast
+    * when the table genuinely fits, which is the right runtime call). */
   def s02(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val dim = 64
     val nTables = 2
-    val bits = 10
+    // one metadata-cheap pass; bucket width targets ~32 vectors
+    val nVecs = Tables.embeddings(spark, dir).count()
+    val bits = math.min(24, math.max(4,
+      math.ceil(math.log(math.max(nVecs, 1L).toDouble / 32.0) / math.log(2.0)).toInt))
     val e = withNormVec(Tables.embeddings(spark, dir))
     val candidates = (0 until nTables).map { t =>
       val planes = {
@@ -100,7 +110,7 @@ object Similarity {
     val q = e.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
     val n = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    candidates.join(q, "q_id").join(broadcast(n), "n_id")
+    candidates.join(q, "q_id").join(n, "n_id")
       .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)

@@ -17,7 +17,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join",
       "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash", "d06_jaccard_capped",
-      "d05_embedding_neardup",
+      "d05_embedding_neardup", "d07_embedding_neardup_lsh",
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample")
@@ -27,6 +27,12 @@ class OperatorSmokeSpec extends SparkSpec {
     // rows-only exceptions are exactly the non-SQL-expressible ones
     assert(expected -- SparkEntry.oracleSql.keySet ==
       Set("d04_simhash", "d06_jaccard_capped", "s02_ann_lsh", "s03_ann_ivf", "m02_decode_features", "m03_frame_sample", "q21_approx_stats"))
+  }
+
+  test("d07 LSH near-dup pair set equals the exact all-pairs d05 baseline") {
+    val exact = Dedup.d05(spark, sf).collect().map(_.toString)
+    val lsh = Dedup.d07(spark, sf).collect().map(_.toString)
+    assert(lsh.sameElements(exact))
   }
 
   test("q01 pricing summary: 3x2 flag/status matrix with exact decimal sums") {
@@ -104,8 +110,7 @@ class OperatorSmokeSpec extends SparkSpec {
     val rows = Multimodal.m02(spark, sf).collect()
     assert(rows.length == 500)
     rows.foreach { r =>
-      val f = r.getAs[scala.collection.Seq[Double]]("features")
-      assert(f.length == 16)
+      val f = (0 until 16).map(i => r.getAs[Double](s"f$i"))
       assert(math.abs(f.sum - 1.0) < 1e-9)
     }
     // determinism: same input -> same features
