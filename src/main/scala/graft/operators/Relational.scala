@@ -471,14 +471,19 @@ object Relational {
   // ---------------------------------------------------------------- q23
   /** RANGE-frame window: 3-month moving average of monthly revenue.
     * The frame is value-based (month sequence number), not row-based —
-    * missing months genuinely shrink the window. */
+    * missing months genuinely shrink the window.
+    *
+    * The window input is ONE ROW PER CALENDAR MONTH (bounded by the data's
+    * date span, not its volume — ~80 rows per century), so a global window
+    * is safe at any scale; it is partitioned by a constant only to keep
+    * the plan free of unpartitioned-WindowExec warnings. */
   def q23(spark: SparkSession, dir: String): DataFrame = {
     val monthly = Tables.orders(spark, dir)
       .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
                month(col("o_orderdate")).cast("long").as("mo"))
       .agg(sum(dec(col("o_totalprice"))).as("total_dec"))
       .withColumn("mseq", col("yr") * 12 + col("mo"))
-    val w = Window.orderBy(col("mseq")).rangeBetween(-2, 0)
+    val w = Window.partitionBy(lit(1)).orderBy(col("mseq")).rangeBetween(-2, 0)
     monthly.select(col("yr"), col("mo"),
         dbl(col("total_dec")).as("monthly_total"),
         (dbl(sum(col("total_dec")).over(w)) / count(lit(1)).over(w)).as("mov_avg_3m"))

@@ -56,7 +56,11 @@ case class CosineTopKExec(left: SparkPlan, right: SparkPlan, k: Int,
     Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
 
   private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // pass non-finite through (BigDecimal.valueOf throws on NaN/Inf);
+    // matches Spark's round(): a zero-norm or NaN embedding yields a NaN
+    // cosine for that pair instead of crashing the query
+    if (!java.lang.Double.isFinite(x)) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k

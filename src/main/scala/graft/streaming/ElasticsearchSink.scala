@@ -63,26 +63,48 @@ class ElasticsearchSink(index: String, idColumn: String, batchSize: Int,
     buf.clear()
   }
 
-  /** Minimal JSON doc serialization (strings escaped, numerics raw). */
+  /** Minimal JSON doc serialization (strings escaped, numerics raw).
+    * NaN/Infinity are not valid JSON — ES's bulk endpoint rejects them —
+    * so non-finite floats serialize as null. Arrays and nested structs
+    * recurse (ES maps them to array / object fields); maps and binary are
+    * rejected loudly rather than emitted as their toString. */
   private def rowToJson(row: Row): String = {
     val fields = row.schema.fields.zipWithIndex.map { case (f, i) =>
-      val v = row.get(i)
-      val value = v match {
-        case null => "null"
-        case s: String => "\"" + s.flatMap {
-          case '"' => "\\\""
-          case '\\' => "\\\\"
-          case '\n' => "\\n"
-          case '\r' => "\\r"
-          case '\t' => "\\t"
-          case c if c < ' ' => f"\\u${c.toInt}%04x"
-          case c => c.toString
-        } + "\""
-        case ts: java.sql.Timestamp => "\"" + ts.toInstant.toString + "\""
-        case other => other.toString
-      }
-      "\"" + f.name + "\":" + value
+      "\"" + f.name + "\":" + valueToJson(row.get(i))
     }
     fields.mkString("{", ",", "}")
+  }
+
+  private def jsonEscape(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def valueToJson(v: Any): String = v match {
+    case null => "null"
+    case s: String => jsonEscape(s)
+    case d: Double => if (java.lang.Double.isFinite(d)) d.toString else "null"
+    case fl: Float => if (java.lang.Float.isFinite(fl)) fl.toString else "null"
+    case b: Boolean => b.toString
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+    case bd: java.math.BigDecimal => bd.toPlainString
+    case bd: BigDecimal => bd.underlying.toPlainString
+    case ts: java.sql.Timestamp => "\"" + ts.toInstant.toString + "\""
+    case dt: java.sql.Date => "\"" + dt.toString + "\""
+    case seq: scala.collection.Seq[_] => seq.map(valueToJson).mkString("[", ",", "]")
+    case arr: Array[_] => arr.map(valueToJson).mkString("[", ",", "]")
+    case r: Row =>
+      r.schema.fields.zipWithIndex
+        .map { case (f, i) => "\"" + f.name + "\":" + valueToJson(r.get(i)) }
+        .mkString("{", ",", "}")
+    case other => throw new IllegalArgumentException(
+      s"ElasticsearchSink cannot serialize ${other.getClass.getName} — " +
+        "project the column to a supported type before the sink")
   }
 }
