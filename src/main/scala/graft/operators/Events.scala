@@ -20,15 +20,17 @@ object Events {
   private val GapMs = 30L * 60 * 1000 // 30-minute session gap
 
   // ---------------------------------------------------------------- e01
-  /** Gap-based sessionization (30 min) via lag + cumulative-sum windows. */
-  def e01(spark: SparkSession, dir: String): DataFrame = {
+  /** Gap-based sessionization (30 min) via lag + cumulative-sum windows.
+    * Core on a prepared (user_id, event_id, ms) frame so the skew-aware
+    * variant (e09) can be equivalence-tested against it on synthetic data. */
+  private[operators] def sessionize(events: DataFrame, gapMs: Long = GapMs): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
     val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), col("ms"))
       .withColumn("prev_ms", lag(col("ms"), 1).over(w))
       .withColumn("new_sess",
-        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
       .withColumn("sess_idx", sum(col("new_sess")).over(wr))
       .groupBy("user_id", "sess_idx")
       .agg(count(lit(1)).as("n_events"),
@@ -37,6 +39,59 @@ object Events {
            (max(col("ms")) - min(col("ms"))).as("dur_ms"))
       .orderBy("user_id", "sess_idx")
   }
+
+  def e01(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(spark, dir))
+
+  // ---------------------------------------------------------------- e09
+  /** Whale-key-hardened sessionization: split-and-stitch. Identical output
+    * to e01 (same oracle), but no window partition ever holds more than
+    * one (user, time-block) of events — a user with 10^9 events no longer
+    * pins a single task.
+    *
+    *  - Pass 1 (bounded): events are windowed per (user_id, block) where
+    *    block = floor(ms / blockMs); gap-split into LOCAL sessions and
+    *    pre-aggregated to (n_events, start_ms, end_ms) summaries. State
+    *    per partition is one block of one user.
+    *  - Pass 2 (small): local sessions are themselves sessionized per
+    *    user — two summaries merge when start - prev_end <= gap. Valid
+    *    because consecutive session intervals are disjoint and a session
+    *    bridges a block boundary exactly when its boundary event pair is
+    *    within the gap (requires blockMs > gapMs). Pass-2 volume is
+    *    sessions + touched blocks per user, orders of magnitude below
+    *    event count (a year of nonstop whale traffic is ~1.5k rows at
+    *    6h blocks, vs 10^9 events). */
+  private[operators] def sessionizeSplit(events: DataFrame, gapMs: Long = GapMs,
+                                         blockMs: Long = 6L * 3600 * 1000): DataFrame = {
+    require(blockMs > gapMs, "a session may only bridge ADJACENT blocks")
+    val wB = Window.partitionBy("user_id", "blk").orderBy(col("ms"), col("event_id"))
+    val wBr = wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = events
+      .select(col("user_id"), col("event_id"), col("ms"))
+      .withColumn("blk", floor(col("ms") / lit(blockMs)))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(wB))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("lidx", sum(col("new_sess")).over(wBr))
+      .groupBy("user_id", "blk", "lidx")
+      .agg(count(lit(1)).as("ln"), min(col("ms")).as("lstart"), max(col("ms")).as("lend"))
+    val wU = Window.partitionBy("user_id").orderBy(col("lstart"), col("blk"), col("lidx"))
+    val wUr = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local
+      .withColumn("prev_end", lag(col("lend"), 1).over(wU))
+      .withColumn("new_glob",
+        when(col("prev_end").isNull || col("lstart") - col("prev_end") > gapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_glob")).over(wUr))
+      .groupBy("user_id", "sess_idx")
+      .agg(sum(col("ln")).as("n_events"),
+           min(col("lstart")).as("start_ms"),
+           max(col("lend")).as("end_ms"),
+           (max(col("lend")) - min(col("lstart"))).as("dur_ms"))
+      .orderBy("user_id", "sess_idx")
+  }
+
+  def e09(spark: SparkSession, dir: String): DataFrame =
+    sessionizeSplit(Tables.events(spark, dir))
   val e01Sql: String =
     s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
        |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
@@ -198,8 +253,8 @@ object Events {
     * by user, no range join blow-up); the oracle cross-validates against
     * DuckDB's native ASOF JOIN. Views are deduped to one per (user, ms)
     * keeping the max event id so both engines break ms-ties identically. */
-  def e08(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  /** Deduped view / purchase marker rows shared by e08 and e10. */
+  private def asofMarkerRows(e: DataFrame): DataFrame = {
     val views = e.filter(col("event_type") === "view")
       .groupBy(col("user_id"), col("ms"))
       .agg(max(col("event_id")).as("view_id"))
@@ -208,9 +263,13 @@ object Events {
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ms"), lit(null).cast("long").as("view_id"),
               col("event_id").as("purchase_id"), lit(1).as("marker"))
+    views.unionByName(purchases)
+  }
+
+  private[operators] def asofLatestView(e: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ms"), col("marker"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    views.unionByName(purchases)
+    asofMarkerRows(e)
       .withColumn("last_view",
         last(when(col("marker") === 0, struct(col("ms").as("vms"), col("view_id"))), ignoreNulls = true).over(w))
       .filter(col("marker") === 1 && col("last_view").isNotNull)
@@ -218,6 +277,48 @@ object Events {
               (col("ms") - col("last_view.vms")).as("gap_ms"))
       .orderBy("purchase_id")
   }
+
+  def e08(spark: SparkSession, dir: String): DataFrame =
+    asofLatestView(Tables.events(spark, dir))
+
+  // ---------------------------------------------------------------- e10
+  /** Whale-key-hardened as-of join: identical output to e08 (same
+    * oracle), with the carry-forward state split by (user, time-block).
+    *
+    *  - Pass 1 (bounded): the carried-forward "latest view" window runs
+    *    per (user_id, block) — partitions hold one block of one user.
+    *  - Pass 2 (small, per user over block summaries): each block's last
+    *    view is carried across blocks (last ignoreNulls over PRIOR
+    *    blocks), giving every (user, block) its carry-in view.
+    *  - Pass 3: purchases that saw no view within their own block take
+    *    the block's carry-in. A shuffle join on (user, blk) — uniform,
+    *    since a whale's rows spread over its blocks. */
+  private[operators] def asofLatestViewSplit(e: DataFrame,
+                                             blockMs: Long = 6L * 3600 * 1000): DataFrame = {
+    val marked = asofMarkerRows(e).withColumn("blk", floor(col("ms") / lit(blockMs)))
+    val wB = Window.partitionBy("user_id", "blk").orderBy(col("ms"), col("marker"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = marked.withColumn("local_view",
+      last(when(col("marker") === 0, struct(col("ms").as("vms"), col("view_id"))), ignoreNulls = true).over(wB))
+    // one row per (user, block): that block's final view (may be null)
+    val blockLast = local.groupBy("user_id", "blk")
+      .agg(max(when(col("marker") === 0, struct(col("ms").as("vms"), col("view_id")))).as("blast"))
+    val wU = Window.partitionBy("user_id").orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = blockLast
+      .withColumn("carry_view", last(col("blast"), ignoreNulls = true).over(wU))
+      .select(col("user_id"), col("blk"), col("carry_view"))
+    local.filter(col("marker") === 1)
+      .join(carryIn, Seq("user_id", "blk"), "left")
+      .withColumn("best_view", coalesce(col("local_view"), col("carry_view")))
+      .filter(col("best_view").isNotNull)
+      .select(col("purchase_id"), col("best_view.view_id").as("view_id"),
+              (col("ms") - col("best_view.vms")).as("gap_ms"))
+      .orderBy("purchase_id")
+  }
+
+  def e10(spark: SparkSession, dir: String): DataFrame =
+    asofLatestViewSplit(Tables.events(spark, dir))
   val e08Sql: String =
     """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
       |v AS (SELECT user_id, ms, MAX(event_id) AS view_id FROM e
@@ -236,6 +337,8 @@ object Events {
     "e06_json_extract" -> (e06 _),
     "e07_user_stats" -> (e07 _),
     "e08_asof_join" -> (e08 _),
+    "e09_sessionize_scaleout" -> (e09 _),
+    "e10_asof_join_scaleout" -> (e10 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -247,5 +350,8 @@ object Events {
     "e06_json_extract" -> e06Sql,
     "e07_user_stats" -> e07Sql,
     "e08_asof_join" -> e08Sql,
+    // the scale-out variants compute the same result — same oracles
+    "e09_sessionize_scaleout" -> e01Sql,
+    "e10_asof_join_scaleout" -> e08Sql,
   )
 }

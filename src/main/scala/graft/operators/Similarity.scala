@@ -162,10 +162,38 @@ object Similarity {
     cents
   }
 
+  /** Train an IVF centroid model and PERSIST it (parquet at `modelPath`):
+    * the train/search split that amortizes k-means over many search runs —
+    * at 100 TB you train once (or on a sample) and every subsequent search
+    * reads k x dim doubles instead of re-scanning the corpus 3 times. */
+  def trainIvf(spark: SparkSession, dir: String, modelPath: String,
+               k: Int = 16, iters: Int = 2): Unit = {
+    VectorFunctions.register(spark)
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    val sc = spark
+    import sc.implicits._
+    trainCentroids(spark, e, k, iters).toSeq
+      .toDF("cent_id", "vc")
+      .write.mode("overwrite").parquet(modelPath)
+  }
+
+  /** Search against a persisted IVF model: reads the centroids parquet
+    * (broadcast — k x dim doubles) and probes; the embeddings table is
+    * scanned ONCE (the ranked pass is cached and feeds both the member
+    * and probe sides). */
+  def searchIvf(spark: SparkSession, dir: String, modelPath: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    val cents = spark.read.parquet(modelPath)
+      .withColumn("nc", expr("vec_norm(vc)"))
+    ivfSearch(spark, e, cents)
+  }
+
   // ---------------------------------------------------------------- s03
   /** IVF ANN: k-means-trained centroids (2 Lloyd's iterations from a
     * deterministic init); every vector is assigned to its nearest
-    * centroid cell; queries probe the 2 nearest cells (rows-only check). */
+    * centroid cell; queries probe the 2 nearest cells (rows-only check).
+    * Train-once/search-many form: [[trainIvf]] + [[searchIvf]]. */
   def s03(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = withNormVec(Tables.embeddings(spark, dir))
@@ -174,6 +202,12 @@ object Similarity {
     val cents = trainCentroids(spark, e, k = 16, iters = 2).toSeq
       .toDF("cent_id", "vc")
       .withColumn("nc", expr("vec_norm(vc)"))
+    ivfSearch(spark, e, cents)
+  }
+
+  /** Cell-probed search phase shared by s03 (inline model) and searchIvf
+    * (persisted model). */
+  private def ivfSearch(spark: SparkSession, e: DataFrame, cents: DataFrame): DataFrame = {
     // ONE vector x centroid pass ranks all cells per vector; the ranked
     // rows carry the vector payload, so cell membership (rk = 1) and the
     // 2-cell probe list (rk <= 2) both project straight out of it —

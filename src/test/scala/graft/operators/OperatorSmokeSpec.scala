@@ -15,7 +15,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "q14_string_ops", "q15_date_ops", "q16_scalar_subquery", "q17_having", "q18_percentile",
       "q19_null_handling", "q20_nation_revenue", "q21_approx_stats", "q22_pivot", "q23_moving_avg", "q24_cube",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
-      "e06_json_extract", "e07_user_stats", "e08_asof_join",
+      "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
+      "e10_asof_join_scaleout",
       "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash", "d06_jaccard_capped",
       "d05_embedding_neardup", "d07_embedding_neardup_lsh",
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf",
