@@ -21,18 +21,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * result to `aggregate(zip_with(cast, cast, *), 0D, +)`.
   */
 object VectorFunctions {
-  /** Idempotently register the graft kernel functions with a session
-    * (createOrReplace per function — a partial-registration guard on one
-    * function would silently skip functions added later). */
+  /** Idempotently register the graft kernel functions with a session.
+    * Guarded PER FUNCTION (a single-function guard would silently skip
+    * functions added later; unconditional createOrReplace spams replace
+    * warnings on every operator call). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_norm", exprs => VecNorm(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("word_tokens", exprs => WordTokens(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("word_ngrams", exprs => WordNGrams(exprs.head,
-      exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("vec_sign_bits", exprs => VecSignBits(exprs.head,
-      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]), "built-in")
+    def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ensure("vec_dot")(exprs => DotProduct(exprs.head, exprs(1)))
+    ensure("vec_norm")(exprs => VecNorm(exprs.head))
+    ensure("word_tokens")(exprs => WordTokens(exprs.head))
+    ensure("word_ngrams")(exprs => WordNGrams(exprs.head,
+      exprs(1).eval().asInstanceOf[Int]))
+    ensure("vec_sign_bits")(exprs => VecSignBits(exprs.head,
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+    ensure("vec_lsh_keys")(exprs => VecLshKeys(exprs.head,
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
+      exprs(3).eval().asInstanceOf[Int], exprs(4).eval().asInstanceOf[Int]))
   }
 
   private[functions] def elemGetter(et: DataType, arr: String, i: String): String = et match {
@@ -200,4 +207,61 @@ case class VecSignBits(child: Expression, seed: Int, nBits: Int) extends UnaryEx
 
   override protected def withNewChildInternal(c: Expression): VecSignBits = copy(child = c)
   override def prettyName: String = "vec_sign_bits"
+}
+
+/** vec_lsh_keys(sig, seed, nBits, b, L): assemble L bit-sampling LSH
+  * bucket keys from a packed sign signature (the vec_sign_bits output).
+  * Table t's key = b bits of the signature at positions drawn by a
+  * seeded shuffle (deterministic across executors).
+  *
+  * Exists because the composed-Column form — L struct literals of b
+  * shift/mask expressions each — grows the generated code past the JVM's
+  * 64KB method limit at L ~ 100 and knocks the WHOLE stage out of
+  * whole-stage codegen (measured on d07: the explode stage fell back to
+  * interpreted eval). One kernel invoke per row keeps the stage compiled
+  * and the plan tree tiny. */
+case class VecLshKeys(child: Expression, seed: Int, nBits: Int, b: Int, l: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("vec_lsh_keys expects a long-array signature")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // positions(t) = the b signature bits table t samples; the sequential
+  // draw from one seeded RNG matches the previous Column-literal builder
+  @transient private lazy val positions: Array[Array[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(l)(rnd.shuffle((0 until nBits).toList).take(b).toArray)
+  }
+
+  def compute(sig: ArrayData): ArrayData = {
+    val words = sig.toLongArray()
+    val keys = new Array[Long](l)
+    var t = 0
+    while (t < l) {
+      val pos = positions(t)
+      var k = 0L
+      var i = 0
+      while (i < b) {
+        val p = pos(i)
+        k |= ((words(p >> 6) >>> (p & 63)) & 1L) << i
+        i += 1
+      }
+      keys(t) = k
+      t += 1
+    }
+    ArrayData.toArrayData(keys)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecLshKeys", this, classOf[VecLshKeys].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecLshKeys = copy(child = c)
+  override def prettyName: String = "vec_lsh_keys"
 }

@@ -281,18 +281,13 @@ object Dedup {
     val signed = e.select(col("vec_id"), expr(s"vec_sign_bits(v, 1013, $sigBits)").as("sig"))
       .repartition(spark.sparkContext.defaultParallelism)
       .cache() // tiny (id + 4 longs); read by both sides of the bucket join
-    val bitChoice = new scala.util.Random(2027)
-    val tableKeys = (0 until lTables).map { t =>
-      val positions = bitChoice.shuffle((0 until sigBits).toList).take(b)
-      val key = positions.zipWithIndex.map { case (pos, i) =>
-        shiftright(element_at(col("sig"), pos / 64 + 1), pos % 64)
-          .bitwiseAND(lit(1L)) * lit(1L << i)
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), key.as("key"))
-    }
+    // key assembly runs in the vec_lsh_keys kernel (one invoke per row):
+    // the composed-Column form (L structs x b shift/masks) overflows the
+    // 64KB codegen method limit at L ~ 100 and drops the stage to
+    // interpreted eval
     val posting = signed
-      .select(col("vec_id"), explode(array(tableKeys: _*)).as("tk"))
-      .select(col("vec_id"), col("tk.t").as("t"), col("tk.key").as("key"))
+      .select(col("vec_id"),
+        posexplode(expr(s"vec_lsh_keys(sig, 2027, $sigBits, $b, $lTables)")).as(Seq("t", "key")))
     val candidates = posting.as("x").join(posting.as("y"),
         col("x.t") === col("y.t") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -309,6 +304,44 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---------------------------------------------------------------- d08
+  /** Canonical-copy selection: after dup detection, pick WHICH copy to
+    * keep — one winner per normalized-content fingerprint, preferring the
+    * most-trusted source (here: lower source index; the ranking is a
+    * parameter), then the smallest doc_id for determinism.
+    *
+    * Scale: one shuffle on the fingerprint; the per-group window is
+    * bounded by duplicate multiplicity (not corpus size), and groups are
+    * uniform because the key is a content hash. */
+  def d08(spark: SparkSession, dir: String): DataFrame = {
+    val prio = substring(col("source"), 4, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(col("src_prio"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .withColumn("src_prio", prio)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("rn") === 1)
+      .select(col("fp"), col("doc_id").as("keep_id"), col("source").as("keep_source"),
+              col("n_copies"))
+      .orderBy("fp")
+  }
+  val d08Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+      |    CAST(substr(source, 4) AS BIGINT) AS src_prio
+      |  FROM documents),
+      |r AS (
+      |  SELECT fp, doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY src_prio, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY fp) AS n_copies
+      |  FROM f)
+      |SELECT fp, doc_id AS keep_id, source AS keep_source, n_copies
+      |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_lsh" -> (d02 _),
@@ -317,6 +350,7 @@ object Dedup {
     "d04_simhash" -> (d04 _),
     "d05_embedding_neardup" -> (d05 _),
     "d07_embedding_neardup_lsh" -> (d07 _),
+    "d08_priority_dedup" -> (d08 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -328,5 +362,6 @@ object Dedup {
     // the exact all-pairs result on any realistic data — same oracle shape
     // as d02 (MinHash LSH vs exact Jaccard).
     "d07_embedding_neardup_lsh" -> d05Sql,
+    "d08_priority_dedup" -> d08Sql,
   )
 }

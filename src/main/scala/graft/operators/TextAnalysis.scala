@@ -167,12 +167,39 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t06
+  /** Deterministic hash-stratified sampling — the reproducible
+    * training-mix step. The keep decision is "first md5 hex nibble of the
+    * content below the stratum's rate": no RNG state, no sampleBy
+    * non-determinism — the same document is kept by every engine, every
+    * run, at any parallelism, and the sample composition is auditable
+    * after the fact. Here `en` is kept at 8/16 and every other language
+    * at 4/16 (rates are parameters; hex-char comparison is lexicographic
+    * so no hex→int conversion is needed on either engine).
+    *
+    * Scale: a pure scan-parallel filter — predicate and projection push
+    * to the parquet scan; the only shuffle is the final tiny sort. */
+  def t06(spark: SparkSession, dir: String): DataFrame = {
+    val nib = substring(md5(col("text")), 1, 1)
+    Tables.documents(spark, dir)
+      .filter(when(col("lang") === "en", nib < "8").otherwise(nib < "4"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+  val t06Sql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |WHERE CASE WHEN lang = 'en' THEN substr(md5(text), 1, 1) < '8'
+      |           ELSE substr(md5(text), 1, 1) < '4' END
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_langid" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
     "t05_redaction" -> (t05 _),
+    "t06_stratified_sample" -> (t06 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -181,5 +208,6 @@ object TextAnalysis {
     "t03_langid" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
     "t05_redaction" -> t05Sql,
+    "t06_stratified_sample" -> t06Sql,
   )
 }

@@ -18,9 +18,10 @@ class OperatorSmokeSpec extends SparkSpec {
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout",
       "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash", "d06_jaccard_capped",
-      "d05_embedding_neardup", "d07_embedding_neardup_lsh",
+      "d05_embedding_neardup", "d07_embedding_neardup_lsh", "d08_priority_dedup",
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
+      "t06_stratified_sample",
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
