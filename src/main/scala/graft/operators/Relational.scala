@@ -517,7 +517,34 @@ object Relational {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  // ---------------------------------------------------------------- q25
+  /** Ranking-function suite: ntile / percent_rank / cume_dist per market
+    * segment — the distribution-analytics windows q07 (rank) doesn't
+    * cover. Partitioned by segment with a unique tie-break, so per-key
+    * window state is bounded and both engines rank identically;
+    * percent_rank/cume_dist are single IEEE divisions of identical
+    * integers on both sides. */
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("c_mktsegment", "pct_rank", "c_custkey")
+  }
+  val q25Sql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, pct_rank, c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q25_ranking_suite" -> (q25 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_top_revenue" -> (q03 _),
@@ -568,5 +595,6 @@ object Relational {
     "q22_pivot" -> q22Sql,
     "q23_moving_avg" -> q23Sql,
     "q24_cube" -> q24Sql,
+    "q25_ranking_suite" -> q25Sql,
   )
 }
