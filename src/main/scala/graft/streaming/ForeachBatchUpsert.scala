@@ -47,8 +47,12 @@ object ForeachBatchUpsert {
     val spark = batch.sparkSession
     val incoming = dedupeLatest(batch, keyCol, versionCol)
       .withColumn("key_bucket", pmod(hash(col(keyCol)), lit(buckets)))
+    // Hadoop FS, not java.io.File: the target is HDFS/S3 on a real
+    // cluster; the local path only works in tests by coincidence
+    val targetPath = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = targetPath.getFileSystem(spark.sessionState.newHadoopConf())
     val merged =
-      if (new java.io.File(targetDir).exists()) {
+      if (fs.exists(targetPath)) {
         val touched = incoming.select("key_bucket").distinct()
         val existing = spark.read.schema(incoming.schema).parquet(targetDir)
           .join(touched, "key_bucket")
