@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, VecNorm, WordNGrams, WordTokens}
+import graft.functions.{DotProduct, VecLshKeys, VecNorm, VecSignBits, WordNGrams, WordTokens}
 import graft.plans.CosineTopKStrategy
 
 /** Injects graft's codegen'd expressions into every session built with
@@ -33,6 +33,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordNGrams(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sign_bits"),
+      new ExpressionInfo(classOf[VecSignBits].getName, "vec_sign_bits"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecSignBits(exprs.head, exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("vec_lsh_keys"),
+      new ExpressionInfo(classOf[VecLshKeys].getName, "vec_lsh_keys"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecLshKeys(exprs.head, exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int],
+          exprs(4).eval().asInstanceOf[Int])))
   }
 }
 

@@ -58,6 +58,32 @@ class SkewHardeningSpec extends SparkSpec {
     assert(crossBlock, "synthetic data must contain cross-block as-of matches")
   }
 
+  test("randomized equivalence: split forms match direct forms on arbitrary event sets") {
+    // 4 seeded trials x 400 events over a few users, timestamps drawn so
+    // gaps straddle every regime (within-gap, over-gap, across-block)
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val base = 1690000000000L
+      var cursor = base
+      val rows = (0 until 400).map { i =>
+        cursor += (rnd.nextInt(3) match {
+          case 0 => rnd.nextInt(10 * 60 * 1000)            // in-session step
+          case 1 => GapMs + rnd.nextInt(60 * 60 * 1000)    // session break
+          case 2 => rnd.nextInt((BlockMs - GapMs).toInt)   // maybe cross-block
+        }).toLong
+        val et = Seq("view", "click", "purchase")(rnd.nextInt(3))
+        (i.toLong, 1L + rnd.nextInt(3).toLong, et, cursor - rnd.nextInt(1000))
+      }
+      val df = rows.toDF("event_id", "user_id", "event_type", "ms")
+      val s1 = Events.sessionize(df, GapMs).collect().map(_.toString)
+      val s2 = Events.sessionizeSplit(df, GapMs, BlockMs).collect().map(_.toString)
+      assert(s2.sameElements(s1), s"sessionize mismatch at seed $seed")
+      val a1 = Events.asofLatestView(df).collect().map(_.toString)
+      val a2 = Events.asofLatestViewSplit(df, BlockMs).collect().map(_.toString)
+      assert(a2.sameElements(a1), s"asof mismatch at seed $seed")
+    }
+  }
+
   test("e09/e10 reproduce e01/e08 on the real events table") {
     assert(Events.e09(spark, sf).collect().map(_.toString)
       .sameElements(Events.e01(spark, sf).collect().map(_.toString)))
