@@ -177,10 +177,12 @@ object Events {
     * The global top-k is orderBy().limit(k) — planned as
     * TakeOrderedAndProject (per-partition partial top-k, k rows to the
     * driver-side reduce) — NOT a whole-table unpartitioned WindowExec.
-    * The rank re-derivation then runs over exactly k rows, partitioned by
-    * a constant so no "No Partition Defined" window exists in the plan.
-    * (RANK == ROW_NUMBER here: the ordering carries the unique user_id
-    * tie-break, so the oracle's RANK() semantics are preserved.) */
+    * The rank is then re-derived WITHOUT any window at all: a k x k
+    * broadcast self-join counting strictly-better rows (a constant
+    * `partitionBy(lit(1))` window gets its partition spec constant-folded
+    * to empty by the optimizer, bringing the single-partition WindowExec
+    * right back). RANK == count(better) + 1, and with the unique user_id
+    * tie-break in the ordering it equals the oracle's RANK(). */
   def e05(spark: SparkSession, dir: String): DataFrame = {
     val top = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
@@ -188,8 +190,14 @@ object Events {
       .agg(dsum(col("value")).as("total_purchase"), count(lit(1)).as("n_purchases"))
       .orderBy(col("total_purchase").desc, col("user_id"))
       .limit(10)
-    val w = Window.partitionBy(lit(1)).orderBy(col("total_purchase").desc, col("user_id"))
-    top.withColumn("rnk", row_number().over(w).cast("long"))
+    val other = broadcast(top.select(col("total_purchase").as("o_total"),
+      col("user_id").as("o_user")))
+    top.join(other,
+        col("o_total") > col("total_purchase") ||
+          (col("o_total") === col("total_purchase") && col("o_user") < col("user_id")),
+        "left")
+      .groupBy("user_id", "total_purchase", "n_purchases")
+      .agg((count(col("o_user")) + 1L).as("rnk"))
       .select("user_id", "total_purchase", "n_purchases", "rnk")
       .orderBy("rnk", "user_id")
   }

@@ -473,20 +473,28 @@ object Relational {
     * The frame is value-based (month sequence number), not row-based —
     * missing months genuinely shrink the window.
     *
-    * The window input is ONE ROW PER CALENDAR MONTH (bounded by the data's
-    * date span, not its volume — ~80 rows per century), so a global window
-    * is safe at any scale; it is partitioned by a constant only to keep
-    * the plan free of unpartitioned-WindowExec warnings. */
+    * The frame input is ONE ROW PER CALENDAR MONTH (bounded by the data's
+    * date span, not its volume — ~80 rows per century), so the frame is
+    * evaluated as a broadcast RANGE SELF-JOIN on the month sequence
+    * instead of a global window: a `partitionBy(lit(1))` window gets its
+    * constant partition spec folded away by the optimizer, reintroducing
+    * the single-partition WindowExec, while the join form has no window
+    * node at all and stays fully parallel. Decimal sums are associative,
+    * so the regrouped summation is bit-identical to the oracle's frame. */
   def q23(spark: SparkSession, dir: String): DataFrame = {
     val monthly = Tables.orders(spark, dir)
       .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
                month(col("o_orderdate")).cast("long").as("mo"))
       .agg(sum(dec(col("o_totalprice"))).as("total_dec"))
       .withColumn("mseq", col("yr") * 12 + col("mo"))
-    val w = Window.partitionBy(lit(1)).orderBy(col("mseq")).rangeBetween(-2, 0)
-    monthly.select(col("yr"), col("mo"),
-        dbl(col("total_dec")).as("monthly_total"),
-        (dbl(sum(col("total_dec")).over(w)) / count(lit(1)).over(w)).as("mov_avg_3m"))
+    val frame = broadcast(monthly.select(col("mseq").as("f_mseq"),
+      col("total_dec").as("f_total")))
+    monthly.join(frame,
+        col("f_mseq").between(col("mseq") - 2, col("mseq")))
+      .groupBy("yr", "mo", "total_dec")
+      .agg((dbl(sum(col("f_total"))) / count(lit(1))).as("mov_avg_3m"))
+      .select(col("yr"), col("mo"), dbl(col("total_dec")).as("monthly_total"),
+        col("mov_avg_3m"))
       .orderBy("yr", "mo")
   }
   val q23Sql: String =
