@@ -21,7 +21,7 @@ object Dedup {
   /** Distinct word 3-gram shingles per doc (docs with >= 3 tokens);
     * codegen-path kernel (graft.functions.WordNGrams), same output as the
     * composable filter/transform/array_distinct form. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def shingled(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"), expr("word_ngrams(text, 3)").as("grams"))
@@ -29,7 +29,7 @@ object Dedup {
   }
 
   /** DuckDB mirror of `shingled` (1-based list indexing). */
-  private val shingledSql: String =
+  private[operators] val shingledSql: String =
     """SELECT doc_id,
       |  list_distinct(list_transform(range(1, len(w) - 1),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
@@ -352,6 +352,67 @@ object Dedup {
       |SELECT fp, doc_id AS keep_id, source AS keep_source, n_copies
       |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin
 
+  // ---------------------------------------------------------------- d09
+  /** Incremental (delta-vs-corpus) dedup — the daily-ingest shape: dedup
+    * only the NEW batch against the standing corpus instead of
+    * re-deduplicating the whole 100 TB. Delta = doc_id % 5 == 0 (a
+    * stand-in for the day's arrivals); corpus = the rest.
+    *
+    * A delta doc is dropped when (a) an exact md5 twin exists in the
+    * corpus (left-anti hash join) or (b) some corpus doc reaches 3-gram
+    * Jaccard >= 0.8 — candidates via the shingle inverted index (delta
+    * postings joined to corpus postings, never delta x corpus), verified
+    * with exact integer set arithmetic.
+    *
+    * Scale: the corpus side of the posting index and the corpus hash set
+    * are computed once and persisted (Warehouse) in real use; each run
+    * shingles only the delta and shuffles on shingle/hash keys. The
+    * inverted-index join is the d03/d06 machinery, so the d06 df-cap is
+    * the drop-in guard for hot shingles at corpus scale. */
+  def d09(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isDelta = col("doc_id") % 5 === 0
+    val delta = docs.filter(isDelta)
+    val corpusHashes = docs.filter(!isDelta).select(md5(col("text")).as("h")).distinct()
+    val exactSurvivors = delta.withColumn("h", md5(col("text")))
+      .join(corpusHashes, Seq("h"), "left_anti")
+
+    val sh = shingled(spark, dir)
+    val shD = sh.filter(isDelta)
+    val shC = sh.filter(!isDelta)
+    val pd = shD.select(col("doc_id").as("d_id"), explode(col("grams")).as("g"))
+    val pc = shC.select(col("doc_id").as("c_id"), explode(col("grams")).as("g"))
+    val inter = pd.join(pc, "g")
+      .groupBy("d_id", "c_id").agg(count(lit(1)).as("inter"))
+    val nd = shD.select(col("doc_id").as("d_id"), size(col("grams")).cast("long").as("nd"))
+    val nc = shC.select(col("doc_id").as("c_id"), size(col("grams")).cast("long").as("nc"))
+    val nearHit = inter.join(nd, "d_id").join(nc, "c_id")
+      .filter(col("inter") * 5 >= (col("nd") + col("nc") - col("inter")) * 4)
+      .select(col("d_id").as("doc_id")).distinct()
+
+    exactSurvivors.join(nearHit, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+  val d09Sql: String =
+    s"""WITH sh AS ($shingledSql),
+       |corpus_h AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+       |pd AS (SELECT doc_id AS d_id, UNNEST(grams) AS g FROM sh WHERE doc_id % 5 = 0),
+       |pc AS (SELECT doc_id AS c_id, UNNEST(grams) AS g FROM sh WHERE doc_id % 5 <> 0),
+       |inter AS (
+       |  SELECT d_id, c_id, COUNT(*) AS inter FROM pd JOIN pc USING (g) GROUP BY 1, 2),
+       |nd AS (SELECT doc_id AS d_id, CAST(len(grams) AS BIGINT) AS nd FROM sh WHERE doc_id % 5 = 0),
+       |nc AS (SELECT doc_id AS c_id, CAST(len(grams) AS BIGINT) AS nc FROM sh WHERE doc_id % 5 <> 0),
+       |near_hit AS (
+       |  SELECT DISTINCT d_id AS doc_id
+       |  FROM inter JOIN nd USING (d_id) JOIN nc USING (c_id)
+       |  WHERE inter * 5 >= (nd + nc - inter) * 4)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id % 5 = 0
+       |  AND md5(text) NOT IN (SELECT h FROM corpus_h)
+       |  AND doc_id NOT IN (SELECT doc_id FROM near_hit)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_lsh" -> (d02 _),
@@ -361,6 +422,7 @@ object Dedup {
     "d05_embedding_neardup" -> (d05 _),
     "d07_embedding_neardup_lsh" -> (d07 _),
     "d08_priority_dedup" -> (d08 _),
+    "d09_incremental_dedup" -> (d09 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -373,5 +435,6 @@ object Dedup {
     // as d02 (MinHash LSH vs exact Jaccard).
     "d07_embedding_neardup_lsh" -> d05Sql,
     "d08_priority_dedup" -> d08Sql,
+    "d09_incremental_dedup" -> d09Sql,
   )
 }

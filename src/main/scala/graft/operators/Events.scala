@@ -336,6 +336,44 @@ object Events {
       |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ms <= p.ms
       |ORDER BY purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- e11
+  /** Batch attribution window — an INTERVAL JOIN: for every purchase,
+    * the views by the same user in the preceding hour (count + most
+    * recent). The time-range predicate rides on an EQUI join on user_id,
+    * so the plan is one shuffle by user with a per-user range filter —
+    * never a time-range cross join — and AQE skew-join splits whale
+    * users. (Streaming mirror: graft.streaming.AttributionJoin; as-of
+    * variant: e08.) */
+  private val AttrWinMs = 60L * 60 * 1000
+  def e11(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ms").as("p_ms"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+              col("ms").as("v_ms"))
+    purch.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ms") >= col("p_ms") - AttrWinMs && col("v_ms") < col("p_ms"),
+        "left")
+      .groupBy("purchase_id", "user_id", "p_ms", "value")
+      .agg(count(col("view_id")).as("n_views_1h"),
+           max(col("v_ms")).as("last_view_ms"))
+      .orderBy("purchase_id")
+  }
+  val e11Sql: String =
+    s"""WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS p_ms, value
+       |           FROM events WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+       |      FROM events WHERE event_type = 'view')
+       |SELECT purchase_id, p.user_id, p_ms, value,
+       |  COUNT(v.event_id) AS n_views_1h,
+       |  CAST(MAX(v.ms) AS BIGINT) AS last_view_ms
+       |FROM p LEFT JOIN v
+       |  ON v.user_id = p.user_id AND v.ms >= p.p_ms - ${60L * 60 * 1000} AND v.ms < p.p_ms
+       |GROUP BY 1, 2, 3, 4 ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_window" -> (e02 _),
@@ -347,6 +385,7 @@ object Events {
     "e08_asof_join" -> (e08 _),
     "e09_sessionize_scaleout" -> (e09 _),
     "e10_asof_join_scaleout" -> (e10 _),
+    "e11_attribution_window" -> (e11 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -361,5 +400,6 @@ object Events {
     // the scale-out variants compute the same result — same oracles
     "e09_sessionize_scaleout" -> e01Sql,
     "e10_asof_join_scaleout" -> e08Sql,
+    "e11_attribution_window" -> e11Sql,
   )
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions.VectorFunctions
+
+/** The composed training-data curation pipeline (SURVEY.md §2.8): the
+  * end-to-end shape a 100 TB pre-training corpus actually runs, as ONE
+  * declarative plan so Catalyst sees every stage at once (scans merge,
+  * filters push below the expensive pair-join, AQE sizes the shuffles).
+  *
+  * Stages (all reusing the per-operator kernels, so each stage's semantics
+  * are exactly its standalone oracle-checked counterpart):
+  *   1. quality gate   — t02's score, keep quality >= 0.5
+  *   2. language ID    — t03's marker argmax → `pred_lang`
+  *   3. exact dedup    — t04's normalized fingerprint, keep min doc_id
+  *   4. near-dup drop  — d03's inverted-index 3-gram Jaccard >= 0.8,
+  *                       drop the larger doc_id of each pair
+  *   5. training mix   — t06's deterministic hash-stratified sample on
+  *                       the PREDICTED language (en 8/16, others 4/16)
+  *
+  * Stage order is the scale order: the cheap scan-parallel gates (1-3)
+  * shrink the corpus before the pair-generating stage (4) runs; the
+  * sample (5) is last so dup decisions never depend on the sampling.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  def p01(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    // 1+2: quality gate, then language ID on survivors
+    val scored = TextAnalysis.addPredicted(TextAnalysis.addQuality(docs))
+      .filter(col("quality") >= lit(0.5d))
+      .select(col("doc_id"), col("text"), col("predicted").as("pred_lang"), col("quality"))
+    // 3: exact normalized-fingerprint dedup, keep-min-id (one shuffle on fp)
+    val keep = scored
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("min_id"))
+      .drop("min_id", "fp")
+    // 4: near-dup removal via shingle inverted index (no cross join)
+    val sh = keep.select(col("doc_id"), expr("word_ngrams(text, 3)").as("grams"))
+      .filter(size(col("grams")) >= 1)
+    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
+    val inter = posting.as("a").join(posting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val dropped = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
+      .select(col("doc_b").as("doc_id")).distinct()
+    // 5: deterministic stratified sample on the predicted language
+    val nib = substring(md5(col("text")), 1, 1)
+    keep.join(dropped, Seq("doc_id"), "left_anti")
+      .filter(when(col("pred_lang") === "en", nib < "8").otherwise(nib < "4"))
+      .select("doc_id", "pred_lang", "quality")
+      .orderBy("doc_id")
+  }
+
+  val p01Sql: String = {
+    import TextAnalysis.{predictedSqlCase, predictedSqlScores, qualitySqlExpr, stopSqlIn, wordsSql}
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |q AS (
+       |  SELECT * FROM (SELECT doc_id, text, $qualitySqlExpr AS quality FROM m)
+       |  WHERE quality >= CAST(0.5 AS DOUBLE)),
+       |s AS (
+       |  SELECT doc_id, text, quality,
+       |    $predictedSqlScores
+       |  FROM q),
+       |pl AS (SELECT doc_id, text, quality, $predictedSqlCase AS pred_lang FROM s),
+       |f AS (
+       |  SELECT *, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp FROM pl),
+       |keep AS (
+       |  SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS min_id FROM f)
+       |  WHERE doc_id = min_id),
+       |shk AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM keep) WHERE len(w) >= 3),
+       |pk AS (SELECT doc_id, UNNEST(grams) AS g FROM shk),
+       |sz AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM shk),
+       |it AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM pk a JOIN pk b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT doc_b AS doc_id
+       |  FROM it JOIN sz na ON doc_a = na.doc_id JOIN sz nb ON doc_b = nb.doc_id
+       |  WHERE inter * 5 >= (na.n + nb.n - inter) * 4)
+       |SELECT doc_id, pred_lang, quality FROM keep
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |  AND (CASE WHEN pred_lang = 'en' THEN substr(md5(text), 1, 1) < '8'
+       |            ELSE substr(md5(text), 1, 1) < '4' END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "p01_corpus_pipeline" -> (p01 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p01_corpus_pipeline" -> p01Sql,
+  )
+}

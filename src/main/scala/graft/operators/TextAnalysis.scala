@@ -15,11 +15,11 @@ object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
   /** Non-empty whitespace tokens: filter(split(text,' '), x -> x != ''). */
-  private val wordsCol: Column = expr("filter(split(text, ' '), x -> x != '')")
-  private val wordsSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private[operators] val wordsCol: Column = expr("filter(split(text, ' '), x -> x != '')")
+  private[operators] val wordsSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   private val stopList = Seq("the", "a", "of", "to", "and", "in")
-  private val stopSqlIn = stopList.map(s => s"'$s'").mkString("(", ", ", ")")
+  private[operators] val stopSqlIn = stopList.map(s => s"'$s'").mkString("(", ", ", ")")
 
   // ---------------------------------------------------------------- t01
   /** Per-language token statistics: whitespace tokens plus a BPE-ish
@@ -51,23 +51,32 @@ object TextAnalysis {
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- t02
-  /** Per-document quality score: stopword ratio, punctuation ratio,
-    * length saturation — one weighted sum, identical op order both sides. */
-  def t02(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("n_tok", size(wordsCol).cast("long"))
+  /** Adds `n_tok`/`n_stop`/`n_punct`/`quality` (t02's exact arithmetic) to
+    * any frame with a `text` column; drops zero-token rows. Shared with the
+    * composed curation pipeline (p01) so both run the identical score. */
+  private[operators] def addQuality(df: DataFrame): DataFrame =
+    df.withColumn("n_tok", size(wordsCol).cast("long"))
       .filter(col("n_tok") >= 1)
       .withColumn("n_stop",
         size(expr(s"filter(filter(split(text, ' '), x -> x != ''), w -> w IN $stopSqlIn)")).cast("long"))
       .withColumn("n_punct",
         (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
-      .withColumn("stop_ratio", dbl(col("n_stop")) / dbl(col("n_tok")))
-      .withColumn("punct_ratio", dbl(col("n_punct")) / dbl(length(col("text"))))
-      .withColumn("len_norm", dbl(least(col("n_tok"), lit(100L))) / lit(100.0d))
       .withColumn("quality",
-        round(lit(0.3d) * (lit(1.0d) - col("punct_ratio"))
-          + lit(0.3d) * (lit(1.0d) - col("stop_ratio"))
-          + lit(0.4d) * col("len_norm"), 6))
+        round(lit(0.3d) * (lit(1.0d) - dbl(col("n_punct")) / dbl(length(col("text"))))
+          + lit(0.3d) * (lit(1.0d) - dbl(col("n_stop")) / dbl(col("n_tok")))
+          + lit(0.4d) * (dbl(least(col("n_tok"), lit(100L))) / lit(100.0d)), 6))
+
+  /** DuckDB mirror of [[addQuality]]'s quality expression over a relation
+    * exposing n_tok/n_stop/n_punct/n_char. */
+  private[operators] val qualitySqlExpr: String =
+    """ROUND(0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_char AS DOUBLE))
+      |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+      |      + 0.4 * (CAST(LEAST(n_tok, 100) AS DOUBLE) / 100.0), 6)""".stripMargin
+
+  /** Per-document quality score: stopword ratio, punctuation ratio,
+    * length saturation — one weighted sum, identical op order both sides. */
+  def t02(spark: SparkSession, dir: String): DataFrame =
+    addQuality(Tables.documents(spark, dir))
       .select("doc_id", "n_tok", "n_stop", "n_punct", "quality")
       .orderBy("doc_id")
   val t02Sql: String =
@@ -92,38 +101,46 @@ object TextAnalysis {
   private val markers: Seq[(String, String)] = Seq(
     "en" -> " the ", "es" -> " la ", "de" -> " der ", "fr" -> " le ", "zh" -> " zh ")
 
-  def t03(spark: SparkSession, dir: String): DataFrame = {
+  /** Adds a `predicted` language column (t03's exact argmax heuristic) to
+    * any frame with a `text` column; shared with the curation pipeline. */
+  private[operators] def addPredicted(df: DataFrame): DataFrame = {
     // occurrences of marker m in padded text (non-overlapping, exact ints)
     def score(m: String): Column =
       (length(concat(lit(" "), col("text"), lit(" ")))
         - length(expr(s"replace(concat(' ', text, ' '), '$m', '')"))) / lit(m.length)
-    val scored = markers.foldLeft(Tables.documents(spark, dir)) {
-      case (df, (lang, m)) => df.withColumn(s"s_$lang", score(m))
+    val scored = markers.foldLeft(df) {
+      case (d, (lang, m)) => d.withColumn(s"s_$lang", score(m))
     }
     val best = markers.map(_._1).map(l => col(s"s_$l"))
     val predicted = markers.map(_._1).foldRight(lit("und")) {
       case (l, acc) => when(col(s"s_$l") === greatest(best: _*) && greatest(best: _*) > 0, lit(l)).otherwise(acc)
     }
     scored.withColumn("predicted", predicted)
+  }
+
+  /** DuckDB mirror of [[addPredicted]]: (score select-list, CASE argmax). */
+  private[operators] val predictedSqlScores: String = markers.map { case (l, m) =>
+    s"(LENGTH(' ' || text || ' ') - LENGTH(replace(' ' || text || ' ', '$m', ''))) / ${m.length} AS s_$l"
+  }.mkString(",\n    ")
+  private[operators] val predictedSqlCase: String = {
+    val bestExpr = markers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+    markers.map { case (l, _) =>
+      s"WHEN s_$l = $bestExpr AND $bestExpr > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  def t03(spark: SparkSession, dir: String): DataFrame =
+    addPredicted(Tables.documents(spark, dir))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
-  }
-  val t03Sql: String = {
-    val scores = markers.map { case (l, m) =>
-      s"(LENGTH(' ' || text || ' ') - LENGTH(replace(' ' || text || ' ', '$m', ''))) / ${m.length} AS s_$l"
-    }.mkString(",\n    ")
-    val bestExpr = markers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
-    val caseExpr = markers.map { case (l, _) =>
-      s"WHEN s_$l = $bestExpr AND $bestExpr > 0 THEN '$l'"
-    }.mkString("CASE ", " ", " ELSE 'und' END")
+  val t03Sql: String =
     s"""WITH s AS (
        |  SELECT lang,
-       |    $scores
+       |    $predictedSqlScores
        |  FROM documents)
-       |SELECT lang, $caseExpr AS predicted, COUNT(*) AS n
+       |SELECT lang, $predictedSqlCase AS predicted, COUNT(*) AS n
        |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
-  }
 
   // ---------------------------------------------------------------- t05
   /** PII-style redaction pass: scrub number-like and email-like spans,
@@ -193,6 +210,24 @@ object TextAnalysis {
       |           ELSE substr(md5(text), 1, 1) < '4' END
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t07
+  /** Token-length histogram per language: decade buckets capped at 200+.
+    * Corpus-shape analytics for training-mix decisions (how much long-form
+    * text each language contributes). Pure scan → map-side-combinable
+    * groupBy: one shuffle of (lang x ~21 buckets) partials. */
+  def t07(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(wordsCol).cast("long"))
+      .groupBy(col("lang"),
+        least(col("n_tok") - pmod(col("n_tok"), lit(10L)), lit(200L)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy("lang", "bucket")
+  val t07Sql: String =
+    s"""SELECT lang, LEAST(n_tok - n_tok % 10, 200) AS bucket,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+       |FROM (SELECT lang, CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents)
+       |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -200,6 +235,7 @@ object TextAnalysis {
     "t04_fingerprint" -> (t04 _),
     "t05_redaction" -> (t05 _),
     "t06_stratified_sample" -> (t06 _),
+    "t07_token_histogram" -> (t07 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -209,5 +245,6 @@ object TextAnalysis {
     "t04_fingerprint" -> t04Sql,
     "t05_redaction" -> t05Sql,
     "t06_stratified_sample" -> t06Sql,
+    "t07_token_histogram" -> t07Sql,
   )
 }
