@@ -138,7 +138,9 @@ object Dedup {
   /** Distributed all-pairs 3-gram Jaccard >= 0.5 via shingle inverted
     * index (exact: J >= 0.5 implies a shared shingle). */
   def d03(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(shingled(spark, dir), 1, 2)
+    // cache: the shingle frame feeds both posting sides and both size
+    // joins — without it the doc scan + n-gram kernel runs 4x
+    jaccardPairs(shingled(spark, dir).cache(), 1, 2)
   val d03Sql: String = jaccardPairsSql(1, 2) // J >= 0.5
 
   // ---------------------------------------------------------------- d06
@@ -377,7 +379,7 @@ object Dedup {
     val exactSurvivors = delta.withColumn("h", md5(col("text")))
       .join(corpusHashes, Seq("h"), "left_anti")
 
-    val sh = shingled(spark, dir)
+    val sh = shingled(spark, dir).cache()
     val shD = sh.filter(isDelta)
     val shC = sh.filter(!isDelta)
     val pd = shD.select(col("doc_id").as("d_id"), explode(col("grams")).as("g"))

@@ -36,14 +36,19 @@ object Pipeline {
       .filter(col("quality") >= lit(0.5d))
       .select(col("doc_id"), col("text"), col("predicted").as("pred_lang"), col("quality"))
     // 3: exact normalized-fingerprint dedup, keep-min-id (one shuffle on fp)
+    // cache: the dedup survivors feed the pair-join's two posting sides,
+    // two size joins AND the final anti-join — uncached, the whole
+    // quality+langid+window subplan re-runs for each consumer
     val keep = scored
       .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
       .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("fp")))
       .filter(col("doc_id") === col("min_id"))
       .drop("min_id", "fp")
+      .cache()
     // 4: near-dup removal via shingle inverted index (no cross join)
     val sh = keep.select(col("doc_id"), expr("word_ngrams(text, 3)").as("grams"))
       .filter(size(col("grams")) >= 1)
+      .cache()
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
     val inter = posting.as("a").join(posting.as("b"),
