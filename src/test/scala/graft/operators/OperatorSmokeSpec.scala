@@ -111,6 +111,62 @@ class OperatorSmokeSpec extends SparkSpec {
     }
   }
 
+  test("d09 incremental dedup: survivors are delta docs with no corpus twin") {
+    val surv = Dedup.d09(spark, sf).collect()
+    assert(surv.nonEmpty)
+    // all survivors are from the delta partition
+    surv.foreach(r => assert(r.getAs[Long]("doc_id") % 5 == 0))
+    // no survivor's exact hash exists in the corpus side
+    val docs = graft.engine.Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions._
+    val corpusHashes = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text"))).collect().map(_.getString(0)).toSet
+    val survIds = surv.map(_.getAs[Long]("doc_id")).toSet
+    val deltaHash = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+    deltaHash.filter(r => survIds.contains(r.getAs[Long]("doc_id")))
+      .foreach(r => assert(!corpusHashes.contains(r.getAs[String]("h"))))
+  }
+
+  test("e11 attribution: view counts bounded by the user's total views") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.engine.Tables.events(spark, sf)
+    val totalViews = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    val rows = Events.e11(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_views_1h")
+      assert(n <= totalViews.getOrElse(r.getAs[Long]("user_id"), 0L))
+      if (n > 0)
+        assert(r.getAs[Long]("last_view_ms") < r.getAs[Long]("p_ms"))
+      else
+        assert(r.isNullAt(r.fieldIndex("last_view_ms")))
+    }
+  }
+
+  test("p01 pipeline composes its standalone stages faithfully") {
+    val out = Pipeline.p01(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every emitted doc passed the quality gate with t02's exact score
+    val quality = TextAnalysis.t02(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    out.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.5)
+      assert(quality(r.getAs[Long]("doc_id")) == q, "pipeline quality != t02 quality")
+    }
+    // no two emitted docs share a normalized fingerprint (stage-3 invariant)
+    import org.apache.spark.sql.functions._
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    val fps = graft.engine.Tables.documents(spark, sf)
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .collect().filter(r => ids.contains(r.getAs[Long]("doc_id")))
+      .map(_.getAs[String]("fp"))
+    assert(fps.length == fps.distinct.length, "duplicate fingerprints survived p01")
+  }
+
   test("m02 decode plumbing: deterministic features, normalized histogram") {
     val rows = Multimodal.m02(spark, sf).collect()
     assert(rows.length == 500)
