@@ -233,10 +233,135 @@ object Similarity {
       .orderBy("q_id", "rnk", "n_id")
   }
 
+  // ---------------------------------------------------------------- s04
+  /** IVF-PQ ANN — the memory-compression scale path (FAISS IVFPQ shape):
+    * coarse IVF cell probing bounds the candidate set, PRODUCT-QUANTIZED
+    * codes score candidates via ADC table lookups (8 bytes per vector
+    * instead of 256 — at 10^9 vectors the code table is ~8 GB and
+    * cluster-resident where raw vectors are not), and a small exact
+    * re-rank of the shortlist restores true cosines for the final top-k.
+    *
+    * All M subspace codebooks train in ONE DataFrame flow (the groupBy
+    * carries the subspace id) — Lloyd's assignment is a broadcast
+    * subvector x codeword pass with codegen'd vec_dot; the model collect
+    * is M x k x dim/M doubles per iteration (the iterative-ML exception).
+    * Scoring never touches raw member vectors: candidates join their 8
+    * codes, codes join the per-query ADC table (M x k dot products per
+    * query), one sum-groupBy ranks the shortlist. Rows-only check; the
+    * spec asserts recall against the exact s01 baseline. */
+  private val PqM = 8    // subspaces
+  private val PqDim = 8  // dims per subspace (64 total)
+  private val PqK = 16   // codewords per subspace
+
+  /** (vec_id, m, sv float[PqDim]): exploded subvector view of `v`. */
+  private def subvecs(e: DataFrame): DataFrame = {
+    val parts = (0 until PqM).map(m =>
+      struct(lit(m).as("m"), expr(s"slice(v, ${m * PqDim + 1}, $PqDim)").as("sv")))
+    e.select(col("vec_id"), explode(array(parts: _*)).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+  }
+
+  /** Per-subspace L2 k-means codebooks (deterministic init: subvectors of
+    * the PqK lowest vec_ids). Returns (subspace, code, centroid). */
+  def trainCodebooks(spark: SparkSession, e: DataFrame, iters: Int)
+      : Seq[(Int, Int, Array[Double])] = {
+    VectorFunctions.register(spark)
+    val sc = spark
+    import sc.implicits._
+    val sv = subvecs(e)
+    var books: Seq[(Int, Int, Array[Double])] =
+      e.orderBy("vec_id").limit(PqK).select("v").collect().toSeq.zipWithIndex.flatMap {
+        case (r, j) =>
+          val full = r.getSeq[Float](0)
+          (0 until PqM).map(m =>
+            (m, j, full.slice(m * PqDim, (m + 1) * PqDim).map(_.toDouble).toArray))
+      }
+    for (_ <- 1 to iters) {
+      val bookDf = books.toDF("m", "code", "cv")
+        .withColumn("ncv2", expr("vec_dot(cv, cv)"))
+      // argmin_j |sv - c_mj|^2 == argmin_j (|c_mj|^2 - 2 sv.c_mj)
+      val wMin = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))
+      val upd = sv.join(broadcast(bookDf), Seq("m"))
+        .withColumn("d2", col("ncv2") - lit(2.0d) * expr("vec_dot(sv, cv)"))
+        .withColumn("rk", row_number().over(wMin)).filter(col("rk") === 1)
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("m", "code", "pos").agg(avg(col("x")).as("mu"))
+        .collect()
+        .groupBy(r => (r.getAs[Int]("m"), r.getAs[Int]("code")))
+      books = books.map { case (m, c, old) =>
+        upd.get((m, c)) match {
+          case Some(rows) =>
+            val arr = new Array[Double](old.length)
+            rows.foreach(r => arr(r.getAs[Int]("pos")) = r.getAs[Double]("mu"))
+            (m, c, arr)
+          case None => (m, c, old) // empty code keeps its centroid
+        }
+      }
+    }
+    books
+  }
+
+  def s04(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val sc = spark
+    import sc.implicits._
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    // coarse quantizer: one ranked vector x centroid pass (s03 machinery)
+    val cents = trainCentroids(spark, e, k = 16, iters = 2).toSeq
+      .toDF("cent_id", "vc").withColumn("nc", expr("vec_norm(vc)"))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val ranked = spread(e)
+      .join(broadcast(cents), lit(true))
+      .withColumn("ccos", expr("vec_dot(v, vc)") / (col("nrm") * col("nc")))
+      .withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id"), col("nrm"), col("cent_id").as("cell"), col("rk"))
+      .cache()
+    // PQ codebooks; encode the member side as (n_id, m, code)
+    val books = trainCodebooks(spark, e, iters = 2)
+    val bookDf = broadcast(books.toDF("m", "code", "cv")
+      .withColumn("ncv2", expr("vec_dot(cv, cv)")))
+    val wMin = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))
+    val codes = subvecs(e).join(bookDf, Seq("m"))
+      .withColumn("d2", col("ncv2") - lit(2.0d) * expr("vec_dot(sv, cv)"))
+      .withColumn("rk", row_number().over(wMin)).filter(col("rk") === 1)
+      .select(col("vec_id").as("n_id"), col("m"), col("code"), col("ncv2"))
+      .cache()
+    // reconstructed member norm: sqrt(sum_m |c_m,code|^2)
+    val nNorm = codes.groupBy("n_id").agg(sqrt(sum(col("ncv2"))).as("napx"))
+    // per-query ADC table: dot(query subvector, codeword) for all M x k
+    val qd = subvecs(e).join(bookDf, Seq("m"))
+      .select(col("vec_id").as("q_id"), col("m"), col("code"),
+              expr("vec_dot(sv, cv)").as("qdot"))
+    // candidates from 2-cell probing; ADC-score them WITHOUT raw vectors
+    val members = ranked.filter(col("rk") === 1).select(col("vec_id").as("n_id"), col("cell"))
+    val probes = ranked.select(col("vec_id").as("q_id"), col("nrm").as("na"), col("cell"))
+    val cand = probes.join(members, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id", "na").distinct()
+    val adc = cand.join(codes, "n_id").join(qd, Seq("q_id", "m", "code"))
+      .groupBy("q_id", "n_id", "na").agg(sum(col("qdot")).as("adot"))
+      .join(nNorm, "n_id")
+      .withColumn("ascore", col("adot") / (col("na") * col("napx")))
+    val wShort = Window.partitionBy("q_id").orderBy(col("ascore").desc, col("n_id"))
+    val shortlist = adc.withColumn("srk", row_number().over(wShort))
+      .filter(col("srk") <= 30).select("q_id", "n_id")
+    // exact re-rank of the shortlist only
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("qna"))
+    val n = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    shortlist.join(q, "q_id").join(n, "n_id")
+      .withColumn("cos", round(expr(dotExpr) / (col("qna") * col("nb")), 6))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "cos")
+      .orderBy("q_id", "rnk", "n_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_ann_brute_topk" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
+    "s04_ann_ivfpq" -> (s04 _),
   )
 
   val oracle: Map[String, String] = Map(

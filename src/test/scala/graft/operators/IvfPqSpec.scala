@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** s04 (IVF-PQ) quality against the exact s01 baseline: the compressed
+  * path must find most true neighbors (recall bounded by the 2-of-16-cell
+  * coarse probe, same as s03) and every cosine it reports must be EXACT
+  * (the re-rank stage recomputes true cosines — PQ error may drop
+  * neighbors but never corrupts a reported score). */
+class IvfPqSpec extends SparkSpec {
+
+  test("s04 recall@5 vs exact baseline; reported cosines are exact") {
+    val exact = Similarity.s01(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Double]("cos")).toMap
+    val pq = Similarity.s04(spark, sf).collect()
+    assert(pq.nonEmpty)
+    // reported cosines match the exact pipeline bit-for-bit
+    pq.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))
+      exact.get(k).foreach(c => assert(c == r.getAs[Double]("cos"), s"cos drifted for $k"))
+    }
+    // recall is bounded by the coarse 2-of-16-cell probe (the synthetic
+    // embeddings are near-uniform, the hardest case for IVF); the claim
+    // under test is that 8-byte PQ codes + exact re-rank lose LITTLE vs
+    // the uncompressed same-probe IVF (s03), not that IVF recall is high
+    val truePairs = exact.keySet
+    val found = pq.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recallPq = (truePairs & found).size.toDouble / truePairs.size
+    val foundIvf = Similarity.s03(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recallIvf = (truePairs & foundIvf).size.toDouble / truePairs.size
+    info(f"recall@5: s04(pq)=$recallPq%.3f vs s03(ivf)=$recallIvf%.3f")
+    assert(recallPq >= recallIvf - 0.05,
+      f"PQ compression lost too much recall: $recallPq%.3f vs uncompressed $recallIvf%.3f")
+    assert(recallPq >= 0.25, f"IVF-PQ recall collapsed: $recallPq%.3f")
+  }
+}

@@ -21,7 +21,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash", "d06_jaccard_capped",
       "d05_embedding_neardup", "d07_embedding_neardup_lsh", "d08_priority_dedup",
       "d09_incremental_dedup",
-      "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf",
+      "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
       "t06_stratified_sample", "t07_token_histogram",
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample",
@@ -31,7 +31,8 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
     // rows-only exceptions are exactly the non-SQL-expressible ones
     assert(expected -- SparkEntry.oracleSql.keySet ==
-      Set("d04_simhash", "d06_jaccard_capped", "s02_ann_lsh", "s03_ann_ivf", "m02_decode_features", "m03_frame_sample", "q21_approx_stats"))
+      Set("d04_simhash", "d06_jaccard_capped", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
+        "m02_decode_features", "m03_frame_sample", "q21_approx_stats"))
   }
 
   test("d07 LSH near-dup pair set equals the exact all-pairs d05 baseline") {
