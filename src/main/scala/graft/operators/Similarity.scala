@@ -301,14 +301,47 @@ object Similarity {
     books
   }
 
+  /** Persist the full IVF-PQ model (coarse centroids + M codebooks) — the
+    * train/search split for s04, mirroring trainIvf/searchIvf: train once
+    * (or on a sample), then every search run reads 16x64 + 8x16x8 doubles
+    * instead of re-running both k-means loops. */
+  def trainIvfPq(spark: SparkSession, dir: String, modelPath: String): Unit = {
+    VectorFunctions.register(spark)
+    val sc = spark
+    import sc.implicits._
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    trainCentroids(spark, e, k = 16, iters = 2).toSeq.toDF("cent_id", "vc")
+      .write.mode("overwrite").parquet(s"$modelPath/coarse")
+    trainCodebooks(spark, e, iters = 2).toDF("m", "code", "cv")
+      .write.mode("overwrite").parquet(s"$modelPath/books")
+  }
+
+  /** Search against a persisted IVF-PQ model: both k-means stages are
+    * skipped; the corpus is encoded and probed in one pass each. */
+  def searchIvfPq(spark: SparkSession, dir: String, modelPath: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    val cents = spark.read.parquet(s"$modelPath/coarse")
+      .withColumn("nc", expr("vec_norm(vc)"))
+    val books = spark.read.parquet(s"$modelPath/books")
+    ivfPqSearch(spark, e, cents, books)
+  }
+
   def s04(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val sc = spark
     import sc.implicits._
     val e = withNormVec(Tables.embeddings(spark, dir))
-    // coarse quantizer: one ranked vector x centroid pass (s03 machinery)
+    // in-query training (train-once/search-many: trainIvfPq/searchIvfPq)
     val cents = trainCentroids(spark, e, k = 16, iters = 2).toSeq
       .toDF("cent_id", "vc").withColumn("nc", expr("vec_norm(vc)"))
+    val books = trainCodebooks(spark, e, iters = 2).toDF("m", "code", "cv")
+    ivfPqSearch(spark, e, cents, books)
+  }
+
+  /** Encode + probe + ADC-score + exact re-rank against a given model. */
+  private def ivfPqSearch(spark: SparkSession, e: DataFrame,
+                          cents: DataFrame, books: DataFrame): DataFrame = {
     val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
     val ranked = spread(e)
       .join(broadcast(cents), lit(true))
@@ -317,9 +350,8 @@ object Similarity {
       .filter(col("rk") <= 2)
       .select(col("vec_id"), col("nrm"), col("cent_id").as("cell"), col("rk"))
       .cache()
-    // PQ codebooks; encode the member side as (n_id, m, code)
-    val books = trainCodebooks(spark, e, iters = 2)
-    val bookDf = broadcast(books.toDF("m", "code", "cv")
+    // encode the member side as (n_id, m, code)
+    val bookDf = broadcast(books
       .withColumn("ncv2", expr("vec_dot(cv, cv)")))
     val wMin = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))
     val codes = subvecs(e).join(bookDf, Seq("m"))

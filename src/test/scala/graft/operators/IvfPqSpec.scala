@@ -34,4 +34,12 @@ class IvfPqSpec extends SparkSpec {
       f"PQ compression lost too much recall: $recallPq%.3f vs uncompressed $recallIvf%.3f")
     assert(recallPq >= 0.25, f"IVF-PQ recall collapsed: $recallPq%.3f")
   }
+
+  test("persisted IVF-PQ model reproduces the inline-trained search exactly") {
+    val model = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.trainIvfPq(spark, sf, model)
+    val fromModel = Similarity.searchIvfPq(spark, sf, model).collect().map(_.toString)
+    val inline = Similarity.s04(spark, sf).collect().map(_.toString)
+    assert(fromModel.sameElements(inline))
+  }
 }
