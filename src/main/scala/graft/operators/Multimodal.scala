@@ -116,10 +116,58 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // ---------------------------------------------------------------- m04
+  /** Resize plumbing: binary payload in → RESIZED binary payload out,
+    * with source/target dimension metadata — the missing quarter of the
+    * decode / feature-extract / resize / frame-sample quartet.
+    *
+    * Real: mapPartitions over a typed Dataset (one scaler init per
+    * partition), binary-in/binary-out row shape, downstream-checkable
+    * size + checksum metadata. STUB: `fakeResample` decimates bytes to
+    * the target pixel count in place of a pixel scaler (no codecs in
+    * this container) — deterministic, so the operator is replayable.
+    *
+    * At 100 TB resize-before-ship is the bandwidth play: the resized
+    * payload (here ~1/4 the bytes) is what crosses the shuffle/sink
+    * boundary, never the original. */
+  def m04(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select("doc_id", "payload")
+    val spark2 = spark
+    import spark2.implicits._
+    docs.as[(Long, Array[Byte])].mapPartitions { rows =>
+      // scaler init would go here (once per partition, not per row)
+      rows.map { case (id, bytes) =>
+        val (_, _, w, h, _) = fakeDecode(id, bytes)
+        val (dw, dh) = (math.max(w / 2, 1), math.max(h / 2, 1))
+        val out = fakeResample(bytes, dw.toLong * dh, math.max(w.toLong * h, 1L))
+        var hsh = 1125899906842597L
+        var i = 0
+        while (i < out.length) { hsh = hsh * 31 + (out(i) & 0xFF); i += 1 }
+        (id, w, h, dw, dh, out.length.toLong, hsh)
+      }
+    }.toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "n_bytes_out", "out_hash")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stand-in for a pixel scaler: floor-spaced byte
+    * decimation to `len * dstArea / srcArea` bytes (at least 1). */
+  private def fakeResample(bytes: Array[Byte], dstArea: Long, srcArea: Long): Array[Byte] = {
+    if (bytes.length == 0) return Array[Byte](0)
+    val keep = math.max((bytes.length.toLong * dstArea / srcArea).toInt, 1)
+    val out = new Array[Byte](math.min(keep, bytes.length))
+    val step = bytes.length.toDouble / out.length
+    var i = 0
+    while (i < out.length) { out(i) = bytes(math.min((i * step).toInt, bytes.length - 1)); i += 1 }
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> (m01 _),
     "m02_decode_features" -> (m02 _),
     "m03_frame_sample" -> (m03 _),
+    "m04_resize" -> (m04 _),
   )
 
   val oracle: Map[String, String] = Map(

@@ -24,7 +24,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
       "t06_stratified_sample", "t07_token_histogram",
-      "m01_binary_meta", "m02_decode_features", "m03_frame_sample",
+      "m01_binary_meta", "m02_decode_features", "m03_frame_sample", "m04_resize",
       "p01_corpus_pipeline")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
@@ -32,7 +32,7 @@ class OperatorSmokeSpec extends SparkSpec {
     // rows-only exceptions are exactly the non-SQL-expressible ones
     assert(expected -- SparkEntry.oracleSql.keySet ==
       Set("d04_simhash", "d06_jaccard_capped", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
-        "m02_decode_features", "m03_frame_sample", "q21_approx_stats"))
+        "m02_decode_features", "m03_frame_sample", "m04_resize", "q21_approx_stats"))
   }
 
   test("d07 LSH near-dup pair set equals the exact all-pairs d05 baseline") {
@@ -166,6 +166,18 @@ class OperatorSmokeSpec extends SparkSpec {
       .collect().filter(r => ids.contains(r.getAs[Long]("doc_id")))
       .map(_.getAs[String]("fp"))
     assert(fps.length == fps.distinct.length, "duplicate fingerprints survived p01")
+  }
+
+  test("m04 resize plumbing: output shrinks by the area ratio, deterministic") {
+    val rows = Multimodal.m04(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dst_w") == math.max(r.getAs[Int]("src_w") / 2, 1))
+      assert(r.getAs[Int]("dst_h") == math.max(r.getAs[Int]("src_h") / 2, 1))
+      assert(r.getAs[Long]("n_bytes_out") >= 1L)
+    }
+    val again = Multimodal.m04(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
   test("m02 decode plumbing: deterministic features, normalized histogram") {
