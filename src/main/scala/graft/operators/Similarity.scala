@@ -137,12 +137,15 @@ object Similarity {
     for (_ <- 1 to iters) {
       val centDf = cents.toSeq.toDF("cent_id", "vc")
         .withColumn("nc", expr("vec_norm(vc)"))
-      val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      // argmax ccos (tie-break min cent_id) as ONE map-side-combinable
+      // aggregation — min(struct(-ccos, cent_id)) — instead of a per-key
+      // row_number window (which shuffles + sorts every candidate row)
       val assigned = e.join(broadcast(centDf), lit(true))
         .withColumn("ccos", expr("vec_dot(v, vc)") / (col("nrm") * col("nc")))
-        .withColumn("rk", row_number().over(wA))
-        .filter(col("rk") === 1)
-        .select(col("cent_id").as("cell"), col("v"))
+        .groupBy("vec_id")
+        .agg(min(struct(negate(col("ccos")), col("cent_id"))).getField("cent_id").as("cell"),
+             first(col("v")).as("v"))
+        .select(col("cell"), col("v"))
       val dims = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
@@ -279,11 +282,13 @@ object Similarity {
     for (_ <- 1 to iters) {
       val bookDf = books.toDF("m", "code", "cv")
         .withColumn("ncv2", expr("vec_dot(cv, cv)"))
-      // argmin_j |sv - c_mj|^2 == argmin_j (|c_mj|^2 - 2 sv.c_mj)
-      val wMin = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))
+      // argmin_j |sv - c_mj|^2 == argmin_j (|c_mj|^2 - 2 sv.c_mj), done as
+      // one partial-aggregable min(struct(d2, code)) instead of a window
       val upd = sv.join(broadcast(bookDf), Seq("m"))
         .withColumn("d2", col("ncv2") - lit(2.0d) * expr("vec_dot(sv, cv)"))
-        .withColumn("rk", row_number().over(wMin)).filter(col("rk") === 1)
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"),
+             first(col("sv")).as("sv"))
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("m", "code", "pos").agg(avg(col("x")).as("mu"))
         .collect()
@@ -350,14 +355,15 @@ object Similarity {
       .filter(col("rk") <= 2)
       .select(col("vec_id"), col("nrm"), col("cent_id").as("cell"), col("rk"))
       .cache()
-    // encode the member side as (n_id, m, code)
+    // encode the member side as (n_id, m, code): same min-struct argmin
     val bookDf = broadcast(books
       .withColumn("ncv2", expr("vec_dot(cv, cv)")))
-    val wMin = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))
     val codes = subvecs(e).join(bookDf, Seq("m"))
       .withColumn("d2", col("ncv2") - lit(2.0d) * expr("vec_dot(sv, cv)"))
-      .withColumn("rk", row_number().over(wMin)).filter(col("rk") === 1)
-      .select(col("vec_id").as("n_id"), col("m"), col("code"), col("ncv2"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("code"), col("ncv2"))).as("b"))
+      .select(col("vec_id").as("n_id"), col("m"),
+              col("b.code").as("code"), col("b.ncv2").as("ncv2"))
       .cache()
     // reconstructed member norm: sqrt(sum_m |c_m,code|^2)
     val nNorm = codes.groupBy("n_id").agg(sqrt(sum(col("ncv2"))).as("napx"))
