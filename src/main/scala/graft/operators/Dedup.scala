@@ -415,6 +415,62 @@ object Dedup {
        |  AND doc_id NOT IN (SELECT doc_id FROM near_hit)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d10
+  /** Duplicate-CLUSTER resolution: near-dup pairs only relate docs
+    * pairwise; picking one keeper per transitive group needs CONNECTED
+    * COMPONENTS over the pair graph. Emits (doc_id, cluster_id) for every
+    * doc in some J >= 0.5 pair, cluster_id = min doc_id of the component.
+    *
+    * Distributed min-label propagation: every node starts labeled with
+    * itself; each round takes the min of its own and its neighbors'
+    * labels (one shuffle join + one map-side-combinable min agg per
+    * round) until a driver-side count of changed labels reaches zero —
+    * the iterative-fixpoint exception, O(component diameter) rounds.
+    * Near-dup components are short chains, so 2-3 rounds in practice; at
+    * 100 TB the same loop runs with the alternating large-star/small-star
+    * optimization if diameters grow. Oracle: DuckDB recursive-CTE
+    * transitive closure. */
+  def d10(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(shingled(spark, dir).cache(), 1, 2)
+      .select("doc_a", "doc_b").cache()
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("mnl"))
+      val next = labels.join(neighborMin, "doc_id")
+        .select(col("doc_id"), least(col("label"), col("mnl")).as("label"),
+                (col("mnl") < col("label")).cast("long").as("chg"))
+        .cache()
+      changed = next.agg(sum(col("chg"))).head().getLong(0)
+      labels = next.select("doc_id", "label")
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+  }
+  val d10Sql: String = {
+    // strip ORDER BY + jaccard column from the d03 pair query for the CTE
+    val pairSql = jaccardPairsSql(1, 2)
+      .replace("ORDER BY doc_a, doc_b", "")
+      .replaceFirst("""SELECT doc_a, doc_b,\n  CAST\(inter AS DOUBLE\) / CAST\(na\.n \+ nb\.n - inter AS DOUBLE\) AS jaccard""",
+        "SELECT doc_a, doc_b")
+    s"""WITH RECURSIVE pairs AS ($pairSql),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+       |SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_lsh" -> (d02 _),
@@ -425,6 +481,7 @@ object Dedup {
     "d07_embedding_neardup_lsh" -> (d07 _),
     "d08_priority_dedup" -> (d08 _),
     "d09_incremental_dedup" -> (d09 _),
+    "d10_dup_clusters" -> (d10 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -438,5 +495,6 @@ object Dedup {
     "d07_embedding_neardup_lsh" -> d05Sql,
     "d08_priority_dedup" -> d08Sql,
     "d09_incremental_dedup" -> d09Sql,
+    "d10_dup_clusters" -> d10Sql,
   )
 }

@@ -374,6 +374,35 @@ object Events {
        |  ON v.user_id = p.user_id AND v.ms >= p.p_ms - ${60L * 60 * 1000} AND v.ms < p.p_ms
        |GROUP BY 1, 2, 3, 4 ORDER BY purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- e12
+  /** Event-transition matrix: per-user next-event pairs (Markov
+    * transition counts + mean gap). One lead() window partitioned by
+    * user (bounded per-key state), then a map-side-combinable groupBy of
+    * at most |types|^2 groups — the shuffle carries 25 partial rows per
+    * task regardless of event volume. */
+  def e12(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_ms", lead(col("ms"), 1).over(w) - col("ms"))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"),
+           (dbl(sum(col("gap_ms"))) / count(lit(1))).as("avg_gap_ms"))
+      .orderBy("event_type", "next_type")
+  }
+  val e12Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |t AS (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_type,
+      |    LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms AS gap_ms
+      |  FROM e)
+      |SELECT event_type, next_type, COUNT(*) AS n,
+      |  CAST(SUM(gap_ms) AS DOUBLE) / COUNT(*) AS avg_gap_ms
+      |FROM t WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_window" -> (e02 _),
@@ -386,6 +415,7 @@ object Events {
     "e09_sessionize_scaleout" -> (e09 _),
     "e10_asof_join_scaleout" -> (e10 _),
     "e11_attribution_window" -> (e11 _),
+    "e12_transitions" -> (e12 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -401,5 +431,6 @@ object Events {
     "e09_sessionize_scaleout" -> e01Sql,
     "e10_asof_join_scaleout" -> e08Sql,
     "e11_attribution_window" -> e11Sql,
+    "e12_transitions" -> e12Sql,
   )
 }

@@ -17,10 +17,10 @@ class OperatorSmokeSpec extends SparkSpec {
       "q25_ranking_suite",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
-      "e10_asof_join_scaleout", "e11_attribution_window",
+      "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions",
       "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash", "d06_jaccard_capped",
       "d05_embedding_neardup", "d07_embedding_neardup_lsh", "d08_priority_dedup",
-      "d09_incremental_dedup",
+      "d09_incremental_dedup", "d10_dup_clusters",
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
       "t06_stratified_sample", "t07_token_histogram",
