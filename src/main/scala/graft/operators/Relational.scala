@@ -551,7 +551,46 @@ object Relational {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_mktsegment, pct_rank, c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q26
+  /** TPC-H Q21 shape (adapted to this schema): suppliers whose line
+    * shipped LAST in a multi-supplier order — one correlated EXISTS
+    * (another supplier in the order) plus one correlated NOT EXISTS (no
+    * later ship in the order), then agg + deterministic top-10.
+    *
+    * Scale: both subqueries become lineitem self-joins keyed on
+    * l_orderkey — the left-semi and left-anti shuffle on the SAME key,
+    * so Spark reuses one exchange of the fact across all three legs;
+    * order keys are uniform (no whale orders) and the supplier name join
+    * broadcasts. The heaviest relational plan in the suite by design. */
+  def q26(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = l.select(col("l_orderkey").as("o3"), col("l_shipdate").as("d3"))
+    val lastShippers = l
+      .join(l2, col("o2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("o3") === col("l_orderkey") && col("d3") > col("l_shipdate"), "left_anti")
+    lastShippers
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+  val q26Sql: String =
+    """WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+      |last AS (
+      |  SELECT l1.l_orderkey, l1.l_suppkey FROM l l1
+      |  WHERE EXISTS (SELECT 1 FROM l l2
+      |                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM l l3
+      |                    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_shipdate > l1.l_shipdate))
+      |SELECT s_name, COUNT(DISTINCT l_orderkey) AS numwait
+      |FROM last JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q26_last_shipper" -> (q26 _),
     "q25_ranking_suite" -> (q25 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -604,5 +643,6 @@ object Relational {
     "q23_moving_avg" -> q23Sql,
     "q24_cube" -> q24Sql,
     "q25_ranking_suite" -> q25Sql,
+    "q26_last_shipper" -> q26Sql,
   )
 }
