@@ -7,6 +7,31 @@ import org.apache.spark.sql.functions._
   * oracle, so `sbt test` alone documents expected behavior. */
 class RelationalSpec extends SparkSpec {
 
+  test("q21 sketches track exact answers (HLL within rsd bounds, quantiles ordered)") {
+    import org.apache.spark.sql.functions._
+    val approx = Relational.q21(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val exact = graft.engine.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("parts"),
+           countDistinct(col("l_suppkey")).as("supps"),
+           expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      // default HLL rsd 5% -> allow 3 sigma; explicit 1% column likewise
+      assert(math.abs(a.getAs[Long]("approx_parts") - e.getAs[Long]("parts")).toDouble
+        <= math.max(0.15 * e.getAs[Long]("parts"), 2.0), s"HLL parts off for $flag")
+      assert(math.abs(a.getAs[Long]("approx_supps_1pct") - e.getAs[Long]("supps")).toDouble
+        <= math.max(0.03 * e.getAs[Long]("supps"), 2.0), s"HLL supps off for $flag")
+      // percentile columns must be ordered and straddle the exact median
+      val (p50, p95, p99) = (a.getAs[Double]("price_p50"), a.getAs[Double]("price_p95"),
+        a.getAs[Double]("price_p99"))
+      assert(p50 <= p95 && p95 <= p99)
+      assert(math.abs(p50 - e.getAs[Double]("p50")) <= 0.1 * e.getAs[Double]("p50"))
+    }
+  }
+
   test("q03 returns at most 10 orders, revenue non-increasing") {
     val rows = Relational.q03(spark, sf).collect()
     assert(rows.length <= 10 && rows.nonEmpty)
