@@ -317,7 +317,7 @@ object Similarity {
     val e = withNormVec(Tables.embeddings(spark, dir))
     trainCentroids(spark, e, k = 16, iters = 2).toSeq.toDF("cent_id", "vc")
       .write.mode("overwrite").parquet(s"$modelPath/coarse")
-    trainCodebooks(spark, e, iters = 2).toDF("m", "code", "cv")
+    trainCodebooks(spark, e, iters = 1).toDF("m", "code", "cv")
       .write.mode("overwrite").parquet(s"$modelPath/books")
   }
 
@@ -340,7 +340,7 @@ object Similarity {
     // in-query training (train-once/search-many: trainIvfPq/searchIvfPq)
     val cents = trainCentroids(spark, e, k = 16, iters = 2).toSeq
       .toDF("cent_id", "vc").withColumn("nc", expr("vec_norm(vc)"))
-    val books = trainCodebooks(spark, e, iters = 2).toDF("m", "code", "cv")
+    val books = trainCodebooks(spark, e, iters = 1).toDF("m", "code", "cv")
     ivfPqSearch(spark, e, cents, books)
   }
 
