@@ -96,4 +96,28 @@ object SessionPipeline {
           }
       }
   }
+
+  /** The DECLARATIVE form: Spark's built-in `session_window` aggregation.
+    * Emits the same closed sessions as [[sessionizeWithTimeout]] — Spark
+    * merges adjacent windows and evicts past-watermark state internally,
+    * with zero user state code (and state-store/RocksDB support for
+    * free). `session_window.end` is `last event + gap`, so `endMs`
+    * subtracts the gap back to the last-event timestamp to match the
+    * custom pipeline's schema bit-for-bit.
+    *
+    * Preference order at scale: this built-in when the per-session
+    * output is pure aggregation; flatMapGroupsWithState only when
+    * in-session logic can't be expressed as aggregates. */
+  def sessionizeBuiltin(events: DataFrame, watermark: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark("ets", watermark)
+      .groupBy(col("user_id"), session_window(col("ets"), s"$GapMs milliseconds").as("w"))
+      .agg(count(lit(1)).as("nEvents"))
+      .select(col("user_id").as("userId"),
+        unix_millis(col("w.start")).as("startMs"),
+        (unix_millis(col("w.end")) - lit(GapMs)).as("endMs"),
+        col("nEvents"),
+        (unix_millis(col("w.end")) - lit(GapMs) - unix_millis(col("w.start"))).as("durMs"))
+  }
 }

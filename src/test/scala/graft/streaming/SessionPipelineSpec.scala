@@ -49,9 +49,10 @@ class SessionPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  private def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
+
   test("event-time timeout emits the open session of a user who went silent") {
     implicit val sq = spark.sqlContext
-    def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
     val input = MemoryStream[(Long, Timestamp)]
     val sessions = SessionPipeline.sessionizeWithTimeout(
       input.toDF().toDF("user_id", "ets"), watermark = "10 minutes")
@@ -73,5 +74,39 @@ class SessionPipelineSpec extends SparkSpec {
       assert(out.head == Session(1L, ts("2024-01-01T00:00:00Z").getTime,
         ts("2024-01-01T00:05:00Z").getTime, 2L, 300000L))
     } finally query.stop()
+  }
+
+  test("built-in session_window emits the same closed sessions as the custom state") {
+    implicit val sq = spark.sqlContext
+    def run(name: String, f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Array[Session] = {
+      val input = MemoryStream[(Long, Timestamp)]
+      val query = f(input.toDF().toDF("user_id", "ets")).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        // two users, multi-session traffic, then a far-future watermark push
+        input.addData(
+          (1L, ts("2024-01-01T00:00:00Z")), (1L, ts("2024-01-01T00:10:00Z")),
+          (2L, ts("2024-01-01T00:02:00Z")))
+        query.processAllAvailable()
+        input.addData( // >30min later: new sessions for both users
+          (1L, ts("2024-01-01T01:00:00Z")),
+          (2L, ts("2024-01-01T01:05:00Z")), (2L, ts("2024-01-01T01:06:00Z")))
+        query.processAllAvailable()
+        input.addData((99L, ts("2024-01-02T00:00:00Z"))) // watermark flush
+        query.processAllAvailable()
+        input.addData((99L, ts("2024-01-02T00:00:01Z"))) // extra batch so evictions fire
+        query.processAllAvailable()
+        spark.table(name).as[Session].collect()
+          .filter(s => s.userId != 99L).sortBy(s => (s.userId, s.startMs))
+      } finally query.stop()
+    }
+    val custom = run("sw_custom",
+      df => SessionPipeline.sessionizeWithTimeout(df, "10 minutes").toDF())
+    val builtin = run("sw_builtin",
+      df => SessionPipeline.sessionizeBuiltin(df, "10 minutes"))
+    assert(custom.length == 4, s"expected 4 closed sessions, got ${custom.mkString(";")}")
+    assert(builtin.toSeq == custom.toSeq,
+      s"builtin=${builtin.mkString(";")} custom=${custom.mkString(";")}")
   }
 }
