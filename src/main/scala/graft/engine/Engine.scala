@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, VecLshKeys, VecNorm, VecSignBits, WordNGrams, WordTokens}
+import graft.functions.{DotProduct, VecLshKeys, VecNorm, VecSignBits, WinnowFingerprints, WordNGrams, WordTokens}
 import graft.plans.CosineTopKStrategy
 
 /** Injects graft's codegen'd expressions into every session built with
@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecLshKeys(exprs.head, exprs(1).eval().asInstanceOf[Int],
           exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int],
           exprs(4).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowFingerprints(exprs.head, exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int])))
   }
 }
 

@@ -95,3 +95,69 @@ case class WordTokens(child: Expression)
   override protected def withNewChildInternal(c: Expression): WordTokens = copy(child = c)
   override def prettyName: String = "word_tokens"
 }
+
+/** winnow_fps(text, k, w): winnowing document fingerprints (the MOSS
+  * scheme) over a TRUE rolling hash — Rabin-Karp base-256 polynomial mod
+  * 1e9+7, each next k-gram hash derived from the previous in O(1), then
+  * the minimum of every w-length window of gram hashes, deduplicated.
+  *
+  * Char-level (robust to word-boundary edits, complements the word-level
+  * shingles of word_ngrams) and guarantees any shared substring of length
+  * >= w + k - 1 yields at least one shared fingerprint. Integer
+  * arithmetic is exactly reproducible in SQL (the oracle folds the same
+  * (h * 256 + c) % p per gram — algebraically identical to the rolling
+  * update). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, "k, w >= 1")
+  private val P = 1000000007L
+  private val B = 256L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("winnow_fps expects a string")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < k + w - 1) return new GenericArrayData(Array.empty[Any])
+    val m = n - k + 1
+    // B^(k-1) mod P, for removing the outgoing char
+    var bk1 = 1L
+    var t = 0
+    while (t < k - 1) { bk1 = bk1 * B % P; t += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + s.charAt(i).toLong) % P; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = ((h - s.charAt(i - 1).toLong * bk1 % P + P) % P * B + s.charAt(i + k - 1).toLong) % P
+      hs(i) = h
+      i += 1
+    }
+    // sliding-window minima via monotonic deque, dedup'd
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val dq = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < m) {
+      while (!dq.isEmpty && hs(dq.peekLast()) >= hs(i)) dq.pollLast()
+      dq.addLast(i)
+      if (dq.peekFirst() <= i - w) dq.pollFirst()
+      if (i >= w - 1) seen.add(hs(dq.peekFirst()))
+      i += 1
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints = copy(child = c)
+  override def prettyName: String = "winnow_fps"
+}

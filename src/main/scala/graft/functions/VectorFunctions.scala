@@ -40,6 +40,8 @@ object VectorFunctions {
     ensure("vec_lsh_keys")(exprs => VecLshKeys(exprs.head,
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
       exprs(3).eval().asInstanceOf[Int], exprs(4).eval().asInstanceOf[Int]))
+    ensure("winnow_fps")(exprs => WinnowFingerprints(exprs.head,
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
   }
 
   private[functions] def elemGetter(et: DataType, arr: String, i: String): String = et match {

@@ -228,6 +228,62 @@ object TextAnalysis {
        |FROM (SELECT lang, CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents)
        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- t08
+  /** Char-level near-dup pairs via ROLLING-HASH winnowing fingerprints
+    * (the MOSS scheme): Rabin-Karp base-256 polynomial hash over char
+    * 8-grams (each hash derived from the previous in O(1) inside the
+    * winnow_fps kernel), minimum of every 4-gram-hash window, dedup'd —
+    * any shared substring of >= 11 chars yields a shared fingerprint.
+    * Complements the word-level shingles of d03 (robust to
+    * word-boundary edits); pairs via the same inverted-index join, never
+    * a cross join. The oracle folds the identical (h*256+c) mod p per
+    * gram — algebraically equal to the rolling update, so the pair set
+    * is hash-exact. */
+  def t08(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("winnow_fps(text, 8, 4)").as("fps"))
+      .filter(size(col("fps")) >= 1).cache()
+    val posting = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val sizes = fps.select(col("doc_id"), size(col("fps")).cast("long").as("n"))
+    // containment >= 1/2 of the smaller fingerprint set (integer
+    // cross-multiplied — measured: random template pairs top out ~0.38,
+    // true near-dups sit at 1.0, so 0.5 separates cleanly)
+    posting.as("a").join(posting.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .filter(col("n_shared") * 2 >= least(col("na"), col("nb")))
+      .select("doc_a", "doc_b", "n_shared")
+      .orderBy("doc_a", "doc_b")
+  }
+  val t08Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(text) - 8 + 2),
+      |      i -> list_reduce(
+      |             list_transform(range(0, 8),
+      |               j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+      |             (h, c) -> (h * 256 + c) % 1000000007)) AS hs
+      |  FROM documents WHERE len(text) >= 11),
+      |f AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+      |      i -> list_aggregate(hs[i:i+3], 'min'))) AS fps
+      |  FROM g),
+      |p AS (SELECT doc_id, UNNEST(fps) AS fp FROM f),
+      |sz AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n FROM f),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared
+      |FROM pairs JOIN sz na ON doc_a = na.doc_id JOIN sz nb ON doc_b = nb.doc_id
+      |WHERE n_shared * 2 >= LEAST(na.n, nb.n)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -236,6 +292,7 @@ object TextAnalysis {
     "t05_redaction" -> (t05 _),
     "t06_stratified_sample" -> (t06 _),
     "t07_token_histogram" -> (t07 _),
+    "t08_winnow_pairs" -> (t08 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -246,5 +303,6 @@ object TextAnalysis {
     "t05_redaction" -> t05Sql,
     "t06_stratified_sample" -> t06Sql,
     "t07_token_histogram" -> t07Sql,
+    "t08_winnow_pairs" -> t08Sql,
   )
 }

@@ -96,6 +96,27 @@ class KernelPropertiesSpec extends AnyFunSuite {
   private val textGen =
     Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", " ", "  ")).map(_.mkString)
 
+  test("winnow_fps == naive per-gram fold + window-min + distinct reference") {
+    val P = 1000000007L
+    val cfg = for {
+      k <- Gen.chooseNum(1, 6)
+      w <- Gen.chooseNum(1, 5)
+      t <- Gen.listOf(Gen.oneOf("a", "b", "c", "xy", " ")).map(_.mkString)
+    } yield (k, w, t)
+    check(Prop.forAll(cfg) { case (k, w, t) =>
+      val out = WinnowFingerprints(Literal.create(UTF8String.fromString(t)), k, w)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val expect =
+        if (t.length < k + w - 1) Seq.empty
+        else {
+          val hs = (0 to t.length - k).map(i =>
+            t.substring(i, i + k).foldLeft(0L)((h, c) => (h * 256 + c.toLong) % P))
+          hs.sliding(w).map(_.min).toSeq.distinct
+        }
+      out == expect
+    })
+  }
+
   test("word_tokens == split-filter reference") {
     check(Prop.forAll(textGen) { t =>
       val out = WordTokens(Literal.create(UTF8String.fromString(t)))
