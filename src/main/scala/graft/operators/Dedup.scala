@@ -448,7 +448,8 @@ object Dedup {
         .select(col("doc_id"), least(col("label"), col("mnl")).as("label"),
                 (col("mnl") < col("label")).cast("long").as("chg"))
         .cache()
-      changed = next.agg(sum(col("chg"))).head().getLong(0)
+      changed = next.agg(sum(col("chg"))).head().getLong(0) // materializes next
+      labels.unpersist() // superseded generation; next no longer depends on it
       labels = next.select("doc_id", "label")
     }
     labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
