@@ -236,17 +236,28 @@ object TextAnalysis {
     * any shared substring of >= 11 chars yields a shared fingerprint.
     * Complements the word-level shingles of d03 (robust to
     * word-boundary edits); pairs via the same inverted-index join, never
-    * a cross join. The oracle folds the identical (h*256+c) mod p per
-    * gram — algebraically equal to the rolling update, so the pair set
-    * is hash-exact. */
+    * a cross join. As in MOSS itself, fingerprints appearing in more
+    * than maxDf documents are dropped as boilerplate BEFORE the pair
+    * join — on this corpus that is 99.4% of would-be join rows (one
+    * 8-gram occurs in 76% of docs), and at any scale it bounds each
+    * posting bucket to maxDf^2 pairs. The cap is part of the operator's
+    * semantics and the oracle applies the identical cap, so the pair
+    * set stays hash-exact. The oracle folds the identical (h*256+c)
+    * mod p per gram — algebraically equal to the rolling update. */
   def t08(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    val maxDf = 50
     val fps = Tables.documents(spark, dir)
       .select(col("doc_id"), expr("winnow_fps(text, 8, 4)").as("fps"))
-      .filter(size(col("fps")) >= 1).cache()
-    val posting = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val sizes = fps.select(col("doc_id"), size(col("fps")).cast("long").as("n"))
-    // containment >= 1/2 of the smaller fingerprint set (integer
+      .filter(size(col("fps")) >= 1)
+    val posting0 = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // boilerplate filter: one map-side-combinable count per fp, then an
+    // equi-join (AQE broadcasts the small keep-list at gate scale)
+    val keep = posting0.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val posting = posting0.join(keep, "fp").cache()
+    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // containment >= 1/2 of the smaller KEPT fingerprint set (integer
     // cross-multiplied — measured: random template pairs top out ~0.38,
     // true near-dups sit at 1.0, so 0.5 separates cleanly)
     posting.as("a").join(posting.as("b"),
@@ -273,8 +284,10 @@ object TextAnalysis {
       |    list_distinct(list_transform(range(1, len(hs) - 4 + 2),
       |      i -> list_aggregate(hs[i:i+3], 'min'))) AS fps
       |  FROM g),
-      |p AS (SELECT doc_id, UNNEST(fps) AS fp FROM f),
-      |sz AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n FROM f),
+      |p0 AS (SELECT doc_id, UNNEST(fps) AS fp FROM f),
+      |keep AS (SELECT fp FROM p0 GROUP BY fp HAVING COUNT(*) <= 50),
+      |p AS (SELECT p0.doc_id, p0.fp FROM p0 JOIN keep USING (fp)),
+      |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM p GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
       |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
