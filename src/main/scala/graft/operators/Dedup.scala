@@ -472,7 +472,52 @@ object Dedup {
        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d11
+  /** Benchmark decontamination: training documents that share a word
+    * 4-gram with any held-out evaluation document (here the
+    * deterministic 5% split doc_id % 20 == 0 stands in for the eval
+    * benchmark) — the standard "n-gram overlap" test run before LLM
+    * training, reported as a per-doc contamination audit (the drop is
+    * then a trivial anti-join on doc_id).
+    *
+    * Scale: the eval set is small by construction (benchmarks are
+    * thousands of docs vs billions of training docs), so its exploded
+    * posting list is the broadcast side; the training corpus streams
+    * through map-side — NO shuffle of the 100 TB side at all. Counts are
+    * distinct shared shingles / distinct eval docs hit, aggregated on
+    * the (train-doc, shingle) join output whose size is bounded by the
+    * eval corpus's posting list, not the corpus cross-product. */
+  def d11(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("word_ngrams(text, 4)").as("grams"))
+      .filter(size(col("grams")) >= 1)
+    val post = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val eval_ = post.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val train = post.filter(col("doc_id") % 20 =!= 0)
+    train.join(broadcast(eval_), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+           countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+  val d11Sql: String =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+      |           FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 2),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS grams
+      |       FROM w WHERE len(w) >= 4),
+      |p AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+      |ev AS (SELECT doc_id AS eval_id, g FROM p WHERE doc_id % 20 = 0),
+      |tr AS (SELECT doc_id, g FROM p WHERE doc_id % 20 <> 0)
+      |SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared_grams,
+      |       COUNT(DISTINCT eval_id) AS n_eval_docs
+      |FROM tr JOIN ev USING (g)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d11_decontaminate" -> (d11 _),
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_lsh" -> (d02 _),
     "d03_ngram_jaccard" -> (d03 _),
@@ -486,6 +531,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d11_decontaminate" -> d11Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_minhash_lsh" -> d02Sql,
     "d03_ngram_jaccard" -> d03Sql,

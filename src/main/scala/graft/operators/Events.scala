@@ -403,7 +403,64 @@ object Events {
       |FROM t WHERE next_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin
 
+  // ---------------------------------------------------------------- e13
+  /** Hourly volume anomalies: (event_type, hour) buckets whose count
+    * exceeds that type's mean by 3 sample standard deviations — the
+    * ops-dashboard "traffic spike" query.
+    *
+    * The 3-sigma test runs entirely in integer arithmetic: with n hours,
+    * S = sum(cnt), Q = sum(cnt^2) per type, the condition
+    * `cnt > mean + 3*stddev` is cross-multiplied to
+    * `(n*cnt - S)^2 * (n-1) > 9 * n * (n*Q - S^2)` (and `n*cnt > S` for
+    * the high side) — no float boundary on the flag. Intermediates are
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): exact at any count
+    * magnitude, so hourly volumes of 10^9 at cluster scale cannot
+    * overflow the test. The per-type stats are one map-side-combinable
+    * aggregation over at most |types| groups broadcast back onto the
+    * hour buckets. The reported z-score is IEEE-exact both sides (one
+    * cast, one subtract, one divide, one sqrt — all correctly rounded)
+    * and rounded to 6dp. */
+  def e13(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val h = Tables.events(spark, dir)
+      .withColumn("hour_ms", col("ms") - col("ms") % 3600000L)
+      .groupBy("event_type", "hour_ms")
+      .agg(count(lit(1)).as("cnt"))
+    val st = h.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+           sum(col("cnt") * col("cnt")).as("q"))
+      .filter(col("n") >= 2)
+    val nD  = col("n").cast(d38)
+    val dev = nD * col("cnt").cast(d38) - col("s").cast(d38)
+    val varNum = nD * col("q").cast(d38) - col("s").cast(d38) * col("s").cast(d38)
+    h.join(st, "event_type")
+      .filter(col("n") * col("cnt") > col("s") &&
+              dev * dev * (nD - 1) > lit(9).cast(d38) * nD * varNum)
+      .withColumn("mean_cnt", dbl(col("s")) / col("n"))
+      .withColumn("z", round((dbl(col("cnt")) - col("mean_cnt")) /
+        sqrt(dbl(col("n") * col("q") - col("s") * col("s")) / dbl(col("n") * (col("n") - 1))), 6))
+      .select("event_type", "hour_ms", "cnt", "mean_cnt", "z")
+      .orderBy("event_type", "hour_ms")
+  }
+  val e13Sql: String =
+    """WITH h AS (SELECT event_type, epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hour_ms,
+      |                  COUNT(*)::BIGINT AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, COUNT(*)::BIGINT AS n, SUM(cnt)::BIGINT AS s,
+      |              SUM(cnt*cnt)::BIGINT AS q
+      |       FROM h GROUP BY 1 HAVING COUNT(*) >= 2)
+      |SELECT event_type, hour_ms, cnt,
+      |  CAST(s AS DOUBLE) / n AS mean_cnt,
+      |  ROUND((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / n)
+      |        / sqrt(CAST(n*q - s*s AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)), 6) AS z
+      |FROM h JOIN st USING (event_type)
+      |WHERE n*cnt > s
+      |  AND (CAST(n AS HUGEINT)*cnt - s)*(CAST(n AS HUGEINT)*cnt - s)*(n-1)
+      |      > 9*CAST(n AS HUGEINT)*(CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s)
+      |ORDER BY event_type, hour_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e13_anomaly_hours" -> (e13 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_window" -> (e02 _),
     "e03_funnel" -> (e03 _),
@@ -419,6 +476,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e13_anomaly_hours" -> e13Sql,
     "e01_sessionize" -> e01Sql,
     "e02_tumbling_window" -> e02Sql,
     "e03_funnel" -> e03Sql,

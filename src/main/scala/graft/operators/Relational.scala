@@ -589,7 +589,44 @@ object Relational {
       |FROM last JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** TPC-H Q17 shape (per-brand): revenue lost to "small-quantity"
+    * lines — lines whose quantity is below 20% of that part's average
+    * quantity — expressed as a yearly figure (sum/7).
+    *
+    * The correlated scalar subquery (avg qty per part) becomes a
+    * part-level pre-aggregation joined back to lineitem on l_partkey —
+    * both sides shuffle on the SAME uniform key, and the per-part agg is
+    * map-side combinable, so the "subquery" costs one small-keyspace
+    * join, not a per-row probe. The avg threshold compares by decimal
+    * cross-multiplication (5*qty*cnt < sum_qty), no float boundary.
+    * The part join is unhinted: AQE broadcasts it at test scale and
+    * falls back to a shuffle join when part outgrows the threshold
+    * (at TPC-H ratios part is lineitem/30 — not broadcastable forever). */
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val pq = l.groupBy("l_partkey")
+      .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
+    l.join(pq, "l_partkey")
+      .filter(dec(col("l_quantity")) * 5 * col("cnt") < col("sq"))
+      .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+           (dsum(col("l_extendedprice")) / lit(7.0d)).as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+  val q27Sql: String =
+    """WITH pq AS (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+      |                   COUNT(*)::BIGINT AS cnt
+      |            FROM lineitem GROUP BY 1)
+      |SELECT p_brand, COUNT(*)::BIGINT AS n_small,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN pq USING (l_partkey) JOIN part ON p_partkey = l_partkey
+      |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sq
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q27_small_quantity" -> (q27 _),
     "q26_last_shipper" -> (q26 _),
     "q25_ranking_suite" -> (q25 _),
     "q01_pricing_summary" -> (q01 _),
@@ -644,5 +681,6 @@ object Relational {
     "q24_cube" -> q24Sql,
     "q25_ranking_suite" -> q25Sql,
     "q26_last_shipper" -> q26Sql,
+    "q27_small_quantity" -> q27Sql,
   )
 }

@@ -297,7 +297,54 @@ object TextAnalysis {
       |WHERE n_shared * 2 >= LEAST(na.n, nb.n)
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- t09
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf * ln(N/df), ties broken lexicographically.
+    *
+    * Both term frequencies and document frequencies are integer
+    * aggregations; the only float work is ONE division and ONE ln on
+    * each scored row, computed in the identical op order on both
+    * engines (ln is correctly rounded on both — bit-equality probed
+    * over the full df range) and rounded to 6dp. Ranking orders by the
+    * ROUNDED score so both engines rank identical values.
+    *
+    * Scale: tf is a map-side-combinable (doc, word) count; df is a
+    * count over the tf rows (word keyspace ~ vocabulary, Zipf-skewed —
+    * AQE skew-split backstops the word join, and the join output is
+    * |tf| rows, never |corpus|^2). N comes from a 1-row broadcast
+    * cross join, not a driver collect. The per-doc top-3 window is
+    * partitioned by doc_id — bounded per-key state, pruned by Spark 4's
+    * WindowGroupLimit before the shuffle. */
+  def t09(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select(col("doc_id"), explode(wordsCol).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+    tf.join(df_, "word").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(dbl(col("tf")) * log(dbl(col("n")) / dbl(col("df"))), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "word", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rk")
+  }
+  val t09Sql: String =
+    s"""WITH toks AS (SELECT doc_id, UNNEST($wordsSql) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT word, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+       |sc AS (SELECT doc_id, word, tf, df,
+       |         ROUND(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+       |       FROM tf JOIN df USING (word) CROSS JOIN n)
+       |SELECT doc_id, rk, word, tf, df, tfidf
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                  ORDER BY tfidf DESC, word ASC) AS rk FROM sc)
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t09_tfidf_keywords" -> (t09 _),
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_langid" -> (t03 _),
@@ -309,6 +356,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t09_tfidf_keywords" -> t09Sql,
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_langid" -> t03Sql,

@@ -16,21 +16,35 @@ import org.apache.spark.sql.SparkSession
   *  - e05: k x k rank self-join AFTER limit(10)
   *  - q16: scalar-subquery compare against a 1-row aggregate
   *  - q23: month-frame range self-join (one row per calendar month)
+  *  - t09: corpus-count N joined in as a 1-row broadcast (idf input)
   */
 object PlanAudit {
   private val allowBnlj = Set(
     "s03_ann_ivf", "s04_ann_ivfpq", "d05_embedding_neardup",
-    "e05_top_users", "q16_scalar_subquery", "q23_moving_avg")
+    "e05_top_users", "q16_scalar_subquery", "q23_moving_avg",
+    "t09_tfidf_keywords")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
-      val plan = try q(spark, sfDir).queryExecution.executedPlan.toString
-        catch { case e: Exception => s"PLAN-ERROR ${e.getMessage}" }
+      val qe = try Right(q(spark, sfDir).queryExecution)
+        catch { case e: Exception => Left(e.getMessage) }
+      val plan = qe.fold(msg => s"PLAN-ERROR $msg", _.executedPlan.toString)
+      // a Window/WindowGroupLimit with an EMPTY partition spec is the
+      // all-rows-to-one-task shape; checked on the tree (sparkPlan — the
+      // pre-AQE physical plan, which collect() can traverse) rather than
+      // by string match, because "SinglePartition" also appears in any
+      // plan with a benign global aggregate (e.g. a 1-row corpus count)
+      val globalWindow = qe.fold(_ => false, _.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty)
       val reasons = Seq(
         "cartesian" -> plan.contains("CartesianProduct"),
         "bnlj" -> (plan.contains("BroadcastNestedLoopJoin") && !allowBnlj(name)),
-        "singlePartitionWindow" -> (plan.contains("Window") && plan.contains("SinglePartition")),
+        "singlePartitionWindow" -> globalWindow,
         "planError" -> plan.startsWith("PLAN-ERROR"),
       ).collect { case (r, true) => r }
       if (reasons.isEmpty) Nil else Seq(name -> reasons.mkString("+"))

@@ -14,16 +14,16 @@ class OperatorSmokeSpec extends SparkSpec {
       "q09_rollup", "q10_distinct_agg", "q11_anti_join", "q12_set_ops", "q13_conditional_agg",
       "q14_string_ops", "q15_date_ops", "q16_scalar_subquery", "q17_having", "q18_percentile",
       "q19_null_handling", "q20_nation_revenue", "q21_approx_stats", "q22_pivot", "q23_moving_avg", "q24_cube",
-      "q25_ranking_suite", "q26_last_shipper",
+      "q25_ranking_suite", "q26_last_shipper", "q27_small_quantity",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
-      "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions",
+      "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
       "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash", "d06_jaccard_capped",
       "d05_embedding_neardup", "d07_embedding_neardup_lsh", "d08_priority_dedup",
-      "d09_incremental_dedup", "d10_dup_clusters",
+      "d09_incremental_dedup", "d10_dup_clusters", "d11_decontaminate",
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
-      "t06_stratified_sample", "t07_token_histogram", "t08_winnow_pairs",
+      "t06_stratified_sample", "t07_token_histogram", "t08_winnow_pairs", "t09_tfidf_keywords",
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample", "m04_resize",
       "p01_corpus_pipeline")
     assert(SparkEntry.queries.keySet == expected)
@@ -166,6 +166,48 @@ class OperatorSmokeSpec extends SparkSpec {
       .collect().filter(r => ids.contains(r.getAs[Long]("doc_id")))
       .map(_.getAs[String]("fp"))
     assert(fps.length == fps.distinct.length, "duplicate fingerprints survived p01")
+  }
+
+  test("q27 small-quantity: threshold matches a recomputed per-part average") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q27(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the count of qualifying lines independently (double avg,
+    // strict inequality far from boundaries in this data)
+    val l = graft.engine.Tables.lineitem(spark, sf)
+    val avg_ = l.groupBy("l_partkey").agg(avg(col("l_quantity")).as("aq"))
+    val expected = l.join(avg_, "l_partkey")
+      .filter(col("l_quantity") < col("aq") * 0.2).count()
+    assert(rows.map(_.getAs[Long]("n_small")).sum == expected)
+  }
+
+  test("e13 anomalies all sit above 3 sample standard deviations") {
+    val rows = Events.e13(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("z") > 3.0)
+      assert(r.getAs[Long]("cnt").toDouble > r.getAs[Double]("mean_cnt"))
+    }
+  }
+
+  test("d11 decontamination: hits are training docs sharing >= 1 eval 4-gram") {
+    val rows = Dedup.d11(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 20 != 0, "eval doc reported as contaminated")
+      assert(r.getAs[Long]("n_shared_grams") >= 1L)
+      assert(r.getAs[Long]("n_eval_docs") >= 1L)
+    }
+  }
+
+  test("t09 tf-idf: 3 keywords per doc, scores non-increasing in rank") {
+    val rows = TextAnalysis.t09(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { ks =>
+      assert(ks.length <= 3)
+      val ordered = ks.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("tfidf"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
   }
 
   test("m04 resize plumbing: output shrinks by the area ratio, deterministic") {
