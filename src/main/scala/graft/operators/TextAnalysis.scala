@@ -343,7 +343,56 @@ object TextAnalysis {
        |                  ORDER BY tfidf DESC, word ASC) AS rk FROM sc)
        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- t10
+  /** Within-document repetition scoring — the duplicate n-gram fraction
+    * family of quality filters (Gopher/MassiveText): for n = 2,3,4 the
+    * fraction of n-gram slots occupied by a repeat of an earlier n-gram,
+    * plus the drop verdict at the published 0.2 threshold.
+    *
+    * dup_n = total n-gram slots (n_tok - n + 1) minus DISTINCT n-grams —
+    * both integers from the single-pass word_ngrams kernel, so the whole
+    * operator is a scan-bound projection (no explode, no shuffle except
+    * the final order). Fractions are one IEEE division each; the drop
+    * flag cross-multiplies (5*dup > total) so no float boundary. */
+  def t10(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    def dup(n: Int) = (col(s"t$n") - size(expr(s"word_ngrams(text, $n)"))).cast("long")
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(wordsCol).cast("long"))
+      .filter(col("n_tok") >= 4)
+      .withColumn("t2", col("n_tok") - 1).withColumn("t3", col("n_tok") - 2)
+      .withColumn("t4", col("n_tok") - 3)
+      .withColumn("dup2", dup(2)).withColumn("dup3", dup(3)).withColumn("dup4", dup(4))
+      .withColumn("frac2", dbl(col("dup2")) / col("t2"))
+      .withColumn("frac3", dbl(col("dup3")) / col("t3"))
+      .withColumn("frac4", dbl(col("dup4")) / col("t4"))
+      .withColumn("would_drop", col("dup2") * 5 > col("t2"))
+      .select("doc_id", "n_tok", "dup2", "dup3", "dup4",
+              "frac2", "frac3", "frac4", "would_drop")
+      .orderBy("doc_id")
+  }
+  val t10Sql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |st AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+       |  CAST(len(w) - 1 AS BIGINT) AS t2,
+       |  CAST(len(w) - 2 AS BIGINT) AS t3,
+       |  CAST(len(w) - 3 AS BIGINT) AS t4,
+       |  CAST(len(w) - 1 - len(list_distinct(list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1]))) AS BIGINT) AS dup2,
+       |  CAST(len(w) - 2 - len(list_distinct(list_transform(range(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS dup3,
+       |  CAST(len(w) - 3 - len(list_distinct(list_transform(range(1, len(w) - 2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS BIGINT) AS dup4
+       |  FROM w WHERE len(w) >= 4)
+       |SELECT doc_id, n_tok, dup2, dup3, dup4,
+       |  CAST(dup2 AS DOUBLE) / t2 AS frac2,
+       |  CAST(dup3 AS DOUBLE) / t3 AS frac3,
+       |  CAST(dup4 AS DOUBLE) / t4 AS frac4,
+       |  dup2 * 5 > t2 AS would_drop
+       |FROM st ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t10_repetition" -> (t10 _),
     "t09_tfidf_keywords" -> (t09 _),
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -356,6 +405,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t10_repetition" -> t10Sql,
     "t09_tfidf_keywords" -> t09Sql,
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,

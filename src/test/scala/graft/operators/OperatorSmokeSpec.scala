@@ -23,7 +23,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "d09_incremental_dedup", "d10_dup_clusters", "d11_decontaminate",
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
-      "t06_stratified_sample", "t07_token_histogram", "t08_winnow_pairs", "t09_tfidf_keywords",
+      "t06_stratified_sample", "t07_token_histogram", "t08_winnow_pairs", "t09_tfidf_keywords", "t10_repetition",
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample", "m04_resize",
       "p01_corpus_pipeline")
     assert(SparkEntry.queries.keySet == expected)
@@ -207,6 +207,21 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(ks.length <= 3)
       val ordered = ks.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("tfidf"))
       assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("t10 repetition fractions are consistent and bounded") {
+    val rows = TextAnalysis.t10(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t2, d2) = (r.getAs[Long]("n_tok") - 1, r.getAs[Long]("dup2"))
+      assert(d2 >= 0 && d2 < t2 || (d2 == 0 && t2 == 0))
+      val f2 = r.getAs[Double]("frac2")
+      assert(f2 >= 0.0 && f2 <= 1.0)
+      assert(r.getAs[Boolean]("would_drop") == (d2 * 5 > t2))
+      // longer n-grams can only repeat if shorter ones do
+      if (r.getAs[Long]("dup4") > 0) assert(r.getAs[Long]("dup3") > 0)
+      if (r.getAs[Long]("dup3") > 0) assert(d2 > 0)
     }
   }
 
