@@ -516,8 +516,74 @@ object Dedup {
       |FROM tr JOIN ev USING (g)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- d12
+  /** Fuzzy benchmark decontamination: training docs whose 3-gram-shingle
+    * Jaccard with ANY held-out eval doc (same doc_id % 20 == 0 split as
+    * d11) reaches 0.5 — the MinHash complement to d11's exact n-gram
+    * overlap test, catching lightly-paraphrased contamination whose
+    * shingle SET still overlaps even where no single 4-gram survives.
+    *
+    * Same 128-perm Carter–Wegman signature as d02, re-banded 64x2 for
+    * the lower threshold: P(miss | J >= 0.5) <= (1 - 0.5^2)^64 < 1e-8,
+    * so the output equals the exact cross-split oracle. Scale: the
+    * signature is ONE map-side-combinable aggregation over the corpus;
+    * the eval band table (benchmarks are thousands of docs vs billions
+    * of training docs) is the broadcast side of both the candidate and
+    * verify joins, so the 100 TB training side is never shuffled —
+    * candidate volume is bounded by the eval posting list. */
+  def d12(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L // 2^31 - 1 (Mersenne prime), as d02
+    val rnd = new scala.util.Random(42)
+    val perms = Array.fill(128)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
+    val sh = shingled(spark, dir).cache()
+    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
+    val minhashCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"m$i")
+    }
+    val sig = posting.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
+    val bandCols = (0 until 64).map { j =>
+      struct(lit(j).as("band"), xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("key"))
+    }
+    // cache: the eval/train filters below would otherwise recompute the
+    // 128-column signature aggregation once per side
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache()
+    val evalB = bands.filter(col("doc_id") % 20 === 0).withColumnRenamed("doc_id", "eval_id")
+    val trainB = bands.filter(col("doc_id") % 20 =!= 0)
+    val candidates = trainB.join(broadcast(evalB), Seq("band", "key"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val gt = sh.select(col("doc_id"), col("grams").as("grams_t"))
+    val ge = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("eval_id"), col("grams").as("grams_e"))
+    candidates.join(gt, "doc_id").join(broadcast(ge), "eval_id")
+      .withColumn("inter", size(array_intersect(col("grams_t"), col("grams_e"))).cast("long"))
+      .withColumn("un", size(col("grams_t")).cast("long") + size(col("grams_e")).cast("long") - col("inter"))
+      .filter(col("inter") * 2 >= col("un"))
+      .select(col("doc_id"), col("eval_id"), (dbl(col("inter")) / dbl(col("un"))).as("jaccard"))
+      .orderBy("doc_id", "eval_id")
+  }
+  val d12Sql: String =
+    s"""WITH sh AS ($shingledSql),
+       |posting AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+       |sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
+       |inter AS (
+       |  SELECT t.doc_id AS doc_id, e.doc_id AS eval_id, COUNT(*) AS inter
+       |  FROM posting t JOIN posting e ON t.g = e.g
+       |  WHERE t.doc_id % 20 <> 0 AND e.doc_id % 20 = 0
+       |  GROUP BY 1, 2)
+       |SELECT inter.doc_id AS doc_id, eval_id,
+       |  CAST(inter AS DOUBLE) / CAST(nt.n + ne.n - inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes nt ON inter.doc_id = nt.doc_id
+       |JOIN sizes ne ON eval_id = ne.doc_id
+       |WHERE inter * 2 >= (nt.n + ne.n - inter)
+       |ORDER BY doc_id, eval_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d11_decontaminate" -> (d11 _),
+    "d12_fuzzy_decontam" -> (d12 _),
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_lsh" -> (d02 _),
     "d03_ngram_jaccard" -> (d03 _),
@@ -532,6 +598,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "d11_decontaminate" -> d11Sql,
+    "d12_fuzzy_decontam" -> d12Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_minhash_lsh" -> d02Sql,
     "d03_ngram_jaccard" -> d03Sql,

@@ -20,7 +20,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
       "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash", "d06_jaccard_capped",
       "d05_embedding_neardup", "d07_embedding_neardup_lsh", "d08_priority_dedup",
-      "d09_incremental_dedup", "d10_dup_clusters", "d11_decontaminate",
+      "d09_incremental_dedup", "d10_dup_clusters", "d11_decontaminate", "d12_fuzzy_decontam",
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
       "t06_stratified_sample", "t07_token_histogram", "t08_winnow_pairs", "t09_tfidf_keywords", "t10_repetition",
@@ -208,6 +208,23 @@ class OperatorSmokeSpec extends SparkSpec {
       val ordered = ks.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("tfidf"))
       assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
     }
+  }
+
+  test("d12 fuzzy decontamination equals exact cross-split Jaccard >= 0.5") {
+    val got = Dedup.d12(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id"))).toSet
+    // oracle-by-composition: d03 is the exact all-pairs J >= 0.5 baseline;
+    // restrict it to pairs that cross the eval split
+    val want = Dedup.d03(spark, sf).collect().flatMap { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      (a % 20 == 0, b % 20 == 0) match {
+        case (true, false) => Some((b, a))
+        case (false, true) => Some((a, b))
+        case _             => None
+      }
+    }.toSet
+    assert(got == want)
+    assert(got.forall { case (t, e) => t % 20 != 0 && e % 20 == 0 })
   }
 
   test("t10 repetition fractions are consistent and bounded") {
