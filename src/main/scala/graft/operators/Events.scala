@@ -459,7 +459,53 @@ object Events {
       |      > 9*CAST(n AS HUGEINT)*(CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s)
       |ORDER BY event_type, hour_ms""".stripMargin
 
+  // ---------------------------------------------------------------- e14
+  /** Rolling engagement: per calendar day, the distinct users active
+    * that day (DAU), the distinct users active in the trailing 7 days
+    * (WAU), and the DAU/WAU stickiness ratio.
+    *
+    * The sliding distinct is NOT a window over raw events: events first
+    * collapse to distinct (user, day) pairs (a map-side-combinable
+    * dedup that shrinks the input by the user's daily event count),
+    * then each pair fans out to the ≤7 window-end days it contributes
+    * to, and one groupBy(day) counts distinct users. The fan-out is a
+    * constant ×7 on the SMALL deduped frame, the shuffles key on the
+    * uniform day grid, and phantom trailing days are pruned by the
+    * inner join back to observed days. At extreme scale the exact
+    * countDistinct swaps for an HLL sketch per (day, band) without
+    * changing the plan shape. */
+  def e14(spark: SparkSession, dir: String): DataFrame = {
+    val DayMs = 86400000L
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), (col("ms") - pmod(col("ms"), lit(DayMs))).as("day_ms"))
+      .distinct()
+      .cache()
+    val dau = ud.groupBy("day_ms").agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(lit(0L), lit(6L))).as("k"), col("day_ms"))
+      .select(col("user_id"), (col("day_ms") + col("k") * DayMs).as("day_ms"))
+      .groupBy("day_ms")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day_ms")
+      .select(col("day_ms"), col("dau"), col("wau"),
+        round(dbl(col("dau")) / dbl(col("wau")), 6).as("stickiness"))
+      .orderBy("day_ms")
+  }
+  val e14Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |                   epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms
+      |            FROM events),
+      |days AS (SELECT day_ms, COUNT(*)::BIGINT AS dau FROM ud GROUP BY 1)
+      |SELECT d.day_ms AS day_ms, d.dau AS dau,
+      |  COUNT(DISTINCT u.user_id) AS wau,
+      |  ROUND(CAST(d.dau AS DOUBLE) / COUNT(DISTINCT u.user_id), 6) AS stickiness
+      |FROM days d JOIN ud u
+      |  ON u.day_ms BETWEEN d.day_ms - 6 * 86400000 AND d.day_ms
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e14_rolling_active" -> (e14 _),
     "e13_anomaly_hours" -> (e13 _),
     "e01_sessionize" -> (e01 _),
     "e02_tumbling_window" -> (e02 _),
@@ -476,6 +522,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e14_rolling_active" -> e14Sql,
     "e13_anomaly_hours" -> e13Sql,
     "e01_sessionize" -> e01Sql,
     "e02_tumbling_window" -> e02Sql,

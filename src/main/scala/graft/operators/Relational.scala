@@ -625,8 +625,56 @@ object Relational {
       |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sq
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q28
+  /** TPC-H Q22 spirit adapted to this data (every customer has orders,
+    * so Q22's literal "no orders" anti-join is vacuous here): "dormant
+    * high-balance" customers — above the average positive balance AND
+    * placing fewer orders than the per-customer average — counted and
+    * totalled per nation.
+    *
+    * Both uncorrelated averages are 1-row aggregates broadcast in
+    * (BroadcastNestedLoopJoin over a single row each, not a shuffle);
+    * the order count attaches via a LEFT join of customer against the
+    * groupBy(o_custkey) aggregate — both sides shuffle on the SAME
+    * uniform custkey, no per-row EXISTS probe. Boundary arithmetic is
+    * order-independent: the balance average is a decimal-exact sum
+    * with ONE cast to double, and the order-count average is an exact
+    * bigint sum / count, so the `>` / `<` threshold filters can't
+    * flip with partial-aggregation order. */
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val ab = c.filter(col("c_acctbal") > 0.0d)
+      .agg((dbl(sum(dec(col("c_acctbal")))) / count(lit(1))).as("ab"))
+    val oc = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    val aoc = oc.agg((dbl(sum(col("cnt"))) / count(lit(1))).as("ac"))
+    c.join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .crossJoin(broadcast(ab))
+      .crossJoin(broadcast(aoc))
+      .filter(col("c_acctbal") > col("ab") && dbl(col("cnt")) < col("ac"))
+      .groupBy(col("c_nationkey").cast("bigint").as("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+  val q28Sql: String =
+    """WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |                   / COUNT(*) AS ab
+      |            FROM customer WHERE c_acctbal > 0.0),
+      |oc AS (SELECT o_custkey, COUNT(*)::BIGINT AS cnt FROM orders GROUP BY 1),
+      |aoc AS (SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS ac FROM oc),
+      |j AS (SELECT c.c_nationkey, c.c_acctbal, COALESCE(oc.cnt, 0) AS cnt
+      |      FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey)
+      |SELECT CAST(j.c_nationkey AS BIGINT) AS c_nationkey,
+      |  COUNT(*)::BIGINT AS numcust,
+      |  CAST(SUM(CAST(j.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM j, ab, aoc
+      |WHERE j.c_acctbal > ab.ab AND CAST(j.cnt AS DOUBLE) < aoc.ac
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q27_small_quantity" -> (q27 _),
+    "q28_dormant_balances" -> (q28 _),
     "q26_last_shipper" -> (q26 _),
     "q25_ranking_suite" -> (q25 _),
     "q01_pricing_summary" -> (q01 _),
@@ -682,5 +730,6 @@ object Relational {
     "q25_ranking_suite" -> q25Sql,
     "q26_last_shipper" -> q26Sql,
     "q27_small_quantity" -> q27Sql,
+    "q28_dormant_balances" -> q28Sql,
   )
 }

@@ -14,10 +14,11 @@ class OperatorSmokeSpec extends SparkSpec {
       "q09_rollup", "q10_distinct_agg", "q11_anti_join", "q12_set_ops", "q13_conditional_agg",
       "q14_string_ops", "q15_date_ops", "q16_scalar_subquery", "q17_having", "q18_percentile",
       "q19_null_handling", "q20_nation_revenue", "q21_approx_stats", "q22_pivot", "q23_moving_avg", "q24_cube",
-      "q25_ranking_suite", "q26_last_shipper", "q27_small_quantity",
+      "q25_ranking_suite", "q26_last_shipper", "q27_small_quantity", "q28_dormant_balances",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
+      "e14_rolling_active",
       "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash", "d06_jaccard_capped",
       "d05_embedding_neardup", "d07_embedding_neardup_lsh", "d08_priority_dedup",
       "d09_incremental_dedup", "d10_dup_clusters", "d11_decontaminate", "d12_fuzzy_decontam",
@@ -207,6 +208,20 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(ks.length <= 3)
       val ordered = ks.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("tfidf"))
       assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("e14 rolling-active: DAU <= WAU and WAU bounded by trailing DAU sum") {
+    val rows = Events.e14(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dauByDay = rows.map(r => r.getAs[Long]("day_ms") -> r.getAs[Long]("dau")).toMap
+    rows.foreach { r =>
+      val (day, dau, wau) = (r.getAs[Long]("day_ms"), r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      assert(dau >= 1 && dau <= wau)
+      val trailingSum = (0L to 6L).map(k => dauByDay.getOrElse(day - k * 86400000L, 0L)).sum
+      assert(wau <= trailingSum)
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
     }
   }
 
