@@ -391,7 +391,99 @@ object TextAnalysis {
        |  dup2 * 5 > t2 AS would_drop
        |FROM st ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t11
+  /** Corpus-LM quality scoring (the CCNet recipe, unigram form): build a
+    * unigram language model FROM the corpus itself (word → occurrence
+    * count), then score every document by its mean token log-probability.
+    * Low scores flag gibberish / boilerplate; high scores flag natural
+    * text — the standard perplexity-bucket pre-filter for training data.
+    *
+    * Scale shape: tokens collapse to per-(doc, word) tf FIRST (map-side
+    * combinable, shrinks the model join input from Σtokens to Σdistinct);
+    * the model is a groupBy(word) re-aggregation of tf (vocabulary-sized,
+    * AQE broadcast-promotes it while it fits; stopword-skewed joins split
+    * under AQE skew handling beyond that); the corpus total is a 1-row
+    * broadcast. Float discipline: each word's log-prob is quantized ONCE
+    * to DECIMAL(18,9), so the per-doc sum Σ tf·logp is exact integer
+    * arithmetic — order-independent across partials and bit-identical on
+    * the oracle — with one double division + round at the end. */
+  def t11(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(wordsCol).as("word"))
+    val tf = toks.groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy("word").agg(sum(col("tf")).as("cnt"))
+    val n = model.agg(sum(col("cnt")).as("n"))
+    tf.join(model, "word").crossJoin(broadcast(n))
+      .withColumn("logp_q",
+        round(log(dbl(col("cnt")) / dbl(col("n"))), 9).cast("decimal(18,9)"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("tf")).as("n_tok"),
+           sum(col("tf").cast("decimal(10,0)") * col("logp_q")).as("s"))
+      .withColumn("avg_logp", round(dbl(col("s")) / dbl(col("n_tok")), 6))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("avg_logp"))
+      .orderBy("doc_id")
+  }
+  val t11Sql: String =
+    s"""WITH toks AS (SELECT doc_id, lang, UNNEST($wordsSql) AS word FROM documents),
+       |tf AS (SELECT doc_id, lang, word, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1,2,3),
+       |model AS (SELECT word, SUM(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+       |n AS (SELECT SUM(cnt)::BIGINT AS n FROM model)
+       |SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_tok,
+       |  ROUND(CAST(SUM(CAST(tf AS DECIMAL(10,0))
+       |          * CAST(ROUND(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+       |                 AS DECIMAL(18,9))) AS DOUBLE)
+       |        / CAST(SUM(tf) AS DOUBLE), 6) AS avg_logp
+       |FROM tf JOIN model USING (word) CROSS JOIN n
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t12
+  /** Temperature-rebalanced language mixing (the mT5 / CCNet α-sampling
+    * recipe, α = 0.5): languages are kept at rate ∝ c_lang^(α−1),
+    * normalized so the rarest language keeps everything — high-resource
+    * languages are down-sampled toward a flatter training mix.
+    *
+    * Selection is DETERMINISTIC, not rand(): each doc's uniform draw is
+    * its md5(text) 8-hex-digit prefix, compared against the rate
+    * converted to an 8-hex threshold string — re-runs, retries and the
+    * oracle all pick the identical sample (same trick as t06). Rates
+    * derive from a languages-sized aggregate broadcast onto the scan;
+    * sqrt and one division are IEEE-correctly-rounded so the threshold
+    * can't disagree across engines. One scan, one tiny broadcast, no
+    * shuffle of the corpus at all. */
+  def t12(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cs = d.groupBy("lang").agg(count(lit(1)).as("c"))
+    val mn = cs.agg(min(col("c")).as("cmin"))
+    val rt = cs.crossJoin(broadcast(mn))
+      .withColumn("rate", sqrt(dbl(col("cmin")) / dbl(col("c"))))
+      .withColumn("thr", lpad(lower(hex(
+        least(floor(col("rate") * lit(4294967296.0d)), lit(4294967295.0d))
+          .cast("long"))), 8, "0"))
+      .select(col("lang"), col("rate"), col("thr"))
+    d.join(broadcast(rt), "lang")
+      .filter(substring(md5(col("text")), 1, 8) <= col("thr"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(col("rate"), 6).as("rate"))
+      .orderBy("doc_id")
+  }
+  val t12Sql: String =
+    """WITH cs AS (SELECT lang, COUNT(*)::BIGINT AS c FROM documents GROUP BY 1),
+      |mn AS (SELECT MIN(c) AS cmin FROM cs),
+      |rt AS (SELECT lang,
+      |         sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE)) AS rate,
+      |         lpad(lower(to_hex(CAST(LEAST(
+      |           FLOOR(sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE)) * 4294967296.0),
+      |           4294967295.0) AS BIGINT))), 8, '0') AS thr
+      |       FROM cs CROSS JOIN mn)
+      |SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source,
+      |  ROUND(rt.rate, 6) AS rate
+      |FROM documents d JOIN rt USING (lang)
+      |WHERE substr(md5(d.text), 1, 8) <= rt.thr
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t11_lm_score" -> (t11 _),
+    "t12_lang_mix" -> (t12 _),
     "t10_repetition" -> (t10 _),
     "t09_tfidf_keywords" -> (t09 _),
     "t01_token_stats" -> (t01 _),
@@ -405,6 +497,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t11_lm_score" -> t11Sql,
+    "t12_lang_mix" -> t12Sql,
     "t10_repetition" -> t10Sql,
     "t09_tfidf_keywords" -> t09Sql,
     "t01_token_stats" -> t01Sql,

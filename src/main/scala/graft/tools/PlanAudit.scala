@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   *  - d05: the exact all-pairs BASELINE (non-equi vec_a < vec_b pair
   *    condition); its scale path is d07
   *  - e05: k x k rank self-join AFTER limit(10)
-  *  - q16/q28: scalar-subquery compare against a 1-row aggregate
+  *  - q16/q28/t11/t12: scalar-subquery compare against a 1-row aggregate
   *  - q23: month-frame range self-join (one row per calendar month)
   *  - t09: corpus-count N joined in as a 1-row broadcast (idf input)
   */
@@ -22,7 +22,8 @@ object PlanAudit {
   private val allowBnlj = Set(
     "s03_ann_ivf", "s04_ann_ivfpq", "d05_embedding_neardup",
     "e05_top_users", "q16_scalar_subquery", "q23_moving_avg",
-    "q28_dormant_balances", "t09_tfidf_keywords")
+    "q28_dormant_balances", "t09_tfidf_keywords", "t11_lm_score",
+    "t12_lang_mix")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

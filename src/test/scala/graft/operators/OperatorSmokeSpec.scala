@@ -24,7 +24,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "d09_incremental_dedup", "d10_dup_clusters", "d11_decontaminate", "d12_fuzzy_decontam",
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
-      "t06_stratified_sample", "t07_token_histogram", "t08_winnow_pairs", "t09_tfidf_keywords", "t10_repetition",
+      "t06_stratified_sample", "t07_token_histogram", "t08_winnow_pairs", "t09_tfidf_keywords",
+      "t11_lm_score", "t12_lang_mix", "t10_repetition",
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample", "m04_resize",
       "p01_corpus_pipeline")
     assert(SparkEntry.queries.keySet == expected)
