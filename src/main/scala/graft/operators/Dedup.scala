@@ -581,7 +581,61 @@ object Dedup {
        |WHERE inter * 2 >= (nt.n + ne.n - inter)
        |ORDER BY doc_id, eval_id""".stripMargin
 
+  // ---------------------------------------------------------------- d13
+  /** Semantic deduplication, cluster-then-compare (the SemDeDup recipe):
+    * k-means-partition the embedding space, then run the EXACT cosine
+    * near-dup rule only WITHIN each cluster — a duplicate pair far apart
+    * in embedding space is contradiction in terms, so restricting the
+    * pair join to co-clustered vectors trades a provably-tiny recall
+    * loss for a quadratic work reduction.
+    *
+    * Emits every vector with its cluster and a `kept` verdict: a vector
+    * is dropped when any smaller-id co-clustered neighbor matches at the
+    * SAME round(cos,6) >= 0.35 rule as the exact baseline d05 (min-id
+    * keeper, the d08/d10 convention).
+    *
+    * Scale shape: the centroid model is k x dim doubles (broadcast; the
+    * per-iteration collect is the standard iterative-ML exception); the
+    * pair join shuffles on cell, and k grows with N so per-cell work
+    * stays bounded — the 100 TB form trains k ~ sqrt(N) on a sample and
+    * the within-cell compare is embarrassingly parallel. Rows-only check
+    * (cluster assignment is k-means-dependent); DedupSpec proves the
+    * drop set equals d05's exact pair set restricted to co-clustered
+    * pairs. */
+  def d13(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"), expr("vec_norm(embedding)").as("nrm"))
+    val sc = spark
+    import sc.implicits._
+    val cents = Similarity.trainCentroids(spark, e, k = 16, iters = 2).toSeq
+      .toDF("cent_id", "vc")
+      .withColumn("nc", expr("vec_norm(vc)"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("ccos", expr("vec_dot(v, vc)") / (col("nrm") * col("nc")))
+      .groupBy("vec_id")
+      .agg(min(struct(negate(col("ccos")), col("cent_id"))).getField("cent_id").as("cell"),
+           first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cache()
+    val a = assigned.select(col("cell"), col("vec_id").as("ida"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("idb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val drops = a.join(b, "cell")
+      .filter(col("ida") < col("idb"))
+      .withColumn("cos", round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.35d)
+      .select(col("idb").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dropped") === lit(false), lit(true)).as("kept"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d13_semdedup" -> (d13 _),
     "d11_decontaminate" -> (d11 _),
     "d12_fuzzy_decontam" -> (d12 _),
     "d01_exact_dedup" -> (d01 _),

@@ -20,7 +20,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
       "e14_rolling_active",
       "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash", "d06_jaccard_capped",
-      "d05_embedding_neardup", "d07_embedding_neardup_lsh", "d08_priority_dedup",
+      "d05_embedding_neardup", "d07_embedding_neardup_lsh", "d08_priority_dedup", "d13_semdedup",
       "d09_incremental_dedup", "d10_dup_clusters", "d11_decontaminate", "d12_fuzzy_decontam",
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
@@ -33,8 +33,9 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
     // rows-only exceptions are exactly the non-SQL-expressible ones
     assert(expected -- SparkEntry.oracleSql.keySet ==
-      Set("d04_simhash", "d06_jaccard_capped", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
-        "m02_decode_features", "m03_frame_sample", "m04_resize", "q21_approx_stats"))
+      Set("d04_simhash", "d06_jaccard_capped", "d13_semdedup", "s02_ann_lsh", "s03_ann_ivf",
+        "s04_ann_ivfpq", "m02_decode_features", "m03_frame_sample", "m04_resize",
+        "q21_approx_stats"))
   }
 
   test("d07 LSH near-dup pair set equals the exact all-pairs d05 baseline") {
@@ -241,6 +242,19 @@ class OperatorSmokeSpec extends SparkSpec {
     }.toSet
     assert(got == want)
     assert(got.forall { case (t, e) => t % 20 != 0 && e % 20 == 0 })
+  }
+
+  test("d13 semdedup drop set equals d05 pairs restricted to co-clustered") {
+    val rows = Dedup.d13(spark, sf).collect()
+    assert(rows.length == 500) // one verdict per embedding at sf0.001
+    val cell = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val dropped = rows.filterNot(_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+    // min-id-keeper rule on d05's exact pairs, restricted to same-cell pairs
+    val want = Dedup.d05(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+      .filter { case (a, b) => cell(a) == cell(b) }
+      .map(_._2).toSet
+    assert(dropped == want)
   }
 
   test("t10 repetition fractions are consistent and bounded") {
