@@ -504,7 +504,41 @@ object Events {
       |  ON u.day_ms BETWEEN d.day_ms - 6 * 86400000 AND d.day_ms
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e15
+  /** Recency-weighted engagement: per-user half-life decay score
+    * Σ value · 2^(−periods), periods = 3-day blocks elapsed before a
+    * fixed reference instant (capped at 30 ≈ zero weight).
+    *
+    * The decay factor is a POWER OF TWO with an integer exponent — an
+    * exact IEEE scale factor, so value·2^(−d) is an EXACT double
+    * (mantissa unchanged, exponent shifted) on every engine; quantizing
+    * that exact product to DECIMAL(28,12) makes the per-user sum pure
+    * integer arithmetic — order-independent across partials and
+    * bit-identical to the oracle. (exp(−Δt/τ) would differ by 1 ulp
+    * between libm implementations; 2^(−⌊Δt⌋) cannot.) One scan, one
+    * map-side-combinable groupBy(user_id) — nothing else. */
+  def e15(spark: SparkSession, dir: String): DataFrame = {
+    val RefMs = 1706745600000L // 2024-02-01T00:00Z, just past the data
+    Tables.events(spark, dir)
+      .withColumn("d",
+        least(floor((lit(RefMs) - col("ms")) / lit(259200000.0d)), lit(30.0d)))
+      .withColumn("w",
+        round(col("value") * pow(lit(2.0d), -col("d")), 12).cast("decimal(28,12)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("s"))
+      .select(col("user_id"), col("n_events"),
+        round(dbl(col("s")), 6).as("decay_score"))
+      .orderBy("user_id")
+  }
+  val e15Sql: String =
+    """SELECT user_id, COUNT(*)::BIGINT AS n_events,
+      |  ROUND(CAST(SUM(CAST(ROUND(value * POWER(2.0,
+      |    -LEAST(FLOOR((1706745600000 - epoch_ms(ts)) / 259200000.0), 30.0)), 12)
+      |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS decay_score
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e15_decay_score" -> (e15 _),
     "e14_rolling_active" -> (e14 _),
     "e13_anomaly_hours" -> (e13 _),
     "e01_sessionize" -> (e01 _),
@@ -522,6 +556,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e15_decay_score" -> e15Sql,
     "e14_rolling_active" -> e14Sql,
     "e13_anomaly_hours" -> e13Sql,
     "e01_sessionize" -> e01Sql,

@@ -672,7 +672,44 @@ object Relational {
       |WHERE j.c_acctbal > ab.ab AND CAST(j.cnt AS DOUBLE) < aoc.ac
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  /** TPC-H Q15 shape: the top supplier(s) by quarterly revenue — a
+    * per-supplier revenue aggregate whose MAX feeds back as a scalar
+    * filter.
+    *
+    * The revenue view shuffles once on uniform l_suppkey (map-side
+    * combinable); its max is a 1-row broadcast (never a shuffle-by-
+    * constant); the supplier dimension join is AQE-broadcast. Revenue
+    * stays DECIMAL end to end, so the `= max` equality is exact — the
+    * float-equality trap in Q15 (ties silently dropped when sums drift)
+    * can't occur, and ties emit every achieving supplier. */
+  def q29(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    Tables.supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), dbl(col("total_rev")).as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+  val q29Sql: String =
+    s"""WITH rev AS (SELECT l_suppkey, SUM($revenueSql) AS total_rev
+       |             FROM lineitem
+       |             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |               AND l_shipdate < TIMESTAMP '1996-04-01'
+       |             GROUP BY 1)
+       |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+       |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q29_top_supplier" -> (q29 _),
     "q27_small_quantity" -> (q27 _),
     "q28_dormant_balances" -> (q28 _),
     "q26_last_shipper" -> (q26 _),
@@ -731,5 +768,6 @@ object Relational {
     "q26_last_shipper" -> q26Sql,
     "q27_small_quantity" -> q27Sql,
     "q28_dormant_balances" -> q28Sql,
+    "q29_top_supplier" -> q29Sql,
   )
 }

@@ -22,8 +22,8 @@ object PlanAudit {
   private val allowBnlj = Set(
     "s03_ann_ivf", "s04_ann_ivfpq", "d05_embedding_neardup", "d13_semdedup",
     "e05_top_users", "q16_scalar_subquery", "q23_moving_avg",
-    "q28_dormant_balances", "t09_tfidf_keywords", "t11_lm_score",
-    "t12_lang_mix")
+    "q28_dormant_balances", "q29_top_supplier", "t09_tfidf_keywords",
+    "t11_lm_score", "t12_lang_mix")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
