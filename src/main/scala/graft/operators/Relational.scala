@@ -708,7 +708,40 @@ object Relational {
        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
        |ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q30
+  /** TPC-H Q13 shape: customer order-count distribution — how many
+    * customers placed exactly N (non-urgent) orders, zeros included.
+    *
+    * The join condition carries the priority filter (pushed to the scan
+    * side of the LEFT join, so excluded orders never shuffle);
+    * count(o_orderkey) counts only matched rows, preserving zero-order
+    * customers without a separate anti-join pass. Two map-side-
+    * combinable aggregations: the first shuffles on uniform c_custkey,
+    * the second on ~20 distinct counts — a few partial rows per task.
+    * Output order (custdist, c_count) desc is total: c_count is unique
+    * per row, so ties can't reorder. */
+  def q30(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+  val q30Sql: String =
+    """SELECT c_count, COUNT(*)::BIGINT AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q30_order_distribution" -> (q30 _),
     "q29_top_supplier" -> (q29 _),
     "q27_small_quantity" -> (q27 _),
     "q28_dormant_balances" -> (q28 _),
@@ -769,5 +802,6 @@ object Relational {
     "q27_small_quantity" -> q27Sql,
     "q28_dormant_balances" -> q28Sql,
     "q29_top_supplier" -> q29Sql,
+    "q30_order_distribution" -> q30Sql,
   )
 }

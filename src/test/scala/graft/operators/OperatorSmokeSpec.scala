@@ -15,7 +15,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "q14_string_ops", "q15_date_ops", "q16_scalar_subquery", "q17_having", "q18_percentile",
       "q19_null_handling", "q20_nation_revenue", "q21_approx_stats", "q22_pivot", "q23_moving_avg", "q24_cube",
       "q25_ranking_suite", "q26_last_shipper", "q27_small_quantity", "q28_dormant_balances",
-      "q29_top_supplier",
+      "q29_top_supplier", "q30_order_distribution",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
