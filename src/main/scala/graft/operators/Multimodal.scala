@@ -163,11 +163,62 @@ object Multimodal {
     out
   }
 
+  // ---------------------------------------------------------------- m05
+  /** Near-duplicate detection for opaque media payloads: a 64-bit
+    * SimHash over byte 4-gram rolling hashes, bucketed by 16-bit Hamming
+    * bands — the content-level dedup row of the multimodal suite
+    * (catches re-encoded/lightly-edited copies that m01's exact hash
+    * misses). Byte-level, so it needs NO codec: any payload (image,
+    * audio, text bytes) fingerprints the same way. On this corpus the
+    * payloads are the documents' UTF-8 bytes, where the char-gram kernel
+    * is byte-equivalent.
+    *
+    * Scale shape: one scan computes all gram hashes in a single-pass
+    * kernel (winnow_fps, w=1 → every distinct 4-gram hash); the 64
+    * bit-sums are ONE map-side-combinable aggregation; candidates meet
+    * only inside (band, key) buckets — never an all-pairs join. Same
+    * machinery as d04, applied to bytes instead of words. Rows-only
+    * (SimHash banding is not SQL-expressible); the spec checks the pair
+    * set against an independent test-side reimplementation. */
+  def m05(spark: SparkSession, dir: String): DataFrame =
+    payloadNearDup(spark, Tables.documents(spark, dir))
+
+  /** Core of m05 over any frame with (doc_id, text-as-payload) — split
+    * out so specs can feed synthetic payloads with known edit distance. */
+  private[operators] def payloadNearDup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val grams = docs
+      .select(col("doc_id"), explode(expr("winnow_fps(text, 4, 1)")).as("g"))
+      .withColumn("h", xxhash64(col("g")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    val sums = grams.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = sums.select(col("doc_id"), simhash.as("phash"))
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"), shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val bands = sig.select(col("doc_id"), col("phash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> (m01 _),
     "m02_decode_features" -> (m02 _),
     "m03_frame_sample" -> (m03 _),
     "m04_resize" -> (m04 _),
+    "m05_payload_neardup" -> (m05 _),
   )
 
   val oracle: Map[String, String] = Map(

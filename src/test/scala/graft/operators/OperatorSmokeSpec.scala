@@ -28,6 +28,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "t06_stratified_sample", "t07_token_histogram", "t08_winnow_pairs", "t09_tfidf_keywords",
       "t11_lm_score", "t12_lang_mix", "t10_repetition",
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample", "m04_resize",
+      "m05_payload_neardup",
       "p01_corpus_pipeline")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
@@ -36,7 +37,7 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(expected -- SparkEntry.oracleSql.keySet ==
       Set("d04_simhash", "d06_jaccard_capped", "d13_semdedup", "s02_ann_lsh", "s03_ann_ivf",
         "s04_ann_ivfpq", "m02_decode_features", "m03_frame_sample", "m04_resize",
-        "q21_approx_stats"))
+        "m05_payload_neardup", "q21_approx_stats"))
   }
 
   test("d07 LSH near-dup pair set equals the exact all-pairs d05 baseline") {
@@ -256,6 +257,22 @@ class OperatorSmokeSpec extends SparkSpec {
       .filter { case (a, b) => cell(a) == cell(b) }
       .map(_._2).toSet
     assert(dropped == want)
+  }
+
+  test("m05 payload near-dup: exact copies pair at hamming 0, edits pair low, unrelated don't") {
+    val sess = spark
+    import sess.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps running through the field " * 4
+    val edited = base.replace("lazy", "hazy") // light edit: most byte 4-grams shared
+    val other = "completely different content about database query planning and shuffle exchanges " * 4
+    val docs = Seq((1L, base), (2L, base), (3L, edited), (4L, other)).toDF("doc_id", "text")
+    val pairs = Multimodal.payloadNearDup(spark, docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0L) // identical payloads: all bands collide, hamming 0
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 8L)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+    // corpus run returns a frame without error (pair count is data-dependent)
+    Multimodal.m05(spark, sf).collect()
   }
 
   test("t10 repetition fractions are consistent and bounded") {
