@@ -161,3 +161,52 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression): WinnowFingerprints = copy(child = c)
   override def prettyName: String = "winnow_fps"
 }
+
+/** simhash64(grams): 64-bit SimHash of an array of gram hashes (long) or
+  * tokens (string) in ONE per-row pass — replaces the composed form's
+  * explode + 64-column bit-sum aggregation + signature reassembly, which
+  * shuffles Σgrams rows and runs 64 conditional sums per gram through
+  * the aggregator. Element hashing is Spark's own xxhash64 (XXH64, seed
+  * 42) so signatures are bit-identical to the composed form; bit j of
+  * the result is set iff more elements have bit j set than clear
+  * (ties → clear, matching `sum > 0`).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("simhash64 expects array<long> or array<string>")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private lazy val isString =
+    child.dataType.asInstanceOf[ArrayType].elementType == StringType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h =
+        if (isString) XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        else XXH64.hashLong(arr.getLong(i), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}

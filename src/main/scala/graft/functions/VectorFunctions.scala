@@ -42,6 +42,7 @@ object VectorFunctions {
       exprs(3).eval().asInstanceOf[Int], exprs(4).eval().asInstanceOf[Int]))
     ensure("winnow_fps")(exprs => WinnowFingerprints(exprs.head,
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+    ensure("simhash64")(exprs => SimHash64(exprs.head))
   }
 
   private[functions] def elemGetter(et: DataType, arr: String, i: String): String = et match {

@@ -179,17 +179,12 @@ object Dedup {
     * check: no portable SQL oracle for the hash kernel). */
   def d04(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
-    val tokens = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(expr("word_tokens(text)")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
-    }
-    val sums = tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sig = sums.select(col("doc_id"), simhash.as("simhash"))
+    // single-pass per-row signature kernel (element hashing = Spark's
+    // xxhash64, so signatures match the composed explode + 64-column
+    // bit-sum form bit for bit — spec-proven)
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("simhash64(word_tokens(text))").as("simhash"))
+      .cache() // band self-join reads sig twice; don't re-tokenize per side
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"), shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
     }

@@ -187,17 +187,15 @@ object Multimodal {
     * out so specs can feed synthetic payloads with known edit distance. */
   private[operators] def payloadNearDup(spark: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val grams = docs
-      .select(col("doc_id"), explode(expr("winnow_fps(text, 4, 1)")).as("g"))
-      .withColumn("h", xxhash64(col("g")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
-    }
-    val sums = grams.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sig = sums.select(col("doc_id"), simhash.as("phash"))
+    // single-pass per-row signature: no explode, no 64-column bit-sum
+    // shuffle — the simhash64 kernel folds Σgrams × 64 bit updates into
+    // the scan (spec-proven bit-identical to the composed form)
+    // cache: the band self-join reads sig on BOTH sides (and the join's
+    // isnotnull pre-filter would re-run the kernel a third time on the
+    // raw lineage) — at cluster scale this is a persist/checkpoint
+    val sig = docs.select(col("doc_id"),
+      expr("simhash64(winnow_fps(text, 4, 1))").as("phash"))
+      .cache()
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"), shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
     }

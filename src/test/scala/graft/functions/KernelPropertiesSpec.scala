@@ -139,4 +139,32 @@ class KernelPropertiesSpec extends AnyFunSuite {
       got == expect
     })
   }
+
+  test("simhash64 == composed bit-sum reference over xxhash64 elements") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def reference(hs: Seq[Long]): Long = {
+      val counts = new Array[Int](64)
+      hs.foreach { h =>
+        (0 until 64).foreach { j =>
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((s, j) => if (counts(j) > 0) s | (1L << j) else s)
+    }
+    val longsGen = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    check(Prop.forAll(longsGen) { hs =>
+      val got = SimHash64(llit(hs.toArray)).eval(null).asInstanceOf[Long]
+      got == reference(hs.map(XXH64.hashLong(_, 42L)))
+    })
+    // string path: element hash must equal Spark's xxhash64(string)
+    val wordsGen = Gen.chooseNum(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumStr.map(_.take(12))))
+    check(Prop.forAll(wordsGen) { ws =>
+      val arr = ArrayData.toArrayData(ws.map(UTF8String.fromString).toArray)
+      val got = SimHash64(Literal.create(arr,
+        ArrayType(org.apache.spark.sql.types.StringType))).eval(null).asInstanceOf[Long]
+      got == reference(ws.map(w => XXH64.hashUTF8String(UTF8String.fromString(w), 42L)))
+    })
+  }
 }

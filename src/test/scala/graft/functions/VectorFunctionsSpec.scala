@@ -44,4 +44,26 @@ class VectorFunctionsSpec extends SparkSpec {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(10.0f))).toDF("a", "b")
     assert(df.select(expr("vec_dot(a, b)")).head().getDouble(0) == 10.0)
   }
+
+  test("simhash64 kernel == composed explode + bit-sum form on real docs") {
+    VectorFunctions.register(spark)
+    val docs = graft.engine.Tables.documents(spark, sf).limit(50)
+    val kernel = docs
+      .select(col("doc_id"), expr("simhash64(word_tokens(text))").as("sig"))
+    // the pre-kernel form: per-token xxhash64, 64 conditional bit sums,
+    // signature reassembly — the element hash here is Spark's OWN
+    // xxhash64, so equality proves the kernel's XXH64 calls match it
+    val toks = docs.select(col("doc_id"), explode(expr("word_tokens(text)")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    val composed = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+    val k = kernel.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = composed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k.nonEmpty && k == c)
+  }
 }
