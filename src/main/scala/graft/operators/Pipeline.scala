@@ -113,8 +113,38 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p02
+  /** The composed EMBEDDING-side pipeline (p01's counterpart for the
+    * vector stack): semantic dedup → IVF index train → cell-probed
+    * neighbor search, each stage exactly its standalone operator
+    * (d13 / trainCentroids / ivfSearch), composed so the index never
+    * sees semantic duplicates — the curate-then-index flow a 100 TB
+    * embedding corpus runs before serving ANN.
+    *
+    * Scale notes: dedup survivors are computed once and cached (at
+    * cluster scale, persisted); training reads the SURVIVOR set (k-means
+    * on a deduped corpus converges to better-spread centroids — dup
+    * clusters can't capture a cell); search output is top-5 per
+    * survivor. Rows-only (k-means-dependent); the spec asserts every
+    * query/neighbor is a d13 survivor and ranks are contiguous with
+    * non-increasing cosine. */
+  def p02(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val kept = Dedup.d13(spark, dir).filter(col("kept")).select("vec_id")
+    val e = Similarity.withNormVec(Tables.embeddings(spark, dir))
+      .join(kept, "vec_id")
+      .cache() // feeds k-means iterations AND the member/probe sides
+    val sc = spark
+    import sc.implicits._
+    val cents = Similarity.trainCentroids(spark, e, k = 16, iters = 2).toSeq
+      .toDF("cent_id", "vc")
+      .withColumn("nc", expr("vec_norm(vc)"))
+    Similarity.ivfSearch(spark, e, cents)
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_corpus_pipeline" -> (p01 _),
+    "p02_embedding_pipeline" -> (p02 _),
   )
 
   val oracle: Map[String, String] = Map(

@@ -23,7 +23,7 @@ object Similarity {
 
   /** Raw float vector + codegen'd norm; float elements widen to double
     * inside the kernels, bit-identical to a transform-to-double pipeline. */
-  private def withNormVec(df: DataFrame): DataFrame =
+  private[operators] def withNormVec(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").as("v"), expr("vec_norm(embedding)").as("nrm"))
 
   /** The embeddings table arrives as one small file -> one partition; the
@@ -210,7 +210,7 @@ object Similarity {
 
   /** Cell-probed search phase shared by s03 (inline model) and searchIvf
     * (persisted model). */
-  private def ivfSearch(spark: SparkSession, e: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def ivfSearch(spark: SparkSession, e: DataFrame, cents: DataFrame): DataFrame = {
     // ONE vector x centroid pass ranks all cells per vector; the ranked
     // rows carry the vector payload, so cell membership (rk = 1) and the
     // 2-cell probe list (rk <= 2) both project straight out of it —

@@ -21,6 +21,7 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   private val allowBnlj = Set(
     "s03_ann_ivf", "s04_ann_ivfpq", "d05_embedding_neardup", "d13_semdedup",
+    "p02_embedding_pipeline",
     "e05_top_users", "q16_scalar_subquery", "q23_moving_avg",
     "q28_dormant_balances", "q29_top_supplier", "t09_tfidf_keywords",
     "t11_lm_score", "t12_lang_mix")

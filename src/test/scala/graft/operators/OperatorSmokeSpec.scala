@@ -29,7 +29,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "t11_lm_score", "t12_lang_mix", "t10_repetition",
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample", "m04_resize",
       "m05_payload_neardup",
-      "p01_corpus_pipeline")
+      "p01_corpus_pipeline", "p02_embedding_pipeline")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -37,7 +37,7 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(expected -- SparkEntry.oracleSql.keySet ==
       Set("d04_simhash", "d06_jaccard_capped", "d13_semdedup", "s02_ann_lsh", "s03_ann_ivf",
         "s04_ann_ivfpq", "m02_decode_features", "m03_frame_sample", "m04_resize",
-        "m05_payload_neardup", "q21_approx_stats"))
+        "m05_payload_neardup", "p02_embedding_pipeline", "q21_approx_stats"))
   }
 
   test("d07 LSH near-dup pair set equals the exact all-pairs d05 baseline") {
@@ -273,6 +273,22 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
     // corpus run returns a frame without error (pair count is data-dependent)
     Multimodal.m05(spark, sf).collect()
+  }
+
+  test("p02 embedding pipeline: neighbors are semdedup survivors, ranks well-formed") {
+    val survivors = Dedup.d13(spark, sf).collect()
+      .filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+    val rows = Pipeline.p02(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(survivors(r.getAs[Long]("q_id")) && survivors(r.getAs[Long]("n_id")))
+    }
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq == (1L to byRank.length).toSeq)
+      val cosines = byRank.map(_.getAs[Double]("cos")).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
   }
 
   test("t10 repetition fractions are consistent and bounded") {
