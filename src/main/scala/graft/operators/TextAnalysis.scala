@@ -54,7 +54,7 @@ object TextAnalysis {
   /** Adds `n_tok`/`n_stop`/`n_punct`/`quality` (t02's exact arithmetic) to
     * any frame with a `text` column; drops zero-token rows. Shared with the
     * composed curation pipeline (p01) so both run the identical score. */
-  private[operators] def addQuality(df: DataFrame): DataFrame =
+  private[graft] def addQuality(df: DataFrame): DataFrame =
     df.withColumn("n_tok", size(wordsCol).cast("long"))
       .filter(col("n_tok") >= 1)
       .withColumn("n_stop",
@@ -103,7 +103,7 @@ object TextAnalysis {
 
   /** Adds a `predicted` language column (t03's exact argmax heuristic) to
     * any frame with a `text` column; shared with the curation pipeline. */
-  private[operators] def addPredicted(df: DataFrame): DataFrame = {
+  private[graft] def addPredicted(df: DataFrame): DataFrame = {
     // occurrences of marker m in padded text (non-overlapping, exact ints)
     def score(m: String): Column =
       (length(concat(lit(" "), col("text"), lit(" ")))
