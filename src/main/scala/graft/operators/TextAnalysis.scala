@@ -481,7 +481,59 @@ object TextAnalysis {
       |WHERE substr(md5(d.text), 1, 8) <= rt.thr
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t13
+  /** Source-overlap matrix: pairwise n-gram Jaccard BETWEEN sources —
+    * the corpus-analytics view that surfaces mirrored content and shared
+    * boilerplate across crawl sources before any per-document dedup.
+    *
+    * The scale trick is the order of collapse: (source, gram) pairs are
+    * DISTINCT-ed first (map-side combinable; output bounded by
+    * |sources| × vocab, independent of corpus row count), so the gram
+    * self-join fans out at most |sources|² rows per gram no matter how
+    * many documents share it — the hot-shingle O(df²) hazard of
+    * document-level pair joins (d03) cannot occur at source granularity.
+    * Zero-overlap pairs are absent by construction (inner join). */
+  def t13(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val posting = Tables.documents(spark, dir)
+      .select(col("source"), explode(expr("word_ngrams(text, 3)")).as("g"))
+      .distinct()
+      .cache() // feeds both join sides and the per-source sizes
+    val sizes = posting.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = posting.as("a").join(posting.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("un"),
+        round(dbl(col("inter")) / dbl(col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+  val t13Sql: String =
+    s"""WITH posting AS (
+       |  SELECT DISTINCT source,
+       |    UNNEST(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+       |  FROM (SELECT source, $wordsSql AS w FROM documents)
+       |  WHERE len(w) >= 3),
+       |sizes AS (SELECT source, COUNT(*)::BIGINT AS n FROM posting GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*)::BIGINT AS inter
+       |  FROM posting a JOIN posting b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, inter,
+       |  na.n + nb.n - inter AS un,
+       |  ROUND(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON source_a = na.source
+       |JOIN sizes nb ON source_b = nb.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t13_source_overlap" -> (t13 _),
     "t11_lm_score" -> (t11 _),
     "t12_lang_mix" -> (t12 _),
     "t10_repetition" -> (t10 _),
@@ -497,6 +549,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t13_source_overlap" -> t13Sql,
     "t11_lm_score" -> t11Sql,
     "t12_lang_mix" -> t12Sql,
     "t10_repetition" -> t10Sql,

@@ -26,7 +26,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
       "t06_stratified_sample", "t07_token_histogram", "t08_winnow_pairs", "t09_tfidf_keywords",
-      "t11_lm_score", "t12_lang_mix", "t10_repetition",
+      "t11_lm_score", "t12_lang_mix", "t13_source_overlap", "t10_repetition",
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample", "m04_resize",
       "m05_payload_neardup",
       "p01_corpus_pipeline", "p02_embedding_pipeline")
