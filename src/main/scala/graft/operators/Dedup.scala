@@ -181,22 +181,34 @@ object Dedup {
     VectorFunctions.register(spark)
     // single-pass per-row signature kernel (element hashing = Spark's
     // xxhash64, so signatures match the composed explode + 64-column
-    // bit-sum form bit for bit — spec-proven)
+    // bit-sum form bit for bit — spec-proven). Zero-token docs carry no
+    // signal and would all collide at signature 0 — drop them exactly
+    // like the old explode form did (zero tokens ⟺ trim(text) empty).
     val sig = Tables.documents(spark, dir)
+      .filter(trim(col("text")) =!= "")
       .select(col("doc_id"), expr("simhash64(word_tokens(text))").as("simhash"))
       .cache() // band self-join reads sig twice; don't re-tokenize per side
+    hammingBandPairs(sig, "simhash", maxHamming = 8)
+  }
+
+  /** Banded Hamming near-dup pair join shared by d04 (word-level
+    * signatures) and m05 (payload-level): 4 × 16-bit bands bucket the
+    * candidates — only same-band-key signatures ever meet — and XOR
+    * popcount verifies. `sig` must carry (doc_id, `sigCol`). */
+  private[operators] def hammingBandPairs(sig: DataFrame, sigCol: String,
+                                          maxHamming: Int): DataFrame = {
     val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"), shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      struct(lit(b).as("band"), shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
     }
-    val bands = sig.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = sig.select(col("doc_id"), col(sigCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col(sigCol), col("bk.band").as("band"), col("bk.key").as("key"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+              bit_count(col(s"x.$sigCol").bitwiseXOR(col(s"y.$sigCol"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -601,11 +613,7 @@ object Dedup {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"), expr("vec_norm(embedding)").as("nrm"))
-    val sc = spark
-    import sc.implicits._
-    val cents = Similarity.trainCentroids(spark, e, k = 16, iters = 2).toSeq
-      .toDF("cent_id", "vc")
-      .withColumn("nc", expr("vec_norm(vc)"))
+    val cents = Similarity.centroidFrame(spark, e, k = 16, iters = 2)
     val assigned = e.join(broadcast(cents), lit(true))
       .withColumn("ccos", expr("vec_dot(v, vc)") / (col("nrm") * col("nc")))
       .groupBy("vec_id")
@@ -625,7 +633,7 @@ object Dedup {
       .withColumn("dropped", lit(true))
     assigned.join(drops, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
-        coalesce(col("dropped") === lit(false), lit(true)).as("kept"))
+        col("dropped").isNull.as("kept")) // kept = no drop row matched
       .orderBy("vec_id")
   }
 

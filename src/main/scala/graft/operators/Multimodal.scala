@@ -165,21 +165,22 @@ object Multimodal {
 
   // ---------------------------------------------------------------- m05
   /** Near-duplicate detection for opaque media payloads: a 64-bit
-    * SimHash over byte 4-gram rolling hashes, bucketed by 16-bit Hamming
-    * bands — the content-level dedup row of the multimodal suite
-    * (catches re-encoded/lightly-edited copies that m01's exact hash
-    * misses). Byte-level, so it needs NO codec: any payload (image,
-    * audio, text bytes) fingerprints the same way. On this corpus the
-    * payloads are the documents' UTF-8 bytes, where the char-gram kernel
-    * is byte-equivalent.
+    * SimHash over content 4-gram rolling hashes, bucketed by 16-bit
+    * Hamming bands — the content-level dedup row of the multimodal
+    * suite (catches lightly-edited copies that m01's exact hash
+    * misses). Codec-free: the fingerprint reads the payload as a raw
+    * character stream (for ASCII payloads chars ≡ bytes; a production
+    * binary path would run the same rolling hash over the byte array).
     *
-    * Scale shape: one scan computes all gram hashes in a single-pass
-    * kernel (winnow_fps, w=1 → every distinct 4-gram hash); the 64
-    * bit-sums are ONE map-side-combinable aggregation; candidates meet
-    * only inside (band, key) buckets — never an all-pairs join. Same
-    * machinery as d04, applied to bytes instead of words. Rows-only
-    * (SimHash banding is not SQL-expressible); the spec checks the pair
-    * set against an independent test-side reimplementation. */
+    * Scale shape: the single-pass simhash64 kernel folds gram hashing
+    * and all 64 bit-tallies into the SCAN (one signature row per
+    * payload — no explode, no wide aggregation, no shuffle before
+    * banding); candidates then meet only inside (band, key) buckets —
+    * never an all-pairs join (shared hammingBandPairs machinery with
+    * d04). Payloads too short to yield a 4-gram carry no signal and
+    * are dropped — otherwise they would all collide at signature 0.
+    * Rows-only (SimHash banding is not SQL-expressible); the spec
+    * drives synthetic payloads with known edit distance. */
   def m05(spark: SparkSession, dir: String): DataFrame =
     payloadNearDup(spark, Tables.documents(spark, dir))
 
@@ -187,28 +188,15 @@ object Multimodal {
     * out so specs can feed synthetic payloads with known edit distance. */
   private[operators] def payloadNearDup(spark: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    // single-pass per-row signature: no explode, no 64-column bit-sum
-    // shuffle — the simhash64 kernel folds Σgrams × 64 bit updates into
-    // the scan (spec-proven bit-identical to the composed form)
     // cache: the band self-join reads sig on BOTH sides (and the join's
     // isnotnull pre-filter would re-run the kernel a third time on the
     // raw lineage) — at cluster scale this is a persist/checkpoint
-    val sig = docs.select(col("doc_id"),
-      expr("simhash64(winnow_fps(text, 4, 1))").as("phash"))
+    val sig = docs
+      .filter(length(col("text")) >= 4) // winnow_fps(_, 4, 1) is empty below 4 chars
+      .select(col("doc_id"),
+        expr("simhash64(winnow_fps(text, 4, 1))").as("phash"))
       .cache()
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"), shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
-    }
-    val bands = sig.select(col("doc_id"), col("phash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("phash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 8)
-      .orderBy("doc_a", "doc_b")
+    Dedup.hammingBandPairs(sig, "phash", maxHamming = 8)
   }
 
   val queries: Map[String, Q] = Map(

@@ -134,12 +134,8 @@ object Pipeline {
     val e = Similarity.withNormVec(Tables.embeddings(spark, dir))
       .join(kept, "vec_id")
       .cache() // feeds k-means iterations AND the member/probe sides
-    val sc = spark
-    import sc.implicits._
-    val cents = Similarity.trainCentroids(spark, e, k = 16, iters = 2).toSeq
-      .toDF("cent_id", "vc")
-      .withColumn("nc", expr("vec_norm(vc)"))
-    Similarity.ivfSearch(spark, e, cents)
+    Similarity.ivfSearch(spark, e,
+      Similarity.centroidFrame(spark, e, k = 16, iters = 2))
   }
 
   val queries: Map[String, Q] = Map(

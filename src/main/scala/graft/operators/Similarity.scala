@@ -200,12 +200,19 @@ object Similarity {
   def s03(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = withNormVec(Tables.embeddings(spark, dir))
+    ivfSearch(spark, e, centroidFrame(spark, e, k = 16, iters = 2))
+  }
+
+  /** Train and package centroids as the (cent_id, vc, nc) frame the
+    * assignment/search passes expect — the one place that contract
+    * lives (shared by s03, d13 and p02). */
+  private[operators] def centroidFrame(spark: SparkSession, e: DataFrame,
+                                       k: Int, iters: Int): DataFrame = {
     val sc = spark
     import sc.implicits._
-    val cents = trainCentroids(spark, e, k = 16, iters = 2).toSeq
+    trainCentroids(spark, e, k, iters).toSeq
       .toDF("cent_id", "vc")
       .withColumn("nc", expr("vec_norm(vc)"))
-    ivfSearch(spark, e, cents)
   }
 
   /** Cell-probed search phase shared by s03 (inline model) and searchIvf

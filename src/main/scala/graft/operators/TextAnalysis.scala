@@ -410,7 +410,11 @@ object TextAnalysis {
   def t11(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(wordsCol).as("word"))
+    // cache: tf feeds the join probe side, the model aggregation AND
+    // (via model) the corpus total — uncached, the corpus-wide
+    // explode + groupBy re-runs per consumer
     val tf = toks.groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("tf"))
+      .cache()
     val model = tf.groupBy("word").agg(sum(col("tf")).as("cnt"))
     val n = model.agg(sum(col("cnt")).as("n"))
     tf.join(model, "word").crossJoin(broadcast(n))

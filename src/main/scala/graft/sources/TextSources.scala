@@ -35,42 +35,50 @@ object TextSources {
   /** Clean rows + quarantined raw lines. */
   final case class Ingest(clean: DataFrame, rejects: DataFrame)
 
-  /** Split a PERMISSIVE-parsed frame into clean/quarantine. The cache is
-    * REQUIRED, not an optimization: Spark refuses queries that filter on
-    * only the internal corrupt-record column of a live scan
-    * (SPARK-21610), and it also guarantees clean/rejects come from ONE
-    * pass over the input. */
-  private def split(raw: DataFrame, required: Seq[String]): Ingest = {
-    val cached = raw.cache()
+  private val required = Seq("doc_id", "text")
+
+  /** Schema-enforced JSON-Lines reader. Reads the file as raw LINES and
+    * parses with from_json, so EVERY quarantined row — unparseable,
+    * type-mismatched, or parsed-but-missing a required key — carries its
+    * full original line in `_corrupt_record` for audit and replay
+    * (a schema-first json() read loses the raw text for rows that parse
+    * but fail validation). The cache guarantees clean/rejects come from
+    * ONE pass over the input. */
+  def jsonlDocuments(spark: SparkSession, path: String): Ingest = {
+    val parsed = spark.read.text(path)
+      .select(col("value").as(Corrupt),
+        from_json(col("value"), documentsSchema).as("r"))
+      .select(col(Corrupt), col("r.*"))
+      .cache()
+    val malformed = required.map(col(_).isNull).reduce(_ || _)
+    Ingest(
+      clean = parsed.filter(!malformed).drop(Corrupt),
+      rejects = parsed.filter(malformed))
+  }
+
+  /** Schema-enforced CSV reader (header row, RFC-4180 quoting with
+    * doubled in-field quotes — the layout `csvWriteOptions` produces).
+    * Type-mismatched or short rows quarantine; unparseable raw text
+    * lands in `_corrupt_record` (null for rows that parse but fail the
+    * required-field check — CSV loses raw lines there; corpora needing
+    * full replay audit should ship JSONL). Texts containing embedded
+    * line separators are NOT round-trippable in splittable CSV — use
+    * JSONL (escapes newlines, stays line-splittable) for such corpora.
+    * The cache is REQUIRED, not an optimization: Spark refuses queries
+    * filtering only on the internal corrupt-record column of a live
+    * scan (SPARK-21610). */
+  def csvDocuments(spark: SparkSession, path: String): Ingest = {
+    val cached = spark.read
+      .schema(withCorrupt(documentsSchema))
+      .options(csvReadOptions)
+      .csv(path)
+      .cache()
     val malformed = col(Corrupt).isNotNull ||
       required.map(col(_).isNull).reduce(_ || _)
     Ingest(
       clean = cached.filter(!malformed).drop(Corrupt),
       rejects = cached.filter(malformed))
   }
-
-  /** Schema-enforced JSON-Lines reader. A line that fails to parse, or
-    * parses but lacks the required keys, lands in `rejects` with its
-    * raw text in `_corrupt_record`. */
-  def jsonlDocuments(spark: SparkSession, path: String): Ingest =
-    split(
-      spark.read
-        .schema(withCorrupt(documentsSchema))
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", Corrupt)
-        .json(path),
-      required = Seq("doc_id", "text"))
-
-  /** Schema-enforced CSV reader (header row, RFC-4180 quoting with
-    * doubled in-field quotes — the layout `csvWriteOptions` produces).
-    * Type-mismatched or short rows quarantine like JSON. */
-  def csvDocuments(spark: SparkSession, path: String): Ingest =
-    split(
-      spark.read
-        .schema(withCorrupt(documentsSchema))
-        .options(csvReadOptions)
-        .csv(path),
-      required = Seq("doc_id", "text"))
 
   /** Reader options paired with [[csvWriteOptions]]. */
   val csvReadOptions: Map[String, String] = Map(

@@ -22,13 +22,16 @@ object CurationStage {
 
   /** Gate a document stream (doc_id, text, ...) against a quality
     * threshold and a static (lang, thr) rate table keyed by PREDICTED
-    * language. Emits doc_id, text, pred_lang, quality. */
+    * language. Emits doc_id, text, pred_lang, quality. The rate
+    * columns are renamed before the join so a stream that carries its
+    * own `lang`/`thr` columns (the full documents contract does) can't
+    * collide with them. */
   def apply(docs: DataFrame, rates: DataFrame, minQuality: Double = 0.5): DataFrame =
     TextAnalysis.addPredicted(TextAnalysis.addQuality(docs))
       .filter(col("quality") >= lit(minQuality))
-      .join(broadcast(rates.select(col("lang"), col("thr"))),
-        col("predicted") === col("lang"))
-      .filter(substring(md5(col("text")), 1, 8) <= col("thr"))
+      .join(broadcast(rates.select(col("lang").as("mix_lang"), col("thr").as("mix_thr"))),
+        col("predicted") === col("mix_lang"))
+      .filter(substring(md5(col("text")), 1, 8) <= col("mix_thr"))
       .select(col("doc_id"), col("text"),
         col("predicted").as("pred_lang"), col("quality"))
 }

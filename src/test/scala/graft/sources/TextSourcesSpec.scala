@@ -42,9 +42,12 @@ class TextSourcesSpec extends SparkSpec {
     val in = TextSources.jsonlDocuments(spark, dir)
     assert(in.clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
     assert(in.rejects.count() == 3L)
-    // raw lines are preserved for audit/replay
+    // EVERY reject keeps its raw line for audit/replay — including rows
+    // that parse fine but lack a required key
     val raw = in.rejects.select("_corrupt_record").collect().map(_.getString(0))
-    assert(raw.exists(s => s != null && s.contains("not json at all")))
+    assert(raw.forall(_ != null))
+    assert(raw.exists(_.contains("not json at all")))
+    assert(raw.exists(_.contains(""""doc_id": 2""")))
   }
 
   test("malformed csv rows quarantine and clean rows survive") {

@@ -47,6 +47,9 @@ class CurationStageSpec extends SparkSpec {
         .map(r => r.getAs[String]("pred_lang"))
         .groupBy(identity).view.mapValues(_.size).toMap
       assert(keptLangs.getOrElse("en", 0) < batchAll.getOrElse("en", 1))
+      // a frame carrying its own lang column must not collide with rates
+      val withLang = docs.toSeq.toDF("doc_id", "text").withColumn("lang", lit("xx"))
+      assert(CurationStage(withLang, rates).count() == batch.size)
     } finally query.stop()
   }
 }
