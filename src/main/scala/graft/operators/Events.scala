@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.{Qf, Tables}
@@ -537,7 +537,92 @@ object Events {
       |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS decay_score
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e16
+  /** Revenue-concentration (Pareto) deciles: users ranked by lifetime
+    * purchase value, split into 10 value-threshold deciles, each with its
+    * user count and share of total revenue — the "do the top 10% of
+    * users drive 60% of revenue?" view.
+    *
+    * Scale shape: decile CUTOFFS, never a global per-user rank. A
+    * ntile(10) over all users is a single-partition window at any real
+    * user count; instead per-user values quantize to whole units (the
+    * distinct-value domain is bounded by the VALUE RANGE, not the user
+    * count) and the cumulative count runs as a distributed two-level
+    * prefix sum: a window partitioned by 1000-unit band (bounded rows
+    * per band) plus a broadcast band-offset join (bands are few) — no
+    * unpartitioned WindowExec anywhere in the plan. Cut selection is
+    * integer arithmetic (cum·10 ≥ k·n) on exact counts; users bucket by
+    * comparing their quantized value against the 9 broadcast cutoffs.
+    * Ties at a whole-unit boundary land in the higher decile
+    * (deterministic; decile populations are threshold-defined, not
+    * forced-equal). Revenue stays DECIMAL to the final single division. */
+  def e16(spark: SparkSession, dir: String): DataFrame = {
+    val uv = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(dec(col("value"))).as("v"))
+    val q = uv.withColumn("vq", floor(dbl(col("v"))))
+    val sc = q.groupBy("vq").agg(count(lit(1)).as("c"))
+      .withColumn("band", floor(col("vq") / lit(1000.0d)))
+    // two-level distributed prefix sum over the bounded value domain
+    val inCum = sc.withColumn("icum",
+      sum(col("c")).over(Window.partitionBy("band").orderBy(col("vq").desc)))
+    val bt = sc.groupBy("band").agg(sum(col("c")).as("bc"))
+    val off = bt.as("a")
+      .join(broadcast(bt.select(col("band").as("hb"), col("bc").as("hc"))),
+        col("hb") > col("band"), "left")
+      .groupBy("band").agg(coalesce(sum(col("hc")), lit(0L)).as("off"))
+    val cum = inCum.join(broadcast(off), "band")
+      .withColumn("cum", col("icum") + col("off"))
+    val n = q.agg(count(lit(1)).as("n"))
+    val cutExprs = (1 to 9).map(k =>
+      max(when(col("cum") * 10 >= col("n") * k, col("vq"))).as(s"d$k"))
+    val cuts = cum.crossJoin(broadcast(n)).agg(cutExprs.head, cutExprs.tail: _*)
+    val tot = uv.agg(sum(col("v")).as("t"))
+    var decile: Column = when(col("vq") >= col("d1"), 1)
+    for (k <- 2 to 9) decile = decile.when(col("vq") >= col(s"d$k"), k)
+    q.crossJoin(broadcast(cuts))
+      .withColumn("decile", decile.otherwise(10))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), dbl(sum(col("v"))).as("total_value"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pct_value",
+        round(lit(100.0d) * col("total_value") / dbl(col("t")), 6))
+      .select("decile", "n_users", "total_value", "pct_value")
+      .orderBy("decile")
+  }
+  val e16Sql: String =
+    """WITH uv AS (SELECT user_id, SUM(CAST(value AS DECIMAL(12,2))) AS v
+      |            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |q AS (SELECT user_id, v, FLOOR(CAST(v AS DOUBLE)) AS vq FROM uv),
+      |sc AS (SELECT vq, COUNT(*)::BIGINT AS c FROM q GROUP BY 1),
+      |cum AS (SELECT vq, SUM(c) OVER (ORDER BY vq DESC) AS cum FROM sc),
+      |n AS (SELECT COUNT(*)::BIGINT AS n FROM q),
+      |cuts AS (SELECT
+      |  MAX(CASE WHEN cum * 10 >= n * 1 THEN vq END) AS d1,
+      |  MAX(CASE WHEN cum * 10 >= n * 2 THEN vq END) AS d2,
+      |  MAX(CASE WHEN cum * 10 >= n * 3 THEN vq END) AS d3,
+      |  MAX(CASE WHEN cum * 10 >= n * 4 THEN vq END) AS d4,
+      |  MAX(CASE WHEN cum * 10 >= n * 5 THEN vq END) AS d5,
+      |  MAX(CASE WHEN cum * 10 >= n * 6 THEN vq END) AS d6,
+      |  MAX(CASE WHEN cum * 10 >= n * 7 THEN vq END) AS d7,
+      |  MAX(CASE WHEN cum * 10 >= n * 8 THEN vq END) AS d8,
+      |  MAX(CASE WHEN cum * 10 >= n * 9 THEN vq END) AS d9
+      |  FROM cum CROSS JOIN n),
+      |tot AS (SELECT SUM(v) AS t FROM uv),
+      |b AS (SELECT user_id, v,
+      |  CASE WHEN vq >= d1 THEN 1 WHEN vq >= d2 THEN 2 WHEN vq >= d3 THEN 3
+      |       WHEN vq >= d4 THEN 4 WHEN vq >= d5 THEN 5 WHEN vq >= d6 THEN 6
+      |       WHEN vq >= d7 THEN 7 WHEN vq >= d8 THEN 8 WHEN vq >= d9 THEN 9
+      |       ELSE 10 END AS decile
+      |  FROM q CROSS JOIN cuts)
+      |SELECT decile, COUNT(*)::BIGINT AS n_users,
+      |  CAST(SUM(v) AS DOUBLE) AS total_value,
+      |  ROUND(100.0 * CAST(SUM(v) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS pct_value
+      |FROM b CROSS JOIN tot GROUP BY 1, t ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e16_value_deciles" -> (e16 _),
     "e15_decay_score" -> (e15 _),
     "e14_rolling_active" -> (e14 _),
     "e13_anomaly_hours" -> (e13 _),
@@ -556,6 +641,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e16_value_deciles" -> e16Sql,
     "e15_decay_score" -> e15Sql,
     "e14_rolling_active" -> e14Sql,
     "e13_anomaly_hours" -> e13Sql,

@@ -138,12 +138,67 @@ object Pipeline {
       Similarity.centroidFrame(spark, e, k = 16, iters = 2))
   }
 
+  // ---------------------------------------------------------------- p03
+  /** Token-budget training mix: each language contributes its
+    * HIGHEST-QUALITY documents (by the t11 corpus-LM score) until a
+    * per-language token budget fills — the "N billion tokens per
+    * language, best first" selection step that turns a curated corpus
+    * into an actual training mix.
+    *
+    * Selection is threshold-based, never a per-document running total:
+    * per-(lang, score) token sums accumulate through the same
+    * bounded-domain prefix window as t14 (the score is round6-quantized,
+    * so the window input is capped by the quantization, not the corpus
+    * row count), and a document is kept iff its whole score-group fits
+    * the budget (cum ≤ B). Group-granular keep is deterministic — no
+    * partial-group lottery — and the output reports the realized token
+    * count and the score cutoff per language. */
+  def p03(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val scored = TextAnalysis.t11(spark, dir) // doc_id, lang, n_tok, avg_logp
+    val grp = scored.groupBy("lang", "avg_logp").agg(sum(col("n_tok")).as("tok"))
+    val cum = grp.withColumn("cum",
+      sum(col("tok")).over(Window.partitionBy("lang").orderBy(col("avg_logp").desc)))
+    scored.join(cum.select("lang", "avg_logp", "cum"), Seq("lang", "avg_logp"))
+      .filter(col("cum") <= budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
+           min(col("avg_logp")).as("cut_score"))
+      .withColumn("budget", lit(budget))
+      .orderBy("lang")
+  }
+  val p03Sql: String = {
+    import TextAnalysis.wordsSql
+    s"""WITH toks AS (SELECT doc_id, lang, UNNEST($wordsSql) AS word FROM documents),
+       |tf AS (SELECT doc_id, lang, word, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1,2,3),
+       |model AS (SELECT word, SUM(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+       |tot AS (SELECT SUM(cnt)::BIGINT AS n FROM model),
+       |scored AS (SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_tok,
+       |  ROUND(CAST(SUM(CAST(tf AS DECIMAL(10,0))
+       |          * CAST(ROUND(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+       |                 AS DECIMAL(18,9))) AS DOUBLE)
+       |        / CAST(SUM(tf) AS DOUBLE), 6) AS avg_logp
+       |  FROM tf JOIN model USING (word) CROSS JOIN tot GROUP BY 1, 2),
+       |grp AS (SELECT lang, avg_logp, CAST(SUM(n_tok) AS BIGINT) AS tok
+       |        FROM scored GROUP BY 1, 2),
+       |cum AS (SELECT lang, avg_logp,
+       |  SUM(tok) OVER (PARTITION BY lang ORDER BY avg_logp DESC) AS cum FROM grp)
+       |SELECT s.lang AS lang, COUNT(*)::BIGINT AS n_docs,
+       |  CAST(SUM(s.n_tok) AS BIGINT) AS n_tok,
+       |  MIN(s.avg_logp) AS cut_score, CAST(2000 AS BIGINT) AS budget
+       |FROM scored s JOIN cum c ON s.lang = c.lang AND s.avg_logp = c.avg_logp
+       |WHERE c.cum <= 2000
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_corpus_pipeline" -> (p01 _),
     "p02_embedding_pipeline" -> (p02 _),
+    "p03_token_budget_mix" -> (p03 _),
   )
 
   val oracle: Map[String, String] = Map(
     "p01_corpus_pipeline" -> p01Sql,
+    "p03_token_budget_mix" -> p03Sql,
   )
 }

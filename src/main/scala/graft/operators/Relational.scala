@@ -740,7 +740,246 @@ object Relational {
       |  GROUP BY 1)
       |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  /** TPC-H Q7 shape: bilateral shipping volume — revenue flowing between
+    * two nations (supplier nation → customer nation, both directions) per
+    * ship year.
+    *
+    * Scale: nation is a 25-row broadcast on BOTH legs; the only real
+    * shuffles are lineitem→orders (uniform l_orderkey) and
+    * orders→customer (uniform o_custkey). The nation-pair filter sits on
+    * broadcast-joined columns, so it prunes BEFORE the groupBy shuffle;
+    * the final aggregate has (2 nations × 2 directions × years) groups —
+    * a few partial rows per task regardless of fact size. */
+  def q31(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1k"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2k"))
+      .filter((col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12") ||
+              (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+  val q31Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND ((n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12')
+       |    OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10'))
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** TPC-H Q8 shape: market share — the fraction of ASIA-region STANDARD-
+    * part revenue supplied by NATION_2, per order year.
+    *
+    * The share is TWO decimal-exact sums (conditional numerator via
+    * sum(CASE WHEN), unconditional denominator) finished by ONE double
+    * division — order-independent across partials, bit-identical on the
+    * oracle. part/supplier/nation/region all broadcast; the share filter
+    * (customer region) prunes on a broadcast column before the year
+    * groupBy, which has ~3 groups. */
+  def q32(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+      .select("p_partkey")
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    val custAsia = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("cnk"), col("n_regionkey"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val rev = revenueTerm(col("l_extendedprice"), col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((dbl(sum(when(col("supp_nation") === "NATION_2", rev).otherwise(dec(lit(0))))) /
+            dbl(sum(rev))).as("mkt_share"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("o_year")
+  }
+  val q32Sql: String =
+    s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       |  CAST(SUM(CASE WHEN n_name = 'NATION_2' THEN $revenueSql
+       |           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       |    / CAST(SUM($revenueSql) AS DOUBLE) AS mkt_share,
+       |  COUNT(*)::BIGINT AS n_lines
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_type = 'STANDARD'
+       |  AND EXISTS (SELECT 1 FROM customer
+       |              JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |              JOIN region ON cn.n_regionkey = r_regionkey
+       |              WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** TPC-H Q10 shape: returned-item reporting — the top 20 customers by
+    * revenue lost to returns (l_returnflag = 'R') for orders placed in a
+    * given quarter.
+    *
+    * The quarter filter pushes to the orders scan; the returnflag filter
+    * pushes to the lineitem scan — both prune before any join. The
+    * fact-fact join shuffles on uniform l_orderkey/o_orderkey; customer
+    * attaches on uniform custkey; nation broadcasts. Top-20 is
+    * TakeOrderedAndProject (per-partition partial top-k, never a global
+    * sort), with c_custkey breaking revenue ties deterministically. */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+  val q33Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-04-01'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** TPC-H Q14 shape, extended to a monthly series: PROMO parts' share of
+    * revenue (percent) per ship month across the full history.
+    *
+    * One broadcast join (part, pruned to partkey+type), one groupBy on
+    * ~80 month keys. Both sums are decimal-exact; the percentage is one
+    * double multiply-divide at the end (100 * promo / total), the same
+    * two IEEE ops on the oracle side. Month key via date_format ==
+    * DuckDB strftime. */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val rev = revenueTerm(col("l_extendedprice"), col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg((lit(100.0d) * dbl(sum(when(col("p_type") === "PROMO", rev).otherwise(dec(lit(0))))) /
+            dbl(sum(rev))).as("promo_pct"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("ship_month")
+  }
+  val q34Sql: String =
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+       |               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       |    / CAST(SUM($revenueSql) AS DOUBLE) AS promo_pct,
+       |  COUNT(*)::BIGINT AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** TPC-H Q18 shape: large-volume orders — orders whose total quantity
+    * exceeds 250, with the buying customer, ordered by total price.
+    *
+    * The HAVING pre-aggregate shuffles lineitem once on uniform
+    * l_orderkey (map-side combinable — partials collapse before the
+    * wire) and survives ~0.1% of orders; only the survivors join back to
+    * orders/customer, so the expensive joins see a thousandth of the
+    * fact. Quantity stays decimal for the exact > 250 boundary. */
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > lit(250).cast(Qf.D12))
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        dayStr(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"),
+        dbl(col("sum_qty")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+  val q35Sql: String =
+    """WITH big AS (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      |             FROM lineitem GROUP BY 1
+      |             HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+      |SELECT c_custkey, c_name, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+      |  CAST(sum_qty AS DOUBLE) AS sum_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** TPC-H Q19 shape: discounted revenue under disjunctive brand/size/
+    * quantity predicates — three OR'd conjunct branches that a naive
+    * planner turns into three scans.
+    *
+    * Expressed as ONE scan with the disjunction evaluated post-join:
+    * part is pruned to the 3 columns the predicate needs and broadcast;
+    * the common `p_size >= 1` conjunct is factored out so it pushes down
+    * to the part scan. Catalyst keeps the whole disjunction inside one
+    * codegen stage — no union-of-three-plans blow-up. */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    val branch =
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#19" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+  val q36Sql: String =
+    s"""SELECT CAST(SUM($revenueSql) AS DOUBLE) AS revenue, COUNT(*)::BIGINT AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q31_volume_shipping" -> (q31 _),
+    "q32_market_share" -> (q32 _),
+    "q33_returned_items" -> (q33 _),
+    "q34_promo_effect" -> (q34 _),
+    "q35_large_orders" -> (q35 _),
+    "q36_or_predicates" -> (q36 _),
     "q30_order_distribution" -> (q30 _),
     "q29_top_supplier" -> (q29 _),
     "q27_small_quantity" -> (q27 _),
@@ -803,5 +1042,11 @@ object Relational {
     "q28_dormant_balances" -> q28Sql,
     "q29_top_supplier" -> q29Sql,
     "q30_order_distribution" -> q30Sql,
+    "q31_volume_shipping" -> q31Sql,
+    "q32_market_share" -> q32Sql,
+    "q33_returned_items" -> q33Sql,
+    "q34_promo_effect" -> q34Sql,
+    "q35_large_orders" -> q35Sql,
+    "q36_or_predicates" -> q36Sql,
   )
 }

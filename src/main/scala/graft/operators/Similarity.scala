@@ -51,7 +51,8 @@ object Similarity {
     graft.plans.CosineTopK(spark, q, n, k = 5)
       .orderBy("q_id", "rnk", "n_id")
   }
-  val s01Sql: String =
+  /** Shared brute-force top-5 CTE chain (s01's oracle; s05 builds on it). */
+  private val knnCte: String =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (
@@ -66,7 +67,9 @@ object Similarity {
       |r AS (
       |  SELECT q_id, n_id, cos,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
-      |  FROM p)
+      |  FROM p)""".stripMargin
+  val s01Sql: String = knnCte +
+    """
       |SELECT q_id, n_id, rnk, cos FROM r WHERE rnk <= 5
       |ORDER BY q_id, rnk, n_id""".stripMargin
 
@@ -402,14 +405,57 @@ object Similarity {
       .orderBy("q_id", "rnk", "n_id")
   }
 
+  // ---------------------------------------------------------------- s05
+  /** kNN weak labeling: predict every vector's label by majority vote of
+    * its 5 nearest neighbors (excluding itself) — the auto-labeling /
+    * label-propagation primitive of a training-data pipeline, and a
+    * label-noise audit when compared against the stored label.
+    *
+    * Rides the CosineTopK whole-operator (s01) for the neighbor search,
+    * so the pair stream is never materialized; the vote is a
+    * (q_id, label) count — 5 rows per query — and the winner is picked
+    * by a window bounded at ≤ k rows per partition key. Ties break
+    * deterministically: highest vote count, then smallest label. The
+    * label join keys on uniform vec_id (shuffle; AQE broadcasts while
+    * the label table fits). */
+  def s05(spark: SparkSession, dir: String): DataFrame = {
+    val top = s01(spark, dir) // q_id, n_id, rnk, cos
+    val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val votes = top
+      .join(lbl.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      .groupBy("q_id", "n_label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("q_id").orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id").as("vec_id"), col("n_label").as("pred_label"), col("votes"))
+      .join(lbl, "vec_id")
+      .select(col("vec_id"), col("label"), col("pred_label"), col("votes"),
+        (col("label") === col("pred_label")).as("agree"))
+      .orderBy("vec_id")
+  }
+  val s05Sql: String = knnCte +
+    """,
+      |top5 AS (SELECT q_id, n_id FROM r WHERE rnk <= 5),
+      |v AS (SELECT t.q_id, l.label AS n_label, COUNT(*)::BIGINT AS votes
+      |      FROM top5 t JOIN embeddings l ON t.n_id = l.vec_id GROUP BY 1, 2),
+      |pk AS (SELECT q_id, n_label, votes,
+      |       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS rn
+      |       FROM v)
+      |SELECT p.q_id AS vec_id, l.label AS label, p.n_label AS pred_label,
+      |  p.votes AS votes, l.label = p.n_label AS agree
+      |FROM pk p JOIN embeddings l ON p.q_id = l.vec_id
+      |WHERE p.rn = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s01_ann_brute_topk" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
     "s04_ann_ivfpq" -> (s04 _),
+    "s05_knn_label" -> (s05 _),
   )
 
   val oracle: Map[String, String] = Map(
     "s01_ann_brute_topk" -> s01Sql,
+    "s05_knn_label" -> s05Sql,
   )
 }

@@ -536,7 +536,73 @@ object TextAnalysis {
        |JOIN sizes nb ON source_b = nb.source
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ---------------------------------------------------------------- t14
+  /** CCNet perplexity bucketing: split each language's corpus into
+    * head / middle / tail terciles by the t11 corpus-LM score — the
+    * standard "keep head+middle, drop tail" quality gate for web-crawl
+    * training data.
+    *
+    * Scale shape: tercile CUTOFFS, not a per-document ntile. A
+    * partitionBy(lang) window over raw documents would funnel each
+    * language (billions of docs at corpus scale) through one partition;
+    * instead the window runs over per-(lang, score) COUNTS — the score
+    * is round6-quantized by t11, so the distinct-score domain is bounded
+    * by the quantization (≤ a few million values) regardless of corpus
+    * row count. Cut selection is integer arithmetic (cum·3 ≥ n) on exact
+    * bigint counts; documents then bucket by comparing their score
+    * against the broadcast languages-sized cutoff table. Ties at a
+    * boundary score all land in the higher bucket (deterministic — no
+    * row_number lottery). */
+  def t14(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = t11(spark, dir) // doc_id, lang, n_tok, avg_logp (round6)
+    val sc = scored.groupBy("lang", "avg_logp").agg(count(lit(1)).as("c"))
+    val cum = sc.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy("lang").orderBy(col("avg_logp").desc)))
+    val n = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    val cuts = cum.join(n, "lang").groupBy("lang")
+      .agg(max(when(col("cum") * 3 >= col("n"), col("avg_logp"))).as("head_cut"),
+           max(when(col("cum") * 3 >= col("n") * 2, col("avg_logp"))).as("mid_cut"))
+    scored.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("avg_logp") >= col("head_cut"), "head")
+          .when(col("avg_logp") >= col("mid_cut"), "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
+           min(col("avg_logp")).as("min_lp"), max(col("avg_logp")).as("max_lp"))
+      .orderBy("lang", "bucket")
+  }
+  val t14Sql: String =
+    s"""WITH toks AS (SELECT doc_id, lang, UNNEST($wordsSql) AS word FROM documents),
+       |tf AS (SELECT doc_id, lang, word, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1,2,3),
+       |model AS (SELECT word, SUM(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+       |tot AS (SELECT SUM(cnt)::BIGINT AS n FROM model),
+       |scored AS (SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_tok,
+       |  ROUND(CAST(SUM(CAST(tf AS DECIMAL(10,0))
+       |          * CAST(ROUND(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+       |                 AS DECIMAL(18,9))) AS DOUBLE)
+       |        / CAST(SUM(tf) AS DOUBLE), 6) AS avg_logp
+       |  FROM tf JOIN model USING (word) CROSS JOIN tot GROUP BY 1, 2),
+       |sc AS (SELECT lang, avg_logp, COUNT(*)::BIGINT AS c FROM scored GROUP BY 1, 2),
+       |cum AS (SELECT lang, avg_logp,
+       |  SUM(c) OVER (PARTITION BY lang ORDER BY avg_logp DESC) AS cum FROM sc),
+       |nl AS (SELECT lang, COUNT(*)::BIGINT AS n FROM scored GROUP BY 1),
+       |cuts AS (SELECT lang,
+       |  MAX(CASE WHEN cum * 3 >= n THEN avg_logp END) AS head_cut,
+       |  MAX(CASE WHEN cum * 3 >= n * 2 THEN avg_logp END) AS mid_cut
+       |  FROM cum JOIN nl USING (lang) GROUP BY 1)
+       |SELECT s.lang AS lang,
+       |  CASE WHEN s.avg_logp >= head_cut THEN 'head'
+       |       WHEN s.avg_logp >= mid_cut THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  COUNT(*)::BIGINT AS n_docs, CAST(SUM(s.n_tok) AS BIGINT) AS n_tok,
+       |  MIN(s.avg_logp) AS min_lp, MAX(s.avg_logp) AS max_lp
+       |FROM scored s JOIN cuts USING (lang)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t14_ppl_buckets" -> (t14 _),
     "t13_source_overlap" -> (t13 _),
     "t11_lm_score" -> (t11 _),
     "t12_lang_mix" -> (t12 _),
@@ -553,6 +619,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t14_ppl_buckets" -> t14Sql,
     "t13_source_overlap" -> t13Sql,
     "t11_lm_score" -> t11Sql,
     "t12_lang_mix" -> t12Sql,

@@ -17,6 +17,10 @@ import org.apache.spark.sql.SparkSession
   *  - q16/q28/t11/t12: scalar-subquery compare against a 1-row aggregate
   *  - q23: month-frame range self-join (one row per calendar month)
   *  - t09: corpus-count N joined in as a 1-row broadcast (idf input)
+  *  - t14/p03: t11's corpus-total 1-row broadcast inside the LM scorer
+  *  - e16: 1-row count/total broadcasts + the non-equi band-offset join
+  *    over the BANDS table (bounded by the value range / 1000, not by
+  *    user count)
   */
 object PlanAudit {
   private val allowBnlj = Set(
@@ -24,7 +28,8 @@ object PlanAudit {
     "p02_embedding_pipeline",
     "e05_top_users", "q16_scalar_subquery", "q23_moving_avg",
     "q28_dormant_balances", "q29_top_supplier", "t09_tfidf_keywords",
-    "t11_lm_score", "t12_lang_mix")
+    "t11_lm_score", "t12_lang_mix",
+    "t14_ppl_buckets", "p03_token_budget_mix", "e16_value_deciles")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -15,21 +15,22 @@ class OperatorSmokeSpec extends SparkSpec {
       "q14_string_ops", "q15_date_ops", "q16_scalar_subquery", "q17_having", "q18_percentile",
       "q19_null_handling", "q20_nation_revenue", "q21_approx_stats", "q22_pivot", "q23_moving_avg", "q24_cube",
       "q25_ranking_suite", "q26_last_shipper", "q27_small_quantity", "q28_dormant_balances",
-      "q29_top_supplier", "q30_order_distribution",
+      "q29_top_supplier", "q30_order_distribution", "q31_volume_shipping", "q32_market_share",
+      "q33_returned_items", "q34_promo_effect", "q35_large_orders", "q36_or_predicates",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
-      "e14_rolling_active", "e15_decay_score",
+      "e14_rolling_active", "e15_decay_score", "e16_value_deciles",
       "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard", "d04_simhash", "d06_jaccard_capped",
       "d05_embedding_neardup", "d07_embedding_neardup_lsh", "d08_priority_dedup", "d13_semdedup",
       "d09_incremental_dedup", "d10_dup_clusters", "d11_decontaminate", "d12_fuzzy_decontam",
-      "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
+      "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s05_knn_label",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
       "t06_stratified_sample", "t07_token_histogram", "t08_winnow_pairs", "t09_tfidf_keywords",
-      "t11_lm_score", "t12_lang_mix", "t13_source_overlap", "t10_repetition",
+      "t11_lm_score", "t12_lang_mix", "t13_source_overlap", "t10_repetition", "t14_ppl_buckets",
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample", "m04_resize",
       "m05_payload_neardup",
-      "p01_corpus_pipeline", "p02_embedding_pipeline")
+      "p01_corpus_pipeline", "p02_embedding_pipeline", "p03_token_budget_mix")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -114,6 +115,48 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(ns.length == 5)
       val ordered = ns.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos"))
       assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("e16 deciles: top-heavy shares summing to 100, all 10 buckets present") {
+    val rows = Events.e16(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("decile")).sorted.sameElements(1 to 10))
+    val pcts = rows.sortBy(_.getAs[Int]("decile")).map(_.getAs[Double]("pct_value"))
+    assert(math.abs(pcts.sum - 100.0) < 0.01)
+    assert(pcts.head > pcts.last) // value concentration: decile 1 out-earns decile 10
+    rows.foreach(r => assert(r.getAs[Long]("n_users") >= 1L))
+  }
+
+  test("t14 buckets: per language, head scores >= middle >= tail and counts ~equal") {
+    val rows = TextAnalysis.t14(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, bs) =>
+      val m = bs.map(r => r.getAs[String]("bucket") -> r).toMap
+      assert(m.keySet == Set("head", "middle", "tail"))
+      assert(m("head").getAs[Double]("min_lp") >= m("middle").getAs[Double]("max_lp"))
+      assert(m("middle").getAs[Double]("min_lp") >= m("tail").getAs[Double]("max_lp"))
+      val counts = bs.map(_.getAs[Long]("n_docs"))
+      val n = counts.sum
+      // tercile populations within one score-group of n/3 on this data
+      counts.foreach(c => assert(math.abs(c - n / 3.0) <= n / 6.0))
+    }
+  }
+
+  test("p03 token budget: realized tokens never exceed the per-language budget") {
+    val rows = Pipeline.p03(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tok") <= r.getAs[Long]("budget"))
+      assert(r.getAs[Long]("n_docs") >= 1L)
+    }
+  }
+
+  test("s05 kNN labels: one verdict per vector, votes within [1,5]") {
+    val rows = Similarity.s05(spark, sf).collect()
+    assert(rows.length == 500) // one verdict per vector
+    rows.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1L && v <= 5L)
     }
   }
 
