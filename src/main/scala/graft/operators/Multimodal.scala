@@ -199,7 +199,60 @@ object Multimodal {
     Dedup.hammingBandPairs(sig, "phash", maxHamming = 8)
   }
 
+  // ---------------------------------------------------------------- m06
+  /** Modality routing by magic bytes: the FIRST stage of any multimodal
+    * ingest — classify each opaque payload by its container signature
+    * (JPEG/PNG/GIF/RIFF/MP4) with a control-character heuristic
+    * separating text from unknown binary, then report volume per
+    * modality so downstream decode fleets can be sized.
+    *
+    * Pure Column expressions over the payload PREFIX (a 3-8 byte
+    * binary substring, then hex — never hex of the whole blob), so the
+    * router runs at scan speed inside whole-stage codegen with zero
+    * codecs and zero shuffles before the tiny modality groupBy. The
+    * test corpus exercises the text fallback; the signature branches
+    * are spec-proven on synthetic payloads of every modality. */
+  private[operators] def routeModality(payload: org.apache.spark.sql.Column,
+                                       s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ctl = length(regexp_replace(s, "[^\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))
+    when(octet_length(payload) === 0, "empty")
+      .when(hex(substring(payload, 1, 3)) === "FFD8FF", "image/jpeg")
+      .when(hex(substring(payload, 1, 4)) === "89504E47", "image/png")
+      .when(hex(substring(payload, 1, 4)) === "47494638", "image/gif")
+      .when(hex(substring(payload, 1, 4)) === "52494646", "audio/riff")
+      .when(hex(substring(payload, 5, 4)) === "66747970", "video/mp4")
+      .when(ctl * 20 <= length(s), "text") // ≤5% control chars
+      .otherwise("binary")
+  }
+  def m06(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", routeModality(col("payload"), col("text")))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(octet_length(col("payload"))).cast("long").as("total_bytes"),
+           countDistinct(col("source")).as("n_sources"))
+      .orderBy("modality")
+  val m06Sql: String =
+    """WITH r AS (SELECT doc_id, source, octet_length(CAST(text AS BLOB)) AS nb,
+      |  CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 'empty'
+      |       WHEN substr(hex(CAST(text AS BLOB)), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+      |       WHEN substr(hex(CAST(text AS BLOB)), 1, 8) = '89504E47' THEN 'image/png'
+      |       WHEN substr(hex(CAST(text AS BLOB)), 1, 8) = '47494638' THEN 'image/gif'
+      |       WHEN substr(hex(CAST(text AS BLOB)), 1, 8) = '52494646' THEN 'audio/riff'
+      |       WHEN substr(hex(CAST(text AS BLOB)), 9, 8) = '66747970' THEN 'video/mp4'
+      |       WHEN LENGTH(regexp_replace(text,
+      |         '[^\x01-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) * 20 <= LENGTH(text)
+      |         THEN 'text'
+      |       ELSE 'binary' END AS modality
+      |  FROM documents)
+      |SELECT modality, COUNT(*)::BIGINT AS n_docs,
+      |  CAST(SUM(nb) AS BIGINT) AS total_bytes,
+      |  COUNT(DISTINCT source)::BIGINT AS n_sources
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m06_modality_route" -> (m06 _),
     "m01_binary_meta" -> (m01 _),
     "m02_decode_features" -> (m02 _),
     "m03_frame_sample" -> (m03 _),
@@ -209,5 +262,6 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
+    "m06_modality_route" -> m06Sql,
   )
 }

@@ -155,7 +155,8 @@ object Pipeline {
     * count and the score cutoff per language. */
   def p03(spark: SparkSession, dir: String): DataFrame = {
     val budget = 2000L
-    val scored = TextAnalysis.t11(spark, dir) // doc_id, lang, n_tok, avg_logp
+    // cache: feeds the budget aggregation AND the keep join (as in t14)
+    val scored = TextAnalysis.t11(spark, dir).cache() // doc_id, lang, n_tok, avg_logp
     val grp = scored.groupBy("lang", "avg_logp").agg(sum(col("n_tok")).as("tok"))
     val cum = grp.withColumn("cum",
       sum(col("tok")).over(Window.partitionBy("lang").orderBy(col("avg_logp").desc)))

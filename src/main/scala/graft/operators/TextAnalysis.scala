@@ -555,7 +555,9 @@ object TextAnalysis {
     * row_number lottery). */
   def t14(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = t11(spark, dir) // doc_id, lang, n_tok, avg_logp (round6)
+    // cache: the scored frame feeds the cutoff aggregation AND the final
+    // bucket join — uncached, the whole LM-score subplan runs twice
+    val scored = t11(spark, dir).cache() // doc_id, lang, n_tok, avg_logp (round6)
     val sc = scored.groupBy("lang", "avg_logp").agg(count(lit(1)).as("c"))
     val cum = sc.withColumn("cum",
       sum(col("c")).over(Window.partitionBy("lang").orderBy(col("avg_logp").desc)))

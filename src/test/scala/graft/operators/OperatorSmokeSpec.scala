@@ -29,7 +29,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "t06_stratified_sample", "t07_token_histogram", "t08_winnow_pairs", "t09_tfidf_keywords",
       "t11_lm_score", "t12_lang_mix", "t13_source_overlap", "t10_repetition", "t14_ppl_buckets",
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample", "m04_resize",
-      "m05_payload_neardup",
+      "m05_payload_neardup", "m06_modality_route",
       "p01_corpus_pipeline", "p02_embedding_pipeline", "p03_token_budget_mix")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
@@ -158,6 +158,26 @@ class OperatorSmokeSpec extends SparkSpec {
       val v = r.getAs[Long]("votes")
       assert(v >= 1L && v <= 5L)
     }
+  }
+
+  test("m06 router: every magic-byte branch fires on synthetic payloads") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val payloads: Seq[(String, Array[Byte])] = Seq(
+      "image/jpeg" -> Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00).map(_.toByte),
+      "image/png"  -> Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A).map(_.toByte),
+      "image/gif"  -> "GIF89a".getBytes("UTF-8"),
+      "audio/riff" -> ("RIFF" + "  WAVE").getBytes("UTF-8"),
+      "video/mp4"  -> (Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("UTF-8")),
+      "text"       -> "plain readable text".getBytes("UTF-8"),
+      "binary"     -> Array(0x01, 0x02, 0x03, 0x04).map(_.toByte),
+      "empty"      -> Array.empty[Byte])
+    val got = payloads.toDF("expected", "payload")
+      .withColumn("modality",
+        Multimodal.routeModality(col("payload"), decode(col("payload"), "UTF-8")))
+      .collect()
+    got.foreach(r => assert(r.getAs[String]("modality") == r.getAs[String]("expected"),
+      s"payload for ${r.getAs[String]("expected")} routed to ${r.getAs[String]("modality")}"))
   }
 
   test("d09 incremental dedup: survivors are delta docs with no corpus twin") {
