@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
@@ -43,6 +44,13 @@ object VectorFunctions {
     ensure("winnow_fps")(exprs => WinnowFingerprints(exprs.head,
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
     ensure("simhash64")(exprs => SimHash64(exprs.head))
+    // Spark's own runtime-filter machinery, exposed as callable functions:
+    // bloom_agg(xxhash64(x), estItems, numBits) builds a serialized bloom
+    // filter; bloom_contains(filterBinary, xxhash64(x)) probes it. These are
+    // the codegen'd expressions InjectRuntimeFilter plants on shuffle joins —
+    // reused here for explicit sketch-prefilter operators (d14).
+    ensure("bloom_agg")(exprs => new BloomFilterAggregate(exprs.head, exprs(1), exprs(2)))
+    ensure("bloom_contains")(exprs => BloomFilterMightContain(exprs.head, exprs(1)))
   }
 
   private[functions] def elemGetter(et: DataType, arr: String, i: String): String = et match {

@@ -637,7 +637,46 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- d14
+  /** Bloom-filter decontamination: d11's exact n-gram contamination audit
+    * with a sketch prefilter in front of the join.
+    *
+    * The eval split's grams are folded into ONE bloom filter (Spark's own
+    * BloomFilterAggregate — the codegen'd expression behind runtime
+    * row-level filters, here invoked explicitly). The single serialized
+    * sketch (~200 KB at 1.6 M bits) collects to the driver — the bounded-
+    * model exception, like s03's centroids — and rides into the scan as a
+    * binary literal, so the 100 TB training side is prefiltered MAP-SIDE
+    * by `bloom_contains(bf, xxhash64(g))` with no join at all. Only the
+    * ~0.1% sketch survivors (true hits + f.p. ≈ 2^-16) reach the exact
+    * verify join against the real eval postings, which removes every
+    * false positive: the output is bit-identical to d11's, so this is an
+    * EXACT operator with a sketch-sized broadcast — at scale you ship a
+    * few hundred KB instead of the eval split's full gram postings. */
+  def d14(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val post = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("word_ngrams(text, 4)").as("grams"))
+      .filter(size(col("grams")) >= 1)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    val eval_ = post.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    // Sketch sized for the eval split (benchmarks are small by nature):
+    // 100k items / 1.6M bits => 16 bits/item, fp ~ 0.04%.
+    val bf = eval_
+      .select(expr("bloom_agg(xxhash64(g), 100000L, 1600000L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    post.filter(col("doc_id") % 20 =!= 0)
+      .filter(call_function("bloom_contains", lit(bf), xxhash64(col("g"))))
+      .join(broadcast(eval_), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+           countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d14_bloom_decontam" -> (d14 _),
     "d13_semdedup" -> (d13 _),
     "d11_decontaminate" -> (d11 _),
     "d12_fuzzy_decontam" -> (d12 _),
@@ -654,6 +693,8 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    // d14 = d11 with a bloom prefilter + exact verify: same exact result.
+    "d14_bloom_decontam" -> d11Sql,
     "d11_decontaminate" -> d11Sql,
     "d12_fuzzy_decontam" -> d12Sql,
     "d01_exact_dedup" -> d01Sql,

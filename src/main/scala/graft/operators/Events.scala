@@ -621,7 +621,44 @@ object Events {
       |  ROUND(100.0 * CAST(SUM(v) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS pct_value
       |FROM b CROSS JOIN tot GROUP BY 1, t ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e17
+  /** Top event paths: per-user event TRIGRAMS (sequence mining over the
+    * e12 transition machinery) — which 3-step journeys happen, how often,
+    * and how long they take end-to-end.
+    *
+    * Same scale posture as e12: the two lead() windows partition by
+    * user_id (bounded per-key state, one sort per user), and the final
+    * groupBy has at most |types|^3 = 125 groups, map-side-combinable —
+    * the shuffle carries ≤125 partial rows per task at any event volume.
+    * span_ms sums are exact bigint; the mean is one IEEE division. */
+  def e17(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ms"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("span_ms", lead(col("ms"), 2).over(w) - col("ms"))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"), col("t3").as("step3"))
+      .agg(count(lit(1)).as("n"),
+           (dbl(sum(col("span_ms"))) / count(lit(1))).as("avg_span_ms"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+  }
+  val e17Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |t AS (
+      |  SELECT event_type AS step1,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS step2,
+      |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS step3,
+      |    LEAD(ms, 2) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms AS span_ms
+      |  FROM e)
+      |SELECT step1, step2, step3, COUNT(*) AS n,
+      |  CAST(SUM(span_ms) AS DOUBLE) / COUNT(*) AS avg_span_ms
+      |FROM t WHERE step3 IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY n DESC, step1, step2, step3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e17_event_paths" -> (e17 _),
     "e16_value_deciles" -> (e16 _),
     "e15_decay_score" -> (e15 _),
     "e14_rolling_active" -> (e14 _),
@@ -658,5 +695,6 @@ object Events {
     "e10_asof_join_scaleout" -> e08Sql,
     "e11_attribution_window" -> e11Sql,
     "e12_transitions" -> e12Sql,
+    "e17_event_paths" -> e17Sql,
   )
 }

@@ -973,7 +973,41 @@ object Relational {
        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Exact frequent-items ("heavy hitters"): parts whose lineitem count
+    * exceeds 1.25x the uniform share (n_lines * n_parts > 1.25 * n_total),
+    * with the lift over uniform as the score.
+    *
+    * This is the exact form of the Misra–Gries / count-min "frequent
+    * items" query: ONE map-side-combinable groupBy on uniform l_partkey
+    * (the shuffle carries one partial row per part per task), then a
+    * 1-row broadcast of the (total, part-count) pair — the same scalar-
+    * subquery shape as q16/q28, never a shuffle-by-constant. The
+    * threshold compares integer cross-products (n*P*4 > 5*T), exact in
+    * bigint at any scale; lift is one IEEE division at the end. */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir).groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"))
+    val totals = Tables.lineitem(spark, dir).agg(count(lit(1)).as("t_lines"))
+      .crossJoin(Tables.part(spark, dir).agg(count(lit(1)).as("t_parts")))
+    counts.crossJoin(broadcast(totals))
+      .filter(col("n_lines") * col("t_parts") * 4 > col("t_lines") * 5)
+      .select(col("l_partkey"), col("n_lines"),
+        ((col("n_lines") * col("t_parts")).cast("double") / col("t_lines")).as("lift"))
+      .orderBy(col("n_lines").desc, col("l_partkey"))
+  }
+  val q37Sql: String =
+    """WITH c AS (SELECT l_partkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1),
+      |t AS (SELECT (SELECT COUNT(*) FROM lineitem) AS t_lines,
+      |             (SELECT COUNT(*) FROM part) AS t_parts)
+      |SELECT l_partkey, n_lines,
+      |  CAST(n_lines * t_parts AS DOUBLE) / t_lines AS lift
+      |FROM c, t
+      |WHERE n_lines * t_parts * 4 > t_lines * 5
+      |ORDER BY n_lines DESC, l_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q37_heavy_hitters" -> (q37 _),
     "q31_volume_shipping" -> (q31 _),
     "q32_market_share" -> (q32 _),
     "q33_returned_items" -> (q33 _),
@@ -1048,5 +1082,6 @@ object Relational {
     "q34_promo_effect" -> q34Sql,
     "q35_large_orders" -> q35Sql,
     "q36_or_predicates" -> q36Sql,
+    "q37_heavy_hitters" -> q37Sql,
   )
 }

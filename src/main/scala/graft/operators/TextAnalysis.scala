@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.engine.Qf._
+import graft.functions.VectorFunctions
 
 /** Text analysis for LLM-data pipelines (SURVEY.md §2.5) over `documents`.
   * All kernels are native Column expressions (codegen'd, no UDFs):
@@ -603,7 +604,46 @@ object TextAnalysis {
        |FROM scored s JOIN cuts USING (lang)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- t15
+  /** Chunk-level duplicate inventory (the RefinedWeb/CCNet "paragraph
+    * dedup" recipe, adapted: this corpus has no newlines, so the dedup
+    * unit is a deterministic non-overlapping 3-word chunk instead of a
+    * paragraph — the pipeline shape is identical, only the splitter
+    * changes). Emits every chunk that appears in 2+ documents with its
+    * document and occurrence counts; dropping those rows from an exploded
+    * corpus and re-assembling in (doc_id, chunk_index) order is then a
+    * trivial anti-join.
+    *
+    * Scale: explode fans each doc into len/3 chunk rows (linear, no
+    * pairs), the groupBy shuffles on the uniform chunk hash with map-side
+    * combine, and the n_docs >= 2 filter cuts the long unique tail before
+    * any downstream join. This is exactly d01's exact-dedup machinery one
+    * level below the document. */
+  def t15(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("word_tokens(text)").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, (size(w) - 3) div 3)," +
+          " i -> concat_ws(' ', slice(w, i*3 + 1, 3)))")).as("chunk"))
+      .groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk")
+  }
+  val t15Sql: String =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |           FROM documents),
+      |c AS (SELECT doc_id, UNNEST(list_transform(range(0, ((len(w) - 3) // 3) + 1),
+      |        i -> w[i*3 + 1] || ' ' || w[i*3 + 2] || ' ' || w[i*3 + 3])) AS chunk
+      |      FROM w WHERE len(w) >= 3)
+      |SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+      |FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY chunk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t15_chunk_dedup" -> (t15 _),
     "t14_ppl_buckets" -> (t14 _),
     "t13_source_overlap" -> (t13 _),
     "t11_lm_score" -> (t11 _),
@@ -621,6 +661,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t15_chunk_dedup" -> t15Sql,
     "t14_ppl_buckets" -> t14Sql,
     "t13_source_overlap" -> t13Sql,
     "t11_lm_score" -> t11Sql,

@@ -17,6 +17,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "q25_ranking_suite", "q26_last_shipper", "q27_small_quantity", "q28_dormant_balances",
       "q29_top_supplier", "q30_order_distribution", "q31_volume_shipping", "q32_market_share",
       "q33_returned_items", "q34_promo_effect", "q35_large_orders", "q36_or_predicates",
+      "q37_heavy_hitters", "e17_event_paths", "d14_bloom_decontam", "t15_chunk_dedup",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
@@ -39,6 +40,52 @@ class OperatorSmokeSpec extends SparkSpec {
       Set("d04_simhash", "d06_jaccard_capped", "d13_semdedup", "s02_ann_lsh", "s03_ann_ivf",
         "s04_ann_ivfpq", "m02_decode_features", "m03_frame_sample", "m04_resize",
         "m05_payload_neardup", "p02_embedding_pipeline", "q21_approx_stats"))
+  }
+
+  test("d14 bloom-prefiltered decontamination is bit-identical to exact d11") {
+    val exact = Dedup.d11(spark, sf).collect().map(_.toString)
+    val bloom = Dedup.d14(spark, sf).collect().map(_.toString)
+    assert(exact.nonEmpty)
+    assert(bloom.sameElements(exact))
+  }
+
+  test("q37 heavy hitters: every survivor's lift recomputes above 1.25") {
+    import org.apache.spark.sql.functions._
+    val l = graft.engine.Tables.lineitem(spark, sf)
+    val t = l.count()
+    val p = graft.engine.Tables.part(spark, sf).count()
+    val counts = l.groupBy("l_partkey").count().collect()
+      .map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("count")).toMap
+    val rows = Relational.q37(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_lines")
+      assert(n == counts(r.getAs[Long]("l_partkey")))
+      assert(n * p * 4 > t * 5)
+      assert(r.getAs[Double]("lift") > 1.25)
+    }
+    // completeness: no qualifying part missing
+    assert(rows.length == counts.values.count(n => n * p * 4 > t * 5))
+  }
+
+  test("e17 paths: trigram total equals sum of per-user max(0, n-2)") {
+    import org.apache.spark.sql.functions._
+    val perUser = graft.engine.Tables.events(spark, sf)
+      .groupBy("user_id").count().collect().map(_.getAs[Long]("count"))
+    val want = perUser.map(n => math.max(0L, n - 2)).sum
+    val rows = Events.e17(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == want)
+    rows.foreach(r => assert(r.getAs[Double]("avg_span_ms") > 0.0))
+  }
+
+  test("t15 chunk dedup: counts consistent and chunks are 3 words") {
+    val rows = TextAnalysis.t15(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2L)
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[String]("chunk").split(" ").length == 3)
+    }
   }
 
   test("d07 LSH near-dup pair set equals the exact all-pairs d05 baseline") {
