@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType}
 
 /** Codegen'd vector kernels for the similarity/dedup hot paths.
   *
@@ -51,6 +51,8 @@ object VectorFunctions {
     // reused here for explicit sketch-prefilter operators (d14).
     ensure("bloom_agg")(exprs => new BloomFilterAggregate(exprs.head, exprs(1), exprs(2)))
     ensure("bloom_contains")(exprs => BloomFilterMightContain(exprs.head, exprs(1)))
+    ensure("sq8_encode")(exprs => Sq8Encode(exprs.head))
+    ensure("sq8_cos")(exprs => Sq8Cos(exprs.head, exprs(1)))
   }
 
   private[functions] def elemGetter(et: DataType, arr: String, i: String): String = et match {
@@ -275,4 +277,82 @@ case class VecLshKeys(child: Expression, seed: Int, nBits: Int, b: Int, l: Int)
 
   override protected def withNewChildInternal(c: Expression): VecLshKeys = copy(child = c)
   override def prettyName: String = "vec_lsh_keys"
+}
+
+/** Scalar (int8) quantization: q_i = round(127 * x_i / max|x|) packed into
+  * one byte per dimension — 4x smaller than float32, 8x smaller than the
+  * double form. The per-vector scale factor is NOT stored because cosine
+  * over quantized vectors is scale-invariant (it cancels in dot/|a||b|,
+  * see Sq8Cos). A zero vector encodes to all-zero bytes. */
+case class Sq8Encode(child: Expression) extends UnaryExpression {
+  import VectorFunctions._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("sq8_encode expects a float/double array")
+  }
+  override def dataType: DataType = BinaryType
+  private def et = child.dataType.asInstanceOf[ArrayType].elementType
+
+  def compute(x: ArrayData): Array[Byte] = {
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(elemAt(et, x, i)); if (a > maxAbs) maxAbs = a; i += 1
+    }
+    if (maxAbs > 0.0) {
+      val s = 127.0 / maxAbs
+      i = 0
+      while (i < n) { out(i) = Math.round(elemAt(et, x, i) * s).toByte; i += 1 }
+    }
+    out
+  }
+
+  override protected def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8Encode", this, classOf[Sq8Encode].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Sq8Encode = copy(child = c)
+  override def prettyName: String = "sq8_encode"
+}
+
+/** Cosine over two sq8_encode codes in one pass of pure int arithmetic:
+  * dot, |a|^2, |b|^2 accumulate exactly in longs (127^2 * dim fits easily),
+  * one sqrt+division at the end. The per-vector quantization scales cancel,
+  * so no float metadata rides along with the codes. */
+case class Sq8Cos(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("sq8_cos expects two binary sq8 codes")
+  }
+  override def dataType: DataType = DoubleType
+
+  def compute(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a(i).toLong; val y = b(i).toLong
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8Cos", this, classOf[Sq8Cos].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Sq8Cos =
+    copy(left = l, right = r)
+  override def prettyName: String = "sq8_cos"
 }

@@ -446,7 +446,50 @@ object Similarity {
       |FROM pk p JOIN embeddings l ON p.q_id = l.vec_id
       |WHERE p.rn = 1 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- s06
+  /** Scalar-quantized (int8) ANN: the SQ8 compression point between s01's
+    * raw floats and s04's 8-byte PQ codes.
+    *
+    * Every embedding encodes to one byte per dimension (sq8_encode — 4x
+    * smaller than float32); the candidate scan runs ENTIRELY on codes
+    * with pure integer arithmetic (sq8_cos: dot and both squared norms
+    * accumulate exactly in longs, the per-vector quantization scales
+    * cancel). Top-16 candidates per query by quantized cosine
+    * (WindowGroupLimit partial top-k), then an exact float re-rank of
+    * those 16 — 30x fewer exact evaluations than brute force.
+    *
+    * Scale posture: same contract as s01 (the build side ships to every
+    * executor) but the shipped table is 4x smaller and the scan is
+    * memory-bandwidth-bound int ops; for massive N the bucketed variants
+    * (s02/s03/s04) remain the path — SQ8 composes with them (store codes
+    * in the cells). Rows-only; the spec measures recall vs exact s01. */
+  def s06(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val enc = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("sq8_encode(embedding)").as("code"))
+    val q = spread(enc.select(col("vec_id").as("q_id"), col("code").as("qc")))
+    val n = enc.select(col("vec_id").as("n_id"), col("code").as("nc"))
+    val wq = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id"))
+    val cand = q.join(broadcast(n), col("q_id") =!= col("n_id"))
+      .withColumn("qcos", expr("sq8_cos(qc, nc)"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= 16)
+      .select("q_id", "n_id")
+    // exact re-rank of the survivors with full-precision floats
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    val qv = e.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
+    val nv = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    cand.join(qv, "q_id").join(nv, "n_id")
+      .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "cos")
+      .orderBy("q_id", "rnk", "n_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s06_ann_sq8" -> (s06 _),
     "s01_ann_brute_topk" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),

@@ -21,6 +21,10 @@ import org.apache.spark.sql.SparkSession
   *  - e16: 1-row count/total broadcasts + the non-equi band-offset join
   *    over the BANDS table (bounded by the value range / 1000, not by
   *    user count)
+  *  - q37: 1-row (total, part-count) broadcast for the lift threshold
+  *  - s06: the SQ8 candidate scan — s01's brute-force contract over 4x-
+  *    compressed int8 codes (non-equi q_id != n_id); bucketed variants
+  *    (s02-s04) remain the massive-N path
   */
 object PlanAudit {
   private val allowBnlj = Set(
@@ -29,7 +33,8 @@ object PlanAudit {
     "e05_top_users", "q16_scalar_subquery", "q23_moving_avg",
     "q28_dormant_balances", "q29_top_supplier", "t09_tfidf_keywords",
     "t11_lm_score", "t12_lang_mix",
-    "t14_ppl_buckets", "p03_token_budget_mix", "e16_value_deciles")
+    "t14_ppl_buckets", "p03_token_budget_mix", "e16_value_deciles",
+    "q37_heavy_hitters", "s06_ann_sq8")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -26,6 +26,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "d05_embedding_neardup", "d07_embedding_neardup_lsh", "d08_priority_dedup", "d13_semdedup",
       "d09_incremental_dedup", "d10_dup_clusters", "d11_decontaminate", "d12_fuzzy_decontam",
       "s01_ann_brute_topk", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s05_knn_label",
+      "s06_ann_sq8",
       "t01_token_stats", "t02_quality_score", "t03_langid", "t04_fingerprint", "t05_redaction",
       "t06_stratified_sample", "t07_token_histogram", "t08_winnow_pairs", "t09_tfidf_keywords",
       "t11_lm_score", "t12_lang_mix", "t13_source_overlap", "t10_repetition", "t14_ppl_buckets",
@@ -38,7 +39,7 @@ class OperatorSmokeSpec extends SparkSpec {
     // rows-only exceptions are exactly the non-SQL-expressible ones
     assert(expected -- SparkEntry.oracleSql.keySet ==
       Set("d04_simhash", "d06_jaccard_capped", "d13_semdedup", "s02_ann_lsh", "s03_ann_ivf",
-        "s04_ann_ivfpq", "m02_decode_features", "m03_frame_sample", "m04_resize",
+        "s04_ann_ivfpq", "s06_ann_sq8", "m02_decode_features", "m03_frame_sample", "m04_resize",
         "m05_payload_neardup", "p02_embedding_pipeline", "q21_approx_stats"))
   }
 
@@ -86,6 +87,20 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
       assert(r.getAs[String]("chunk").split(" ").length == 3)
     }
+  }
+
+  test("s06 sq8 ANN: well-formed top-5, recall >= 0.95 vs exact s01") {
+    val exact = Similarity.s01(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val rows = Similarity.s06(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { ns =>
+      assert(ns.length == 5)
+      val ordered = ns.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+    val got = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.95, s"sq8 recall $recall below 0.95")
   }
 
   test("d07 LSH near-dup pair set equals the exact all-pairs d05 baseline") {
