@@ -657,7 +657,54 @@ object Events {
       |FROM t WHERE step3 IS NOT NULL
       |GROUP BY 1, 2, 3 ORDER BY n DESC, step1, step2, step3""".stripMargin
 
+  // ---------------------------------------------------------------- e18
+  /** Inter-event gap distribution per event type: how long users pause
+    * before each event kind, in four latency bands. Bands are INTEGER
+    * millisecond compares (never floor(log10(...)) — a float boundary at
+    * exact powers of ten could bucket differently across engines).
+    *
+    * One lag window per user (bounded state), a ≤ |types|x4-group
+    * map-combinable count, and a per-type total via an equi-join on
+    * event_type (no 1-row broadcast needed); pct is one IEEE division. */
+  def e18(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ms"))
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .withColumn("band",
+        when(col("gap_ms") < 1000L, "a_lt_1s")
+          .when(col("gap_ms") < 60000L, "b_lt_1m")
+          .when(col("gap_ms") < 3600000L, "c_lt_1h")
+          .otherwise("d_ge_1h"))
+    val counts = gaps.groupBy("event_type", "band").agg(count(lit(1)).as("n"))
+    val totals = gaps.groupBy("event_type").agg(count(lit(1)).as("t"))
+    counts.join(totals, "event_type")
+      .select(col("event_type"), col("band"), col("n"),
+        (col("n").cast("double") / col("t")).as("pct"))
+      .orderBy("event_type", "band")
+  }
+  val e18Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    ms - LAG(ms, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap_ms
+      |  FROM e),
+      |b AS (
+      |  SELECT event_type,
+      |    CASE WHEN gap_ms < 1000 THEN 'a_lt_1s'
+      |         WHEN gap_ms < 60000 THEN 'b_lt_1m'
+      |         WHEN gap_ms < 3600000 THEN 'c_lt_1h'
+      |         ELSE 'd_ge_1h' END AS band
+      |  FROM g WHERE gap_ms IS NOT NULL),
+      |c AS (SELECT event_type, band, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |t AS (SELECT event_type, COUNT(*) AS t FROM b GROUP BY 1)
+      |SELECT c.event_type, band, n, CAST(n AS DOUBLE) / t AS pct
+      |FROM c JOIN t ON c.event_type = t.event_type
+      |ORDER BY c.event_type, band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e18_gap_bands" -> (e18 _),
     "e17_event_paths" -> (e17 _),
     "e16_value_deciles" -> (e16 _),
     "e15_decay_score" -> (e15 _),
@@ -696,5 +743,6 @@ object Events {
     "e11_attribution_window" -> e11Sql,
     "e12_transitions" -> e12Sql,
     "e17_event_paths" -> e17Sql,
+    "e18_gap_bands" -> e18Sql,
   )
 }

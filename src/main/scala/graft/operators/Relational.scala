@@ -1006,7 +1006,50 @@ object Relational {
       |WHERE n_lines * t_parts * 4 > t_lines * 5
       |ORDER BY n_lines DESC, l_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** Pearson correlation (quantity vs extended price per return flag) with
+    * DISTRIBUTED-EXACT moment sums: built-in corr() accumulates running
+    * float moments whose value depends on partition order, so it can never
+    * hash-match a sequential oracle. Here all five moments (Σx Σy Σxy Σx²
+    * Σy²) are DECIMAL — exact, associative, order-independent under
+    * map-side combine — and the correlation is assembled from their double
+    * casts with one fixed IEEE op sequence, identical on both engines.
+    * One map-combinable groupBy; moment products stay inside DECIMAL(38,8)
+    * headroom even at 10^12 rows. */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           dbl(sum(x)).as("sx"), dbl(sum(y)).as("sy"),
+           dbl(sum(x * y)).as("sxy"),
+           dbl(sum(x * x)).as("sx2"), dbl(sum(y * y)).as("sy2"))
+      .select(col("l_returnflag"), col("n"),
+        // round6 quantization (the repo's cosine rule): the large decimal
+        // moments cast to double with engine-specific last-ulp rounding,
+        // so the raw correlation can drift one ulp — the quantized value
+        // cannot (a corr is O(1), six decimals ≫ one ulp).
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+  val q38Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx2,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy2
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  ROUND((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q38_exact_corr" -> (q38 _),
     "q37_heavy_hitters" -> (q37 _),
     "q31_volume_shipping" -> (q31 _),
     "q32_market_share" -> (q32 _),
@@ -1083,5 +1126,6 @@ object Relational {
     "q35_large_orders" -> q35Sql,
     "q36_or_predicates" -> q36Sql,
     "q37_heavy_hitters" -> q37Sql,
+    "q38_exact_corr" -> q38Sql,
   )
 }

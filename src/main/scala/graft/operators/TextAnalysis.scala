@@ -642,7 +642,34 @@ object TextAnalysis {
       |FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY chunk""".stripMargin
 
+  // ---------------------------------------------------------------- t16
+  /** Zipf head: the corpus's top-100 tokens by occurrence count, with
+    * document frequency — the vocabulary-skew profile that sizes
+    * stopword lists, BPE merge tables, and df-caps (t08/d06 pick their
+    * caps from exactly this shape).
+    *
+    * Linear explode → ONE map-combinable groupBy on the uniform token
+    * key → TakeOrderedAndProject top-100 (k rows per partition reach the
+    * driver-side merge, never a global sort). No windows, no second
+    * shuffle. */
+  def t16(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr("word_tokens(text)")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("tok"))
+      .limit(100)
+  }
+  val t16Sql: String =
+    """WITH t AS (SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |           FROM documents)
+      |SELECT tok, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM t GROUP BY 1
+      |ORDER BY n_occ DESC, tok LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t16_zipf_head" -> (t16 _),
     "t15_chunk_dedup" -> (t15 _),
     "t14_ppl_buckets" -> (t14 _),
     "t13_source_overlap" -> (t13 _),
@@ -661,6 +688,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t16_zipf_head" -> t16Sql,
     "t15_chunk_dedup" -> t15Sql,
     "t14_ppl_buckets" -> t14Sql,
     "t13_source_overlap" -> t13Sql,

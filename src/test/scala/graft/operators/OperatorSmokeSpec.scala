@@ -18,6 +18,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "q29_top_supplier", "q30_order_distribution", "q31_volume_shipping", "q32_market_share",
       "q33_returned_items", "q34_promo_effect", "q35_large_orders", "q36_or_predicates",
       "q37_heavy_hitters", "e17_event_paths", "d14_bloom_decontam", "t15_chunk_dedup",
+      "q38_exact_corr", "e18_gap_bands", "t16_zipf_head",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
@@ -87,6 +88,22 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
       assert(r.getAs[String]("chunk").split(" ").length == 3)
     }
+  }
+
+  test("q38 correlation in [-1,1]; e18 bands sum to 1 per type; t16 ordered") {
+    Relational.q38(spark, sf).collect().foreach { r =>
+      val c = r.getAs[Double]("corr_qty_price")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+    val bands = Events.e18(spark, sf).collect()
+    bands.groupBy(_.getAs[String]("event_type")).values.foreach { bs =>
+      assert(math.abs(bs.map(_.getAs[Double]("pct")).sum - 1.0) < 1e-9)
+    }
+    val zipf = TextAnalysis.t16(spark, sf).collect()
+    assert(zipf.nonEmpty && zipf.length <= 100)
+    val occ = zipf.map(_.getAs[Long]("n_occ"))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b })
+    zipf.foreach(r => assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occ")))
   }
 
   test("s06 sq8 ANN: well-formed top-5, recall >= 0.95 vs exact s01") {
