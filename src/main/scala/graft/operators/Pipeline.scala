@@ -192,14 +192,70 @@ object Pipeline {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p04
+  /** The composed DECONTAMINATION pipeline: the clean-training-set cut an
+    * LLM corpus runs before every training launch — both screens in one
+    * plan, each stage exactly its standalone oracle-checked operator:
+    *   1. exact screen — d14's bloom-prefiltered word-4-gram overlap
+    *      (catches verbatim benchmark text; sketch rides map-side);
+    *   2. fuzzy screen — d12's 64x2-band MinHash + exact Jaccard ≥ 0.5
+    *      (catches paraphrased contamination; P(miss) < 1e-8).
+    * Survivors = training docs flagged by NEITHER screen, via two
+    * left_anti joins on doc_id — at scale both hit sets are bounded by
+    * the eval corpus's posting volume, so the antis are broadcast-sized.
+    */
+  def p04(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val exactHits = Dedup.d14(spark, dir).select("doc_id")
+    val fuzzyHits = Dedup.d12(spark, dir).select("doc_id").distinct()
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 20 =!= 0)
+      .join(exactHits, Seq("doc_id"), "left_anti")
+      .join(fuzzyHits, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+  val p04Sql: String =
+    s"""WITH w4 AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+       |            FROM documents),
+       |sh4 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 2),
+       |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS grams
+       |        FROM w4 WHERE len(w) >= 4),
+       |p4 AS (SELECT doc_id, UNNEST(grams) AS g FROM sh4),
+       |hits_exact AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM p4 t JOIN p4 e ON t.g = e.g
+       |  WHERE t.doc_id % 20 <> 0 AND e.doc_id % 20 = 0),
+       |sh AS (${Dedup.shingledSql}),
+       |p3 AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+       |sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
+       |inter AS (
+       |  SELECT t.doc_id AS doc_id, e.doc_id AS eval_id, COUNT(*) AS inter
+       |  FROM p3 t JOIN p3 e ON t.g = e.g
+       |  WHERE t.doc_id % 20 <> 0 AND e.doc_id % 20 = 0
+       |  GROUP BY 1, 2),
+       |hits_fuzzy AS (
+       |  SELECT DISTINCT inter.doc_id
+       |  FROM inter
+       |  JOIN sizes nt ON inter.doc_id = nt.doc_id
+       |  JOIN sizes ne ON eval_id = ne.doc_id
+       |  WHERE inter * 2 >= (nt.n + ne.n - inter))
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id % 20 <> 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM hits_exact)
+       |  AND doc_id NOT IN (SELECT doc_id FROM hits_fuzzy)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p01_corpus_pipeline" -> (p01 _),
     "p02_embedding_pipeline" -> (p02 _),
     "p03_token_budget_mix" -> (p03 _),
+    "p04_decontam_pipeline" -> (p04 _),
   )
 
   val oracle: Map[String, String] = Map(
     "p01_corpus_pipeline" -> p01Sql,
     "p03_token_budget_mix" -> p03Sql,
+    "p04_decontam_pipeline" -> p04Sql,
   )
 }

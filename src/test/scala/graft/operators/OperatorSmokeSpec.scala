@@ -33,7 +33,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "t11_lm_score", "t12_lang_mix", "t13_source_overlap", "t10_repetition", "t14_ppl_buckets",
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample", "m04_resize",
       "m05_payload_neardup", "m06_modality_route",
-      "p01_corpus_pipeline", "p02_embedding_pipeline", "p03_token_budget_mix")
+      "p01_corpus_pipeline", "p02_embedding_pipeline", "p03_token_budget_mix",
+      "p04_decontam_pipeline")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -88,6 +89,16 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
       assert(r.getAs[String]("chunk").split(" ").length == 3)
     }
+  }
+
+  test("p04 survivors are train docs flagged by neither decontam screen") {
+    val exact = Dedup.d11(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    val fuzzy = Dedup.d12(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    val all = graft.engine.Tables.documents(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).filter(_ % 20 != 0).toSet
+    val got = Pipeline.p04(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == all -- exact -- fuzzy)
+    assert(got.nonEmpty)
   }
 
   test("q38 correlation in [-1,1]; e18 bands sum to 1 per type; t16 ordered") {
