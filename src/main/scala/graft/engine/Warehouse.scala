@@ -35,6 +35,45 @@ object Warehouse {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact a partitioned warehouse path in place: coalesce each
+    * partition's small files into ~`targetRows`-row files, preserving the
+    * within-file sort (so row-group min/max skipping survives).
+    *
+    * Streaming ingestion (FileEventSource / foreachBatch sinks) writes
+    * one file per trigger per partition — at 100 TB that's millions of
+    * KB-sized files whose open/footer overhead dominates scans ("small
+    * file problem"). Compaction is the standing maintenance job every
+    * real warehouse runs; here it is one deterministic Spark pass:
+    * repartition each day to ceil(rows/targetRows) files via a
+    * RANGE partitioner on the sort keys (contiguous key ranges per file
+    * — unlike round-robin, the sort order carries across files), rewrite
+    * to a temp dir, then swap. The swap is the same
+    * write-temp/rename-commit pattern as NearDupStage's exactly-once
+    * epoch dirs. */
+  def compact(spark: SparkSession, path: String, partitionCols: Seq[String],
+              sortCols: Seq[String], targetRows: Long = 1000000L): Unit = {
+    val tmp = path + ".compact-tmp"
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    val ranged =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(files, (partitionCols ++ sortCols).map(col): _*)
+          .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else df.repartition(files)
+    ranged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(tmp)
+    // commit: atomic-enough swap (single-FS rename, as the streaming sinks)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    fs.rename(dst, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(bak, true)
+  }
+
   /** Write `df` as a BUCKETED managed table: rows are hash-distributed
     * into `nBuckets` files by `bucketCol` at WRITE time, so every later
     * join/aggregation on that key reads co-located data and plans with

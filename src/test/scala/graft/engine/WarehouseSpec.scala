@@ -25,6 +25,34 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.read(spark, dir).count() == Tables.events(spark, sf).count())
   }
 
+  test("compaction collapses per-trigger small files, preserving rows and layout") {
+    val dir = Files.createTempDirectory("wh-compact").toString
+    val events = Warehouse.withDayPartition(Tables.events(spark, sf), "ms")
+    // simulate streaming ingestion: many tiny files per day partition
+    events.repartition(16).write.mode("overwrite").partitionBy("dt").parquet(dir)
+    def dataFiles(): Array[java.io.File] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("dt="))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    val before = dataFiles().length
+    val rows = Warehouse.read(spark, dir).collect().map(_.toString).sorted
+    Warehouse.compact(spark, dir, Seq("dt"), Seq("user_id", "ms"))
+    val after = dataFiles().length
+    assert(after < before / 4, s"compaction barely helped: $before -> $after files")
+    // no rows lost or duplicated, partition dirs intact
+    val got = Warehouse.read(spark, dir).collect().map(_.toString).sorted
+    assert(got.sameElements(rows))
+    // within-file sort survives (row-group skipping still works):
+    // every file's (user_id, ms) sequence is non-decreasing
+    import spark.implicits._
+    val perFile = Warehouse.read(spark, dir)
+      .select(input_file_name().as("f"), col("user_id"), col("ms"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    perFile.values.foreach { rs =>
+      val seq = rs.map(r => (r._2, r._3)).toSeq
+      assert(seq == seq.sorted, "within-file sort lost by compaction")
+    }
+  }
+
   test("bucketed fact-fact join on the bucket key plans with zero shuffle") {
     Warehouse.writeBucketed(Tables.orders(spark, sf), "wh_orders_b",
       "o_orderkey", nBuckets = 4)
