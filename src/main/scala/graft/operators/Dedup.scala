@@ -675,7 +675,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- d15
+  /** Duplicate-graph centrality: per-document degree and Jaccard-weighted
+    * degree over the J ≥ 0.5 near-dup pair graph — the canonical-copy
+    * signal d08 ranks by source priority, here ranked by connectivity
+    * (the most-connected copy is the best cluster representative; a
+    * 1-degree doc is a leaf duplicate).
+    *
+    * Scale: the pair graph (d03's inverted-index output — never a cross
+    * join) is orders smaller than the corpus; the union fan-out is 2
+    * rows per edge and the groupBy shuffles on uniform doc_id. Weighted
+    * degree sums DECIMAL(12,6)-quantized jaccards (exact, associative —
+    * a raw double sum would be partial-order-dependent and could never
+    * hash-match). */
+  def d15(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d03(spark, dir)
+      .withColumn("j6", round(col("jaccard"), 6).cast("decimal(12,6)"))
+    pairs.select(col("doc_a").as("doc_id"), col("j6"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("j6")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("degree"), dbl(sum(col("j6"))).as("wdegree"))
+      .orderBy("doc_id")
+  }
+  val d15Sql: String =
+    s"""WITH sh AS ($shingledSql),
+       |posting AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+       |sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(ROUND(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6)
+       |         AS DECIMAL(12,6)) AS j6
+       |  FROM inter
+       |  JOIN sizes na ON doc_a = na.doc_id
+       |  JOIN sizes nb ON doc_b = nb.doc_id
+       |  WHERE inter * 2 >= (na.n + nb.n - inter)),
+       |touch AS (
+       |  SELECT doc_a AS doc_id, j6 FROM pairs
+       |  UNION ALL SELECT doc_b AS doc_id, j6 FROM pairs)
+       |SELECT doc_id, COUNT(*) AS degree, CAST(SUM(j6) AS DOUBLE) AS wdegree
+       |FROM touch GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d15_dup_centrality" -> (d15 _),
     "d14_bloom_decontam" -> (d14 _),
     "d13_semdedup" -> (d13 _),
     "d11_decontaminate" -> (d11 _),
@@ -693,6 +738,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d15_dup_centrality" -> d15Sql,
     // d14 = d11 with a bloom prefilter + exact verify: same exact result.
     "d14_bloom_decontam" -> d11Sql,
     "d11_decontaminate" -> d11Sql,

@@ -703,7 +703,64 @@ object Events {
       |FROM c JOIN t ON c.event_type = t.event_type
       |ORDER BY c.event_type, band""".stripMargin
 
+  // ---------------------------------------------------------------- e19
+  /** Conversion lag: first-view → first-subsequent-purchase latency per
+    * user, with the EXACT median (q18's row_number recipe — no
+    * interpolation ambiguity) and user count per purchase month.
+    *
+    * Scale: two map-combinable min-aggregations on uniform user_id (the
+    * fact never shuffles twice on the same key thanks to co-keyed
+    * groupBys), a same-key join, then a per-month window over ≤ users
+    * rows — grouped by calendar month so no global window exists at any
+    * user count. */
+  def e19(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("fv"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id")
+      .filter(col("ms") > col("fv"))
+      .groupBy(col("user_id"), col("fv")).agg(min(col("ms")).as("fp"))
+    val lags = fp.select(col("user_id"),
+      date_format(timestamp_millis(col("fp")), "yyyy-MM").as("cmonth"),
+      (col("fp") - col("fv")).as("lag_ms"))
+    val w = Window.partitionBy("cmonth").orderBy(col("lag_ms"), col("user_id"))
+    val wc = Window.partitionBy("cmonth")
+    lags
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+              col("rn") === floor((col("cnt") + 2) / 2))
+      .groupBy("cmonth")
+      .agg((dbl(sum(col("lag_ms"))) / count(lit(1))).as("median_lag_ms"),
+           max(col("cnt")).as("n_users"))
+      .orderBy("cmonth")
+  }
+  val e19Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |fv AS (SELECT user_id, MIN(ms) AS fv FROM e WHERE event_type = 'view' GROUP BY 1),
+      |fp AS (
+      |  SELECT e.user_id, fv, MIN(ms) AS fp
+      |  FROM e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE event_type = 'purchase' AND ms > fv
+      |  GROUP BY 1, 2),
+      |lags AS (
+      |  SELECT user_id, strftime(epoch_ms(fp), '%Y-%m') AS cmonth, fp - fv AS lag_ms
+      |  FROM fp),
+      |r AS (
+      |  SELECT cmonth, lag_ms,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cmonth ORDER BY lag_ms, user_id) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cmonth) AS cnt
+      |  FROM lags)
+      |SELECT cmonth,
+      |  CAST(SUM(lag_ms) AS DOUBLE) / COUNT(*) AS median_lag_ms,
+      |  MAX(cnt) AS n_users
+      |FROM r
+      |WHERE rn = FLOOR((cnt + 1) / 2) OR rn = FLOOR((cnt + 2) / 2)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e19_conversion_lag" -> (e19 _),
     "e18_gap_bands" -> (e18 _),
     "e17_event_paths" -> (e17 _),
     "e16_value_deciles" -> (e16 _),
@@ -744,5 +801,6 @@ object Events {
     "e12_transitions" -> e12Sql,
     "e17_event_paths" -> e17Sql,
     "e18_gap_bands" -> e18Sql,
+    "e19_conversion_lag" -> e19Sql,
   )
 }

@@ -18,7 +18,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "q29_top_supplier", "q30_order_distribution", "q31_volume_shipping", "q32_market_share",
       "q33_returned_items", "q34_promo_effect", "q35_large_orders", "q36_or_predicates",
       "q37_heavy_hitters", "e17_event_paths", "d14_bloom_decontam", "t15_chunk_dedup",
-      "q38_exact_corr", "e18_gap_bands", "t16_zipf_head",
+      "q38_exact_corr", "e18_gap_bands", "t16_zipf_head", "d15_dup_centrality",
+      "e19_conversion_lag",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
@@ -89,6 +90,27 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
       assert(r.getAs[String]("chunk").split(" ").length == 3)
     }
+  }
+
+  test("d15 centrality: degrees double-count edges, wdegree bounded by degree") {
+    val pairs = Dedup.d03(spark, sf).collect()
+    val rows = Dedup.d15(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("degree")).sum == 2L * pairs.length)
+    rows.foreach { r =>
+      val (d, w) = (r.getAs[Long]("degree"), r.getAs[Double]("wdegree"))
+      assert(w > 0.5 * d - 1e-9 && w <= d.toDouble, s"wdegree $w vs degree $d")
+    }
+  }
+
+  test("e19 conversion lag: median positive, users bounded by purchasers") {
+    import org.apache.spark.sql.functions._
+    val rows = Events.e19(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val purchasers = graft.engine.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum <= purchasers)
+    rows.foreach(r => assert(r.getAs[Double]("median_lag_ms") > 0.0))
   }
 
   test("p04 survivors are train docs flagged by neither decontam screen") {
