@@ -167,4 +167,40 @@ class KernelPropertiesSpec extends AnyFunSuite {
       got == reference(ws.map(w => XXH64.hashUTF8String(UTF8String.fromString(w), 42L)))
     })
   }
+
+  test("sq8_encode: bounded codes, max-magnitude dim saturates, zero vec -> zero codes") {
+    check(Prop.forAll(vecGen) { a =>
+      val code = Sq8Encode(flit(a)).eval(null).asInstanceOf[Array[Byte]]
+      val maxAbs = if (a.isEmpty) 0.0 else a.map(x => math.abs(x.toDouble)).max
+      code.length == a.length &&
+        code.forall(b => b >= -127 && b <= 127) &&
+        (maxAbs == 0.0 ||
+          a.indices.filter(i => math.abs(a(i).toDouble) == maxAbs)
+            .exists(i => math.abs(code(i).toInt) == 127)) &&
+        (maxAbs > 0.0 || code.forall(_ == 0))
+    })
+  }
+
+  test("sq8_cos approximates true cosine within quantization error") {
+    val denseGen = Gen.chooseNum(8, 64).flatMap(n => Gen.listOfN(n, finiteFloat).map(_.toArray))
+    check(Prop.forAll(denseGen, denseGen) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      val (ax, bx) = (a.take(n), b.take(n))
+      val ca = Sq8Encode(flit(ax)).eval(null).asInstanceOf[Array[Byte]]
+      val cb = Sq8Encode(flit(bx)).eval(null).asInstanceOf[Array[Byte]]
+      val q = Sq8Cos(Literal.create(ca, org.apache.spark.sql.types.BinaryType),
+                     Literal.create(cb, org.apache.spark.sql.types.BinaryType))
+        .eval(null).asInstanceOf[Double]
+      val dot = ax.zip(bx).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(ax.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(bx.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0.0 || nb == 0.0) q == 0.0
+      else {
+        // int8 quantization error bound: each element off by <= 1/254 of the
+        // per-vector max; cosine error stays well under ~3 * sqrt(dim)/127
+        val err = 3.0 * math.sqrt(n.toDouble) / 127.0
+        math.abs(q - dot / (na * nb)) <= err
+      }
+    })
+  }
 }
