@@ -437,9 +437,17 @@ object Dedup {
     * 100 TB the same loop runs with the alternating large-star/small-star
     * optimization if diameters grow. Oracle: DuckDB recursive-CTE
     * transitive closure. */
-  def d10(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(shingled(spark, dir).cache(), 1, 2)
-      .select("doc_a", "doc_b").cache()
+  def d10(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      jaccardPairs(shingled(spark, dir).cache(), 1, 2).select("doc_a", "doc_b"))
+
+  /** Min-label propagation to fixpoint over an undirected (doc_a, doc_b)
+    * pair graph — d10's core, shared with the multimodal cluster view
+    * (m07). Per round: one join + one map-combinable min-agg per node;
+    * real dup graphs are short chains so rounds ≈ 2-3 (see SCALE.md for
+    * the alternating-star variant that bounds adversarial diameters). */
+  private[operators] def connectedComponents(pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.cache()
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")

@@ -251,7 +251,24 @@ object Multimodal {
       |  COUNT(DISTINCT source)::BIGINT AS n_sources
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- m07
+  /** Payload duplicate CLUSTERS: m05's byte-SimHash near-dup pairs
+    * resolved into connected components (Dedup.connectedComponents —
+    * the same min-label propagation as d10, reused across modality).
+    * Turns pairwise evidence into one cluster id per touched payload,
+    * so "keep one representative per near-dup family" is a groupBy
+    * min(doc_id) away — the media-side canonicalization step.
+    *
+    * Rows-only (SimHash banding + iterative CC are not SQL-expressible);
+    * the spec proves cluster transitivity on synthetic payload families
+    * and containment of every m05 pair inside one cluster. */
+  def m07(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      payloadNearDup(spark, Tables.documents(spark, dir))
+        .select("doc_a", "doc_b"))
+
   val queries: Map[String, Q] = Map(
+    "m07_payload_clusters" -> (m07 _),
     "m06_modality_route" -> (m06 _),
     "m01_binary_meta" -> (m01 _),
     "m02_decode_features" -> (m02 _),

@@ -33,7 +33,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "t06_stratified_sample", "t07_token_histogram", "t08_winnow_pairs", "t09_tfidf_keywords",
       "t11_lm_score", "t12_lang_mix", "t13_source_overlap", "t10_repetition", "t14_ppl_buckets",
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample", "m04_resize",
-      "m05_payload_neardup", "m06_modality_route",
+      "m05_payload_neardup", "m06_modality_route", "m07_payload_clusters",
       "p01_corpus_pipeline", "p02_embedding_pipeline", "p03_token_budget_mix",
       "p04_decontam_pipeline")
     assert(SparkEntry.queries.keySet == expected)
@@ -43,7 +43,8 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(expected -- SparkEntry.oracleSql.keySet ==
       Set("d04_simhash", "d06_jaccard_capped", "d13_semdedup", "s02_ann_lsh", "s03_ann_ivf",
         "s04_ann_ivfpq", "s06_ann_sq8", "m02_decode_features", "m03_frame_sample", "m04_resize",
-        "m05_payload_neardup", "p02_embedding_pipeline", "q21_approx_stats"))
+        "m05_payload_neardup", "m07_payload_clusters", "p02_embedding_pipeline",
+        "q21_approx_stats"))
   }
 
   test("d14 bloom-prefiltered decontamination is bit-identical to exact d11") {
@@ -89,6 +90,19 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(r.getAs[Long]("n_docs") >= 2L)
       assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
       assert(r.getAs[String]("chunk").split(" ").length == 3)
+    }
+  }
+
+  test("m07 clusters: every m05 pair co-clusters, labels are member minima") {
+    val pairs = Multimodal.m05(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val labels = Multimodal.m07(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(pairs.nonEmpty && labels.nonEmpty)
+    pairs.foreach { case (a, b) => assert(labels(a) == labels(b), s"pair ($a,$b) split") }
+    // each cluster's id is its smallest member
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
     }
   }
 
