@@ -759,7 +759,46 @@ object Events {
       |WHERE rn = FLOOR((cnt + 1) / 2) OR rn = FLOOR((cnt + 2) / 2)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e20
+  /** Event-mix entropy per user: H = ln(n) − Σ cᵢ·ln(cᵢ)/n over the
+    * user's event-type counts — the bot/monoculture signal (a user who
+    * only ever fires one event type scores 0; a uniform mix scores
+    * ln(|types|)).
+    *
+    * Float discipline (t11's recipe): each ln(cᵢ) is round9-quantized to
+    * DECIMAL so the weighted sum is exact and order-independent under
+    * map-side combine; the final H is one fixed IEEE op sequence,
+    * round6. Two co-keyed uniform shuffles ((user, type) then user),
+    * both map-combinable — never a per-user window. */
+  def e20(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .withColumn("lq", round(log(col("c").cast("double")), 9).cast("decimal(18,9)"))
+      .groupBy("user_id")
+      .agg(sum(col("c")).as("n_events"),
+           count(lit(1)).as("n_types"),
+           sum(col("c").cast("decimal(10,0)") * col("lq")).as("s"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(log(col("n_events").cast("double")) -
+          col("s").cast("double") / col("n_events").cast("double"), 6).as("entropy"))
+      .orderBy("user_id")
+  }
+  val e20Sql: String =
+    """WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS c
+      |           FROM events GROUP BY 1, 2),
+      |q AS (SELECT user_id, c,
+      |        CAST(ROUND(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lq
+      |      FROM c),
+      |u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+      |        COUNT(*)::BIGINT AS n_types,
+      |        SUM(CAST(c AS DECIMAL(10,0)) * lq) AS s
+      |      FROM q GROUP BY 1)
+      |SELECT user_id, n_events, n_types,
+      |  ROUND(ln(CAST(n_events AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE), 6) AS entropy
+      |FROM u ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e20_type_entropy" -> (e20 _),
     "e19_conversion_lag" -> (e19 _),
     "e18_gap_bands" -> (e18 _),
     "e17_event_paths" -> (e17 _),
@@ -802,5 +841,6 @@ object Events {
     "e17_event_paths" -> e17Sql,
     "e18_gap_bands" -> e18Sql,
     "e19_conversion_lag" -> e19Sql,
+    "e20_type_entropy" -> e20Sql,
   )
 }

@@ -668,7 +668,40 @@ object TextAnalysis {
       |FROM t GROUP BY 1
       |ORDER BY n_occ DESC, tok LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  /** Lexical diversity per document: type-token ratio and hapax fraction
+    * — the Gopher-family vocabulary-quality signals (template/spam text
+    * has low TTR; rich prose has high hapax share).
+    *
+    * All numerators are exact integers (distinct-type and hapax counts
+    * from one tf aggregation); each ratio is ONE IEEE division — no
+    * float sums anywhere, so rows hash-match at any parallelism. Two
+    * uniform-key shuffles ((doc, word) then doc), both map-combinable. */
+  def t17(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordsCol).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    tf.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tok"),
+           count(lit(1)).as("n_types"),
+           sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tok")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_frac"))
+      .orderBy("doc_id")
+  }
+  val t17Sql: String =
+    s"""WITH toks AS (SELECT doc_id, UNNEST($wordsSql) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+       |  COUNT(*)::BIGINT AS n_types,
+       |  CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |  CAST(COUNT(*) AS DOUBLE) / SUM(tf) AS ttr,
+       |  CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hapax_frac
+       |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t17_lexical_diversity" -> (t17 _),
     "t16_zipf_head" -> (t16 _),
     "t15_chunk_dedup" -> (t15 _),
     "t14_ppl_buckets" -> (t14 _),
@@ -688,6 +721,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t17_lexical_diversity" -> t17Sql,
     "t16_zipf_head" -> t16Sql,
     "t15_chunk_dedup" -> t15Sql,
     "t14_ppl_buckets" -> t14Sql,

@@ -19,7 +19,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "q33_returned_items", "q34_promo_effect", "q35_large_orders", "q36_or_predicates",
       "q37_heavy_hitters", "e17_event_paths", "d14_bloom_decontam", "t15_chunk_dedup",
       "q38_exact_corr", "e18_gap_bands", "t16_zipf_head", "d15_dup_centrality",
-      "e19_conversion_lag",
+      "e19_conversion_lag", "t17_lexical_diversity", "e20_type_entropy",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
@@ -90,6 +90,21 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(r.getAs[Long]("n_docs") >= 2L)
       assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
       assert(r.getAs[String]("chunk").split(" ").length == 3)
+    }
+  }
+
+  test("t17 diversity ratios and e20 entropy stay in their exact bounds") {
+    TextAnalysis.t17(spark, sf).collect().foreach { r =>
+      val (nt, ty, hx) = (r.getAs[Long]("n_tok"), r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"))
+      assert(ty >= 1 && ty <= nt && hx <= ty)
+      assert(r.getAs[Double]("ttr") > 0.0 && r.getAs[Double]("ttr") <= 1.0)
+    }
+    Events.e20(spark, sf).collect().foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val types = r.getAs[Long]("n_types")
+      assert(h >= -1e-6 && h <= math.log(types.toDouble) + 1e-6,
+        s"entropy $h outside [0, ln($types)]")
+      if (types == 1) assert(math.abs(h) < 1e-9)
     }
   }
 
