@@ -488,7 +488,47 @@ object Similarity {
       .orderBy("q_id", "rnk", "n_id")
   }
 
+  // ---------------------------------------------------------------- s07
+  /** Maximum inner-product search (MIPS), brute-force top-5: the other
+    * standard retrieval metric next to cosine (recommendation scores,
+    * unnormalized embedding logits). No division anywhere — the dot is
+    * the codegen'd sequential fold, bit-identical to the oracle's
+    * list_reduce, so no round-quantization is needed.
+    *
+    * Same ship-the-build-side baseline contract as s01 (the bucketed
+    * family is the massive-N path; MIPS additionally admits the
+    * augmented-vector reduction to cosine LSH — append sqrt(M²−|x|²) as
+    * an extra dim and s02 applies verbatim). WindowGroupLimit keeps ≤5
+    * rows per partition before the shuffle. */
+  def s07(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = spread(e.select(col("vec_id").as("q_id"), col("embedding").as("va")))
+    val n = e.select(col("vec_id").as("n_id"), col("embedding").as("vb"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("n_id"))
+    q.join(broadcast(n), col("q_id") =!= col("n_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "dot")
+      .orderBy("q_id", "rnk", "n_id")
+  }
+  val s07Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y) AS dot
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |r AS (
+      |  SELECT q_id, n_id, dot,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS BIGINT) AS rnk
+      |  FROM p)
+      |SELECT q_id, n_id, rnk, dot FROM r WHERE rnk <= 5
+      |ORDER BY q_id, rnk, n_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s07_mips_topk" -> (s07 _),
     "s06_ann_sq8" -> (s06 _),
     "s01_ann_brute_topk" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
@@ -498,6 +538,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s07_mips_topk" -> s07Sql,
     "s01_ann_brute_topk" -> s01Sql,
     "s05_knn_label" -> s05Sql,
   )

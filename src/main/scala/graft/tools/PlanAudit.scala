@@ -25,6 +25,9 @@ import org.apache.spark.sql.SparkSession
   *  - s06: the SQ8 candidate scan — s01's brute-force contract over 4x-
   *    compressed int8 codes (non-equi q_id != n_id); bucketed variants
   *    (s02-s04) remain the massive-N path
+  *  - s07: brute-force MIPS baseline, same non-equi contract as s01/s06
+  *    (the augmented-vector trick reduces MIPS to s02's cosine LSH at
+  *    massive N)
   */
 object PlanAudit {
   private val allowBnlj = Set(
@@ -34,7 +37,7 @@ object PlanAudit {
     "q28_dormant_balances", "q29_top_supplier", "t09_tfidf_keywords",
     "t11_lm_score", "t12_lang_mix",
     "t14_ppl_buckets", "p03_token_budget_mix", "e16_value_deciles",
-    "q37_heavy_hitters", "s06_ann_sq8")
+    "q37_heavy_hitters", "s06_ann_sq8", "s07_mips_topk")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
