@@ -452,8 +452,15 @@ object Dedup {
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
       .cache()
+    // localCheckpoint (not just cache) per generation: each round's plan
+    // would otherwise reference the previous round's FULL lineage, so a
+    // high-diameter graph (many rounds) grows the plan tree geometrically
+    // until planning itself exhausts the heap. Checkpointing truncates
+    // lineage to the materialized partitions — memory stays flat per
+    // round at any diameter. (At cluster scale: checkpoint to reliable
+    // storage instead; same call shape.)
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
+      .withColumn("label", col("doc_id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
@@ -462,9 +469,9 @@ object Dedup {
       val next = labels.join(neighborMin, "doc_id")
         .select(col("doc_id"), least(col("label"), col("mnl")).as("label"),
                 (col("mnl") < col("label")).cast("long").as("chg"))
-        .cache()
-      changed = next.agg(sum(col("chg"))).head().getLong(0) // materializes next
-      labels.unpersist() // superseded generation; next no longer depends on it
+        .localCheckpoint() // materializes next, drops lineage
+      changed = next.agg(sum(col("chg"))).head().getLong(0)
+      labels.unpersist() // superseded generation
       labels = next.select("doc_id", "label")
     }
     labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
