@@ -80,6 +80,25 @@ object TextSources {
       rejects = cached.filter(malformed))
   }
 
+  /** Columnar (ORC) reader — the third ingest format next to parquet's
+    * native path and the text formats above. ORC carries its types, so
+    * "corrupt record" cannot occur; enforcement here is the CONTRACT:
+    * the supplied schema makes missing columns fail at analysis time
+    * (not mid-job on a late partition), extra columns are dropped by
+    * the projection, and rows violating required-field nullability
+    * quarantine exactly like the text readers (ORC nulls where the
+    * contract demands values are data bugs, not format errors). Scan
+    * behavior matches parquet: predicate pushdown + stripe-level
+    * min/max skipping, so the engine is format-agnostic at scan level. */
+  def orcDocuments(spark: SparkSession, path: String): Ingest = {
+    val read = spark.read.schema(documentsSchema).orc(path)
+    val malformed = required.map(col(_).isNull).reduce(_ || _)
+    Ingest(
+      clean = read.filter(!malformed),
+      rejects = read.filter(malformed)
+        .withColumn(Corrupt, lit(null).cast(StringType)))
+  }
+
   /** Reader options paired with [[csvWriteOptions]]. */
   val csvReadOptions: Map[String, String] = Map(
     "header" -> "true",

@@ -63,4 +63,28 @@ class TextSourcesSpec extends SparkSpec {
       == "ok, with comma and \"quote\"")
     assert(in.rejects.count() == 1L)
   }
+
+  test("orc round-trips losslessly, quarantines null-required rows, pushes filters") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-orc").toString
+    docs.write.mode("overwrite").orc(dir)
+    val in = TextSources.orcDocuments(spark, dir)
+    assert(in.rejects.count() == 0L)
+    assert(in.clean.collect().map(docKey).toSet == docs.collect().map(docKey).toSet)
+    // contract-violating rows (null required field) quarantine
+    val dir2 = Files.createTempDirectory("graft-orc2").toString
+    import spark.implicits._
+    Seq((1L, "good", "en", "s", 4L), (2L, null, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").orc(dir2)
+    val in2 = TextSources.orcDocuments(spark, dir2)
+    assert(in2.clean.select("doc_id").as[Long].collect().sameElements(Array(1L)))
+    assert(in2.rejects.count() == 1L)
+    // filters reach the orc scan (format-agnostic pushdown)
+    val q = in.clean.filter(col("n_chars") > 100).select("doc_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("n_chars"),
+      s"no pushdown in orc scan plan:\n$plan")
+  }
 }
