@@ -734,7 +734,51 @@ object Dedup {
        |SELECT doc_id, COUNT(*) AS degree, CAST(SUM(j6) AS DOUBLE) AS wdegree
        |FROM touch GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d16
+  /** Asymmetric near-CONTAINMENT: pairs where ≥ 90% of the smaller doc's
+    * shingles appear in the other (inter·10 ≥ min(na,nb)·9) — catches
+    * excerpts, quotes, and prefix/suffix copies whose symmetric Jaccard
+    * stays low because the big doc dilutes the union (the d03 family
+    * misses exactly these). The standard subsumption drop in dedup
+    * pipelines: the contained (smaller) side is the redundant one.
+    *
+    * Same inverted-index machinery as d03 — no cross join; the integer
+    * cross-multiplied threshold is exact at any scale. */
+  def d16(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
+    posting.as("a").join(posting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
+      .select(col("doc_a"), col("doc_b"),
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("contained"),
+        (dbl(col("inter")) / dbl(least(col("na"), col("nb")))).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val d16Sql: String =
+    s"""WITH sh AS ($shingledSql),
+       |posting AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+       |sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CASE WHEN na.n <= nb.n THEN doc_a ELSE doc_b END AS contained,
+       |  CAST(inter AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS containment
+       |FROM inter
+       |JOIN sizes na ON doc_a = na.doc_id
+       |JOIN sizes nb ON doc_b = nb.doc_id
+       |WHERE inter * 10 >= LEAST(na.n, nb.n) * 9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d16_containment" -> (d16 _),
     "d15_dup_centrality" -> (d15 _),
     "d14_bloom_decontam" -> (d14 _),
     "d13_semdedup" -> (d13 _),
@@ -753,6 +797,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d16_containment" -> d16Sql,
     "d15_dup_centrality" -> d15Sql,
     // d14 = d11 with a bloom prefilter + exact verify: same exact result.
     "d14_bloom_decontam" -> d11Sql,

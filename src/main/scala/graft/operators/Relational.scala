@@ -1048,7 +1048,42 @@ object Relational {
       |  ROUND((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** Year-over-year revenue growth per nation: yearly decimal-exact
+    * revenue self-joined on (nation, year+1); growth is one IEEE
+    * division of exact operands, round6. The yearly aggregate is tiny
+    * (nations × years) so the self-join is broadcast-sized no matter how
+    * large the fact; the only real shuffle is the first groupBy. */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    val yearly = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+    val prev = yearly.select(col("n_name"), (col("yr") + 1).as("yr"),
+      col("rev_dec").as("prev_dec"))
+    yearly.join(prev, Seq("n_name", "yr"))
+      .select(col("n_name"), col("yr"), dbl(col("rev_dec")).as("revenue"),
+        round(dbl(col("rev_dec")) / dbl(col("prev_dec")) - 1.0d, 6).as("yoy_growth"))
+      .orderBy("n_name", "yr")
+  }
+  val q39Sql: String =
+    s"""WITH y AS (
+       |  SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       |    SUM($revenueSql) AS rev_dec
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT a.n_name, a.yr, CAST(a.rev_dec AS DOUBLE) AS revenue,
+       |  ROUND(CAST(a.rev_dec AS DOUBLE) / CAST(b.rev_dec AS DOUBLE) - 1.0, 6) AS yoy_growth
+       |FROM y a JOIN y b ON a.n_name = b.n_name AND a.yr = b.yr + 1
+       |ORDER BY a.n_name, a.yr""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q39_yoy_growth" -> (q39 _),
     "q38_exact_corr" -> (q38 _),
     "q37_heavy_hitters" -> (q37 _),
     "q31_volume_shipping" -> (q31 _),
@@ -1127,5 +1162,6 @@ object Relational {
     "q36_or_predicates" -> q36Sql,
     "q37_heavy_hitters" -> q37Sql,
     "q38_exact_corr" -> q38Sql,
+    "q39_yoy_growth" -> q39Sql,
   )
 }

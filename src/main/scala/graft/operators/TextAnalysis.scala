@@ -700,7 +700,49 @@ object TextAnalysis {
        |  CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hapax_frac
        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t18
+  /** N-gram novelty: per document, the fraction of its distinct word
+    * 3-grams that appear FIRST in this document (by doc_id ingestion
+    * order) — the marginal-contribution metric for curation ("does doc
+    * N add anything the corpus hasn't seen?"); near-zero novelty late
+    * in a crawl means the source is exhausted.
+    *
+    * One shingle explode, one min-aggregation per gram (map-combinable
+    * on the uniform gram key), one join back on the same key, one
+    * per-doc count — all integer-exact; the fraction is one IEEE
+    * division. */
+  def t18(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val posting = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("word_ngrams(text, 3)").as("grams"))
+      .filter(size(col("grams")) >= 1)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    val firstSeen = posting.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    posting.join(firstSeen, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+      .orderBy("doc_id")
+  }
+  val t18Sql: String = {
+    s"""WITH sh AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+       |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+       |WHERE len(w) >= 3),
+       |p AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+       |f AS (SELECT g, MIN(doc_id) AS first_doc FROM p GROUP BY 1)
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+       |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+       |FROM p JOIN f USING (g)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t18_gram_novelty" -> (t18 _),
     "t17_lexical_diversity" -> (t17 _),
     "t16_zipf_head" -> (t16 _),
     "t15_chunk_dedup" -> (t15 _),
@@ -721,6 +763,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t18_gram_novelty" -> t18Sql,
     "t17_lexical_diversity" -> t17Sql,
     "t16_zipf_head" -> t16Sql,
     "t15_chunk_dedup" -> t15Sql,

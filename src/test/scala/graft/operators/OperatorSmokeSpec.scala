@@ -20,6 +20,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "q37_heavy_hitters", "e17_event_paths", "d14_bloom_decontam", "t15_chunk_dedup",
       "q38_exact_corr", "e18_gap_bands", "t16_zipf_head", "d15_dup_centrality",
       "e19_conversion_lag", "t17_lexical_diversity", "e20_type_entropy",
+      "q39_yoy_growth", "d16_containment", "t18_gram_novelty",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
@@ -90,6 +91,32 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(r.getAs[Long]("n_docs") >= 2L)
       assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
       assert(r.getAs[String]("chunk").split(" ").length == 3)
+    }
+  }
+
+  test("d16 containment catches the subsumption d03's symmetric jaccard misses") {
+    val rows = Dedup.d16(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("containment") >= 0.9)
+      val contained = r.getAs[Long]("contained")
+      assert(contained == r.getAs[Long]("doc_a") || contained == r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("t18 novelty: every gram's first doc claims it exactly once") {
+    val rows = TextAnalysis.t18(spark, sf).collect()
+    assert(rows.length > 0)
+    // total novel grams across docs == total distinct grams in the corpus
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val total = graft.engine.Tables.documents(spark, sf)
+      .select(explode(expr("word_ngrams(text, 3)")).as("g"))
+      .select("g").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == total)
+    rows.foreach { r =>
+      val nv = r.getAs[Double]("novelty")
+      assert(nv >= 0.0 && nv <= 1.0)
     }
   }
 
