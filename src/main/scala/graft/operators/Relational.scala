@@ -1082,7 +1082,38 @@ object Relational {
        |FROM y a JOIN y b ON a.n_name = b.n_name AND a.yr = b.yr + 1
        |ORDER BY a.n_name, a.yr""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Cohort LTV matrix: customers grouped by FIRST-order year, revenue
+    * tracked per subsequent order year — the classic lifetime-value
+    * triangle. The first-order year is one map-combinable min-agg on
+    * uniform custkey; attaching it to orders is a same-key shuffle join
+    * (both legs co-keyed); the final matrix is (years × years)/2 groups.
+    * Revenue stays DECIMAL until the last cast. */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+    val cohort = o.groupBy("o_custkey").agg(min(col("yr")).as("cohort_yr"))
+    o.join(cohort, "o_custkey")
+      .groupBy("cohort_yr", "yr")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"),
+           dbl(sum(dec(col("o_totalprice")))).as("revenue"))
+      .orderBy("cohort_yr", "yr")
+  }
+  val q40Sql: String =
+    """WITH o AS (SELECT o_custkey, o_totalprice,
+      |             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr
+      |           FROM orders),
+      |c AS (SELECT o_custkey, MIN(yr) AS cohort_yr FROM o GROUP BY 1)
+      |SELECT cohort_yr, yr, COUNT(DISTINCT o.o_custkey) AS n_customers,
+      |  COUNT(*)::BIGINT AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM o JOIN c ON o.o_custkey = c.o_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q40_cohort_ltv" -> (q40 _),
     "q39_yoy_growth" -> (q39 _),
     "q38_exact_corr" -> (q38 _),
     "q37_heavy_hitters" -> (q37 _),
@@ -1163,5 +1194,6 @@ object Relational {
     "q37_heavy_hitters" -> q37Sql,
     "q38_exact_corr" -> q38Sql,
     "q39_yoy_growth" -> q39Sql,
+    "q40_cohort_ltv" -> q40Sql,
   )
 }
