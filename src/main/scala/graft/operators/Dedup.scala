@@ -466,9 +466,19 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("mnl"))
-      val next = labels.join(neighborMin, "doc_id")
+      val stepped = labels.join(neighborMin, "doc_id")
         .select(col("doc_id"), least(col("label"), col("mnl")).as("label"),
                 (col("mnl") < col("label")).cast("long").as("chg"))
+      // pointer jumping: label := label(label). Every label is itself a
+      // node id in `labels`, so the self-join is total; doubling the hop
+      // each round turns O(diameter) convergence into O(log diameter) —
+      // the byte-SimHash graph (m07) has ~400-node chains of diameter
+      // ~23, which plain propagation walked one hop per barrier.
+      val next = stepped.as("x")
+        .join(stepped.select(col("doc_id").as("lid"), col("label").as("ll")).as("y"),
+          col("x.label") === col("y.lid"))
+        .select(col("x.doc_id"), least(col("x.label"), col("y.ll")).as("label"),
+                (col("x.chg") + (col("y.ll") < col("x.label")).cast("long")).as("chg"))
         .localCheckpoint() // materializes next, drops lineage
       changed = next.agg(sum(col("chg"))).head().getLong(0)
       labels.unpersist() // superseded generation
