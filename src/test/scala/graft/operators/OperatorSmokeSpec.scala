@@ -335,7 +335,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "image/jpeg" -> Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00).map(_.toByte),
       "image/png"  -> Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A).map(_.toByte),
       "image/gif"  -> "GIF89a".getBytes("UTF-8"),
-      "audio/riff" -> ("RIFF" + "  WAVE").getBytes("UTF-8"),
+      "audio/riff" -> ("RIFF" + "\u0000\u0000WAVE").getBytes("UTF-8"),
       "video/mp4"  -> (Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("UTF-8")),
       "text"       -> "plain readable text".getBytes("UTF-8"),
       "binary"     -> Array(0x01, 0x02, 0x03, 0x04).map(_.toByte),
