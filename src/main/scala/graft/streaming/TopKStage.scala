@@ -33,12 +33,16 @@ object TopKStage {
     * right contract here because top-k is a GLOBAL property: an
     * update-mode delta could silently drop a key that fell out of the
     * changed set but still belongs on the board. */
-  def start(events: DataFrame, keyCol: String, k: Int, queryName: String)(
-      publish: DataFrame => Unit): StreamingQuery =
-    runningCounts(events, keyCol)
+  def start(events: DataFrame, keyCol: String, k: Int, queryName: String,
+            checkpointDir: Option[String] = None)(
+      publish: DataFrame => Unit): StreamingQuery = {
+    val w = runningCounts(events, keyCol)
       .writeStream
       .outputMode(OutputMode.Complete())
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) => publish(topK(batch, k)) }
-      .start()
+    // with a checkpoint, the counter state survives restarts — the
+    // leaderboard resumes from cumulative counts, not from zero
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
 }

@@ -25,6 +25,30 @@ class TopKStageSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("leaderboard state survives a stop/restart from checkpoint") {
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("topk-ckpt").toString
+    val input = MemoryStream[String]
+    @volatile var board: Seq[(String, Long)] = Nil
+    def run() = TopKStage.start(input.toDF().toDF("event_type"), "event_type",
+      k = 2, queryName = "topk_r", checkpointDir = Some(ckpt)) { top =>
+      board = top.collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toSeq
+    }
+    val q1 = run()
+    input.addData("view", "view", "view", "click")
+    q1.processAllAvailable()
+    q1.stop()
+    assert(board == Seq("view" -> 3L, "click" -> 1L))
+    // restart from the same checkpoint: counts accumulate, not reset
+    val q2 = run()
+    try {
+      input.addData("click", "click", "click")
+      q2.processAllAvailable()
+      assert(board == Seq("click" -> 4L, "view" -> 3L),
+        s"state lost across restart: $board")
+    } finally q2.stop()
+  }
+
   test("topK is deterministic under count ties (key order)") {
     val counts = Seq(("b", 5L), ("a", 5L), ("c", 1L)).toDF("key", "n")
     val top = TopKStage.topK(counts, 2).collect().map(_.getAs[String]("key"))
