@@ -797,7 +797,40 @@ object Events {
       |  ROUND(ln(CAST(n_events AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE), 6) AS entropy
       |FROM u ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- e21
+  /** Seasonality heatmap: events per (day-of-week, hour-of-day) cell with
+    * each cell's share of its weekday — the load-shape profile behind
+    * capacity planning and anomaly baselines (e13's mean/σ per hour
+    * assumes you know this shape).
+    *
+    * Day/hour come from integer epoch-ms arithmetic (epoch day 0 was a
+    * Thursday → dow = (day+4) mod 7, 0=Sunday — matching DuckDB's
+    * dayofweek), never from timezone-dependent timestamp formatting. One
+    * map-combinable groupBy to ≤168 cells, a 7-row totals equi-join. */
+  def e21(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(((floor(col("ms") / 86400000L) + 4) % 7).cast("long").as("dow"),
+              floor((col("ms") % 86400000L) / 3600000L).cast("long").as("hod"))
+      .groupBy("dow", "hod").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("dow").agg(sum(col("n")).as("t"))
+    cells.join(totals, "dow")
+      .select(col("dow"), col("hod"), col("n"),
+        (col("n").cast("double") / col("t")).as("share_of_dow"))
+      .orderBy("dow", "hod")
+  }
+  val e21Sql: String =
+    """WITH e AS (SELECT epoch_ms(ts) AS ms FROM events),
+      |c AS (SELECT CAST((FLOOR(ms / 86400000) + 4) % 7 AS BIGINT) AS dow,
+      |             CAST(FLOOR((ms % 86400000) / 3600000) AS BIGINT) AS hod
+      |      FROM e),
+      |g AS (SELECT dow, hod, COUNT(*)::BIGINT AS n FROM c GROUP BY 1, 2),
+      |t AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS t FROM g GROUP BY 1)
+      |SELECT g.dow, hod, n, CAST(n AS DOUBLE) / t AS share_of_dow
+      |FROM g JOIN t ON g.dow = t.dow
+      |ORDER BY g.dow, hod""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e21_seasonality" -> (e21 _),
     "e20_type_entropy" -> (e20 _),
     "e19_conversion_lag" -> (e19 _),
     "e18_gap_bands" -> (e18 _),
@@ -842,5 +875,6 @@ object Events {
     "e18_gap_bands" -> e18Sql,
     "e19_conversion_lag" -> e19Sql,
     "e20_type_entropy" -> e20Sql,
+    "e21_seasonality" -> e21Sql,
   )
 }

@@ -21,6 +21,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "q38_exact_corr", "e18_gap_bands", "t16_zipf_head", "d15_dup_centrality",
       "e19_conversion_lag", "t17_lexical_diversity", "e20_type_entropy",
       "q39_yoy_growth", "d16_containment", "t18_gram_novelty", "q40_cohort_ltv",
+      "e21_seasonality",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
