@@ -787,7 +787,39 @@ object Dedup {
        |WHERE inter * 10 >= LEAST(na.n, nb.n) * 9
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- d17
+  /** d16's scale path: containment detection with the d06 df-cap — hot
+    * "stop-gram" postings (df > 50) are dropped BEFORE the pair join, so
+    * the join volume is bounded by maxDf·|rare postings| instead of
+    * O(df²) on every common phrase. Intersections count only rare
+    * shingles, so the reported containment is a LOWER bound and the
+    * ≥ 0.9 threshold is conservative (rows-only; the spec proves every
+    * surviving pair also appears in exact d16 with equal-or-higher
+    * containment). */
+  def d17(spark: SparkSession, dir: String): DataFrame = {
+    val maxDf = 50
+    val sh = shingled(spark, dir).cache()
+    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val rare = posting.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("g")
+    val rarePosting = posting.join(rare, "g")
+    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
+    rarePosting.as("a").join(rarePosting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
+      .select(col("doc_a"), col("doc_b"),
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("contained"),
+        (dbl(col("inter")) / dbl(least(col("na"), col("nb")))).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d17_containment_capped" -> (d17 _),
     "d16_containment" -> (d16 _),
     "d15_dup_centrality" -> (d15 _),
     "d14_bloom_decontam" -> (d14 _),

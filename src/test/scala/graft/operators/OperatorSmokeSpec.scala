@@ -21,7 +21,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "q38_exact_corr", "e18_gap_bands", "t16_zipf_head", "d15_dup_centrality",
       "e19_conversion_lag", "t17_lexical_diversity", "e20_type_entropy",
       "q39_yoy_growth", "d16_containment", "t18_gram_novelty", "q40_cohort_ltv",
-      "e21_seasonality",
+      "e21_seasonality", "d17_containment_capped",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
@@ -46,7 +46,7 @@ class OperatorSmokeSpec extends SparkSpec {
       Set("d04_simhash", "d06_jaccard_capped", "d13_semdedup", "s02_ann_lsh", "s03_ann_ivf",
         "s04_ann_ivfpq", "s06_ann_sq8", "m02_decode_features", "m03_frame_sample", "m04_resize",
         "m05_payload_neardup", "m07_payload_clusters", "p02_embedding_pipeline",
-        "q21_approx_stats"))
+        "q21_approx_stats", "d17_containment_capped"))
   }
 
   test("d14 bloom-prefiltered decontamination is bit-identical to exact d11") {
@@ -92,6 +92,20 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(r.getAs[Long]("n_docs") >= 2L)
       assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
       assert(r.getAs[String]("chunk").split(" ").length == 3)
+    }
+  }
+
+  test("d17 capped containment pairs all appear in exact d16, never inflated") {
+    val exact = Dedup.d16(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("containment"))
+      .toMap
+    val capped = Dedup.d17(spark, sf).collect()
+    assert(capped.nonEmpty)
+    capped.foreach { r =>
+      val k = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(exact.contains(k), s"d17 produced a pair d16 lacks: $k")
+      assert(r.getAs[Double]("containment") <= exact(k) + 1e-12,
+        s"capped containment exceeded exact for $k")
     }
   }
 
