@@ -11,6 +11,13 @@ object Verify {
     }
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet // dev filter; the driver always passes 2 args
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      // a typo'd filter would otherwise be an empty, successful-looking run
+      System.err.println(
+        s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Engine.session(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()

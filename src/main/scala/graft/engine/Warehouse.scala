@@ -49,11 +49,49 @@ object Warehouse {
     * — unlike round-robin, the sort order carries across files), rewrite
     * to a temp dir, then swap. The swap is the same
     * write-temp/rename-commit pattern as NearDupStage's exactly-once
-    * epoch dirs. */
+    * epoch dirs.
+    *
+    * Concurrent-writer safety: the rewrite reads an explicit SNAPSHOT of
+    * the data files listed at entry, and any file committed under `path`
+    * AFTER the snapshot is carried across into the compacted dir before
+    * the swap — a streaming sink landing files mid-compaction loses
+    * nothing. The only window needing exclusivity is the final
+    * three-rename swap itself (sub-second, metadata-only); callers must
+    * quiesce writers for the swap, not for the rewrite. The `.compact-old`
+    * backup is deleted only AFTER the new dir is verified in place; a
+    * crash mid-swap leaves either the original dir or the backup intact
+    * for manual recovery — data is never in zero places. */
   def compact(spark: SparkSession, path: String, partitionCols: Seq[String],
-              sortCols: Seq[String], targetRows: Long = 1000000L): Unit = {
-    val tmp = path + ".compact-tmp"
-    val df = spark.read.parquet(path)
+              sortCols: Seq[String], targetRows: Long = 1000000L,
+              onBeforeSwap: () => Unit = () => ()): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(path)
+    // the path's OWN filesystem — FileSystem.get(conf) resolves the
+    // DEFAULT scheme and throws 'Wrong FS' for e.g. s3a:// on an
+    // HDFS-default cluster
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".compact-tmp")
+    val bak = new Path(path + ".compact-old")
+
+    // relative data-file listing (skips _SUCCESS and hidden/in-progress files)
+    def dataFiles(root: Path): Map[String, Path] = {
+      val prefix = fs.makeQualified(root).toString + "/"
+      val it = fs.listFiles(root, true)
+      val b = Map.newBuilder[String, Path]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        val name = p.getName
+        if (!name.startsWith("_") && !name.startsWith("."))
+          b += fs.makeQualified(p).toString.stripPrefix(prefix) -> p
+      }
+      b.result()
+    }
+
+    val snapshot = dataFiles(dst)
+    if (snapshot.isEmpty) return
+    // rewrite exactly the snapshot (basePath keeps partition-dir columns)
+    val df = spark.read.option("basePath", path)
+      .parquet(snapshot.keys.toSeq.sorted.map(path + "/" + _): _*)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
     val ranged =
@@ -63,15 +101,29 @@ object Warehouse {
       else df.repartition(files)
     ranged.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
-      .parquet(tmp)
-    // commit: atomic-enough swap (single-FS rename, as the streaming sinks)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
-    fs.rename(dst, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-    fs.delete(bak, true)
+      .parquet(tmp.toString)
+
+    onBeforeSwap() // test seam: lets a spec land a concurrent-writer file here
+
+    // carry across files a concurrent writer committed since the snapshot
+    dataFiles(dst).foreach { case (rel, p) =>
+      if (!snapshot.contains(rel)) {
+        val to = new Path(tmp, rel)
+        fs.mkdirs(to.getParent)
+        if (!fs.rename(p, to))
+          throw new java.io.IOException(s"compact: failed to carry $p into $tmp")
+      }
+    }
+
+    // commit: atomic-enough swap (single-FS renames, as the streaming sinks)
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"compact: failed to move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(bak, dst) // roll back so the warehouse path never vanishes
+      throw new java.io.IOException(s"compact: failed to commit $tmp; restored original")
+    }
+    // delete the backup only once the new dir is verified in place
+    if (fs.exists(dst) && fs.listStatus(dst).nonEmpty) fs.delete(bak, true)
   }
 
   /** Write `df` as a BUCKETED managed table: rows are hash-distributed

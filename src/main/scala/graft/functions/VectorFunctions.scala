@@ -333,7 +333,11 @@ case class Sq8Cos(left: Expression, right: Expression) extends BinaryExpression 
   override def dataType: DataType = DoubleType
 
   def compute(a: Array[Byte], b: Array[Byte]): Double = {
-    val n = math.min(a.length, b.length)
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"sq8_cos: code length mismatch (${a.length} vs ${b.length}) — " +
+          "comparing codes of different dimensionality is a pipeline bug")
+    val n = a.length
     var dot = 0L; var na = 0L; var nb = 0L
     var i = 0
     while (i < n) {

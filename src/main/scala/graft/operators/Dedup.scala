@@ -686,10 +686,15 @@ object Dedup {
       .select(col("doc_id"), explode(col("grams")).as("g"))
     val eval_ = post.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("eval_id"), col("g"))
-    // Sketch sized for the eval split (benchmarks are small by nature):
-    // 100k items / 1.6M bits => 16 bits/item, fp ~ 0.04%.
+    // Size the sketch from the eval split itself (one cheap distinct-count
+    // over the SMALL side) at 16 bits/item => fp ~ 0.04%. A hard-coded
+    // capacity would silently degrade toward a full join if the eval
+    // split's gram set outgrew it.
+    val evalGrams = math.max(1000L,
+      eval_.select(col("g")).distinct().count())
+    val bits = evalGrams * 16L
     val bf = eval_
-      .select(expr("bloom_agg(xxhash64(g), 100000L, 1600000L)").as("bf"))
+      .select(expr(s"bloom_agg(xxhash64(g), ${evalGrams}L, ${bits}L)").as("bf"))
       .head.getAs[Array[Byte]]("bf")
     post.filter(col("doc_id") % 20 =!= 0)
       .filter(call_function("bloom_contains", lit(bf), xxhash64(col("g"))))

@@ -53,6 +53,30 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("compaction carries across files landed by a concurrent writer") {
+    val dir = Files.createTempDirectory("wh-concurrent").toString
+    val events = Warehouse.withDayPartition(Tables.events(spark, sf), "ms")
+    events.repartition(8).write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val base = Warehouse.read(spark, dir).count()
+    // a "streaming sink" commits one more file AFTER compact's snapshot —
+    // the seam fires between the rewrite and the swap, the worst window
+    val lateDir = Files.createTempDirectory("wh-late").toString
+    events.filter(col("dt") === "2024-01-05").limit(7).drop("dt")
+      .coalesce(1).write.mode("overwrite").parquet(lateDir)
+    val part = new java.io.File(lateDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Warehouse.compact(spark, dir, Seq("dt"), Seq("user_id", "ms"),
+      onBeforeSwap = () => {
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(dir, "dt=2024-01-05", "late-" + part.getName))
+      })
+    assert(Warehouse.read(spark, dir).count() == base + 7,
+      "late-committed rows were destroyed by compaction")
+    assert(!new java.io.File(dir + ".compact-old").exists(),
+      "backup must be cleaned once the new dir is verified in place")
+    assert(!new java.io.File(dir + ".compact-tmp").exists())
+  }
+
   test("bucketed fact-fact join on the bucket key plans with zero shuffle") {
     Warehouse.writeBucketed(Tables.orders(spark, sf), "wh_orders_b",
       "o_orderkey", nBuckets = 4)

@@ -45,6 +45,16 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(df.select(expr("vec_dot(a, b)")).head().getDouble(0) == 10.0)
   }
 
+  test("sq8_cos rejects codes of different dimensionality") {
+    // silently truncating would turn a pipeline dimension bug into
+    // plausible-looking garbage cosines
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val a = Literal.create(Array[Byte](10, 20, 30), BinaryType)
+    val b = Literal.create(Array[Byte](10, 20), BinaryType)
+    intercept[IllegalArgumentException] { Sq8Cos(a, b).eval(null) }
+  }
+
   test("simhash64 kernel == composed explode + bit-sum form on real docs") {
     VectorFunctions.register(spark)
     val docs = graft.engine.Tables.documents(spark, sf).limit(50)
