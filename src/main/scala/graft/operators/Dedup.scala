@@ -823,7 +823,51 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------- d18
+  /** Production fuzzy-dedup output: d02's MinHash-LSH pair generator
+    * (J ≥ 0.8, bucketed — the 100 TB candidate path) resolved into
+    * duplicate CLUSTERS by d10's connected-components machinery, with a
+    * member count per cluster. This is the artifact a curation run
+    * actually consumes: keep cluster_id == doc_id (the min-id canonical),
+    * drop the rest — d10 gives the same view for the exact J ≥ 0.5
+    * inverted-index pairs; this is its LSH-scale sibling.
+    *
+    * Scale: pair generation is d02's banded self-join (never all-pairs);
+    * the CC loop is O(log diameter) pointer-jumped rounds over a pair
+    * graph orders smaller than the corpus; the size join shuffles on
+    * cluster_id (bounded by docs). Oracle: DuckDB recursive-CTE closure
+    * over the same exact-Jaccard pair set (d02's output is spec-equal to
+    * exact all-pairs at J ≥ 0.8). */
+  def d18(spark: SparkSession, dir: String): DataFrame = {
+    val cc = connectedComponents(d02(spark, dir).select("doc_a", "doc_b"))
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+  val d18Sql: String = {
+    val pairSql = jaccardPairsSql(4, 5) // J >= 0.8, same as d02's oracle
+      .replace("ORDER BY doc_a, doc_b", "")
+      .replaceFirst("""SELECT doc_a, doc_b,\n  CAST\(inter AS DOUBLE\) / CAST\(na\.n \+ nb\.n - inter AS DOUBLE\) AS jaccard""",
+        "SELECT doc_a, doc_b")
+    s"""WITH RECURSIVE pairs AS ($pairSql),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |labels AS (
+       |  SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY s)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+       |FROM labels ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d18_minhash_clusters" -> (d18 _),
     "d17_containment_capped" -> (d17 _),
     "d16_containment" -> (d16 _),
     "d15_dup_centrality" -> (d15 _),
@@ -844,6 +888,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d18_minhash_clusters" -> d18Sql,
     "d16_containment" -> d16Sql,
     "d15_dup_centrality" -> d15Sql,
     // d14 = d11 with a bloom prefilter + exact verify: same exact result.

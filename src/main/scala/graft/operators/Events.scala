@@ -829,7 +829,58 @@ object Events {
       |FROM g JOIN t ON g.dow = t.dow
       |ORDER BY g.dow, hod""".stripMargin
 
+  // ---------------------------------------------------------------- e22
+  /** Inter-event burstiness per user: coefficient of variation of the
+    * user's gap distribution. CV ≈ 1 is Poisson-like arrival, CV ≫ 1 is
+    * bursty sessions, CV ≈ 0 is metronomic — the cron/bot timing signal
+    * that pairs with e20's event-mix entropy (monoculture) flag.
+    *
+    * Exactness: gaps are integer milliseconds; per-user n / Σg / Σg²
+    * accumulate in DECIMAL(38,0) (map-side-combinable, order-independent,
+    * overflow-proof at any event count — e13's recipe), and
+    * CV = sqrt((n·Σg² − (Σg)²) · n / ((n−1) · (Σg)²)) is one identical
+    * IEEE expression on both engines after the exact integer numerator,
+    * rounded to 6dp. Scale: one window pass partitioned by user_id
+    * (bounded state), one uniform-key aggregation. */
+  def e22(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ms"), col("event_id"))
+      .withColumn("gap", lead(col("ms"), 1).over(w) - col("ms"))
+      .filter(col("gap").isNotNull)
+    val nD = col("n").cast(d38)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+           sum(col("gap").cast(d38)).as("s"),
+           sum(col("gap").cast(d38) * col("gap").cast(d38)).as("q"))
+      .filter(col("n") >= 2 && col("s") > 0)
+      .select(col("user_id"), col("n").as("n_gaps"),
+        (dbl(col("s")) / col("n")).as("mean_gap_ms"),
+        round(sqrt(dbl(nD * col("q") - col("s") * col("s")) * col("n") /
+          (dbl(col("n") - 1) * dbl(col("s")) * dbl(col("s")))), 6).as("cv"))
+      .orderBy("user_id")
+  }
+  val e22Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |      - epoch_ms(ts) AS gap
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id, COUNT(*)::BIGINT AS n,
+      |    SUM(CAST(gap AS HUGEINT)) AS s,
+      |    SUM(CAST(gap AS HUGEINT) * gap) AS q
+      |  FROM g WHERE gap IS NOT NULL
+      |  GROUP BY user_id HAVING COUNT(*) >= 2 AND SUM(gap) > 0)
+      |SELECT user_id, n AS n_gaps,
+      |  CAST(s AS DOUBLE) / n AS mean_gap_ms,
+      |  ROUND(SQRT(CAST(n * q - s * s AS DOUBLE) * n /
+      |    (CAST(n - 1 AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS cv
+      |FROM st ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e22_burstiness" -> (e22 _),
     "e21_seasonality" -> (e21 _),
     "e20_type_entropy" -> (e20 _),
     "e19_conversion_lag" -> (e19 _),
@@ -876,5 +927,6 @@ object Events {
     "e19_conversion_lag" -> e19Sql,
     "e20_type_entropy" -> e20Sql,
     "e21_seasonality" -> e21Sql,
+    "e22_burstiness" -> e22Sql,
   )
 }

@@ -246,11 +246,48 @@ object Pipeline {
        |  AND doc_id NOT IN (SELECT doc_id FROM hits_fuzzy)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- p05
+  /** Composed multimodal curation: the media-side analogue of p01 —
+    * route opaque payloads by magic bytes (m06), drop byte-level
+    * SimHash near-dups keeping the min-id representative per pair
+    * family (m05/m07's machinery), and report per-modality raw vs kept
+    * volumes — the "what survives ingest, per modality" dashboard a
+    * decode fleet is sized from.
+    *
+    * One declarative plan: the router is scan-speed Column logic, the
+    * near-dup pair graph is banded (never all-pairs), the drop is one
+    * anti-join, and the final rollup groups on ≤7 modalities. Rows-only
+    * (SimHash banding is not SQL-expressible); the spec asserts
+    * consistency with m05's pairs and m06's routed volumes. */
+  def p05(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", Multimodal.routeModality(col("payload"), col("text")))
+      .cache()
+    // near-dup families: drop every doc that is the LARGER id of a pair
+    // (keeps exactly the min-id representative per connected family on
+    // pair chains, same keep rule as p01's stage 4)
+    val drops = Multimodal.payloadNearDup(spark, docs)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = docs.join(drops, Seq("doc_id"), "left_anti")
+    docs.groupBy("modality")
+      .agg(count(lit(1)).as("n_raw"),
+           sum(octet_length(col("payload"))).cast("long").as("raw_bytes"))
+      .join(kept.groupBy("modality")
+              .agg(count(lit(1)).as("n_kept"),
+                   sum(octet_length(col("payload"))).cast("long").as("kept_bytes")),
+            Seq("modality"), "left")
+      .select(col("modality"), col("n_raw"), col("n_kept"),
+              col("raw_bytes"), col("kept_bytes"))
+      .orderBy("modality")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_corpus_pipeline" -> (p01 _),
     "p02_embedding_pipeline" -> (p02 _),
     "p03_token_budget_mix" -> (p03 _),
     "p04_decontam_pipeline" -> (p04 _),
+    "p05_multimodal_curation" -> (p05 _),
   )
 
   val oracle: Map[String, String] = Map(

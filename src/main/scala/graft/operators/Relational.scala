@@ -1112,7 +1112,90 @@ object Relational {
       |FROM o JOIN c ON o.o_custkey = c.o_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** Median absolute deviation per market segment — the robust dispersion
+    * pair to q18's exact median (stddev collapses under outliers; MAD is
+    * the filter-threshold statistic robust pipelines actually use).
+    *
+    * Both medians use q18's two-middle-rows recipe; the center is
+    * (min+max)/2 of the selected rows — one add and one divide of exact
+    * doubles, identical on both engines — so the deviation column is
+    * bit-identical before the second median pass. Scale: two window
+    * passes partitioned by segment (bounded per-group state) plus a
+    * |segments|-row broadcast back onto the table; no global sort. */
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val wc = Window.partitionBy("c_mktsegment")
+    def twoMiddle(df: DataFrame, ord: Column, tie: Column): DataFrame = {
+      val w = Window.partitionBy("c_mktsegment").orderBy(ord, tie)
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+                col("rn") === floor((col("cnt") + 2) / 2))
+    }
+    val med = twoMiddle(c, col("c_acctbal"), col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(((min(col("c_acctbal")) + max(col("c_acctbal"))) / lit(2.0d)).as("median_bal"))
+    val dev = c.join(broadcast(med), "c_mktsegment")
+      .select(col("c_mktsegment"), col("median_bal"), col("c_custkey"),
+              abs(col("c_acctbal") - col("median_bal")).as("dev"))
+    twoMiddle(dev, col("dev"), col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(min(col("median_bal")).as("median_bal"),
+           ((min(col("dev")) + max(col("dev"))) / lit(2.0d)).as("mad"))
+      .orderBy("c_mktsegment")
+  }
+  val q41Sql: String =
+    """WITH m AS (
+      |  SELECT c_mktsegment, (MIN(c_acctbal) + MAX(c_acctbal)) / CAST(2.0 AS DOUBLE) AS median_bal
+      |  FROM (SELECT c_mktsegment, c_acctbal,
+      |          CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rn,
+      |          COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+      |        FROM customer)
+      |  WHERE rn = FLOOR((cnt + 1) / 2) OR rn = FLOOR((cnt + 2) / 2)
+      |  GROUP BY c_mktsegment),
+      |d AS (
+      |  SELECT c.c_mktsegment, m.median_bal, c.c_custkey,
+      |    ABS(c.c_acctbal - m.median_bal) AS dev
+      |  FROM customer c JOIN m ON c.c_mktsegment = m.c_mktsegment)
+      |SELECT c_mktsegment, MIN(median_bal) AS median_bal,
+      |  (MIN(dev) + MAX(dev)) / CAST(2.0 AS DOUBLE) AS mad
+      |FROM (SELECT c_mktsegment, median_bal, dev,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY dev, c_custkey) AS BIGINT) AS rn,
+      |        COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+      |      FROM d)
+      |WHERE rn = FLOOR((cnt + 1) / 2) OR rn = FLOOR((cnt + 2) / 2)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  /** Explicit GROUPING SETS — the non-hierarchical cousin of q09's ROLLUP
+    * and q24's CUBE: two independent single-dimension breakdowns plus the
+    * cross product, in ONE aggregation pass (Expand + one shuffle, not
+    * three scans unioned). */
+  def q42(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n_orders"), col("revenue"))
+      .orderBy("status", "priority")
+  val q42Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q41_mad_dispersion" -> (q41 _),
+    "q42_grouping_sets" -> (q42 _),
     "q40_cohort_ltv" -> (q40 _),
     "q39_yoy_growth" -> (q39 _),
     "q38_exact_corr" -> (q38 _),
@@ -1156,6 +1239,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q41_mad_dispersion" -> q41Sql,
+    "q42_grouping_sets" -> q42Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_top_revenue" -> q03Sql,

@@ -527,7 +527,47 @@ object Similarity {
       |SELECT q_id, n_id, rnk, dot FROM r WHERE rnk <= 5
       |ORDER BY q_id, rnk, n_id""".stripMargin
 
+  // ---------------------------------------------------------------- s08
+  /** Cosine RANGE search: for a small query set, every corpus vector
+    * within cos ≥ τ — retrieval's "all matches above threshold" shape
+    * (near-dup lookup against a blocklist, semantic recall audits),
+    * complementing the fixed-k operators.
+    *
+    * Scale posture is the inverse of s01's: the QUERY set is the small
+    * side and is broadcast; the 100 TB corpus streams through map-side
+    * with zero shuffle before the output sort. τ is a parameter; 0.25
+    * is non-vacuous on the driver data (max off-diagonal cos ≈ 0.38).
+    * For massive query sets, d07's LSH machinery generates candidates
+    * instead — this operator is the exact form. */
+  def s08(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
+    val n = spread(e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb")))
+    n.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.25d)
+      .select("q_id", "n_id", "cos")
+      .orderBy("q_id", "n_id")
+  }
+  val s08Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+      |  FROM e)
+      |SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+      |  ROUND(list_reduce(list_transform(list_zip(q.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+      |        / (q.nrm * b.nrm), 6) AS cos
+      |FROM n q JOIN n b ON q.vec_id % 100 = 0 AND q.vec_id <> b.vec_id
+      |WHERE ROUND(list_reduce(list_transform(list_zip(q.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+      |        / (q.nrm * b.nrm), 6) >= 0.25
+      |ORDER BY q_id, n_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s08_range_search" -> (s08 _),
     "s07_mips_topk" -> (s07 _),
     "s06_ann_sq8" -> (s06 _),
     "s01_ann_brute_topk" -> (s01 _),
@@ -538,6 +578,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s08_range_search" -> s08Sql,
     "s07_mips_topk" -> s07Sql,
     "s01_ann_brute_topk" -> s01Sql,
     "s05_knn_label" -> s05Sql,

@@ -741,7 +741,48 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t19
+  /** Character-class profile per document: digit / symbol / uppercase /
+    * non-ASCII counts and fractions — the C4/Gopher scan-level filters
+    * (symbol-heavy boilerplate, ALL-CAPS shouting, mojibake detection)
+    * that complement t02's token-level quality score.
+    *
+    * Pure codegen'd string expressions (count = length minus the length
+    * with the class stripped); each fraction is one IEEE division of
+    * integer-exact counts, round6. Scale: embarrassingly parallel scan,
+    * no shuffle at all except the output sort. */
+  def t19(spark: SparkSession, dir: String): DataFrame = {
+    def classCount(cls: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), cls, ""))).cast("long")
+    def frac(c: Column) = round(dbl(c) / dbl(col("n_chars")), 6)
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        classCount("[0-9]").as("n_digit"),
+        classCount("[^0-9A-Za-z ]").as("n_sym"),
+        classCount("[A-Z]").as("n_upper"))
+      .withColumn("digit_frac", frac(col("n_digit")))
+      .withColumn("sym_frac", frac(col("n_sym")))
+      .withColumn("upper_frac", frac(col("n_upper")))
+      .orderBy("doc_id")
+  }
+  val t19Sql: String =
+    """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^0-9A-Za-z ]', '', 'g')) AS BIGINT) AS n_sym,
+      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+      |  ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+      |        / CAST(LENGTH(text) AS DOUBLE), 6) AS digit_frac,
+      |  ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^0-9A-Za-z ]', '', 'g')) AS DOUBLE)
+      |        / CAST(LENGTH(text) AS DOUBLE), 6) AS sym_frac,
+      |  ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+      |        / CAST(LENGTH(text) AS DOUBLE), 6) AS upper_frac
+      |FROM documents WHERE LENGTH(text) > 0
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t19_charclass" -> (t19 _),
     "t18_gram_novelty" -> (t18 _),
     "t17_lexical_diversity" -> (t17 _),
     "t16_zipf_head" -> (t16 _),
@@ -775,6 +816,7 @@ object TextAnalysis {
     "t09_tfidf_keywords" -> t09Sql,
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
+    "t19_charclass" -> t19Sql,
     "t03_langid" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
     "t05_redaction" -> t05Sql,

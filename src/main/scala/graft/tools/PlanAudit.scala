@@ -28,6 +28,9 @@ import org.apache.spark.sql.SparkSession
   *  - s07: brute-force MIPS baseline, same non-equi contract as s01/s06
   *    (the augmented-vector trick reduces MIPS to s02's cosine LSH at
   *    massive N)
+  *  - s08: cosine range search — the BROADCAST side is the small query
+  *    set (1% of vectors); the corpus streams map-side (non-equi
+  *    q_id != n_id), which is exactly the 100 TB posture
   */
 object PlanAudit {
   private val allowBnlj = Set(
@@ -37,7 +40,7 @@ object PlanAudit {
     "q28_dormant_balances", "q29_top_supplier", "t09_tfidf_keywords",
     "t11_lm_score", "t12_lang_mix",
     "t14_ppl_buckets", "p03_token_budget_mix", "e16_value_deciles",
-    "q37_heavy_hitters", "s06_ann_sq8", "s07_mips_topk")
+    "q37_heavy_hitters", "s06_ann_sq8", "s07_mips_topk", "s08_range_search")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

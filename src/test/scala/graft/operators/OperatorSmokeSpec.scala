@@ -22,6 +22,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e19_conversion_lag", "t17_lexical_diversity", "e20_type_entropy",
       "q39_yoy_growth", "d16_containment", "t18_gram_novelty", "q40_cohort_ltv",
       "e21_seasonality", "d17_containment_capped",
+      "q41_mad_dispersion", "q42_grouping_sets", "e22_burstiness", "t19_charclass",
+      "d18_minhash_clusters", "s08_range_search", "p05_multimodal_curation",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
@@ -46,7 +48,75 @@ class OperatorSmokeSpec extends SparkSpec {
       Set("d04_simhash", "d06_jaccard_capped", "d13_semdedup", "s02_ann_lsh", "s03_ann_ivf",
         "s04_ann_ivfpq", "s06_ann_sq8", "m02_decode_features", "m03_frame_sample", "m04_resize",
         "m05_payload_neardup", "m07_payload_clusters", "p02_embedding_pipeline",
-        "q21_approx_stats", "d17_containment_capped"))
+        "q21_approx_stats", "d17_containment_capped", "p05_multimodal_curation"))
+  }
+
+  test("d18 clusters: every d02 pair co-clustered, min-id labels, census-true sizes") {
+    val pairs = Dedup.d02(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val cl = Dedup.d18(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"))).toMap
+    assert(pairs.nonEmpty && cl.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(cl(a)._1 == cl(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    cl.groupBy(_._2._1).foreach { case (label, members) =>
+      assert(label == members.keys.min, s"cluster $label is not its min member")
+      assert(members.values.forall(_._2 == members.size),
+        s"cluster $label size mismatch")
+    }
+  }
+
+  test("p05 multimodal curation reconciles with m05 pairs and the corpus") {
+    val out = Pipeline.p05(spark, sf).collect()
+    val nRaw = out.map(_.getAs[Long]("n_raw")).sum
+    assert(nRaw == graft.engine.Tables.documents(spark, sf).count())
+    val dropped = Multimodal.m05(spark, sf).select("doc_b").distinct().count()
+    assert(out.map(_.getAs[Long]("n_kept")).sum == nRaw - dropped)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_raw"))
+      assert(r.getAs[Long]("kept_bytes") <= r.getAs[Long]("raw_bytes"))
+    }
+  }
+
+  test("q41 median and MAD recompute from first principles") {
+    val byseg = graft.engine.Tables.customer(spark, sf)
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    def med(xs: Array[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      (s((n - 1) / 2) + s(n / 2)) / 2.0
+    }
+    val rows = Relational.q41(spark, sf).collect()
+    assert(rows.length == byseg.size)
+    rows.foreach { r =>
+      val vals = byseg(r.getString(0)).map(_._2)
+      val m = med(vals)
+      assert(r.getAs[Double]("median_bal") == m)
+      assert(math.abs(r.getAs[Double]("mad") - med(vals.map(v => math.abs(v - m)))) < 1e-6)
+    }
+  }
+
+  test("e22 CV recomputes naively for every reported user") {
+    val out = Events.e22(spark, sf).collect()
+    assert(out.nonEmpty)
+    val events = graft.engine.Tables.events(spark, sf)
+      .select("user_id", "ms", "event_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ms"), r.getAs[Long]("event_id")))
+      .groupBy(_._1)
+    out.take(25).foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val ms = events(uid).sortBy(e => (e._2, e._3)).map(_._2)
+      val gaps = ms.sliding(2).map(p => (p(1) - p(0)).toDouble).toArray
+      val n = gaps.length
+      val mean = gaps.sum / n
+      val variance = gaps.map(g => (g - mean) * (g - mean)).sum / (n - 1)
+      val cv = math.sqrt(variance) / mean
+      assert(r.getAs[Long]("n_gaps") == n)
+      assert(math.abs(r.getAs[Double]("cv") - cv) < 1e-4,
+        s"user $uid: reported ${r.getAs[Double]("cv")} vs naive $cv")
+    }
   }
 
   test("d14 bloom-prefiltered decontamination is bit-identical to exact d11") {
