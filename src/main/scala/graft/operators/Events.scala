@@ -879,7 +879,63 @@ object Events {
       |    (CAST(n - 1 AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS cv
       |FROM st ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- e23
+  /** Session-level conversion per user: e01's gap sessionization carried
+    * through to the business metric — how many of a user's sessions
+    * contain a purchase, the session-granular conversion rate, mean
+    * session duration, and total purchase value. The metric a funnel
+    * dashboard (e03) is ultimately normalized by.
+    *
+    * Same window recipe as e01 (user-partitioned, bounded state; e09's
+    * split-and-stitch applies verbatim for whale users), then two
+    * same-key aggregations. Purchase value sums in DECIMAL(12,2); the
+    * conversion and mean duration are each ONE IEEE division of exact
+    * operands. */
+  def e23(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zero = dec(lit(0.0d))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"), col("value"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(wr))
+      .groupBy("user_id", "sess_idx")
+      .agg((max(col("ms")) - min(col("ms"))).as("dur_ms"),
+           max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("has_purchase"),
+           sum(when(col("event_type") === "purchase",
+             dec(coalesce(col("value"), lit(0.0d)))).otherwise(zero)).as("rev"))
+    sess.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+           sum(col("has_purchase")).as("n_purchase_sessions"),
+           (dbl(sum(col("has_purchase"))) / count(lit(1))).as("conversion"),
+           (dbl(sum(col("dur_ms"))) / count(lit(1))).as("avg_dur_ms"),
+           dbl(sum(col("rev"))).as("purchase_value"))
+      .orderBy("user_id")
+  }
+  val e23Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms FROM events),
+       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
+       |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f),
+       |sess AS (
+       |  SELECT user_id, sess_idx, MAX(ms) - MIN(ms) AS dur_ms,
+       |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS has_purchase,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(COALESCE(value, CAST(0 AS DOUBLE)) AS DECIMAL(12,2))
+       |        ELSE CAST(CAST(0 AS DOUBLE) AS DECIMAL(12,2)) END) AS rev
+       |  FROM s GROUP BY 1, 2)
+       |SELECT user_id, COUNT(*) AS n_sessions,
+       |  CAST(SUM(has_purchase) AS BIGINT) AS n_purchase_sessions,
+       |  CAST(SUM(has_purchase) AS DOUBLE) / COUNT(*) AS conversion,
+       |  CAST(SUM(dur_ms) AS DOUBLE) / COUNT(*) AS avg_dur_ms,
+       |  CAST(SUM(rev) AS DOUBLE) AS purchase_value
+       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e23_session_conversion" -> (e23 _),
     "e22_burstiness" -> (e22 _),
     "e21_seasonality" -> (e21 _),
     "e20_type_entropy" -> (e20 _),
@@ -928,5 +984,6 @@ object Events {
     "e20_type_entropy" -> e20Sql,
     "e21_seasonality" -> e21Sql,
     "e22_burstiness" -> e22Sql,
+    "e23_session_conversion" -> e23Sql,
   )
 }

@@ -1193,7 +1193,68 @@ object Relational {
       |                        (o_orderstatus), (o_orderpriority))
       |ORDER BY status, priority""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** Exact skewness and excess kurtosis per return flag — the higher-
+    * moment distribution profile (q38's machinery extended to 3rd/4th
+    * powers). Quantities are exact 2-decimal values, so q = 100·qty is an
+    * integer; Σq..Σq⁴ accumulate in DECIMAL(38,0) (map-side combinable,
+    * order-independent), the central-moment numerators
+    * A = n·Σq² − (Σq)², B = n²·Σq³ − 3n·Σq·Σq² + 2(Σq)³,
+    * C = n³·Σq⁴ − 4n²·Σq·Σq³ + 6n·(Σq)²·Σq² − 3(Σq)⁴
+    * are exact integers (the 100· scale cancels in both ratios), and
+    * g1 = B/(A·√A), g2 = n·C/A² − 3 each take a handful of
+    * correctly-rounded IEEE ops (A^{3/2} as A·sqrt(A), never pow —
+    * libm pow is not correctly rounded), round6.
+    *
+    * Scale bound: C's n³·Σq⁴ term overflows 38 digits around n ≈ 10⁶·
+    * (for 2-decimal values ≤ 50) — at that size, center on a first-pass
+    * mean before the moment pass; the driver scales stay well inside. */
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val q = (dec(col("l_quantity")) * 100).cast("decimal(10,0)").cast(d38)
+    val st = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast(d38).as("n"),
+           sum(q).as("s1"), sum(q * q).as("s2"),
+           sum(q * q * q).as("s3"), sum((q * q) * (q * q)).as("s4"))
+    val a = col("n") * col("s2") - col("s1") * col("s1")
+    val b = col("n") * col("n") * col("s3") -
+      lit(3).cast(d38) * col("n") * col("s1") * col("s2") +
+      lit(2).cast(d38) * col("s1") * col("s1") * col("s1")
+    val cm = col("n") * col("n") * col("n") * col("s4") -
+      lit(4).cast(d38) * col("n") * col("n") * col("s1") * col("s3") +
+      lit(6).cast(d38) * col("n") * col("s1") * col("s1") * col("s2") -
+      lit(3).cast(d38) * col("s1") * col("s1") * col("s1") * col("s1")
+    st.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        round(sqrt(dbl(a)) / col("n").cast("long"), 6).as("sd_x100"),
+        round(dbl(b) / (dbl(a) * sqrt(dbl(a))), 6).as("skewness"),
+        // n·C would overflow 38 digits (n·1e36 at sf0.1) — multiply in
+        // DOUBLE after the exact-integer C, same op order as the oracle
+        round(dbl(cm) * dbl(col("n")) / (dbl(a) * dbl(a)) - 3.0d, 6).as("kurtosis"))
+      .orderBy("l_returnflag")
+  }
+  val q43Sql: String =
+    """WITH st AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(q) AS s1, SUM(q*q) AS s2, SUM(q*q*q) AS s3, SUM((q*q)*(q*q)) AS s4
+      |  FROM (SELECT l_returnflag,
+      |          CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(10,0)) AS HUGEINT) AS q
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag),
+      |m AS (
+      |  SELECT l_returnflag, n,
+      |    n*s2 - s1*s1 AS a,
+      |    n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS b,
+      |    n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS c
+      |  FROM st)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  ROUND(SQRT(CAST(a AS DOUBLE)) / CAST(n AS BIGINT), 6) AS sd_x100,
+      |  ROUND(CAST(b AS DOUBLE) / (CAST(a AS DOUBLE) * SQRT(CAST(a AS DOUBLE))), 6) AS skewness,
+      |  ROUND(CAST(c AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) - 3.0, 6) AS kurtosis
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q43_higher_moments" -> (q43 _),
     "q41_mad_dispersion" -> (q41 _),
     "q42_grouping_sets" -> (q42 _),
     "q40_cohort_ltv" -> (q40 _),
@@ -1239,6 +1300,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q43_higher_moments" -> q43Sql,
     "q41_mad_dispersion" -> q41Sql,
     "q42_grouping_sets" -> q42Sql,
     "q01_pricing_summary" -> q01Sql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.engine.Qf._
@@ -781,7 +782,61 @@ object TextAnalysis {
       |FROM documents WHERE LENGTH(text) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t20
+  /** Bigram-LM quality scoring — t11's corpus-LM recipe at conditional
+    * order 1: score every document by its mean bigram log-probability
+    * P(w|v) = c(v,w)/c(v·) under the corpus's OWN bigram counts (MLE;
+    * every scored bigram exists in the model by construction, so no
+    * smoothing is needed). Catches word-salad that unigram frequency
+    * can't (common words in impossible orders score low).
+    *
+    * Scale shape: bigrams collapse to per-(doc, bigram) tf first
+    * (map-combinable); the model is a re-aggregation of tf; context
+    * counts c(v·) derive FROM the bigram model (Σ_w c(v,w)) — no second
+    * corpus pass. Same float discipline as t11: each bigram's log-prob
+    * quantizes once to DECIMAL(18,9), per-doc sums are exact integer
+    * arithmetic, one division + round6 at the end. */
+  def t20(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "word")))
+      .withColumn("prev", lag(col("word"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("prev"), col("word")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      .cache()
+    val mb = tf.groupBy("b").agg(sum(col("tf")).as("cb"))
+    val mu = mb.groupBy(substring_index(col("b"), " ", 1).as("v"))
+      .agg(sum(col("cb")).as("cu"))
+    tf.join(mb, "b")
+      .join(mu, substring_index(col("b"), " ", 1) === col("v"))
+      .withColumn("logp_q",
+        round(log(dbl(col("cb")) / dbl(col("cu"))), 9).cast("decimal(18,9)"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_big"),
+           sum(col("tf").cast("decimal(10,0)") * col("logp_q")).as("s"))
+      .withColumn("avg_logp2", round(dbl(col("s")) / dbl(col("n_big")), 6))
+      .select(col("doc_id"), col("n_big"), col("avg_logp2"))
+      .orderBy("doc_id")
+  }
+  val t20Sql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |bg AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+       |         i -> w[i] || ' ' || w[i+1])) AS b
+       |       FROM w WHERE len(w) >= 2),
+       |tf AS (SELECT doc_id, b, COUNT(*)::BIGINT AS tf FROM bg GROUP BY 1, 2),
+       |mb AS (SELECT b, SUM(tf)::BIGINT AS cb FROM tf GROUP BY 1),
+       |mu AS (SELECT split_part(b, ' ', 1) AS v, SUM(cb)::BIGINT AS cu FROM mb GROUP BY 1)
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_big,
+       |  ROUND(CAST(SUM(CAST(tf AS DECIMAL(10,0))
+       |          * CAST(ROUND(ln(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)), 9)
+       |                 AS DECIMAL(18,9))) AS DOUBLE)
+       |        / CAST(SUM(tf) AS DOUBLE), 6) AS avg_logp2
+       |FROM tf JOIN mb USING (b) JOIN mu ON split_part(b, ' ', 1) = v
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t20_bigram_lm" -> (t20 _),
     "t19_charclass" -> (t19 _),
     "t18_gram_novelty" -> (t18 _),
     "t17_lexical_diversity" -> (t17 _),
@@ -817,6 +872,7 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t20_bigram_lm" -> t20Sql,
     "t03_langid" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
     "t05_redaction" -> t05Sql,
