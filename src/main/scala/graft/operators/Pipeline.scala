@@ -282,7 +282,99 @@ object Pipeline {
       .orderBy("modality")
   }
 
+  // ---------------------------------------------------------------- p06
+  /** Incremental-ingest curation — the DAILY shape of p01: a new delta
+    * slice arrives against a standing corpus, and only the delta pays
+    * pipeline cost. quality gate (t02, cheap scan — runs FIRST so the
+    * expensive stages see fewer docs) → within-delta exact dedup
+    * (keep-min-id per content hash) → cross-corpus exact anti-join →
+    * cross-corpus near-dup screen (d09's inverted-index Jaccard ≥ 0.8,
+    * only the gated survivors get shingled) → clean additions.
+    *
+    * Scale: the corpus side contributes one hash set (bounded by
+    * |corpus|, joined not broadcast) and its shingle postings; the
+    * delta-side posting list shrinks with every prior gate. At a real
+    * 100 TB deployment the corpus hash/posting sides are precomputed
+    * warehouse tables maintained incrementally — here they derive from
+    * the same parquet so the oracle can see them. */
+  def p06(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val isDelta = col("doc_id") % 5 === 0
+    val gated = TextAnalysis.addQuality(docs.filter(isDelta))
+      .filter(col("quality") >= lit(0.5d))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("quality"))
+    val dedup = gated
+      .withColumn("h", md5(col("text")))
+      .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("min_id"))
+    val corpusHashes = docs.filter(!isDelta).select(md5(col("text")).as("h")).distinct()
+    // cache: the exact survivors feed the shingle side AND the final
+    // anti-join — uncached, the quality+window subplan re-runs per use
+    val exact = dedup.join(corpusHashes, Seq("h"), "left_anti").cache()
+    val shD = exact.select(col("doc_id"), expr("word_ngrams(text, 3)").as("grams"))
+      .filter(size(col("grams")) >= 1)
+    val shC = Dedup.shingled(spark, dir).filter(!isDelta)
+    val pd = shD.select(col("doc_id").as("d_id"), explode(col("grams")).as("g"))
+    val pc = shC.select(col("doc_id").as("c_id"), explode(col("grams")).as("g"))
+    val nd = shD.select(col("doc_id").as("d_id"), size(col("grams")).cast("long").as("nd"))
+    val nc = shC.select(col("doc_id").as("c_id"), size(col("grams")).cast("long").as("nc"))
+    val nearHit = pd.join(pc, "g")
+      .groupBy("d_id", "c_id").agg(count(lit(1)).as("inter"))
+      .join(nd, "d_id").join(nc, "c_id")
+      .filter(col("inter") * 5 >= (col("nd") + col("nc") - col("inter")) * 4)
+      .select(col("d_id").as("doc_id")).distinct()
+    exact.join(nearHit, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "quality")
+      .orderBy("doc_id")
+  }
+  val p06Sql: String = {
+    import TextAnalysis.{qualitySqlExpr, stopSqlIn, wordsSql}
+    s"""WITH m AS (
+       |  SELECT doc_id, text, lang, source,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM (SELECT doc_id, text, lang, source, $wordsSql AS w FROM documents
+       |        WHERE doc_id % 5 = 0)
+       |  WHERE len(w) >= 1),
+       |q AS (
+       |  SELECT * FROM (SELECT doc_id, text, lang, source, $qualitySqlExpr AS quality FROM m)
+       |  WHERE quality >= CAST(0.5 AS DOUBLE)),
+       |dd AS (
+       |  SELECT * FROM (SELECT *, md5(text) AS h,
+       |                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id FROM q)
+       |  WHERE doc_id = min_id),
+       |ex AS (
+       |  SELECT * FROM dd
+       |  WHERE h NOT IN (SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 5 <> 0)),
+       |shd AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM ex) WHERE len(w) >= 3),
+       |shc AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM documents WHERE doc_id % 5 <> 0)
+       |  WHERE len(w) >= 3),
+       |pd AS (SELECT doc_id AS d_id, UNNEST(grams) AS g FROM shd),
+       |pc AS (SELECT doc_id AS c_id, UNNEST(grams) AS g FROM shc),
+       |near_hit AS (
+       |  SELECT DISTINCT d_id AS doc_id
+       |  FROM (SELECT d_id, c_id, COUNT(*) AS inter FROM pd JOIN pc USING (g) GROUP BY 1, 2) it
+       |  JOIN (SELECT doc_id AS d_id, CAST(len(grams) AS BIGINT) AS nd FROM shd) sd USING (d_id)
+       |  JOIN (SELECT doc_id AS c_id, CAST(len(grams) AS BIGINT) AS nc FROM shc) sc USING (c_id)
+       |  WHERE inter * 5 >= (nd + nc - inter) * 4)
+       |SELECT doc_id, lang, source, quality FROM ex
+       |WHERE doc_id NOT IN (SELECT doc_id FROM near_hit)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p06_incremental_ingest" -> (p06 _),
     "p01_corpus_pipeline" -> (p01 _),
     "p02_embedding_pipeline" -> (p02 _),
     "p03_token_budget_mix" -> (p03 _),
@@ -291,6 +383,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p06_incremental_ingest" -> p06Sql,
     "p01_corpus_pipeline" -> p01Sql,
     "p03_token_budget_mix" -> p03Sql,
     "p04_decontam_pipeline" -> p04Sql,
