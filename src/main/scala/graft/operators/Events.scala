@@ -934,7 +934,45 @@ object Events {
        |  CAST(SUM(rev) AS DOUBLE) AS purchase_value
        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- e24
+  /** e14's promised sketch path: rolling DAU/WAU from mergeable HLL
+    * sketches (Spark's DataSketches hll_sketch_agg/hll_union_agg)
+    * instead of exact distincts. The scale difference is structural,
+    * not just constant-factor: e14's sliding distinct fans out (user,
+    * day) PAIRS to every window-end day — shuffle volume 7·|active
+    * users| per day — while here each day collapses to ONE ~2.5 KB
+    * sketch map-side and the 7-day window unions 7 SKETCHES per day.
+    * Shuffle volume is |days|·KB regardless of user count; 10⁹ users
+    * cost the same network as 10³. countDistinct partials cannot merge
+    * across groups; HLL sketches can — that is the whole trick.
+    *
+    * lgConfigK = 12 → relative standard error ≈ 1.6%. Rows-only (an
+    * estimate can't hash-match an exact oracle); the spec bounds every
+    * day's DAU/WAU estimate against exact e14 and pins the row set. */
+  def e24(spark: SparkSession, dir: String): DataFrame = {
+    val DayMs = 86400000L
+    // no pre-distinct: the sketch absorbs duplicate user hits map-side
+    val daily = Tables.events(spark, dir)
+      .withColumn("day_ms", col("ms") - pmod(col("ms"), lit(DayMs)))
+      .groupBy("day_ms")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .cache()
+    val dau = daily.select(col("day_ms"),
+      hll_sketch_estimate(col("sk")).as("dau_est"))
+    val wau = daily
+      .select(col("day_ms"), explode(sequence(lit(0L), lit(6L))).as("k"), col("sk"))
+      .select((col("day_ms") + col("k") * DayMs).as("day_ms"), col("sk"))
+      .groupBy("day_ms")
+      .agg(hll_union_agg(col("sk")).as("wk"))
+      .select(col("day_ms"), hll_sketch_estimate(col("wk")).as("wau_est"))
+    dau.join(wau, "day_ms")
+      .select(col("day_ms"), col("dau_est"), col("wau_est"),
+        round(col("dau_est") / col("wau_est"), 6).as("stickiness_est"))
+      .orderBy("day_ms")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e24_rolling_active_sketch" -> (e24 _),
     "e23_session_conversion" -> (e23 _),
     "e22_burstiness" -> (e22 _),
     "e21_seasonality" -> (e21 _),

@@ -25,7 +25,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "q41_mad_dispersion", "q42_grouping_sets", "e22_burstiness", "t19_charclass",
       "d18_minhash_clusters", "s08_range_search", "p05_multimodal_curation",
       "q43_higher_moments", "t20_bigram_lm", "e23_session_conversion",
-      "p06_incremental_ingest",
+      "p06_incremental_ingest", "e24_rolling_active_sketch",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
@@ -50,7 +50,8 @@ class OperatorSmokeSpec extends SparkSpec {
       Set("d04_simhash", "d06_jaccard_capped", "d13_semdedup", "s02_ann_lsh", "s03_ann_ivf",
         "s04_ann_ivfpq", "s06_ann_sq8", "m02_decode_features", "m03_frame_sample", "m04_resize",
         "m05_payload_neardup", "m07_payload_clusters", "p02_embedding_pipeline",
-        "q21_approx_stats", "d17_containment_capped", "p05_multimodal_curation"))
+        "q21_approx_stats", "d17_containment_capped", "p05_multimodal_curation",
+        "e24_rolling_active_sketch"))
   }
 
   test("d18 clusters: every d02 pair co-clustered, min-id labels, census-true sizes") {
@@ -118,6 +119,21 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(r.getAs[Long]("n_gaps") == n)
       assert(math.abs(r.getAs[Double]("cv") - cv) < 1e-4,
         s"user $uid: reported ${r.getAs[Double]("cv")} vs naive $cv")
+    }
+  }
+
+  test("e24 sketch DAU/WAU tracks exact e14 within HLL error bounds") {
+    val exact = Events.e14(spark, sf).collect()
+      .map(r => r.getAs[Long]("day_ms") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+    val est = Events.e24(spark, sf).collect()
+    assert(est.map(_.getAs[Long]("day_ms")).toSet == exact.keySet,
+      "sketch path must cover exactly the exact path's days")
+    est.foreach { r =>
+      val (dau, wau) = exact(r.getAs[Long]("day_ms"))
+      // lgConfigK=12 => rse ~1.6%; 5% is a comfortable deterministic bound
+      assert(math.abs(r.getAs[Long]("dau_est") - dau) <= math.max(2.0, 0.05 * dau))
+      assert(math.abs(r.getAs[Long]("wau_est") - wau) <= math.max(2.0, 0.05 * wau))
     }
   }
 
