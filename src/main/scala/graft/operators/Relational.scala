@@ -1253,7 +1253,70 @@ object Relational {
       |  ROUND(CAST(c AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) - 3.0, 6) AS kurtosis
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** Linearly-interpolated quartiles (PERCENTILE_CONT semantics) + IQR
+    * per market segment — the box-plot profile. Built from q18's
+    * row_number machinery rather than either engine's built-in quantile
+    * so BOTH sides run the identical arithmetic: zero-based position
+    * p = (n−1)·q, the two bracketing ranks are floor(p)/ceil(p), and
+    * v = v_lo + (v_hi − v_lo)·(p − floor(p)) — multiply/add of exact
+    * doubles, no library interpolation variant to disagree on.
+    *
+    * Scale: one segment-partitioned window (bounded state) + one
+    * map-combinable conditional aggregation; the bracketing-rank
+    * selection means only ≤6 rows per group carry values into the agg
+    * combine. No global sort. */
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    val wc = Window.partitionBy("c_mktsegment")
+    val ranked = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        (row_number().over(w).cast("long") - 1).as("idx"),
+        count(lit(1)).over(wc).as("cnt"))
+    def pos(q: Double): Column = (col("cnt") - 1).cast("double") * lit(q)
+    def lo(q: Double, nm: String): Column =
+      max(when(col("idx") === floor(pos(q)), col("c_acctbal"))).as(s"${nm}_lo")
+    def hi(q: Double, nm: String): Column =
+      max(when(col("idx") === ceil(pos(q)), col("c_acctbal"))).as(s"${nm}_hi")
+    def interp(nm: String, q: Double): Column = {
+      val p = (col("n") - 1).cast("double") * lit(q)
+      col(s"${nm}_lo") + (col(s"${nm}_hi") - col(s"${nm}_lo")) * (p - floor(p))
+    }
+    ranked.groupBy("c_mktsegment")
+      .agg(max(col("cnt")).as("n"),
+           lo(0.25, "q1"), hi(0.25, "q1"), lo(0.5, "q2"), hi(0.5, "q2"),
+           lo(0.75, "q3"), hi(0.75, "q3"))
+      .select(col("c_mktsegment"), col("n"),
+        interp("q1", 0.25).as("p25"), interp("q2", 0.5).as("p50"),
+        interp("q3", 0.75).as("p75"),
+        (interp("q3", 0.75) - interp("q1", 0.25)).as("iqr"))
+      .orderBy("c_mktsegment")
+  }
+  val q44Sql: String =
+    """WITH r AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS BIGINT) - 1 AS idx,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+      |  FROM customer),
+      |a AS (
+      |  SELECT c_mktsegment, MAX(cnt) AS n,
+      |    MAX(CASE WHEN idx = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.25) THEN c_acctbal END) AS q1_lo,
+      |    MAX(CASE WHEN idx = CEIL(CAST(cnt - 1 AS DOUBLE) * 0.25) THEN c_acctbal END) AS q1_hi,
+      |    MAX(CASE WHEN idx = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.5) THEN c_acctbal END) AS q2_lo,
+      |    MAX(CASE WHEN idx = CEIL(CAST(cnt - 1 AS DOUBLE) * 0.5) THEN c_acctbal END) AS q2_hi,
+      |    MAX(CASE WHEN idx = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.75) THEN c_acctbal END) AS q3_lo,
+      |    MAX(CASE WHEN idx = CEIL(CAST(cnt - 1 AS DOUBLE) * 0.75) THEN c_acctbal END) AS q3_hi
+      |  FROM r GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+      |  q1_lo + (q1_hi - q1_lo) * (CAST(n - 1 AS DOUBLE) * 0.25 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.25)) AS p25,
+      |  q2_lo + (q2_hi - q2_lo) * (CAST(n - 1 AS DOUBLE) * 0.5 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)) AS p50,
+      |  q3_lo + (q3_hi - q3_lo) * (CAST(n - 1 AS DOUBLE) * 0.75 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.75)) AS p75,
+      |  (q3_lo + (q3_hi - q3_lo) * (CAST(n - 1 AS DOUBLE) * 0.75 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.75)))
+      |    - (q1_lo + (q1_hi - q1_lo) * (CAST(n - 1 AS DOUBLE) * 0.25 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.25))) AS iqr
+      |FROM a ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q44_iqr_quartiles" -> (q44 _),
     "q43_higher_moments" -> (q43 _),
     "q41_mad_dispersion" -> (q41 _),
     "q42_grouping_sets" -> (q42 _),
@@ -1300,6 +1363,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q44_iqr_quartiles" -> q44Sql,
     "q43_higher_moments" -> q43Sql,
     "q41_mad_dispersion" -> q41Sql,
     "q42_grouping_sets" -> q42Sql,
