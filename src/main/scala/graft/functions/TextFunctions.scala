@@ -210,3 +210,44 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   override def prettyName: String = "simhash64"
 }
+
+/** char_class_counts(text): single-pass digit / symbol / uppercase
+  * counts over code points — one scan of the string instead of the four
+  * `length(regexp_replace(...))` passes the composable form costs (at
+  * 100 TB, four regex engines per row IS the t19 scan bill).
+  *
+  * Class parity with the regexp forms `[0-9]`, `[^0-9A-Za-z ]`, `[A-Z]`
+  * over code points (surrogate pairs count once, exactly like Spark's
+  * `length` and the oracle's `LENGTH`), proven by a kernel property
+  * test against the composed regexp expressions on real documents. */
+case class CharClassCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("char_class_counts expects a string")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_digit", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_sym", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_upper", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var digit = 0L; var sym = 0L; var upper = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp >= '0' && cp <= '9') digit += 1
+      else if (cp >= 'A' && cp <= 'Z') upper += 1
+      if (!((cp >= '0' && cp <= '9') || (cp >= 'A' && cp <= 'Z') ||
+            (cp >= 'a' && cp <= 'z') || cp == ' ')) sym += 1
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](digit, sym, upper))
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharClassCounts = copy(child = c)
+  override def prettyName: String = "char_class_counts"
+}

@@ -44,6 +44,7 @@ object VectorFunctions {
     ensure("winnow_fps")(exprs => WinnowFingerprints(exprs.head,
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
     ensure("simhash64")(exprs => SimHash64(exprs.head))
+    ensure("char_class_counts")(exprs => CharClassCounts(exprs.head))
     // Spark's own runtime-filter machinery, exposed as callable functions:
     // bloom_agg(xxhash64(x), estItems, numBits) builds a serialized bloom
     // filter; bloom_contains(filterBinary, xxhash64(x)) probes it. These are

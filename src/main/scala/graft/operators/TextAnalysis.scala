@@ -748,21 +748,25 @@ object TextAnalysis {
     * (symbol-heavy boilerplate, ALL-CAPS shouting, mojibake detection)
     * that complement t02's token-level quality score.
     *
-    * Pure codegen'd string expressions (count = length minus the length
-    * with the class stripped); each fraction is one IEEE division of
-    * integer-exact counts, round6. Scale: embarrassingly parallel scan,
-    * no shuffle at all except the output sort. */
+    * Counts come from the one-pass char_class_counts kernel (ONE scan of
+    * each string; the composable `length(regexp_replace(...))` form runs
+    * four regex engines per row — at 100 TB that quadruples the scan
+    * bill; a kernel property test proves count parity with the regexp
+    * form). Each fraction is one IEEE division of integer-exact counts,
+    * round6. Scale: embarrassingly parallel scan, no shuffle at all
+    * except the output sort. */
   def t19(spark: SparkSession, dir: String): DataFrame = {
-    def classCount(cls: String) =
-      (length(col("text")) - length(regexp_replace(col("text"), cls, ""))).cast("long")
+    VectorFunctions.register(spark)
     def frac(c: Column) = round(dbl(c) / dbl(col("n_chars")), 6)
     Tables.documents(spark, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        classCount("[0-9]").as("n_digit"),
-        classCount("[^0-9A-Za-z ]").as("n_sym"),
-        classCount("[A-Z]").as("n_upper"))
+        expr("char_class_counts(text)").as("cc"))
+      .select(col("doc_id"), col("n_chars"),
+        col("cc.n_digit").as("n_digit"),
+        col("cc.n_sym").as("n_sym"),
+        col("cc.n_upper").as("n_upper"))
       .withColumn("digit_frac", frac(col("n_digit")))
       .withColumn("sym_frac", frac(col("n_sym")))
       .withColumn("upper_frac", frac(col("n_upper")))

@@ -55,6 +55,25 @@ class VectorFunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Sq8Cos(a, b).eval(null) }
   }
 
+  test("char_class_counts kernel == composed regexp form on real docs + edge strings") {
+    VectorFunctions.register(spark)
+    def classCount(cls: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), cls, ""))).cast("long")
+    val docs = graft.engine.Tables.documents(spark, sf).select("text")
+      .unionByName(Seq("", "A1 b!", "ÄÖü €3", "  ", "ALL CAPS 99??").toDF("text"))
+    val rows = docs
+      .select(expr("char_class_counts(text)").as("cc"),
+        classCount("[0-9]").as("d"), classCount("[^0-9A-Za-z ]").as("s"),
+        classCount("[A-Z]").as("u"))
+      .collect()
+    rows.foreach { r =>
+      val cc = r.getStruct(0)
+      assert(cc.getLong(0) == r.getLong(1), s"digit mismatch: $r")
+      assert(cc.getLong(1) == r.getLong(2), s"sym mismatch: $r")
+      assert(cc.getLong(2) == r.getLong(3), s"upper mismatch: $r")
+    }
+  }
+
   test("simhash64 kernel == composed explode + bit-sum form on real docs") {
     VectorFunctions.register(spark)
     val docs = graft.engine.Tables.documents(spark, sf).limit(50)
