@@ -866,7 +866,51 @@ object Dedup {
        |FROM labels ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d19
+  /** Corpus dedup report — the numbers a curation run is judged by,
+    * as one (metric, value) frame: total docs, unique texts, exact-dup
+    * doc count, near-dup pair count (J ≥ 0.5) and docs touched by a
+    * near-dup pair. Composes d01's hashing and d03's inverted-index
+    * pair machinery; each metric is a map-combinable aggregate, and the
+    * (metric, value) long format keeps the output schema stable as
+    * metrics are added.
+    *
+    * Scale: two passes over documents (hash agg + the d03 pair join)
+    * and aggregations over the pair set, which is orders smaller than
+    * the corpus. No new join shapes. */
+  def d19(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = d03(spark, dir).select("doc_a", "doc_b").cache()
+    val touched = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+    def one(name: String, df: DataFrame, v: Column): DataFrame =
+      df.agg(v.cast("long").as("value")).select(lit(name).as("metric"), col("value"))
+    one("n_docs", docs, count(lit(1)))
+      .unionByName(one("n_unique_texts", docs, countDistinct(md5(col("text")))))
+      .unionByName(one("n_exact_dup_docs", docs,
+        count(lit(1)) - countDistinct(md5(col("text")))))
+      .unionByName(one("n_neardup_pairs", pairs, count(lit(1))))
+      .unionByName(one("n_docs_in_neardup", touched, countDistinct(col("doc_id"))))
+      .orderBy("metric")
+  }
+  val d19Sql: String = {
+    val pairSql = jaccardPairsSql(1, 2) // J >= 0.5, d03's oracle
+      .replace("ORDER BY doc_a, doc_b", "")
+      .replaceFirst("""SELECT doc_a, doc_b,\n  CAST\(inter AS DOUBLE\) / CAST\(na\.n \+ nb\.n - inter AS DOUBLE\) AS jaccard""",
+        "SELECT doc_a, doc_b")
+    s"""WITH pairs AS ($pairSql)
+       |SELECT 'n_docs' AS metric, COUNT(*)::BIGINT AS value FROM documents
+       |UNION ALL SELECT 'n_unique_texts', COUNT(DISTINCT md5(text))::BIGINT FROM documents
+       |UNION ALL SELECT 'n_exact_dup_docs',
+       |  (COUNT(*) - COUNT(DISTINCT md5(text)))::BIGINT FROM documents
+       |UNION ALL SELECT 'n_neardup_pairs', COUNT(*)::BIGINT FROM pairs
+       |UNION ALL SELECT 'n_docs_in_neardup', COUNT(DISTINCT doc_id)::BIGINT
+       |  FROM (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+       |ORDER BY metric""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d19_dedup_report" -> (d19 _),
     "d18_minhash_clusters" -> (d18 _),
     "d17_containment_capped" -> (d17 _),
     "d16_containment" -> (d16 _),
@@ -888,6 +932,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d19_dedup_report" -> d19Sql,
     "d18_minhash_clusters" -> d18Sql,
     "d16_containment" -> d16Sql,
     "d15_dup_centrality" -> d15Sql,

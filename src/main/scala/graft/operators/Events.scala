@@ -971,7 +971,48 @@ object Events {
       .orderBy("day_ms")
   }
 
+  // ---------------------------------------------------------------- e25
+  /** Time-BOUNDED funnel: view → click within 1 h of the first view →
+    * purchase within 1 h of that click, counted in users per stage.
+    * e03 is the unordered-lifetime funnel; this is the product-analytics
+    * form where a conversion only counts inside the step window.
+    *
+    * Each stage is a min-agg on user_id (map-combinable) + one same-key
+    * join carrying the previous stage's anchor timestamp — no windows,
+    * no session state; at 100 TB the chain is three uniform-key
+    * shuffles, each smaller than the last (the funnel IS the filter). */
+  def e25(spark: SparkSession, dir: String): DataFrame = {
+    val H = 3600000L
+    val e = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ms"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("v_ms"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ms") > col("v_ms") && col("ms") <= col("v_ms") + H)
+      .groupBy("user_id").agg(min(col("ms")).as("c_ms"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ms") > col("c_ms") && col("ms") <= col("c_ms") + H)
+      .groupBy("user_id").agg(min(col("ms")).as("p_ms"))
+    def lvl(df: DataFrame, step: Long, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
+    lvl(v, 1L, "view").unionByName(lvl(c, 2L, "click_1h"))
+      .unionByName(lvl(p, 3L, "purchase_1h"))
+      .orderBy("step")
+  }
+  val e25Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (SELECT user_id, MIN(ms) AS v_ms FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT user_id, MIN(ms) AS c_ms FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ms > v_ms AND ms <= v_ms + 3600000 GROUP BY 1),
+      |p AS (SELECT user_id, MIN(ms) AS p_ms FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ms > c_ms AND ms <= c_ms + 3600000 GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, COUNT(*) AS n_users FROM v
+      |UNION ALL SELECT CAST(2 AS BIGINT), 'click_1h', COUNT(*) FROM c
+      |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase_1h', COUNT(*) FROM p
+      |ORDER BY step""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e25_funnel_windowed" -> (e25 _),
     "e24_rolling_active_sketch" -> (e24 _),
     "e23_session_conversion" -> (e23 _),
     "e22_burstiness" -> (e22 _),
@@ -1023,5 +1064,6 @@ object Events {
     "e21_seasonality" -> e21Sql,
     "e22_burstiness" -> e22Sql,
     "e23_session_conversion" -> e23Sql,
+    "e25_funnel_windowed" -> e25Sql,
   )
 }

@@ -26,6 +26,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "d18_minhash_clusters", "s08_range_search", "p05_multimodal_curation",
       "q43_higher_moments", "t20_bigram_lm", "e23_session_conversion",
       "p06_incremental_ingest", "e24_rolling_active_sketch", "q44_iqr_quartiles",
+      "e25_funnel_windowed", "d19_dedup_report",
       "e01_sessionize", "e02_tumbling_window", "e03_funnel", "e04_retention", "e05_top_users",
       "e06_json_extract", "e07_user_stats", "e08_asof_join", "e09_sessionize_scaleout",
       "e10_asof_join_scaleout", "e11_attribution_window", "e12_transitions", "e13_anomaly_hours",
