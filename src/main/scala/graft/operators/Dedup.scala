@@ -909,7 +909,41 @@ object Dedup {
        |ORDER BY metric""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d20
+  /** Cross-source duplication matrix: which sources duplicate which.
+    * Reuses d03's exact inverted-index pair stream (J >= 0.5), attaches
+    * each side's source, normalizes the pair to (least, greatest) and
+    * rolls up pair counts plus the max observed Jaccard (max of
+    * identically-computed doubles — order-independent, unlike avg).
+    * The doc->source attachment joins by doc key; output cardinality is
+    * |sources|^2-bounded, so the rollup is a tiny final shuffle. */
+  def d20(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    jaccardPairs(shingled(spark, dir), 1, 2)
+      .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "src_of_a"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "src_of_b"), "doc_b")
+      .select(least(col("src_of_a"), col("src_of_b")).as("source_a"),
+              greatest(col("src_of_a"), col("src_of_b")).as("source_b"),
+              col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+  val d20Sql: String = {
+    val pairSql = jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS ($pairSql),
+       |lab AS (
+       |  SELECT LEAST(sa.source, sb.source) AS source_a,
+       |         GREATEST(sa.source, sb.source) AS source_b, jaccard
+       |  FROM pairs
+       |  JOIN documents sa ON pairs.doc_a = sa.doc_id
+       |  JOIN documents sb ON pairs.doc_b = sb.doc_id)
+       |SELECT source_a, source_b, COUNT(*) AS n_pairs, MAX(jaccard) AS max_jaccard
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d20_source_dup_matrix" -> (d20 _),
     "d19_dedup_report" -> (d19 _),
     "d18_minhash_clusters" -> (d18 _),
     "d17_containment_capped" -> (d17 _),
@@ -932,6 +966,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d20_source_dup_matrix" -> d20Sql,
     "d19_dedup_report" -> d19Sql,
     "d18_minhash_clusters" -> d18Sql,
     "d16_containment" -> d16Sql,

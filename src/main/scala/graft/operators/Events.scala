@@ -1011,7 +1011,59 @@ object Events {
       |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase_1h', COUNT(*) FROM p
       |ORDER BY step""".stripMargin
 
+  // ---------------------------------------------------------------- e26
+  /** First- vs last-touch revenue attribution. Each purchase credits its
+    * value to (a) the purchasing user's FIRST event overall and (b) the
+    * latest event strictly before the purchase in the (ms, event_id)
+    * total order. Both touches resolve via row_number over bounded
+    * per-key partitions (user history / per-purchase candidates); the
+    * rollup is decimal-exact so the two engines' sum order can differ. */
+  def e26(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ms"), col("value"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ms").as("p_ms"), col("value"))
+    val wFirst = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val first = ev
+      .withColumn("rn", row_number().over(wFirst)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("touch_type"))
+    val firstModel = purch.join(first, "user_id")
+      .select(lit("first_touch").as("model"), col("touch_type"), col("value"))
+    val wLast = Window.partitionBy("pid").orderBy(col("ms").desc, col("event_id").desc)
+    val lastModel = purch
+      .join(ev.select(col("user_id"), col("event_id"), col("event_type"), col("ms")), Seq("user_id"))
+      .filter(col("ms") < col("p_ms") ||
+              (col("ms") === col("p_ms") && col("event_id") < col("pid")))
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select(lit("last_touch").as("model"), col("event_type").as("touch_type"), col("value"))
+    firstModel.unionByName(lastModel)
+      .groupBy("model", "touch_type")
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total_value"))
+      .orderBy("model", "touch_type")
+  }
+  val e26Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms, value FROM events),
+      |p AS (SELECT user_id, event_id AS pid, ms AS p_ms, value FROM e
+      |      WHERE event_type = 'purchase'),
+      |f AS (SELECT user_id, event_type AS touch_type
+      |      FROM (SELECT user_id, event_type,
+      |              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS rn
+      |            FROM e)
+      |      WHERE rn = 1),
+      |fm AS (SELECT 'first_touch' AS model, touch_type, p.value FROM p JOIN f USING (user_id)),
+      |lm AS (SELECT 'last_touch' AS model, touch_type, value FROM (
+      |    SELECT p.pid, e.event_type AS touch_type, p.value,
+      |      ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY e.ms DESC, e.event_id DESC) AS rn
+      |    FROM p JOIN e ON e.user_id = p.user_id
+      |     AND (e.ms < p.p_ms OR (e.ms = p.p_ms AND e.event_id < p.pid)))
+      |  WHERE rn = 1)
+      |SELECT model, touch_type, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM (SELECT * FROM fm UNION ALL SELECT * FROM lm)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e26_touch_attribution" -> (e26 _),
     "e25_funnel_windowed" -> (e25 _),
     "e24_rolling_active_sketch" -> (e24 _),
     "e23_session_conversion" -> (e23 _),
@@ -1065,5 +1117,6 @@ object Events {
     "e22_burstiness" -> e22Sql,
     "e23_session_conversion" -> e23Sql,
     "e25_funnel_windowed" -> e25Sql,
+    "e26_touch_attribution" -> e26Sql,
   )
 }

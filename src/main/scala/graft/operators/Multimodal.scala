@@ -267,7 +267,57 @@ object Multimodal {
       payloadNearDup(spark, Tables.documents(spark, dir))
         .select("doc_a", "doc_b"))
 
+  // ---------------------------------------------------------------- m08
+  /** Byte-level entropy screen: Shannon entropy (nats) of the HIGH-nibble
+    * distribution of each payload — the cheap compressed/encrypted-blob
+    * detector a media pipeline runs before wasting decode cycles (text
+    * clusters low, random/compressed bytes approach ln 16).
+    *
+    * Both engines compute the identical integer nibble histogram (hex
+    * string → every first char of a pair → 16 count-by-erasure lengths)
+    * and sum the 16 p·ln p terms in the same fixed order; the result is
+    * round6-quantized (+0.0 normalizes the -0.0 of single-class docs).
+    * Scan-parallel, no shuffle at all until the final sort. */
+  def m08(spark: SparkSession, dir: String): DataFrame = {
+    val digits = "0123456789ABCDEF"
+    val hi = regexp_replace(hex(col("text").cast("binary")), "(.).", "$1")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), hi.as("s"))
+      .withColumn("n", length(col("s")))
+      .filter(col("n") > 0)
+    val counted = digits.foldLeft(base) { (df, d) =>
+      df.withColumn(s"c_$d", length(col("s")) - length(regexp_replace(col("s"), s"[$d]", "")))
+    }
+    val terms = digits.map { d =>
+      val p = col(s"c_$d").cast("double") / col("n")
+      when(col(s"c_$d") > 0, p * log(p)).otherwise(lit(0.0d))
+    }.reduce(_ + _)
+    counted
+      .select(col("doc_id"), col("n").cast("long").as("n_bytes"),
+        (round(-terms, 6) + lit(0.0d)).as("entropy"))
+      .orderBy("doc_id")
+  }
+  val m08Sql: String = {
+    val digits = "0123456789ABCDEF"
+    val counts = digits.map(d =>
+      s"LENGTH(s) - LENGTH(regexp_replace(s, '[$d]', '', 'g')) AS c_$d").mkString(",\n      |    ")
+    val terms = digits.map(d =>
+      s"CASE WHEN c_$d > 0 THEN (CAST(c_$d AS DOUBLE) / n) * ln(CAST(c_$d AS DOUBLE) / n) ELSE 0.0 END")
+      .mkString("\n      |    + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, regexp_replace(hex(CAST(text AS BLOB)), '(.).', '\\1', 'g') AS s
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, LENGTH(s) AS n,
+       |    $counts
+       |  FROM h WHERE LENGTH(s) > 0)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       |  ROUND(-($terms), 6) + 0.0 AS entropy
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "m08_byte_entropy" -> (m08 _),
     "m07_payload_clusters" -> (m07 _),
     "m06_modality_route" -> (m06 _),
     "m01_binary_meta" -> (m01 _),
@@ -280,5 +330,6 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
     "m06_modality_route" -> m06Sql,
+    "m08_byte_entropy" -> m08Sql,
   )
 }

@@ -373,7 +373,63 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p07
+  /** Training-set manifest: quality gate → exact-fingerprint dedup →
+    * deterministic hash split (md5 of the doc id: 12/16 train, 2/16 val,
+    * 2/16 test) → per (split, lang) doc/token/char budgets. The split is
+    * content-independent (id-hash) so re-ingesting a doc never migrates
+    * it across splits; everything is scan-parallel except the one dedup
+    * shuffle on the fingerprint. */
+  def p07(spark: SparkSession, dir: String): DataFrame = {
+    val gated = TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .filter(col("quality") >= lit(0.5d))
+    val keep = gated
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("min_id"))
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    keep
+      .withColumn("split", when(nib < "c", "train").when(nib < "e", "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("total_tokens"),
+           sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang")
+  }
+  val p07Sql: String = {
+    import TextAnalysis.{qualitySqlExpr, stopSqlIn, wordsSql}
+    s"""WITH base AS (
+       |  SELECT doc_id, text, lang, n_chars, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |q AS (
+       |  SELECT * FROM (SELECT doc_id, text, lang, n_chars, n_tok,
+       |                   $qualitySqlExpr AS quality FROM m)
+       |  WHERE quality >= CAST(0.5 AS DOUBLE)),
+       |f AS (
+       |  SELECT *, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp FROM q),
+       |keep AS (
+       |  SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS min_id FROM f)
+       |  WHERE doc_id = min_id),
+       |sp AS (
+       |  SELECT lang, n_chars, n_tok,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+       |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+       |         ELSE 'test' END AS "split"
+       |  FROM keep)
+       |SELECT "split", lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p07_training_manifest" -> (p07 _),
     "p06_incremental_ingest" -> (p06 _),
     "p01_corpus_pipeline" -> (p01 _),
     "p02_embedding_pipeline" -> (p02 _),
@@ -383,6 +439,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p07_training_manifest" -> p07Sql,
     "p06_incremental_ingest" -> p06Sql,
     "p01_corpus_pipeline" -> p01Sql,
     "p03_token_budget_mix" -> p03Sql,

@@ -1315,7 +1315,71 @@ object Relational {
       |    - (q1_lo + (q1_hi - q1_lo) * (CAST(n - 1 AS DOUBLE) * 0.25 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.25))) AS iqr
       |FROM a ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** Inter-order cadence per customer: lag() gap in days between
+    * consecutive orders, summarized per customer (>= 5 orders). The gap
+    * multiset is order-deterministic even under equal orderdates because
+    * differences of consecutive SORTED dates don't depend on the
+    * tie-break; the window partitions by custkey so state is bounded. */
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev_d", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev_d").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), col("prev_d")).cast("long").as("gap"))
+    gaps.groupBy("o_custkey")
+      .agg((count(lit(1)) + 1).as("n_orders"),
+           (dbl(sum(col("gap"))) / count(lit(1))).as("avg_gap_days"),
+           max(col("gap")).as("max_gap_days"),
+           min(col("gap")).as("min_gap_days"))
+      .filter(col("n_orders") >= 5)
+      .orderBy("o_custkey")
+  }
+  val q45Sql: String =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    DATE_DIFF('day',
+      |      CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |      CAST(o_orderdate AS DATE)) AS gap
+      |  FROM orders)
+      |SELECT o_custkey, COUNT(*) + 1 AS n_orders,
+      |  CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_gap_days,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+      |  CAST(MIN(gap) AS BIGINT) AS min_gap_days
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY 1 HAVING COUNT(*) + 1 >= 5
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  /** Equi-width order-value histogram (50k buckets) on exact integer
+    * cents — integer division avoids the float-boundary bucketing trap
+    * entirely (no floor(double) at bucket edges). One map-side-combinable
+    * groupBy; bucket count is bounded by the price domain, not N. */
+  def q46(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_totalprice"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("bucket", expr("cents div 5000000"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .select(col("bucket"), (col("bucket") * 50000).as("bucket_lo"),
+              col("n_orders"), col("total_price"))
+      .orderBy("bucket")
+  val q46Sql: String =
+    """WITH b AS (
+      |  SELECT o_totalprice,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000000 AS bucket
+      |  FROM orders)
+      |SELECT bucket, bucket * 50000 AS bucket_lo, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q46_price_histogram" -> (q46 _),
+    "q45_order_gaps" -> (q45 _),
     "q44_iqr_quartiles" -> (q44 _),
     "q43_higher_moments" -> (q43 _),
     "q41_mad_dispersion" -> (q41 _),
@@ -1363,6 +1427,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q46_price_histogram" -> q46Sql,
+    "q45_order_gaps" -> q45Sql,
     "q44_iqr_quartiles" -> q44Sql,
     "q43_higher_moments" -> q43Sql,
     "q41_mad_dispersion" -> q41Sql,

@@ -566,7 +566,36 @@ object Similarity {
       |        / (q.nrm * b.nrm), 6) >= 0.25
       |ORDER BY q_id, n_id""".stripMargin
 
+  // ---------------------------------------------------------------- s09
+  /** ANN recall harness: measures each approximate index (s02 LSH, s03
+    * IVF) against the exact s01 top-5 ground truth — the recall number a
+    * pipeline quotes when choosing its index and probe budget. Hits come
+    * from one key-join truth⋈result; recall@5 = hits/(n_queries·5), an
+    * exact-integer ratio with one division. The exact baseline rides
+    * along as a sanity row (1.0 by construction; LSH's top-3 caps at
+    * 0.6). Rows-only: the approximate sides are themselves rows-only. */
+  def s09(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (not cache): the truth set is reused on BOTH sides
+    // of joins below, and the custom CosineTopK node in its lineage does
+    // not survive Spark's self-join attribute dedup — materializing to an
+    // RDD gives each reuse the standard LogicalRDD dedup path.
+    val truth = s01(spark, dir).select(col("q_id"), col("n_id")).localCheckpoint()
+    def row(method: String, res: DataFrame, k: Int): DataFrame = {
+      val hits = truth.join(res.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+        .select(count(lit(1)).as("n_hits"))
+      val nq = truth.select(countDistinct(col("q_id")).as("n_queries"))
+      nq.crossJoin(hits).select(
+        lit(method).as("method"), lit(k.toLong).as("k"), col("n_queries"),
+        round(col("n_hits").cast("double") / (col("n_queries") * 5), 6).as("recall_at_5"))
+    }
+    row("exact_topk", truth, 5)
+      .unionByName(row("lsh", s02(spark, dir), 3))
+      .unionByName(row("ivf", s03(spark, dir), 5))
+      .orderBy("method")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s09_ann_recall" -> (s09 _),
     "s08_range_search" -> (s08 _),
     "s07_mips_topk" -> (s07 _),
     "s06_ann_sq8" -> (s06 _),

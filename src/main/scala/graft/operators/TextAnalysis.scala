@@ -839,7 +839,41 @@ object TextAnalysis {
        |FROM tf JOIN mb USING (b) JOIN mu ON split_part(b, ' ', 1) = v
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t21
+  /** Vocabulary coverage: build the top-20 corpus vocabulary (count desc,
+    * token asc — a total order, so both engines pick the same set), then
+    * measure per-language out-of-vocabulary token share. The vocab is a
+    * deterministic TakeOrdered (no global-window rank) and joins the
+    * posting stream as a broadcast; all numerators are exact integers and
+    * the rate is ONE IEEE division per output row. */
+  def t21(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val posting = Tables.documents(spark, dir)
+      .select(col("lang"), explode(expr("word_tokens(text)")).as("tok"))
+    val vocab = posting.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    posting.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("total_tokens"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .select(col("lang"), col("total_tokens"), col("oov_tokens"),
+        (col("oov_tokens").cast("double") / col("total_tokens")).as("oov_rate"))
+      .orderBy("lang")
+  }
+  val t21Sql: String =
+    s"""WITH t AS (SELECT lang, UNNEST($wordsSql) AS tok FROM documents),
+       |v AS (SELECT tok FROM (
+       |    SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1
+       |    ORDER BY cnt DESC, tok LIMIT 20)),
+       |j AS (SELECT lang, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+       |      FROM t LEFT JOIN v ON t.tok = v.tok)
+       |SELECT lang, COUNT(*) AS total_tokens, CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+       |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t21_vocab_coverage" -> (t21 _),
     "t20_bigram_lm" -> (t20 _),
     "t19_charclass" -> (t19 _),
     "t18_gram_novelty" -> (t18 _),
@@ -876,6 +910,7 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t21_vocab_coverage" -> t21Sql,
     "t20_bigram_lm" -> t20Sql,
     "t03_langid" -> t03Sql,
     "t04_fingerprint" -> t04Sql,

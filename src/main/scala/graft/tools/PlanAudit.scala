@@ -31,6 +31,8 @@ import org.apache.spark.sql.SparkSession
   *  - s08: cosine range search — the BROADCAST side is the small query
   *    set (1% of vectors); the corpus streams map-side (non-equi
   *    q_id != n_id), which is exactly the 100 TB posture
+  *  - s09: recall harness — 1-row x 1-row crossJoin of the n_queries and
+  *    n_hits aggregates (plus s01/s03's allow-listed shapes inline)
   */
 object PlanAudit {
   private val allowBnlj = Set(
@@ -40,7 +42,8 @@ object PlanAudit {
     "q28_dormant_balances", "q29_top_supplier", "t09_tfidf_keywords",
     "t11_lm_score", "t12_lang_mix",
     "t14_ppl_buckets", "p03_token_budget_mix", "e16_value_deciles",
-    "q37_heavy_hitters", "s06_ann_sq8", "s07_mips_topk", "s08_range_search")
+    "q37_heavy_hitters", "s06_ann_sq8", "s07_mips_topk", "s08_range_search",
+    "s09_ann_recall")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -42,7 +42,10 @@ class OperatorSmokeSpec extends SparkSpec {
       "m01_binary_meta", "m02_decode_features", "m03_frame_sample", "m04_resize",
       "m05_payload_neardup", "m06_modality_route", "m07_payload_clusters",
       "p01_corpus_pipeline", "p02_embedding_pipeline", "p03_token_budget_mix",
-      "p04_decontam_pipeline")
+      "p04_decontam_pipeline",
+      "q45_order_gaps", "q46_price_histogram", "e26_touch_attribution",
+      "t21_vocab_coverage", "d20_source_dup_matrix", "m08_byte_entropy",
+      "s09_ann_recall", "p07_training_manifest")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -52,7 +55,18 @@ class OperatorSmokeSpec extends SparkSpec {
         "s04_ann_ivfpq", "s06_ann_sq8", "m02_decode_features", "m03_frame_sample", "m04_resize",
         "m05_payload_neardup", "m07_payload_clusters", "p02_embedding_pipeline",
         "q21_approx_stats", "d17_containment_capped", "p05_multimodal_curation",
-        "e24_rolling_active_sketch"))
+        "e24_rolling_active_sketch", "s09_ann_recall"))
+  }
+
+  test("s09 recall harness: exact baseline 1.0, approximate methods bounded") {
+    val rows = Similarity.s09(spark, sf).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("k"), r.getAs[Double]("recall_at_5"))).toMap
+    assert(rows.keySet == Set("exact_topk", "lsh", "ivf"))
+    assert(rows("exact_topk")._2 == 1.0)
+    // lsh returns top-3, so recall@5 is capped at 3/5
+    assert(rows("lsh")._2 > 0.0 && rows("lsh")._2 <= 0.6 + 1e-9)
+    assert(rows("ivf")._2 > 0.0 && rows("ivf")._2 <= 1.0)
   }
 
   test("d18 clusters: every d02 pair co-clustered, min-id labels, census-true sizes") {
