@@ -942,7 +942,40 @@ object Dedup {
        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d21
+  /** Shingle document-frequency profile: the operational histogram that
+    * sizes the df caps in d06/d17 (how much posting mass lives in hot
+    * shingles). Bands are integer-compare CASE buckets (no float log
+    * bucketing); two map-combinable aggregations, output bounded by the
+    * band count. */
+  def d21(spark: SparkSession, dir: String): DataFrame = {
+    val df = shingled(spark, dir)
+      .select(explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val band = when(col("df") === 1, "a_df=1")
+      .when(col("df") <= 2, "b_df<=2").when(col("df") <= 4, "c_df<=4")
+      .when(col("df") <= 8, "d_df<=8").when(col("df") <= 16, "e_df<=16")
+      .when(col("df") <= 64, "f_df<=64").otherwise("g_df>64")
+    df.groupBy(band.as("band"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("total_postings"))
+      .orderBy("band")
+  }
+  val d21Sql: String =
+    s"""WITH sh AS ($shingledSql),
+       |d AS (
+       |  SELECT g, COUNT(*) AS df
+       |  FROM (SELECT UNNEST(grams) AS g FROM sh) GROUP BY 1),
+       |b AS (
+       |  SELECT CASE WHEN df = 1 THEN 'a_df=1' WHEN df <= 2 THEN 'b_df<=2'
+       |              WHEN df <= 4 THEN 'c_df<=4' WHEN df <= 8 THEN 'd_df<=8'
+       |              WHEN df <= 16 THEN 'e_df<=16' WHEN df <= 64 THEN 'f_df<=64'
+       |              ELSE 'g_df>64' END AS band, df
+       |  FROM d)
+       |SELECT band, COUNT(*) AS n_shingles, CAST(SUM(df) AS BIGINT) AS total_postings
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d21_df_profile" -> (d21 _),
     "d20_source_dup_matrix" -> (d20 _),
     "d19_dedup_report" -> (d19 _),
     "d18_minhash_clusters" -> (d18 _),
@@ -966,6 +999,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d21_df_profile" -> d21Sql,
     "d20_source_dup_matrix" -> d20Sql,
     "d19_dedup_report" -> d19Sql,
     "d18_minhash_clusters" -> d18Sql,

@@ -233,9 +233,9 @@ object Multimodal {
            sum(octet_length(col("payload"))).cast("long").as("total_bytes"),
            countDistinct(col("source")).as("n_sources"))
       .orderBy("modality")
-  val m06Sql: String =
-    """WITH r AS (SELECT doc_id, source, octet_length(CAST(text AS BLOB)) AS nb,
-      |  CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 'empty'
+  /** DuckDB mirror of [[routeModality]] (shared by m06 and m09). */
+  private val modalitySqlCase: String =
+    """CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 'empty'
       |       WHEN substr(hex(CAST(text AS BLOB)), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
       |       WHEN substr(hex(CAST(text AS BLOB)), 1, 8) = '89504E47' THEN 'image/png'
       |       WHEN substr(hex(CAST(text AS BLOB)), 1, 8) = '47494638' THEN 'image/gif'
@@ -244,7 +244,10 @@ object Multimodal {
       |       WHEN LENGTH(regexp_replace(text,
       |         '[^\x01-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) * 20 <= LENGTH(text)
       |         THEN 'text'
-      |       ELSE 'binary' END AS modality
+      |       ELSE 'binary' END""".stripMargin
+  val m06Sql: String =
+    s"""WITH r AS (SELECT doc_id, source, octet_length(CAST(text AS BLOB)) AS nb,
+      |  $modalitySqlCase AS modality
       |  FROM documents)
       |SELECT modality, COUNT(*)::BIGINT AS n_docs,
       |  CAST(SUM(nb) AS BIGINT) AS total_bytes,
@@ -316,7 +319,39 @@ object Multimodal {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m09
+  /** Per-modality payload size profile: integer-compare size bands per
+    * routed modality — the census a decode fleet is sized from (how many
+    * payloads per modality land in each batch-size class). Runs at scan
+    * speed (router + band are codegen Column exprs); output bounded by
+    * |modalities| x |bands|. */
+  def m09(spark: SparkSession, dir: String): DataFrame = {
+    val sized = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", routeModality(col("payload"), col("text")))
+      .withColumn("nb", octet_length(col("payload")).cast("long"))
+    val band = when(col("nb") <= 128, "a<=128B").when(col("nb") <= 256, "b<=256B")
+      .when(col("nb") <= 512, "c<=512B").when(col("nb") <= 1024, "d<=1KiB")
+      .otherwise("e>1KiB")
+    sized.groupBy(col("modality"), band.as("size_band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("total_bytes"))
+      .orderBy("modality", "size_band")
+  }
+  val m09Sql: String =
+    s"""WITH r AS (SELECT octet_length(CAST(text AS BLOB)) AS nb,
+      |  $modalitySqlCase AS modality
+      |  FROM documents),
+      |b AS (SELECT modality, nb,
+      |  CASE WHEN nb <= 128 THEN 'a<=128B' WHEN nb <= 256 THEN 'b<=256B'
+      |       WHEN nb <= 512 THEN 'c<=512B' WHEN nb <= 1024 THEN 'd<=1KiB'
+      |       ELSE 'e>1KiB' END AS size_band
+      |  FROM r)
+      |SELECT modality, size_band, COUNT(*) AS n_docs,
+      |  CAST(SUM(nb) AS BIGINT) AS total_bytes
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m09_modality_sizes" -> (m09 _),
     "m08_byte_entropy" -> (m08 _),
     "m07_payload_clusters" -> (m07 _),
     "m06_modality_route" -> (m06 _),
@@ -331,5 +366,6 @@ object Multimodal {
     "m01_binary_meta" -> m01Sql,
     "m06_modality_route" -> m06Sql,
     "m08_byte_entropy" -> m08Sql,
+    "m09_modality_sizes" -> m09Sql,
   )
 }

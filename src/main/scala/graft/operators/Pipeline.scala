@@ -428,7 +428,48 @@ object Pipeline {
        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p08
+  /** Corpus datasheet: the per-(lang, source) census a dataset card is
+    * built from — doc/token/char volumes, exact-duplicate rate and mean
+    * quality. All numerators are exact (integer counts, DECIMAL(10,6)
+    * sums of the already-round6 quality); the mean is one IEEE division.
+    * One scan, one groupBy (the distinct-hash count is the only
+    * two-phase aggregate), output bounded by |lang| x |source|. */
+  def p08(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("total_tokens"),
+           sum(col("n_chars")).as("total_chars"),
+           countDistinct(md5(col("text"))).as("n_unique_texts"),
+           (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"),
+           (sum(col("quality").cast("decimal(10,6)")).cast("double") / count(lit(1)))
+             .as("avg_quality"))
+      .orderBy("lang", "source")
+  val p08Sql: String = {
+    import TextAnalysis.{qualitySqlExpr, stopSqlIn, wordsSql}
+    s"""WITH base AS (
+       |  SELECT doc_id, text, lang, source, n_chars, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |q AS (
+       |  SELECT lang, source, n_chars, n_tok, text, $qualitySqlExpr AS quality FROM m)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  COUNT(DISTINCT md5(text)) AS n_unique_texts,
+       |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs,
+       |  CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+       |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p08_corpus_datasheet" -> (p08 _),
     "p07_training_manifest" -> (p07 _),
     "p06_incremental_ingest" -> (p06 _),
     "p01_corpus_pipeline" -> (p01 _),
@@ -439,6 +480,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p08_corpus_datasheet" -> p08Sql,
     "p07_training_manifest" -> p07Sql,
     "p06_incremental_ingest" -> p06Sql,
     "p01_corpus_pipeline" -> p01Sql,

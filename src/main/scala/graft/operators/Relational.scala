@@ -1377,7 +1377,44 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Correlated-aggregate filter: orders priced above 1.5x their own
+    * customer's average order value. The comparison is cross-multiplied
+    * into exact integer cents (2·cents·n > 3·Σcents — no float compare,
+    * no division) over a custkey-partitioned window; the rollup's one
+    * division produces the per-customer share. */
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("above", (col("cents") * 2 * col("n") > col("s") * 3).cast("long"))
+      .groupBy("o_custkey")
+      .agg(max(col("n")).as("n_orders"),
+           sum(col("above")).as("n_above"),
+           (sum(col("above")).cast("double") / max(col("n"))).as("above_share"))
+      .filter(col("n_orders") >= 3)
+      .orderBy("o_custkey")
+  }
+  val q47Sql: String =
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |w AS (
+      |  SELECT o_custkey, cents,
+      |    SUM(cents) OVER (PARTITION BY o_custkey) AS s,
+      |    COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      |  FROM c)
+      |SELECT o_custkey, CAST(MAX(n) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN cents * 2 * n > s * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |  CAST(SUM(CASE WHEN cents * 2 * n > s * 3 THEN 1 ELSE 0 END) AS DOUBLE) / MAX(n)
+      |    AS above_share
+      |FROM w GROUP BY 1 HAVING MAX(n) >= 3 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q47_above_avg_orders" -> (q47 _),
     "q46_price_histogram" -> (q46 _),
     "q45_order_gaps" -> (q45 _),
     "q44_iqr_quartiles" -> (q44 _),
@@ -1427,6 +1464,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q47_above_avg_orders" -> q47Sql,
     "q46_price_histogram" -> q46Sql,
     "q45_order_gaps" -> q45Sql,
     "q44_iqr_quartiles" -> q44Sql,

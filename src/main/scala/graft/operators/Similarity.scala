@@ -594,7 +594,32 @@ object Similarity {
       .orderBy("method")
   }
 
+  // ---------------------------------------------------------------- s10
+  /** IVF index balance report: per-cell occupancy and assignment quality
+    * of the trained coarse quantizer — the operational check (skewed
+    * cells = slow probes, weak min_cos = poorly-centered cells) run
+    * after every (re)train. One broadcast vector x centroid ranking pass
+    * (s03's assignment shape), one bounded groupBy; rows-only (k-means
+    * is not SQL-expressible), spec asserts the census sums to N. */
+  def s10(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    val cents = centroidFrame(spark, e, k = 16, iters = 2)
+    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    e.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("ccos", expr("vec_dot(v, vc)") / (col("nrm") * col("nc")))
+      .withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") === 1)
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vectors"),
+           round(min(col("ccos")), 6).as("min_cos"),
+           round(max(col("ccos")), 6).as("max_cos"))
+      .orderBy("cent_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s10_ivf_cell_stats" -> (s10 _),
     "s09_ann_recall" -> (s09 _),
     "s08_range_search" -> (s08 _),
     "s07_mips_topk" -> (s07 _),

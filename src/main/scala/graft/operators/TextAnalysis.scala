@@ -872,7 +872,48 @@ object TextAnalysis {
        |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t22
+  /** Per-document unigram entropy (token-level analog of the byte screen
+    * m08): low entropy flags repetitive/templated text, high entropy
+    * flags word salad. Each p·ln p term is round9-quantized to
+    * DECIMAL(18,9) before the sum (t11's recipe) so the per-doc
+    * aggregation is order-independent under map-side combine; the only
+    * float ops are one division and one ln per distinct (doc, word). */
+  def t22(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordsCol).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("doc_id")
+    tf.withColumn("n", sum(col("tf")).over(w))
+      .withColumn("p", dbl(col("tf")) / col("n"))
+      .withColumn("term", round(col("p") * log(col("p")), 9).cast("decimal(18,9)"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tok"),
+           count(lit(1)).as("n_types"),
+           sum(col("term")).as("s"))
+      // + 0.0 folds the -0.0 of single-type docs to +0.0 on both engines
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        (round(-dbl(col("s")), 6) + lit(0.0d)).as("entropy"))
+      .orderBy("doc_id")
+  }
+  val t22Sql: String =
+    s"""WITH t AS (SELECT doc_id, UNNEST($wordsSql) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |s AS (
+       |  SELECT doc_id, tf,
+       |    SUM(tf) OVER (PARTITION BY doc_id) AS n
+       |  FROM tf),
+       |q AS (
+       |  SELECT doc_id, n,
+       |    CAST(ROUND((CAST(tf AS DOUBLE) / n) * ln(CAST(tf AS DOUBLE) / n), 9)
+       |         AS DECIMAL(18,9)) AS term
+       |  FROM s)
+       |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tok, COUNT(*) AS n_types,
+       |  ROUND(-CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS entropy
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t22_unigram_entropy" -> (t22 _),
     "t21_vocab_coverage" -> (t21 _),
     "t20_bigram_lm" -> (t20 _),
     "t19_charclass" -> (t19 _),
@@ -910,6 +951,7 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t22_unigram_entropy" -> t22Sql,
     "t21_vocab_coverage" -> t21Sql,
     "t20_bigram_lm" -> t20Sql,
     "t03_langid" -> t03Sql,

@@ -33,6 +33,8 @@ import org.apache.spark.sql.SparkSession
   *    q_id != n_id), which is exactly the 100 TB posture
   *  - s09: recall harness — 1-row x 1-row crossJoin of the n_queries and
   *    n_hits aggregates (plus s01/s03's allow-listed shapes inline)
+  *  - s10: cell-stats census — s03's vector x k-centroid ranking pass
+  *    (model broadcast, k<=16)
   */
 object PlanAudit {
   private val allowBnlj = Set(
@@ -43,7 +45,7 @@ object PlanAudit {
     "t11_lm_score", "t12_lang_mix",
     "t14_ppl_buckets", "p03_token_budget_mix", "e16_value_deciles",
     "q37_heavy_hitters", "s06_ann_sq8", "s07_mips_topk", "s08_range_search",
-    "s09_ann_recall")
+    "s09_ann_recall", "s10_ivf_cell_stats")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

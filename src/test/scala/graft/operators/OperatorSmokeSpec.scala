@@ -45,7 +45,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "p04_decontam_pipeline",
       "q45_order_gaps", "q46_price_histogram", "e26_touch_attribution",
       "t21_vocab_coverage", "d20_source_dup_matrix", "m08_byte_entropy",
-      "s09_ann_recall", "p07_training_manifest")
+      "s09_ann_recall", "p07_training_manifest",
+      "q47_above_avg_orders", "t22_unigram_entropy", "d21_df_profile",
+      "m09_modality_sizes", "s10_ivf_cell_stats", "p08_corpus_datasheet")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -55,7 +57,7 @@ class OperatorSmokeSpec extends SparkSpec {
         "s04_ann_ivfpq", "s06_ann_sq8", "m02_decode_features", "m03_frame_sample", "m04_resize",
         "m05_payload_neardup", "m07_payload_clusters", "p02_embedding_pipeline",
         "q21_approx_stats", "d17_containment_capped", "p05_multimodal_curation",
-        "e24_rolling_active_sketch", "s09_ann_recall"))
+        "e24_rolling_active_sketch", "s09_ann_recall", "s10_ivf_cell_stats"))
   }
 
   test("s09 recall harness: exact baseline 1.0, approximate methods bounded") {
@@ -67,6 +69,17 @@ class OperatorSmokeSpec extends SparkSpec {
     // lsh returns top-3, so recall@5 is capped at 3/5
     assert(rows("lsh")._2 > 0.0 && rows("lsh")._2 <= 0.6 + 1e-9)
     assert(rows("ivf")._2 > 0.0 && rows("ivf")._2 <= 1.0)
+  }
+
+  test("s10 cell census sums to N over at most k cells, cosines bounded") {
+    val rows = Similarity.s10(spark, sf).collect()
+    val n = graft.engine.Tables.embeddings(spark, sf).count()
+    assert(rows.nonEmpty && rows.length <= 16)
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == n)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_cos") <= r.getAs[Double]("max_cos"))
+      assert(r.getAs[Double]("max_cos") <= 1.0 + 1e-9)
+    }
   }
 
   test("d18 clusters: every d02 pair co-clustered, min-id labels, census-true sizes") {
