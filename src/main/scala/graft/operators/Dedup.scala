@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.engine.Qf._
@@ -974,7 +975,47 @@ object Dedup {
        |SELECT band, COUNT(*) AS n_shingles, CAST(SUM(df) AS BIGINT) AS total_postings
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- d22
+  /** Dedup funnel: surviving doc counts after each cascade stage (raw →
+    * exact content dedup → near-dup drop at J ≥ 0.5) in one stable
+    * (stage, n_docs) frame — the shrinkage report a curation run logs.
+    * Reuses d01's keep-min-id semantics and d03's exact pair stream;
+    * only counts cross stages, so the frame is 3 rows at any scale. */
+  def d22(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = docs
+      .withColumn("h", md5(col("text")))
+      .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("min_id"))
+      .select("doc_id")
+    val dropped = jaccardPairs(shingled(spark, dir), 1, 2)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val surv = kept.join(dropped, Seq("doc_id"), "left_anti")
+    def lvl(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(label).as("stage"), col("n_docs"))
+    lvl("a_raw", docs)
+      .unionByName(lvl("b_exact_dedup", kept))
+      .unionByName(lvl("c_near_dedup", surv))
+      .orderBy("stage")
+  }
+  val d22Sql: String = {
+    val pairSql = jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH kept AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+       |    FROM documents)
+       |  WHERE doc_id = min_id),
+       |pairs AS ($pairSql),
+       |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+       |surv AS (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+       |SELECT 'a_raw' AS stage, COUNT(*)::BIGINT AS n_docs FROM documents
+       |UNION ALL SELECT 'b_exact_dedup', COUNT(*)::BIGINT FROM kept
+       |UNION ALL SELECT 'c_near_dedup', COUNT(*)::BIGINT FROM surv
+       |ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d22_dedup_funnel" -> (d22 _),
     "d21_df_profile" -> (d21 _),
     "d20_source_dup_matrix" -> (d20 _),
     "d19_dedup_report" -> (d19 _),
@@ -999,6 +1040,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d22_dedup_funnel" -> d22Sql,
     "d21_df_profile" -> d21Sql,
     "d20_source_dup_matrix" -> d20Sql,
     "d19_dedup_report" -> d19Sql,

@@ -1062,7 +1062,45 @@ object Events {
       |FROM (SELECT * FROM fm UNION ALL SELECT * FROM lm)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- e27
+  /** Session co-occurrence matrix: for each unordered event-type pair,
+    * how many sessions contain both — the signal behind "views and
+    * errors co-occur" style diagnoses. Reuses e01's gap-labeling window
+    * chain (user-partitioned, bounded state); the pair join is a
+    * self-join on (user, session) of the DISTINCT per-session type set,
+    * so its width is bounded by |event types| per session, not events. */
+  def e27(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val labeled = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(wr))
+      .select(col("user_id"), col("sess_idx"), col("event_type")).distinct()
+    labeled.as("a").join(labeled.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.sess_idx") === col("b.sess_idx") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("type_a", "type_b")
+  }
+  val e27Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
+       |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f),
+       |d AS (SELECT DISTINCT user_id, sess_idx, event_type FROM s)
+       |SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_sessions
+       |FROM d a JOIN d b
+       |  ON a.user_id = b.user_id AND a.sess_idx = b.sess_idx
+       | AND a.event_type < b.event_type
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e27_session_cooccurrence" -> (e27 _),
     "e26_touch_attribution" -> (e26 _),
     "e25_funnel_windowed" -> (e25 _),
     "e24_rolling_active_sketch" -> (e24 _),
@@ -1118,5 +1156,6 @@ object Events {
     "e23_session_conversion" -> e23Sql,
     "e25_funnel_windowed" -> e25Sql,
     "e26_touch_attribution" -> e26Sql,
+    "e27_session_cooccurrence" -> e27Sql,
   )
 }

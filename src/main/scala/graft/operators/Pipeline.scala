@@ -468,7 +468,43 @@ object Pipeline {
        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p09
+  /** Sequence packing census: documents packed head-to-tail into fixed
+    * 4096-token training windows per language (bin = starting offset
+    * div 4096 over a deterministic doc_id-ordered prefix sum), reported
+    * as docs/tokens per bin. Packing is inherently sequential per
+    * stream, so the prefix sum partitions by the stream key (lang here;
+    * shard further by source/day at 100 TB — the bin arithmetic is
+    * unchanged, only the partition key widens). All-integer math. */
+  def p09(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("size(word_tokens(text))").cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum - n_tok) div 4096"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+      .orderBy("lang", "bin")
+  }
+  val p09Sql: String = {
+    import TextAnalysis.wordsSql
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents),
+       |c AS (
+       |  SELECT lang, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM d)
+       |SELECT lang, (cum - n_tok) // 4096 AS bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p09_sequence_packing" -> (p09 _),
     "p08_corpus_datasheet" -> (p08 _),
     "p07_training_manifest" -> (p07 _),
     "p06_incremental_ingest" -> (p06 _),
@@ -480,6 +516,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p09_sequence_packing" -> p09Sql,
     "p08_corpus_datasheet" -> p08Sql,
     "p07_training_manifest" -> p07Sql,
     "p06_incremental_ingest" -> p06Sql,

@@ -1413,7 +1413,39 @@ object Relational {
       |    AS above_share
       |FROM w GROUP BY 1 HAVING MAX(n) >= 3 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Order-to-ship latency histogram: days between order date and each
+    * line's ship date, banded by integer compares, per order priority.
+    * The fact-fact join shuffles on orderkey (AQE-sized); the band
+    * rollup is map-combinable and bounded by |priorities| x |bands|. */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+    val band = when(col("lat") <= 30, "a<=30d").when(col("lat") <= 60, "b<=60d")
+      .when(col("lat") <= 90, "c<=90d").otherwise("d>90d")
+    j.groupBy(col("o_orderpriority"), band.as("latency_band"))
+      .agg(count(lit(1)).as("n_lines"),
+           (sum(col("lat")).cast("double") / count(lit(1))).as("avg_latency_days"))
+      .orderBy("o_orderpriority", "latency_band")
+  }
+  val q48Sql: String =
+    """WITH j AS (
+      |  SELECT o_orderpriority,
+      |    DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT o_orderpriority,
+      |  CASE WHEN lat <= 30 THEN 'a<=30d' WHEN lat <= 60 THEN 'b<=60d'
+      |       WHEN lat <= 90 THEN 'c<=90d' ELSE 'd>90d' END AS latency_band,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(lat) AS DOUBLE) / COUNT(*) AS avg_latency_days
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q48_ship_latency" -> (q48 _),
     "q47_above_avg_orders" -> (q47 _),
     "q46_price_histogram" -> (q46 _),
     "q45_order_gaps" -> (q45 _),
@@ -1464,6 +1496,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q48_ship_latency" -> q48Sql,
     "q47_above_avg_orders" -> q47Sql,
     "q46_price_histogram" -> q46Sql,
     "q45_order_gaps" -> q45Sql,

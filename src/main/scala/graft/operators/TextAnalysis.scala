@@ -912,7 +912,74 @@ object TextAnalysis {
        |  ROUND(-CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS entropy
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t23
+  /** Per-source vocabulary drift: KL(source ‖ corpus) over unigram
+    * distributions — the "this source stopped looking like the corpus"
+    * alarm. Every probability is a ratio of exact integer counts; the
+    * ln argument is cross-multiplied into ONE division
+    * (c_sw·N / n_s·c_w), each p·ln term round9-quantized to DECIMAL
+    * before the order-independent sum (t11's recipe). The corpus total
+    * joins as a 1-row broadcast. */
+  def t23(spark: SparkSession, dir: String): DataFrame = {
+    val csw = Tables.documents(spark, dir)
+      .select(col("source"), explode(wordsCol).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+      .cache() // feeds the term join AND both marginal aggregations
+    val ns = csw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+    val cw = csw.groupBy("word").agg(sum(col("c_sw")).as("c_w"))
+    val n = cw.agg(sum(col("c_w")).as("n"))
+    csw.join(ns, "source").join(cw, "word").crossJoin(broadcast(n))
+      .withColumn("ps", dbl(col("c_sw")) / col("n_s"))
+      .withColumn("ratio", dbl(col("c_sw") * col("n")) / dbl(col("n_s") * col("c_w")))
+      .withColumn("term", round(col("ps") * log(col("ratio")), 9).cast("decimal(18,9)"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"), sum(col("term")).as("s"))
+      .select(col("source"), col("n_tokens"),
+        (round(dbl(col("s")), 6) + lit(0.0d)).as("kl_div"))
+      .orderBy("source")
+  }
+  val t23Sql: String =
+    s"""WITH t AS (SELECT source, UNNEST($wordsSql) AS word FROM documents),
+       |csw AS (SELECT source, word, COUNT(*) AS c_sw FROM t GROUP BY 1, 2),
+       |ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM csw GROUP BY 1),
+       |cw AS (SELECT word, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM csw GROUP BY 1),
+       |nn AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw),
+       |q AS (
+       |  SELECT source, n_s,
+       |    CAST(ROUND((CAST(c_sw AS DOUBLE) / n_s)
+       |      * ln(CAST(c_sw * n AS DOUBLE) / CAST(n_s * c_w AS DOUBLE)), 9)
+       |      AS DECIMAL(18,9)) AS term
+       |  FROM csw JOIN ns USING (source) JOIN cw USING (word) CROSS JOIN nn)
+       |SELECT source, MAX(n_s) AS n_tokens,
+       |  ROUND(CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS kl_div
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- t24
+  /** BPE iteration zero: corpus-wide adjacent character-pair frequencies
+    * within words — the statistic the first tokenizer merge is chosen
+    * from. Pair extraction is a per-word transform over index sequences
+    * (no UDF); the count is one map-combinable groupBy; top-30 by
+    * (count desc, pair) is a total order, so both engines pick the same
+    * set via TakeOrdered (no global window). */
+  def t24(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(wordsCol).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(30)
+  val t24Sql: String =
+    s"""WITH w AS (SELECT UNNEST($wordsSql) AS w FROM documents),
+       |p AS (
+       |  SELECT UNNEST(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+       |  FROM w WHERE length(w) >= 2)
+       |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1
+       |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t24_bpe_pair_counts" -> (t24 _),
+    "t23_source_divergence" -> (t23 _),
     "t22_unigram_entropy" -> (t22 _),
     "t21_vocab_coverage" -> (t21 _),
     "t20_bigram_lm" -> (t20 _),
@@ -951,6 +1018,8 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t24_bpe_pair_counts" -> t24Sql,
+    "t23_source_divergence" -> t23Sql,
     "t22_unigram_entropy" -> t22Sql,
     "t21_vocab_coverage" -> t21Sql,
     "t20_bigram_lm" -> t20Sql,

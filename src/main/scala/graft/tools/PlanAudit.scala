@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
   *  - q23: month-frame range self-join (one row per calendar month)
   *  - t09: corpus-count N joined in as a 1-row broadcast (idf input)
   *  - t14/p03: t11's corpus-total 1-row broadcast inside the LM scorer
+  *  - t23: the corpus-total 1-row broadcast inside the KL term
   *  - e16: 1-row count/total broadcasts + the non-equi band-offset join
   *    over the BANDS table (bounded by the value range / 1000, not by
   *    user count)
@@ -44,6 +45,7 @@ object PlanAudit {
     "q28_dormant_balances", "q29_top_supplier", "t09_tfidf_keywords",
     "t11_lm_score", "t12_lang_mix",
     "t14_ppl_buckets", "p03_token_budget_mix", "e16_value_deciles",
+    "t23_source_divergence",
     "q37_heavy_hitters", "s06_ann_sq8", "s07_mips_topk", "s08_range_search",
     "s09_ann_recall", "s10_ivf_cell_stats")
 

@@ -47,7 +47,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "t21_vocab_coverage", "d20_source_dup_matrix", "m08_byte_entropy",
       "s09_ann_recall", "p07_training_manifest",
       "q47_above_avg_orders", "t22_unigram_entropy", "d21_df_profile",
-      "m09_modality_sizes", "s10_ivf_cell_stats", "p08_corpus_datasheet")
+      "m09_modality_sizes", "s10_ivf_cell_stats", "p08_corpus_datasheet",
+      "q48_ship_latency", "e27_session_cooccurrence", "t23_source_divergence",
+      "d22_dedup_funnel", "t24_bpe_pair_counts", "p09_sequence_packing")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
