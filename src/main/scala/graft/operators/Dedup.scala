@@ -1014,7 +1014,35 @@ object Dedup {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d23
+  /** Boilerplate-prefix dedup: documents grouped by a NORMALIZED leading
+    * prefix (lowercased, non-alphanumerics stripped, first 64 chars) —
+    * catches template/header duplication that exact-hash dedup (d01)
+    * misses because trailing content differs. One map-combinable groupBy
+    * on the normalized key (d01's shape — no pair stream, one uniform
+    * shuffle at any scale); emits only groups of 2+, keyed by the md5 of
+    * the prefix with min-doc_id keeper semantics. */
+  def d23(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 64).as("pfx"))
+      .filter(length(col("pfx")) >= 16) // too-short prefixes are noise, not boilerplate
+      .groupBy(md5(col("pfx")).as("prefix_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("keeper_doc")
+  val d23Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64) AS pfx
+      |  FROM documents),
+      |f AS (SELECT * FROM p WHERE length(pfx) >= 16)
+      |SELECT md5(pfx) AS prefix_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc
+      |FROM f GROUP BY 1 HAVING COUNT(*) >= 2
+      |ORDER BY keeper_doc""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d23_prefix_dedup" -> (d23 _),
     "d22_dedup_funnel" -> (d22 _),
     "d21_df_profile" -> (d21 _),
     "d20_source_dup_matrix" -> (d20 _),
@@ -1040,6 +1068,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d23_prefix_dedup" -> d23Sql,
     "d22_dedup_funnel" -> d22Sql,
     "d21_df_profile" -> d21Sql,
     "d20_source_dup_matrix" -> d20Sql,

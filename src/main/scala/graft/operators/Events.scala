@@ -1099,7 +1099,109 @@ object Events {
        | AND a.event_type < b.event_type
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- e28
+  /** Weekly growth accounting: every active (user, week) classified as
+    * new (first week ever), retained (active the week before) or
+    * resurrected (returns after a gap), plus the implied churn count —
+    * the standard startup growth ledger. Week index is integer division
+    * of epoch-ms (no calendar parsing, identical in both engines); the
+    * classification is a user-partitioned lag; churned(w) derives from
+    * the WEEK-level frame (active(w-1) - retained(w)) via a broadcast
+    * equi self-join of the |weeks|-bounded rollup shifted one week — no
+    * single-partition window, no second pass over events. */
+  def e28(spark: SparkSession, dir: String): DataFrame = {
+    val WeekMs = 7L * 86400000L
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), (col("ms") - pmod(col("ms"), lit(WeekMs))).as("wk"))
+      .distinct()
+    val lagW = Window.partitionBy("user_id").orderBy("wk")
+    val cls = uw.withColumn("prev", lag(col("wk"), 1).over(lagW))
+      .withColumn("state",
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("wk") - WeekMs, "retained")
+          .otherwise("resurrected"))
+    val g = cls.groupBy("wk")
+      .agg(count(lit(1)).as("active"),
+           sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+           sum(when(col("state") === "retained", 1L).otherwise(0L)).as("n_retained"),
+           sum(when(col("state") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    g.join(broadcast(g.select((col("wk") + WeekMs).as("wk"),
+                              col("active").as("prev_active"))),
+           Seq("wk"), "left")
+      .withColumn("n_churned",
+        coalesce(col("prev_active") - col("n_retained"), lit(0L)))
+      .drop("prev_active")
+      .orderBy("wk")
+  }
+  val e28Sql: String =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |    epoch_ms(ts) - epoch_ms(ts) % 604800000 AS wk FROM events),
+      |c AS (SELECT user_id, wk,
+      |    LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev FROM uw),
+      |s AS (SELECT wk,
+      |    CASE WHEN prev IS NULL THEN 'new'
+      |         WHEN prev = wk - 604800000 THEN 'retained'
+      |         ELSE 'resurrected' END AS state FROM c),
+      |g AS (SELECT wk, COUNT(*) AS active,
+      |    SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new,
+      |    SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+      |    SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)::BIGINT AS n_resurrected
+      |  FROM s GROUP BY 1)
+      |SELECT wk, active, n_new, n_retained, n_resurrected,
+      |  COALESCE(LAG(active) OVER (ORDER BY wk) - n_retained, 0)::BIGINT AS n_churned
+      |FROM g ORDER BY wk""".stripMargin
+
+  // ---------------------------------------------------------------- e29
+  /** RFM customer segmentation: per-user recency (days since last
+    * purchase, vs the corpus max day), frequency (purchase count) and
+    * monetary (DECIMAL-exact value sum), each banded 1-3 by integer /
+    * decimal compares (no float boundaries), rolled up per segment.
+    * The corpus max day joins as a 1-row broadcast; output is bounded
+    * by 27 segments at any scale. */
+  def e29(spark: SparkSession, dir: String): DataFrame = {
+    val DayMs = 86400000L
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), (col("ms") - pmod(col("ms"), lit(DayMs))).as("day_ms"),
+              col("value"))
+    val per = p.groupBy("user_id")
+      .agg(max(col("day_ms")).as("last_day"), count(lit(1)).as("freq"),
+           sum(dec(col("value"))).as("mon"))
+    val mx = p.agg(max(col("day_ms")).as("max_day"))
+    per.crossJoin(broadcast(mx))
+      // day-aligned ms difference is an exact multiple of DayMs; compares
+      // below are integer-vs-integer in both engines
+      .withColumn("rec_days", ((col("max_day") - col("last_day")) / lit(DayMs)).cast("long"))
+      .withColumn("r", when(col("rec_days") <= 7, "3").when(col("rec_days") <= 30, "2").otherwise("1"))
+      .withColumn("f", when(col("freq") >= 20, "3").when(col("freq") >= 5, "2").otherwise("1"))
+      .withColumn("m", when(col("mon") >= 500, "3").when(col("mon") >= 100, "2").otherwise("1"))
+      .groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
+      .agg(count(lit(1)).as("n_users"), dbl(sum(col("mon"))).as("total_value"))
+      .orderBy("segment")
+  }
+  val e29Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |per AS (
+      |  SELECT user_id, MAX(day_ms) AS last_day, COUNT(*) AS freq,
+      |    SUM(CAST(value AS DECIMAL(12,2))) AS mon
+      |  FROM p GROUP BY 1),
+      |mx AS (SELECT MAX(day_ms) AS max_day FROM p),
+      |b AS (
+      |  SELECT (max_day - last_day) // 86400000 AS rec_days, freq, mon FROM per CROSS JOIN mx),
+      |seg AS (
+      |  SELECT
+      |    (CASE WHEN rec_days <= 7 THEN 3 WHEN rec_days <= 30 THEN 2 ELSE 1 END)::VARCHAR ||
+      |    (CASE WHEN freq >= 20 THEN 3 WHEN freq >= 5 THEN 2 ELSE 1 END)::VARCHAR ||
+      |    (CASE WHEN mon >= 500 THEN 3 WHEN mon >= 100 THEN 2 ELSE 1 END)::VARCHAR AS segment,
+      |    mon FROM b)
+      |SELECT segment, COUNT(*) AS n_users, CAST(SUM(mon) AS DOUBLE) AS total_value
+      |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e29_rfm_segments" -> (e29 _),
+    "e28_growth_accounting" -> (e28 _),
     "e27_session_cooccurrence" -> (e27 _),
     "e26_touch_attribution" -> (e26 _),
     "e25_funnel_windowed" -> (e25 _),
@@ -1157,5 +1259,7 @@ object Events {
     "e25_funnel_windowed" -> e25Sql,
     "e26_touch_attribution" -> e26Sql,
     "e27_session_cooccurrence" -> e27Sql,
+    "e28_growth_accounting" -> e28Sql,
+    "e29_rfm_segments" -> e29Sql,
   )
 }

@@ -1444,7 +1444,49 @@ object Relational {
       |  CAST(SUM(lat) AS DOUBLE) / COUNT(*) AS avg_latency_days
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Supply-concentration risk: the 20 parts whose top supplier holds
+    * the largest share of shipped quantity (with 2+ suppliers — sole
+    * sourcing is trivially 100%). Two map-combinable aggregations on
+    * lineitem (per (part, supplier), then per part), the dominant
+    * supplier resolved by a join back on the exact DECIMAL max (min
+    * suppkey on ties); share is ONE identical IEEE division of exact
+    * operands in both engines, so the (share desc, partkey) total order
+    * agrees and TakeOrdered prunes the head map-side — no global
+    * window. */
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"))
+      .cache() // feeds the per-part rollup AND the argmax resolve join
+    val per = ps.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("sq")).as("tq"),
+           max(col("sq")).as("msq"))
+      .filter(col("n_suppliers") >= 2)
+    per.join(ps.withColumnRenamed("sq", "msq"), Seq("l_partkey", "msq"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(max(col("n_suppliers")).as("n_suppliers"),
+           min(col("l_suppkey")).as("top_suppkey"),
+           (dbl(max(col("msq"))) / dbl(max(col("tq")))).as("top_share"))
+      .orderBy(col("top_share").desc, col("p_partkey")).limit(20)
+  }
+  val q49Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      |  FROM lineitem GROUP BY 1, 2),
+      |per AS (
+      |  SELECT l_partkey, COUNT(*) AS n_suppliers, SUM(sq) AS tq, MAX(sq) AS msq
+      |  FROM ps GROUP BY 1
+      |  HAVING COUNT(*) >= 2)
+      |SELECT per.l_partkey AS p_partkey,
+      |  MAX(n_suppliers) AS n_suppliers,
+      |  MIN(l_suppkey) AS top_suppkey,
+      |  CAST(MAX(msq) AS DOUBLE) / CAST(MAX(tq) AS DOUBLE) AS top_share
+      |FROM per JOIN ps ON per.l_partkey = ps.l_partkey AND ps.sq = per.msq
+      |GROUP BY 1 ORDER BY top_share DESC, p_partkey LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q49_part_concentration" -> (q49 _),
     "q48_ship_latency" -> (q48 _),
     "q47_above_avg_orders" -> (q47 _),
     "q46_price_histogram" -> (q46 _),
@@ -1496,6 +1538,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q49_part_concentration" -> q49Sql,
     "q48_ship_latency" -> q48Sql,
     "q47_above_avg_orders" -> q47Sql,
     "q46_price_histogram" -> q46Sql,

@@ -618,7 +618,70 @@ object Similarity {
       .orderBy("cent_id")
   }
 
+  // ---------------------------------------------------------------- s11
+  /** Cosine background-similarity histogram: the distribution of pairwise
+    * cosines over a deterministic 20% id-sample (vec_id % 5 == 0) — the
+    * noise-floor profile that calibrates near-dup / ANN thresholds (a
+    * threshold below the background mode returns noise, not neighbors).
+    * Exact pair semantics on the SAMPLE (d05's bounded-broadcast shape;
+    * the sample rate is the scale knob — shrink the mod class as N
+    * grows, the histogram is a distribution estimate either way). Bands
+    * by raw-double compare at quarter boundaries (round6 cosines are
+    * bit-identical across engines, so band edges agree); mean per band
+    * DECIMAL-quantized before the order-independent sum. */
+  def s11(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = withNormVec(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") % 5 === 0)
+    val a = spread(e.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na")))
+    val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
+    val band = when(col("cos") < -0.75, "a[-1.00,-0.75)")
+      .when(col("cos") < -0.5, "b[-0.75,-0.50)")
+      .when(col("cos") < -0.25, "c[-0.50,-0.25)")
+      .when(col("cos") < 0.0, "d[-0.25, 0.00)")
+      .when(col("cos") < 0.25, "e[ 0.00, 0.25)")
+      .when(col("cos") < 0.5, "f[ 0.25, 0.50)")
+      .when(col("cos") < 0.75, "g[ 0.50, 0.75)")
+      .otherwise("h[ 0.75, 1.00]")
+    a.join(broadcast(b), col("ida") < col("idb"))
+      .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 6))
+      .withColumn("band", band)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("cos").cast("decimal(18,6)")).as("s"))
+      .select(col("band"), col("n_pairs"),
+        (round(dbl(col("s")) / col("n_pairs"), 6) + lit(0.0d)).as("mean_cos"))
+      .orderBy("band")
+  }
+  val s11Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id % 5 = 0),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |p AS (
+      |  SELECT ROUND(list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+      |           / (a.nrm * b.nrm), 6) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+      |q AS (
+      |  SELECT CASE WHEN cos < -0.75 THEN 'a[-1.00,-0.75)'
+      |              WHEN cos < -0.5  THEN 'b[-0.75,-0.50)'
+      |              WHEN cos < -0.25 THEN 'c[-0.50,-0.25)'
+      |              WHEN cos < 0.0   THEN 'd[-0.25, 0.00)'
+      |              WHEN cos < 0.25  THEN 'e[ 0.00, 0.25)'
+      |              WHEN cos < 0.5   THEN 'f[ 0.25, 0.50)'
+      |              WHEN cos < 0.75  THEN 'g[ 0.50, 0.75)'
+      |              ELSE 'h[ 0.75, 1.00]' END AS band,
+      |         CAST(cos AS DECIMAL(18,6)) AS dcos
+      |  FROM p)
+      |SELECT band, COUNT(*) AS n_pairs,
+      |  ROUND(CAST(SUM(dcos) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_cos
+      |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s11_cos_histogram" -> (s11 _),
     "s10_ivf_cell_stats" -> (s10 _),
     "s09_ann_recall" -> (s09 _),
     "s08_range_search" -> (s08 _),
@@ -632,6 +695,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s11_cos_histogram" -> s11Sql,
     "s08_range_search" -> s08Sql,
     "s07_mips_topk" -> s07Sql,
     "s01_ann_brute_topk" -> s01Sql,

@@ -977,7 +977,70 @@ object TextAnalysis {
        |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1
        |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------------------- t25
+  /** Heap's-law vocabulary growth curve: cumulative distinct vocabulary
+    * and token volume after each tenth of the corpus (by doc_id range) —
+    * the "is new data still adding new words" saturation diagnostic.
+    * Each word contributes at its FIRST doc (min doc_id — one
+    * map-combinable agg over the posting stream, no order-dependent
+    * scan); binning is integer range arithmetic off a 1-row min/max
+    * broadcast (no global window, no ntile); the cumulative sums run as
+    * a 10-row band self-join, bounded by the bin count at any scale. */
+  def t25(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(wordsCol).cast("long").as("n_tok"))
+    val bounds = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val perBin = d.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("(doc_id - lo) * 10 div (hi - lo + 1)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+    val firsts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordsCol).as("word"))
+      .groupBy("word").agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("(fd - lo) * 10 div (hi - lo + 1)"))
+      .groupBy("bin").agg(count(lit(1)).as("new_words"))
+    val g = perBin.join(firsts, Seq("bin"), "left")
+      .na.fill(0L, Seq("new_words"))
+    g.join(broadcast(g.select(col("bin").as("b2"),
+        col("bin_tokens").as("t2"), col("new_words").as("w2"))),
+        col("b2") <= col("bin"))
+      .groupBy("bin")
+      .agg(max(col("n_docs")).as("n_docs"),
+           max(col("bin_tokens")).as("bin_tokens"),
+           max(col("new_words")).as("new_words"),
+           sum(col("t2")).as("cum_tokens"),
+           sum(col("w2")).as("cum_vocab"))
+      .orderBy("bin")
+  }
+  val t25Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents),
+       |bnd AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
+       |per AS (
+       |  SELECT (doc_id - lo) * 10 // (hi - lo + 1) AS bin,
+       |    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+       |  FROM d CROSS JOIN bnd GROUP BY 1),
+       |fw AS (
+       |  SELECT word, MIN(doc_id) AS fd
+       |  FROM (SELECT doc_id, UNNEST($wordsSql) AS word FROM documents)
+       |  GROUP BY 1),
+       |nf AS (
+       |  SELECT (fd - lo) * 10 // (hi - lo + 1) AS bin, COUNT(*) AS new_words
+       |  FROM fw CROSS JOIN bnd GROUP BY 1),
+       |g AS (
+       |  SELECT per.bin AS bin, n_docs, bin_tokens,
+       |    COALESCE(new_words, 0)::BIGINT AS new_words
+       |  FROM per LEFT JOIN nf ON per.bin = nf.bin)
+       |SELECT a.bin AS bin, MAX(a.n_docs) AS n_docs,
+       |  MAX(a.bin_tokens) AS bin_tokens, MAX(a.new_words) AS new_words,
+       |  CAST(SUM(c.bin_tokens) AS BIGINT) AS cum_tokens,
+       |  CAST(SUM(c.new_words) AS BIGINT) AS cum_vocab
+       |FROM g a JOIN g c ON c.bin <= a.bin
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t25_vocab_growth" -> (t25 _),
     "t24_bpe_pair_counts" -> (t24 _),
     "t23_source_divergence" -> (t23 _),
     "t22_unigram_entropy" -> (t22 _),
@@ -1018,6 +1081,7 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t25_vocab_growth" -> t25Sql,
     "t24_bpe_pair_counts" -> t24Sql,
     "t23_source_divergence" -> t23Sql,
     "t22_unigram_entropy" -> t22Sql,

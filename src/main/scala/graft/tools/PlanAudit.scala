@@ -45,7 +45,8 @@ object PlanAudit {
     "q28_dormant_balances", "q29_top_supplier", "t09_tfidf_keywords",
     "t11_lm_score", "t12_lang_mix",
     "t14_ppl_buckets", "p03_token_budget_mix", "e16_value_deciles",
-    "t23_source_divergence",
+    "t23_source_divergence", "e29_rfm_segments", "t25_vocab_growth",
+    "s11_cos_histogram",
     "q37_heavy_hitters", "s06_ann_sq8", "s07_mips_topk", "s08_range_search",
     "s09_ann_recall", "s10_ivf_cell_stats")
 

@@ -49,7 +49,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q47_above_avg_orders", "t22_unigram_entropy", "d21_df_profile",
       "m09_modality_sizes", "s10_ivf_cell_stats", "p08_corpus_datasheet",
       "q48_ship_latency", "e27_session_cooccurrence", "t23_source_divergence",
-      "d22_dedup_funnel", "t24_bpe_pair_counts", "p09_sequence_packing")
+      "d22_dedup_funnel", "t24_bpe_pair_counts", "p09_sequence_packing",
+      "q49_part_concentration", "e28_growth_accounting", "e29_rfm_segments",
+      "t25_vocab_growth", "d23_prefix_dedup", "s11_cos_histogram")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
