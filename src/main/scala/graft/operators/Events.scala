@@ -1069,16 +1069,31 @@ object Events {
     * chain (user-partitioned, bounded state); the pair join is a
     * self-join on (user, session) of the DISTINCT per-session type set,
     * so its width is bounded by |event types| per session, not events. */
-  def e27(spark: SparkSession, dir: String): DataFrame = {
+  /** DISTINCT (user, session, event_type) triples off e01's gap-labeling
+    * chain — the frame behind e27 (co-occurrence) and e31 (lift). */
+  private def sessionTypeSets(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
     val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val labeled = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
       .withColumn("prev_ms", lag(col("ms"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
       .withColumn("sess_idx", sum(col("new_sess")).over(wr))
       .select(col("user_id"), col("sess_idx"), col("event_type")).distinct()
+  }
+  /** Shared CTE chain producing the DISTINCT (user, sess_idx, event_type)
+    * frame `d` — the SQL mirror of [[sessionTypeSets]]. */
+  private val sessionTypeSetsCte: String =
+    s"""e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
+       |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f),
+       |d AS (SELECT DISTINCT user_id, sess_idx, event_type FROM s)""".stripMargin
+
+  def e27(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = sessionTypeSets(spark, dir)
     labeled.as("a").join(labeled.as("b"),
         col("a.user_id") === col("b.user_id") && col("a.sess_idx") === col("b.sess_idx") &&
           col("a.event_type") < col("b.event_type"))
@@ -1087,12 +1102,7 @@ object Events {
       .orderBy("type_a", "type_b")
   }
   val e27Sql: String =
-    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
-       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
-       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
-       |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f),
-       |d AS (SELECT DISTINCT user_id, sess_idx, event_type FROM s)
+    s"""WITH $sessionTypeSetsCte
        |SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_sessions
        |FROM d a JOIN d b
        |  ON a.user_id = b.user_id AND a.sess_idx = b.sess_idx
@@ -1199,7 +1209,73 @@ object Events {
       |SELECT segment, COUNT(*) AS n_users, CAST(SUM(mon) AS DOUBLE) AS total_value
       |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e30
+  /** Engagement-depth histogram: how many users were active on exactly N
+    * distinct days — the curve behind "casual vs core" segmentation.
+    * Two map-combinable aggregations (distinct (user, day) → per-user
+    * day count → per-count user count); output bounded by the calendar,
+    * all integers. */
+  def e30(spark: SparkSession, dir: String): DataFrame = {
+    val DayMs = 86400000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), (col("ms") - pmod(col("ms"), lit(DayMs))).as("day_ms"))
+      .distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("n_days"))
+      .groupBy("n_days").agg(count(lit(1)).as("n_users"))
+      .orderBy("n_days")
+  }
+  val e30Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms FROM events),
+      |pu AS (SELECT user_id, COUNT(*) AS n_days FROM ud GROUP BY 1)
+      |SELECT n_days, COUNT(*) AS n_users FROM pu GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- e31
+  /** Event-type association LIFT over sessions: for each unordered type
+    * pair, P(a,b)/(P(a)·P(b)) = n_ab·S / (n_a·n_b) — e27's co-occurrence
+    * counts normalized into the market-basket association measure. All
+    * numerators/denominators are exact session counts; the cross-
+    * multiplied ratio is ONE IEEE division (t23's recipe); the session
+    * total joins as a 1-row broadcast. */
+  def e31(spark: SparkSession, dir: String): DataFrame = {
+    val st = sessionTypeSets(spark, dir).cache() // feeds pairs AND both marginals
+    val total = st.select("user_id", "sess_idx").distinct()
+      .agg(count(lit(1)).as("s_total"))
+    val marg = st.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = st.as("a").join(st.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.sess_idx") === col("b.sess_idx") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(marg.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        (round(dbl(col("n_ab") * col("s_total")) / dbl(col("n_a") * col("n_b")), 6)
+          + lit(0.0d)).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+  val e31Sql: String =
+    s"""WITH $sessionTypeSetsCte,
+       |tot AS (SELECT COUNT(*) AS s_total FROM (SELECT DISTINCT user_id, sess_idx FROM d)),
+       |marg AS (SELECT event_type, COUNT(*) AS n_t FROM d GROUP BY 1),
+       |p AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+       |  FROM d a JOIN d b
+       |    ON a.user_id = b.user_id AND a.sess_idx = b.sess_idx
+       |   AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT type_a, type_b, n_ab,
+       |  ROUND(CAST(n_ab * s_total AS DOUBLE) / CAST(ma.n_t * mb.n_t AS DOUBLE), 6) + 0.0 AS lift
+       |FROM p JOIN marg ma ON p.type_a = ma.event_type
+       |       JOIN marg mb ON p.type_b = mb.event_type
+       |       CROSS JOIN tot
+       |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e31_type_lift" -> (e31 _),
+    "e30_engagement_depth" -> (e30 _),
     "e29_rfm_segments" -> (e29 _),
     "e28_growth_accounting" -> (e28 _),
     "e27_session_cooccurrence" -> (e27 _),
@@ -1261,5 +1337,7 @@ object Events {
     "e27_session_cooccurrence" -> e27Sql,
     "e28_growth_accounting" -> e28Sql,
     "e29_rfm_segments" -> e29Sql,
+    "e30_engagement_depth" -> e30Sql,
+    "e31_type_lift" -> e31Sql,
   )
 }

@@ -350,7 +350,30 @@ object Multimodal {
       |  CAST(SUM(nb) AS BIGINT) AS total_bytes
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- m10
+  /** Source × modality census: which ingestion sources contribute which
+    * media kinds, by doc count and byte volume — the matrix a curation
+    * run consults before routing per-modality budgets. m06's magic-byte
+    * router per row, one map-combinable groupBy, \|sources\|×\|kinds\|-
+    * bounded output. */
+  def m10(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", routeModality(col("payload"), col("text")))
+      .groupBy(col("source"), col("modality"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(octet_length(col("payload"))).cast("long").as("total_bytes"))
+      .orderBy("source", "modality")
+  val m10Sql: String =
+    s"""WITH r AS (SELECT source, octet_length(CAST(text AS BLOB)) AS nb,
+      |  $modalitySqlCase AS modality
+      |  FROM documents)
+      |SELECT source, modality, COUNT(*) AS n_docs,
+      |  CAST(SUM(nb) AS BIGINT) AS total_bytes
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m10_source_modality" -> (m10 _),
     "m09_modality_sizes" -> (m09 _),
     "m08_byte_entropy" -> (m08 _),
     "m07_payload_clusters" -> (m07 _),
@@ -367,5 +390,6 @@ object Multimodal {
     "m06_modality_route" -> m06Sql,
     "m08_byte_entropy" -> m08Sql,
     "m09_modality_sizes" -> m09Sql,
+    "m10_source_modality" -> m10Sql,
   )
 }

@@ -503,7 +503,50 @@ object Pipeline {
        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p10
+  /** Equal-share mixture repeat factors: how many epochs of each source a
+    * training run needs to hit an equal per-source token share of the
+    * corpus total, capped at 4x (the standard "don't repeat small
+    * sources into memorization" guard). Per-source token totals are one
+    * map-combinable aggregation; the corpus total and source count join
+    * back as a 1-row broadcast; the repeat factor is ONE IEEE division
+    * of exact integers, the cap an identical double compare in both
+    * engines. */
+  def p10(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), expr("size(word_tokens(text))").cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("corpus_tokens"),
+                      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("corpus_tokens div n_sources"))
+      .withColumn("repeat_raw",
+        round(col("target_tokens").cast("double") / col("tokens").cast("double"), 6))
+      .select(col("source"), col("n_docs"), col("tokens"), col("target_tokens"),
+        col("repeat_raw"),
+        least(col("repeat_raw"), lit(4.0d)).as("repeat_capped"))
+      .orderBy("source")
+  }
+  val p10Sql: String = {
+    import TextAnalysis.wordsSql
+    s"""WITH per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len($wordsSql)) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+       |               COUNT(*) AS n_sources FROM per)
+       |SELECT source, n_docs, tokens,
+       |  corpus_tokens // n_sources AS target_tokens,
+       |  ROUND(CAST(corpus_tokens // n_sources AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS repeat_raw,
+       |  LEAST(ROUND(CAST(corpus_tokens // n_sources AS DOUBLE) / CAST(tokens AS DOUBLE), 6), 4.0)
+       |    AS repeat_capped
+       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p10_mixture_epochs" -> (p10 _),
     "p09_sequence_packing" -> (p09 _),
     "p08_corpus_datasheet" -> (p08 _),
     "p07_training_manifest" -> (p07 _),
@@ -516,6 +559,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p10_mixture_epochs" -> p10Sql,
     "p09_sequence_packing" -> p09Sql,
     "p08_corpus_datasheet" -> p08Sql,
     "p07_training_manifest" -> p07Sql,

@@ -1485,7 +1485,46 @@ object Relational {
       |FROM per JOIN ps ON per.l_partkey = ps.l_partkey AND ps.sq = per.msq
       |GROUP BY 1 ORDER BY top_share DESC, p_partkey LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Market-segment revenue mix per nation: order revenue rolled up to
+    * (nation, segment) with each segment's share of its nation. The
+    * star join broadcasts both dims (customer→nation is the only
+    * shuffle-bearing edge at scale: orders shuffle on custkey once);
+    * shares come from a nation-partitioned window over the
+    * \|nations\|×\|segments\|-bounded rollup — DECIMAL-exact totals,
+    * ONE IEEE division per row. */
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    val wN = Window.partitionBy("n_name")
+    rev.withColumn("nation_rev", sum(col("rev")).over(wN))
+      .select(col("n_name"), col("c_mktsegment"),
+        dbl(col("rev")).as("revenue"),
+        round(dbl(col("rev")) / dbl(col("nation_rev")), 6).as("share"))
+      .orderBy("n_name", "c_mktsegment")
+  }
+  val q50Sql: String =
+    """WITH rev AS (
+      |  SELECT n_name, c_mktsegment,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, c_mktsegment,
+      |  CAST(rev AS DOUBLE) AS revenue,
+      |  ROUND(CAST(rev AS DOUBLE) /
+      |        CAST(SUM(rev) OVER (PARTITION BY n_name) AS DOUBLE), 6) AS share
+      |FROM rev ORDER BY n_name, c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q50_segment_share" -> (q50 _),
     "q49_part_concentration" -> (q49 _),
     "q48_ship_latency" -> (q48 _),
     "q47_above_avg_orders" -> (q47 _),
@@ -1538,6 +1577,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q50_segment_share" -> q50Sql,
     "q49_part_concentration" -> q49Sql,
     "q48_ship_latency" -> q48Sql,
     "q47_above_avg_orders" -> q47Sql,

@@ -1039,7 +1039,39 @@ object TextAnalysis {
        |FROM g a JOIN g c ON c.bin <= a.bin
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t26
+  /** Sentence-granularity profile per language: sentence counts from a
+    * [.!?]+ split (identical regex semantics in both engines), words per
+    * sentence as exact-integer totals with ONE division per output row.
+    * Short-sentence corpora (listicles, tables-as-text) and run-on walls
+    * both show up here before they poison a training mix. */
+  def t26(spark: SparkSession, dir: String): DataFrame = {
+    val sentences = expr("filter(split(text, '[.!?]+'), x -> trim(x) != '')")
+    Tables.documents(spark, dir)
+      .select(col("lang"), size(wordsCol).cast("long").as("n_tok"),
+        size(sentences).cast("long").as("n_sent"))
+      .filter(col("n_sent") >= 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_sent")).as("total_sentences"),
+           (dbl(sum(col("n_tok"))) / sum(col("n_sent"))).as("words_per_sentence"),
+           (dbl(sum(col("n_sent"))) / count(lit(1))).as("sentences_per_doc"))
+      .orderBy("lang")
+  }
+  val t26Sql: String =
+    s"""WITH d AS (
+       |  SELECT lang, CAST(len($wordsSql) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'), x -> trim(x) <> ''))
+       |      AS BIGINT) AS n_sent
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_sent) AS BIGINT) AS total_sentences,
+       |  CAST(SUM(n_tok) AS DOUBLE) / SUM(n_sent) AS words_per_sentence,
+       |  CAST(SUM(n_sent) AS DOUBLE) / COUNT(*) AS sentences_per_doc
+       |FROM d WHERE n_sent >= 1 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t26_sentence_stats" -> (t26 _),
     "t25_vocab_growth" -> (t25 _),
     "t24_bpe_pair_counts" -> (t24 _),
     "t23_source_divergence" -> (t23 _),
@@ -1081,6 +1113,7 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t26_sentence_stats" -> t26Sql,
     "t25_vocab_growth" -> t25Sql,
     "t24_bpe_pair_counts" -> t24Sql,
     "t23_source_divergence" -> t23Sql,

@@ -51,7 +51,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q48_ship_latency", "e27_session_cooccurrence", "t23_source_divergence",
       "d22_dedup_funnel", "t24_bpe_pair_counts", "p09_sequence_packing",
       "q49_part_concentration", "e28_growth_accounting", "e29_rfm_segments",
-      "t25_vocab_growth", "d23_prefix_dedup", "s11_cos_histogram")
+      "t25_vocab_growth", "d23_prefix_dedup", "s11_cos_histogram",
+      "q50_segment_share", "e30_engagement_depth", "e31_type_lift",
+      "t26_sentence_stats", "m10_source_modality", "p10_mixture_epochs")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
