@@ -1041,7 +1041,52 @@ object Dedup {
       |FROM f GROUP BY 1 HAVING COUNT(*) >= 2
       |ORDER BY keeper_doc""".stripMargin
 
+  // ---------------------------------------------------------------- d24
+  /** Jaccard threshold sweep: how many near-dup pairs survive at J ≥
+    * 0.5/0.6/0.7/0.8/0.9 — the calibration curve consulted before fixing
+    * a dedup threshold (the elbow separates boilerplate families from
+    * true dups). ONE pass over d03's exact pair stream (J ≥ 0.5), five
+    * conditional sums in a single map-combinable aggregation, the 5-row
+    * frame unpacked from one struct array — compares run on the same
+    * round-free inter/union division both engines already hash-match. */
+  def d24(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(shingled(spark, dir), 1, 2)
+    val a = pairs.agg(
+      coalesce(sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)), lit(0L)).as("c5"),
+      coalesce(sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)), lit(0L)).as("c6"),
+      coalesce(sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)), lit(0L)).as("c7"),
+      coalesce(sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)), lit(0L)).as("c8"),
+      coalesce(sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)), lit(0L)).as("c9"))
+    a.select(explode(array(
+        struct(lit("j>=0.5").as("threshold"), col("c5").as("n_pairs")),
+        struct(lit("j>=0.6").as("threshold"), col("c6").as("n_pairs")),
+        struct(lit("j>=0.7").as("threshold"), col("c7").as("n_pairs")),
+        struct(lit("j>=0.8").as("threshold"), col("c8").as("n_pairs")),
+        struct(lit("j>=0.9").as("threshold"), col("c9").as("n_pairs")))).as("t"))
+      .select(col("t.threshold").as("threshold"), col("t.n_pairs").as("n_pairs"))
+      .orderBy("threshold")
+  }
+  val d24Sql: String = {
+    val pairSql = jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS ($pairSql),
+       |a AS (
+       |  SELECT
+       |    COALESCE(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END), 0)::BIGINT AS c5,
+       |    COALESCE(SUM(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END), 0)::BIGINT AS c6,
+       |    COALESCE(SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END), 0)::BIGINT AS c7,
+       |    COALESCE(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END), 0)::BIGINT AS c8,
+       |    COALESCE(SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END), 0)::BIGINT AS c9
+       |  FROM pairs)
+       |SELECT 'j>=0.5' AS threshold, c5 AS n_pairs FROM a
+       |UNION ALL SELECT 'j>=0.6', c6 FROM a
+       |UNION ALL SELECT 'j>=0.7', c7 FROM a
+       |UNION ALL SELECT 'j>=0.8', c8 FROM a
+       |UNION ALL SELECT 'j>=0.9', c9 FROM a
+       |ORDER BY threshold""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d24_threshold_sweep" -> (d24 _),
     "d23_prefix_dedup" -> (d23 _),
     "d22_dedup_funnel" -> (d22 _),
     "d21_df_profile" -> (d21 _),
@@ -1068,6 +1113,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d24_threshold_sweep" -> d24Sql,
     "d23_prefix_dedup" -> d23Sql,
     "d22_dedup_funnel" -> d22Sql,
     "d21_df_profile" -> d21Sql,

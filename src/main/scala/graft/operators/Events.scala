@@ -1273,7 +1273,43 @@ object Events {
        |       CROSS JOIN tot
        |ORDER BY type_a, type_b""".stripMargin
 
+  // ---------------------------------------------------------------- e32
+  /** Daily peak-to-mean load ratio: each day's busiest hour vs its
+    * 24-hour mean — the capacity-planning number that says how much
+    * headroom a flat-provisioned cluster needs. Two map-combinable
+    * aggregations (hour counts → day rollup); the ratio is exact-integer
+    * cross multiplication (peak·24 / total) with ONE division per day
+    * row; output bounded by the calendar. */
+  def e32(spark: SparkSession, dir: String): DataFrame = {
+    val HourMs = 3600000L
+    val DayMs = 86400000L
+    Tables.events(spark, dir)
+      .select((col("ms") - pmod(col("ms"), lit(HourMs))).as("hour_ms"))
+      .groupBy("hour_ms").agg(count(lit(1)).as("n"))
+      .withColumn("day_ms", col("hour_ms") - pmod(col("hour_ms"), lit(DayMs)))
+      .groupBy("day_ms")
+      .agg(max(col("n")).as("peak_hour_n"), sum(col("n")).as("total_n"),
+           count(lit(1)).as("active_hours"))
+      .withColumn("peak_ratio",
+        round(dbl(col("peak_hour_n") * 24) / dbl(col("total_n")), 6))
+      .orderBy("day_ms")
+  }
+  val e32Sql: String =
+    """WITH h AS (
+      |  SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hour_ms, COUNT(*) AS n
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT hour_ms - hour_ms % 86400000 AS day_ms,
+      |    CAST(MAX(n) AS BIGINT) AS peak_hour_n,
+      |    CAST(SUM(n) AS BIGINT) AS total_n,
+      |    COUNT(*) AS active_hours
+      |  FROM h GROUP BY 1)
+      |SELECT day_ms, peak_hour_n, total_n, active_hours,
+      |  ROUND(CAST(peak_hour_n * 24 AS DOUBLE) / CAST(total_n AS DOUBLE), 6) AS peak_ratio
+      |FROM d ORDER BY day_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e32_load_ratio" -> (e32 _),
     "e31_type_lift" -> (e31 _),
     "e30_engagement_depth" -> (e30 _),
     "e29_rfm_segments" -> (e29 _),
@@ -1339,5 +1375,6 @@ object Events {
     "e29_rfm_segments" -> e29Sql,
     "e30_engagement_depth" -> e30Sql,
     "e31_type_lift" -> e31Sql,
+    "e32_load_ratio" -> e32Sql,
   )
 }

@@ -372,7 +372,33 @@ object Multimodal {
       |  CAST(SUM(nb) AS BIGINT) AS total_bytes
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- m11
+  /** Per-modality exact-duplicate rate: d01's content-hash dedup broken
+    * out by m06's routed media kind — "is the image feed or the text
+    * feed doing the duplicating". One scan, one map-combinable groupBy
+    * with an exact distinct count, ONE division per emitted row;
+    * \|kinds\|-bounded output. */
+  def m11(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", routeModality(col("payload"), col("text")))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(md5(col("text"))).as("n_unique"))
+      .withColumn("dup_rate",
+        round((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"), 6)
+          + lit(0.0d))
+      .orderBy("modality")
+  val m11Sql: String =
+    s"""WITH r AS (SELECT text, $modalitySqlCase AS modality FROM documents)
+      |SELECT modality, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS n_unique,
+      |  ROUND(CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6) + 0.0
+      |    AS dup_rate
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m11_modality_dup_rate" -> (m11 _),
     "m10_source_modality" -> (m10 _),
     "m09_modality_sizes" -> (m09 _),
     "m08_byte_entropy" -> (m08 _),
@@ -391,5 +417,6 @@ object Multimodal {
     "m08_byte_entropy" -> m08Sql,
     "m09_modality_sizes" -> m09Sql,
     "m10_source_modality" -> m10Sql,
+    "m11_modality_dup_rate" -> m11Sql,
   )
 }

@@ -1523,7 +1523,31 @@ object Relational {
       |        CAST(SUM(rev) OVER (PARTITION BY n_name) AS DOUBLE), 6) AS share
       |FROM rev ORDER BY n_name, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Discount-band effect profile: lines, volume and revenue per integer
+    * discount percentage — the "does a deeper discount actually move
+    * quantity" table. The percentage band is one identical IEEE
+    * round(x*100) in both engines (no tie values exist off the .5
+    * boundary); quantity/revenue aggregate in exact DECIMAL; averages
+    * are ONE division per emitted row; output bounded by the discount
+    * domain (|bands| ≤ 101). */
+  def q51(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("band", round(col("l_discount") * 100, 0).cast("long"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_lines"),
+           davg(col("l_quantity")).as("avg_qty"),
+           dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy("band")
+  val q51Sql: String =
+    s"""SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS band,
+       |  COUNT(*) AS n_lines,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q51_discount_bands" -> (q51 _),
     "q50_segment_share" -> (q50 _),
     "q49_part_concentration" -> (q49 _),
     "q48_ship_latency" -> (q48 _),
@@ -1577,6 +1601,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q51_discount_bands" -> q51Sql,
     "q50_segment_share" -> q50Sql,
     "q49_part_concentration" -> q49Sql,
     "q48_ship_latency" -> q48Sql,

@@ -680,7 +680,51 @@ object Similarity {
       |  ROUND(CAST(SUM(dcos) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_cos
       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s12
+  /** Neighbor-degree histogram of the cos ≥ 0.35 similarity graph: how
+    * many vectors have exactly N neighbors (0 included) — the isolation
+    * profile that says whether a dedup threshold will touch 2% or 40% of
+    * the corpus. Exact pair semantics (d05's bounded-broadcast shape as
+    * the labeled baseline; route candidates through s02/s03 at scale),
+    * degree counted per LEFT endpoint over both directions, zero-degree
+    * vectors restored by a left join before the bounded histogram
+    * rollup. */
+  def s12(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    val a = spread(e.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na")))
+    val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
+    val deg = a.join(broadcast(b), col("ida") =!= col("idb"))
+      .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.35)
+      .groupBy(col("ida").as("vec_id")).agg(count(lit(1)).as("degree"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+      .groupBy("degree").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("degree")
+  }
+  val s12Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |pairs AS (
+      |  SELECT a.vec_id AS ida,
+      |    ROUND(list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+      |          / (a.nrm * b.nrm), 6) AS cos
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |deg AS (
+      |  SELECT ida AS vec_id, COUNT(*) AS degree FROM pairs WHERE cos >= 0.35 GROUP BY 1),
+      |full_ AS (
+      |  SELECT e.vec_id, COALESCE(degree, 0)::BIGINT AS degree
+      |  FROM e LEFT JOIN deg ON e.vec_id = deg.vec_id)
+      |SELECT degree, COUNT(*) AS n_vectors FROM full_ GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s12_neighbor_degree" -> (s12 _),
     "s11_cos_histogram" -> (s11 _),
     "s10_ivf_cell_stats" -> (s10 _),
     "s09_ann_recall" -> (s09 _),
@@ -695,6 +739,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s12_neighbor_degree" -> s12Sql,
     "s11_cos_histogram" -> s11Sql,
     "s08_range_search" -> s08Sql,
     "s07_mips_topk" -> s07Sql,

@@ -1070,7 +1070,47 @@ object TextAnalysis {
        |  CAST(SUM(n_sent) AS DOUBLE) / COUNT(*) AS sentences_per_doc
        |FROM d WHERE n_sent >= 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t27
+  /** Per-source template rate: share of each source's documents whose
+    * normalized 64-char prefix (d23's boilerplate key) is shared by 2+
+    * docs — the "which feed is pumping templated pages" ranking. Key
+    * group sizes come from one map-combinable groupBy joined back on the
+    * key (uniform hash shuffle, no window over doc volume); the rate is
+    * ONE division per source row. */
+  def t27(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 64).as("pfx"))
+    val grp = d.filter(length(col("pfx")) >= 16)
+      .groupBy("pfx").agg(count(lit(1)).as("n_key"))
+    d.join(grp, Seq("pfx"), "left")
+      .withColumn("is_template",
+        when(length(col("pfx")) >= 16 && coalesce(col("n_key"), lit(0L)) >= 2, 1L)
+          .otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_template")).as("n_template"))
+      .withColumn("template_rate",
+        round(dbl(col("n_template")) / col("n_docs"), 6) + lit(0.0d))
+      .orderBy("source")
+  }
+  val t27Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64) AS pfx
+      |  FROM documents),
+      |grp AS (
+      |  SELECT pfx, COUNT(*) AS n_key FROM d WHERE length(pfx) >= 16 GROUP BY 1),
+      |f AS (
+      |  SELECT source,
+      |    CASE WHEN length(d.pfx) >= 16 AND COALESCE(n_key, 0) >= 2 THEN 1 ELSE 0 END AS is_template
+      |  FROM d LEFT JOIN grp ON d.pfx = grp.pfx)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(is_template) AS BIGINT) AS n_template,
+      |  ROUND(CAST(SUM(is_template) AS DOUBLE) / COUNT(*), 6) + 0.0 AS template_rate
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t27_template_rate" -> (t27 _),
     "t26_sentence_stats" -> (t26 _),
     "t25_vocab_growth" -> (t25 _),
     "t24_bpe_pair_counts" -> (t24 _),
@@ -1113,6 +1153,7 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t27_template_rate" -> t27Sql,
     "t26_sentence_stats" -> t26Sql,
     "t25_vocab_growth" -> t25Sql,
     "t24_bpe_pair_counts" -> t24Sql,

@@ -53,7 +53,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q49_part_concentration", "e28_growth_accounting", "e29_rfm_segments",
       "t25_vocab_growth", "d23_prefix_dedup", "s11_cos_histogram",
       "q50_segment_share", "e30_engagement_depth", "e31_type_lift",
-      "t26_sentence_stats", "m10_source_modality", "p10_mixture_epochs")
+      "t26_sentence_stats", "m10_source_modality", "p10_mixture_epochs",
+      "q51_discount_bands", "e32_load_ratio", "d24_threshold_sweep",
+      "t27_template_rate", "s12_neighbor_degree", "m11_modality_dup_rate")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
