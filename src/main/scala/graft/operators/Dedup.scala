@@ -39,7 +39,7 @@ object Dedup {
 
   /** Inverted-index all-pairs Jaccard (exact for J >= any threshold > 0):
     * docs sharing no shingle can never reach the threshold. */
-  private def jaccardPairs(sh: DataFrame, num: Int, den: Int): DataFrame = {
+  private[operators] def jaccardPairs(sh: DataFrame, num: Int, den: Int): DataFrame = {
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
     val inter = posting.as("a").join(posting.as("b"),
@@ -55,7 +55,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private def jaccardPairsSql(num: Int, den: Int): String =
+  private[operators] def jaccardPairsSql(num: Int, den: Int): String =
     s"""WITH sh AS ($shingledSql),
        |posting AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
        |sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
@@ -1085,7 +1085,48 @@ object Dedup {
        |ORDER BY threshold""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d25
+  /** Length bias of the near-dup pair mass: J ≥ 0.5 pairs banded by the
+    * SHORTER document's length — confirms (or refutes) the usual "near
+    * dups concentrate in short boilerplate" prior before a length-aware
+    * dedup policy ships. One pass over d03's exact pair stream, two
+    * uniform-key joins to fetch lengths, integer-compare CASE bands,
+    * band means DECIMAL-quantized before the order-independent sum. */
+  def d25(spark: SparkSession, dir: String): DataFrame = {
+    val len = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val band = when(col("min_chars") < 200, "a<200").when(col("min_chars") < 400, "b<400")
+      .when(col("min_chars") < 800, "c<800").otherwise("d>=800")
+    jaccardPairs(shingled(spark, dir), 1, 2)
+      .join(len.select(col("doc_id").as("doc_a"), col("n_chars").as("ca")), "doc_a")
+      .join(len.select(col("doc_id").as("doc_b"), col("n_chars").as("cb")), "doc_b")
+      .withColumn("min_chars", least(col("ca"), col("cb")))
+      .groupBy(band.as("length_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(round(col("jaccard"), 6).cast("decimal(18,6)")).as("s"))
+      .select(col("length_band"), col("n_pairs"),
+        (round(dbl(col("s")) / col("n_pairs"), 6) + lit(0.0d)).as("mean_jaccard"))
+      .orderBy("length_band")
+  }
+  val d25Sql: String = {
+    val pairSql = jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS ($pairSql),
+       |j AS (
+       |  SELECT LEAST(da.n_chars, db.n_chars) AS min_chars, jaccard
+       |  FROM pairs
+       |  JOIN documents da ON doc_a = da.doc_id
+       |  JOIN documents db ON doc_b = db.doc_id),
+       |b AS (
+       |  SELECT CASE WHEN min_chars < 200 THEN 'a<200' WHEN min_chars < 400 THEN 'b<400'
+       |              WHEN min_chars < 800 THEN 'c<800' ELSE 'd>=800' END AS length_band,
+       |         CAST(ROUND(jaccard, 6) AS DECIMAL(18,6)) AS dj
+       |  FROM j)
+       |SELECT length_band, COUNT(*) AS n_pairs,
+       |  ROUND(CAST(SUM(dj) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_jaccard
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d25_pair_length_bias" -> (d25 _),
     "d24_threshold_sweep" -> (d24 _),
     "d23_prefix_dedup" -> (d23 _),
     "d22_dedup_funnel" -> (d22 _),
@@ -1113,6 +1154,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d25_pair_length_bias" -> d25Sql,
     "d24_threshold_sweep" -> d24Sql,
     "d23_prefix_dedup" -> d23Sql,
     "d22_dedup_funnel" -> d22Sql,

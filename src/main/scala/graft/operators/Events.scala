@@ -1308,7 +1308,37 @@ object Events {
       |  ROUND(CAST(peak_hour_n * 24 AS DOUBLE) / CAST(total_n AS DOUBLE), 6) AS peak_ratio
       |FROM d ORDER BY day_ms""".stripMargin
 
+  // ---------------------------------------------------------------- e33
+  /** New vs returning users per day: each active (user, day) classified
+    * by whether it is the user's FIRST day ever — the acquisition-vs-
+    * engagement split on every growth dashboard. First days come from
+    * one map-combinable min-agg joined back on user_id (uniform hash
+    * shuffle); output bounded by the calendar, all integers. */
+  def e33(spark: SparkSession, dir: String): DataFrame = {
+    val DayMs = 86400000L
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), (col("ms") - pmod(col("ms"), lit(DayMs))).as("day_ms"))
+      .distinct()
+      .cache() // feeds the first-day agg AND the classified rollup
+    val first = ud.groupBy("user_id").agg(min(col("day_ms")).as("first_day"))
+    ud.join(first, "user_id")
+      .groupBy("day_ms")
+      .agg(sum(when(col("day_ms") === col("first_day"), 1L).otherwise(0L)).as("n_new_users"),
+           sum(when(col("day_ms") =!= col("first_day"), 1L).otherwise(0L)).as("n_returning_users"))
+      .orderBy("day_ms")
+  }
+  val e33Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms FROM events),
+      |f AS (SELECT user_id, MIN(day_ms) AS first_day FROM ud GROUP BY 1)
+      |SELECT day_ms,
+      |  SUM(CASE WHEN day_ms = first_day THEN 1 ELSE 0 END)::BIGINT AS n_new_users,
+      |  SUM(CASE WHEN day_ms <> first_day THEN 1 ELSE 0 END)::BIGINT AS n_returning_users
+      |FROM ud JOIN f USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e33_new_vs_returning" -> (e33 _),
     "e32_load_ratio" -> (e32 _),
     "e31_type_lift" -> (e31 _),
     "e30_engagement_depth" -> (e30 _),
@@ -1376,5 +1406,6 @@ object Events {
     "e30_engagement_depth" -> e30Sql,
     "e31_type_lift" -> e31Sql,
     "e32_load_ratio" -> e32Sql,
+    "e33_new_vs_returning" -> e33Sql,
   )
 }

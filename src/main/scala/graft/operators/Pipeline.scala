@@ -545,7 +545,59 @@ object Pipeline {
        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p11
+  /** Token savings of the dedup cascade: docs AND tokens surviving after
+    * each stage (raw → exact content dedup → near-dup drop at J ≥ 0.5) —
+    * d22's funnel weighted by what training actually pays for, tokens.
+    * Stage membership reuses d01 keep-min-id and d03's exact pair
+    * stream; token sums ride the same uniform doc_id joins; the report
+    * is 3 rows at any scale. */
+  def p11(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr("size(word_tokens(text))").cast("long").as("n_tok"))
+    val kept = toks
+      .withColumn("h", md5(col("text")))
+      .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("min_id"))
+      .select("doc_id")
+    val dropped = Dedup.jaccardPairs(Dedup.shingled(spark, dir), 1, 2)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val surv = kept.join(dropped, Seq("doc_id"), "left_anti")
+    def lvl(label: String, ids: DataFrame): DataFrame =
+      ids.join(toks, "doc_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .select(lit(label).as("stage"), col("n_docs"), col("n_tokens"))
+    lvl("a_raw", toks.select("doc_id"))
+      .unionByName(lvl("b_exact_dedup", kept))
+      .unionByName(lvl("c_near_dedup", surv))
+      .orderBy("stage")
+  }
+  val p11Sql: String = {
+    import TextAnalysis.wordsSql
+    val pairSql = Dedup.jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents),
+       |kept AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+       |    FROM documents)
+       |  WHERE doc_id = min_id),
+       |pairs AS ($pairSql),
+       |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+       |surv AS (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+       |SELECT 'a_raw' AS stage, COUNT(*)::BIGINT AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM toks
+       |UNION ALL SELECT 'b_exact_dedup', COUNT(*)::BIGINT,
+       |  CAST(SUM(n_tok) AS BIGINT) FROM kept JOIN toks USING (doc_id)
+       |UNION ALL SELECT 'c_near_dedup', COUNT(*)::BIGINT,
+       |  CAST(SUM(n_tok) AS BIGINT) FROM surv JOIN toks USING (doc_id)
+       |ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p11_dedup_savings" -> (p11 _),
     "p10_mixture_epochs" -> (p10 _),
     "p09_sequence_packing" -> (p09 _),
     "p08_corpus_datasheet" -> (p08 _),
@@ -559,6 +611,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p11_dedup_savings" -> p11Sql,
     "p10_mixture_epochs" -> p10Sql,
     "p09_sequence_packing" -> p09Sql,
     "p08_corpus_datasheet" -> p08Sql,

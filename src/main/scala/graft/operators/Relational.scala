@@ -1546,7 +1546,37 @@ object Relational {
        |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Account-balance health matrix: customer counts and DECIMAL-exact
+    * average balance per (market segment, balance band). Bands are
+    * integer-cent CASE compares — `div`/`//` disagree on negative
+    * truncation between engines, CASE edges don't; one map-combinable
+    * groupBy, \|segments\|×\|bands\|-bounded output. */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (dec(col("c_acctbal")) * 100).cast("long")
+    val band = when(cents < 0L, "a<0").when(cents < 250000L, "b<2500")
+      .when(cents < 500000L, "c<5000").when(cents < 750000L, "d<7500")
+      .otherwise("e>=7500")
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"), band.as("balance_band"))
+      .agg(count(lit(1)).as("n_customers"), davg(col("c_acctbal")).as("avg_balance"))
+      .orderBy("c_mktsegment", "balance_band")
+  }
+  val q52Sql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer)
+      |SELECT c_mktsegment,
+      |  CASE WHEN cents < 0 THEN 'a<0' WHEN cents < 250000 THEN 'b<2500'
+      |       WHEN cents < 500000 THEN 'c<5000' WHEN cents < 750000 THEN 'd<7500'
+      |       ELSE 'e>=7500' END AS balance_band,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_balance
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q52_balance_bands" -> (q52 _),
     "q51_discount_bands" -> (q51 _),
     "q50_segment_share" -> (q50 _),
     "q49_part_concentration" -> (q49 _),
@@ -1601,6 +1631,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q52_balance_bands" -> q52Sql,
     "q51_discount_bands" -> q51Sql,
     "q50_segment_share" -> q50Sql,
     "q49_part_concentration" -> q49Sql,

@@ -1109,7 +1109,76 @@ object TextAnalysis {
       |  ROUND(CAST(SUM(is_template) AS DOUBLE) / COUNT(*), 6) + 0.0 AS template_rate
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t28
+  /** Corpus word-length histogram (tokenizer sanity profile): token and
+    * distinct-word counts per character length, lengths above 20 lumped
+    * into one bucket — a spike at odd lengths means markup or encoding
+    * junk survived ingestion. One explode + one map-combinable groupBy
+    * with an exact distinct; 21-row-bounded output, all integers. */
+  def t28(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(wordsCol).as("w"))
+      .select(least(length(col("w")), lit(21)).cast("long").as("word_len"), col("w"))
+      .groupBy("word_len")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_distinct"))
+      .orderBy("word_len")
+  val t28Sql: String =
+    s"""WITH w AS (SELECT UNNEST($wordsSql) AS w FROM documents)
+       |SELECT CAST(LEAST(length(w), 21) AS BIGINT) AS word_len,
+       |  COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_distinct
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- t29
+  /** 3-gram coverage curve: what share of the corpus posting mass
+    * (per-document DISTINCT word 3-grams — exactly the stream d03's
+    * inverted index shuffles) the top-10/100/1000 grams account for —
+    * the repetitiveness knee that predicts how hard dedup will bite.
+    * Gram document-counts are one map-combinable groupBy (cached —
+    * three TakeOrdered heads and the total share ONE pass); each K-row
+    * is a bounded top-K by the deterministic (count desc, gram) total
+    * order joined to the 1-row corpus total; ONE division per row. */
+  def t29(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val g = Tables.documents(spark, dir)
+      .select(explode(expr("word_ngrams(text, 3)")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val tot = g.agg(sum(col("cnt")).as("total_occ"))
+    def kRow(k: Int): DataFrame =
+      g.orderBy(col("cnt").desc, col("g")).limit(k)
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("covered_occ"))
+        .crossJoin(broadcast(tot))
+        .select(lit(k.toLong).as("k"), col("covered_occ"), col("total_occ"),
+          (round(dbl(col("covered_occ")) / dbl(col("total_occ")), 6) + lit(0.0d)).as("coverage"))
+    kRow(10).unionByName(kRow(100)).unionByName(kRow(1000)).orderBy("k")
+  }
+  val t29Sql: String = {
+    s"""WITH sh AS (${Dedup.shingledSql}),
+       |g AS (
+       |  SELECT g, COUNT(*) AS cnt
+       |  FROM (SELECT UNNEST(grams) AS g FROM sh) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_occ FROM g),
+       |k10 AS (SELECT COALESCE(SUM(cnt), 0)::BIGINT AS covered_occ
+       |        FROM (SELECT cnt FROM g ORDER BY cnt DESC, g LIMIT 10)),
+       |k100 AS (SELECT COALESCE(SUM(cnt), 0)::BIGINT AS covered_occ
+       |         FROM (SELECT cnt FROM g ORDER BY cnt DESC, g LIMIT 100)),
+       |k1000 AS (SELECT COALESCE(SUM(cnt), 0)::BIGINT AS covered_occ
+       |          FROM (SELECT cnt FROM g ORDER BY cnt DESC, g LIMIT 1000))
+       |SELECT 10::BIGINT AS k, covered_occ, total_occ,
+       |  ROUND(CAST(covered_occ AS DOUBLE) / CAST(total_occ AS DOUBLE), 6) + 0.0 AS coverage
+       |FROM k10 CROSS JOIN tot
+       |UNION ALL SELECT 100::BIGINT, covered_occ, total_occ,
+       |  ROUND(CAST(covered_occ AS DOUBLE) / CAST(total_occ AS DOUBLE), 6) + 0.0
+       |FROM k100 CROSS JOIN tot
+       |UNION ALL SELECT 1000::BIGINT, covered_occ, total_occ,
+       |  ROUND(CAST(covered_occ AS DOUBLE) / CAST(total_occ AS DOUBLE), 6) + 0.0
+       |FROM k1000 CROSS JOIN tot
+       |ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t29_gram_coverage" -> (t29 _),
+    "t28_word_length_hist" -> (t28 _),
     "t27_template_rate" -> (t27 _),
     "t26_sentence_stats" -> (t26 _),
     "t25_vocab_growth" -> (t25 _),
@@ -1153,6 +1222,8 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t29_gram_coverage" -> t29Sql,
+    "t28_word_length_hist" -> t28Sql,
     "t27_template_rate" -> t27Sql,
     "t26_sentence_stats" -> t26Sql,
     "t25_vocab_growth" -> t25Sql,

@@ -47,7 +47,7 @@ object PlanAudit {
     "t14_ppl_buckets", "p03_token_budget_mix", "e16_value_deciles",
     "t23_source_divergence", "e29_rfm_segments", "t25_vocab_growth",
     "s11_cos_histogram", "e31_type_lift", "p10_mixture_epochs",
-    "s12_neighbor_degree",
+    "s12_neighbor_degree", "t29_gram_coverage",
     "q37_heavy_hitters", "s06_ann_sq8", "s07_mips_topk", "s08_range_search",
     "s09_ann_recall", "s10_ivf_cell_stats")
 

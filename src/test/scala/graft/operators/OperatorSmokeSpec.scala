@@ -55,7 +55,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q50_segment_share", "e30_engagement_depth", "e31_type_lift",
       "t26_sentence_stats", "m10_source_modality", "p10_mixture_epochs",
       "q51_discount_bands", "e32_load_ratio", "d24_threshold_sweep",
-      "t27_template_rate", "s12_neighbor_degree", "m11_modality_dup_rate")
+      "t27_template_rate", "s12_neighbor_degree", "m11_modality_dup_rate",
+      "q52_balance_bands", "e33_new_vs_returning", "t28_word_length_hist",
+      "t29_gram_coverage", "d25_pair_length_bias", "p11_dedup_savings")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
