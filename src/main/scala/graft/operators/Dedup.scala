@@ -1125,7 +1125,36 @@ object Dedup {
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d26
+  /** Template family-size histogram: how many d23 boilerplate-prefix
+    * groups have exactly N members — distinguishes "many small echoes"
+    * from "one 1000-copy template" (same pair count, opposite cleanup
+    * strategy). Two map-combinable aggregations (normalized prefix →
+    * family size → histogram), families of 1 excluded, output bounded by
+    * the largest family. */
+  def d26(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 64).as("pfx"))
+      .filter(length(col("pfx")) >= 16)
+      .groupBy("pfx").agg(count(lit(1)).as("family_size"))
+      .filter(col("family_size") >= 2)
+      .groupBy("family_size")
+      .agg(count(lit(1)).as("n_families"),
+           (count(lit(1)) * col("family_size")).as("n_docs"))
+      .orderBy("family_size")
+  val d26Sql: String =
+    """WITH fam AS (
+      |  SELECT substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64) AS pfx,
+      |    COUNT(*) AS family_size
+      |  FROM documents
+      |  WHERE length(substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64)) >= 16
+      |  GROUP BY 1 HAVING COUNT(*) >= 2)
+      |SELECT family_size, COUNT(*) AS n_families,
+      |  COUNT(*) * family_size AS n_docs
+      |FROM fam GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d26_dup_families" -> (d26 _),
     "d25_pair_length_bias" -> (d25 _),
     "d24_threshold_sweep" -> (d24 _),
     "d23_prefix_dedup" -> (d23 _),
@@ -1154,6 +1183,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d26_dup_families" -> d26Sql,
     "d25_pair_length_bias" -> d25Sql,
     "d24_threshold_sweep" -> d24Sql,
     "d23_prefix_dedup" -> d23Sql,

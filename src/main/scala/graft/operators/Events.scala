@@ -1069,9 +1069,9 @@ object Events {
     * chain (user-partitioned, bounded state); the pair join is a
     * self-join on (user, session) of the DISTINCT per-session type set,
     * so its width is bounded by |event types| per session, not events. */
-  /** DISTINCT (user, session, event_type) triples off e01's gap-labeling
-    * chain — the frame behind e27 (co-occurrence) and e31 (lift). */
-  private def sessionTypeSets(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-event (user, sess_idx, event_type) rows off e01's gap-labeling
+    * chain — the base of every session-granular view (e27/e31/e35). */
+  private def sessionLabeled(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
     val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
@@ -1080,16 +1080,24 @@ object Events {
       .withColumn("new_sess",
         when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
       .withColumn("sess_idx", sum(col("new_sess")).over(wr))
-      .select(col("user_id"), col("sess_idx"), col("event_type")).distinct()
+      .select(col("user_id"), col("sess_idx"), col("event_type"))
   }
-  /** Shared CTE chain producing the DISTINCT (user, sess_idx, event_type)
-    * frame `d` — the SQL mirror of [[sessionTypeSets]]. */
-  private val sessionTypeSetsCte: String =
+  /** DISTINCT (user, session, event_type) triples — the frame behind e27
+    * (co-occurrence) and e31 (lift). */
+  private def sessionTypeSets(spark: SparkSession, dir: String): DataFrame =
+    sessionLabeled(spark, dir).distinct()
+  /** Shared CTE chain: `s` = per-event rows with sess_idx — the SQL
+    * mirror of [[sessionLabeled]]. */
+  private val sessionLabelCte: String =
     s"""e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
        |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
        |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
        |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f),
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f)""".stripMargin
+  /** [[sessionLabelCte]] + `d` = the DISTINCT per-session type set —
+    * the SQL mirror of [[sessionTypeSets]]. */
+  private val sessionTypeSetsCte: String =
+    s"""$sessionLabelCte,
        |d AS (SELECT DISTINCT user_id, sess_idx, event_type FROM s)""".stripMargin
 
   def e27(spark: SparkSession, dir: String): DataFrame = {
@@ -1337,7 +1345,75 @@ object Events {
       |FROM ud JOIN f USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e34
+  /** Audience overlap between event types: for each unordered type pair,
+    * how many users do BOTH and the Jaccard of the two audiences —
+    * e31's association question at user (not session) granularity, the
+    * "are clickers also buyers" table. DISTINCT (user, type) first (one
+    * map-combinable distinct bounded by users×|types|), |types|-bounded
+    * self-join per user, exact-integer marginals via broadcast,
+    * ONE division per emitted row. */
+  def e34(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct().cache()
+    val marg = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(marg.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(marg.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        (round(dbl(col("n_both")) / dbl(col("n_a") + col("n_b") - col("n_both")), 6)
+          + lit(0.0d)).as("audience_jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+  val e34Sql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |marg AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both,
+      |  ROUND(CAST(n_both AS DOUBLE) / CAST(ma.n_t + mb.n_t - n_both AS DOUBLE), 6) + 0.0
+      |    AS audience_jaccard
+      |FROM p JOIN marg ma ON p.type_a = ma.event_type
+      |       JOIN marg mb ON p.type_b = mb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // ---------------------------------------------------------------- e35
+  /** Session-size histogram: how many sessions contain exactly-banded
+    * event counts (1 / 2-5 / 6-10 / 11-20 / >20) — the engagement-shape
+    * curve that separates bounce traffic from binge sessions. Reuses the
+    * gap-labeling chain; session sizes are one map-combinable groupBy on
+    * (user, sess_idx); integer CASE bands; band-bounded output. */
+  def e35(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = sessionLabeled(spark, dir)
+      .groupBy("user_id", "sess_idx").agg(count(lit(1)).as("n"))
+    val band = when(col("n") === 1L, "a=1").when(col("n") <= 5L, "b2-5")
+      .when(col("n") <= 10L, "c6-10").when(col("n") <= 20L, "d11-20")
+      .otherwise("e>20")
+    sizes.groupBy(band.as("size_band"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy("size_band")
+  }
+  val e35Sql: String =
+    s"""WITH $sessionLabelCte,
+       |sz AS (SELECT user_id, sess_idx, COUNT(*) AS n FROM s GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CASE WHEN n = 1 THEN 'a=1' WHEN n <= 5 THEN 'b2-5'
+       |              WHEN n <= 10 THEN 'c6-10' WHEN n <= 20 THEN 'd11-20'
+       |              ELSE 'e>20' END AS size_band, n
+       |  FROM sz)
+       |SELECT size_band, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e35_session_size_hist" -> (e35 _),
+    "e34_audience_overlap" -> (e34 _),
     "e33_new_vs_returning" -> (e33 _),
     "e32_load_ratio" -> (e32 _),
     "e31_type_lift" -> (e31 _),
@@ -1407,5 +1483,7 @@ object Events {
     "e31_type_lift" -> e31Sql,
     "e32_load_ratio" -> e32Sql,
     "e33_new_vs_returning" -> e33Sql,
+    "e34_audience_overlap" -> e34Sql,
+    "e35_session_size_hist" -> e35Sql,
   )
 }

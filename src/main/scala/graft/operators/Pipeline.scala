@@ -596,7 +596,46 @@ object Pipeline {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p12
+  /** Output-shard manifest: documents assigned to 16 content-hash shards
+    * (first md5 nibble — deterministic, content-addressed, re-ingest
+    * stable like p07's split) with per-shard doc/token/byte budgets and
+    * a balance ratio (shard tokens ÷ ideal share). The writer that
+    * consumes this gets size-balanced files without a global sort; the
+    * ratio is exact-integer cross multiplication with ONE division per
+    * shard row; 16-row-bounded output. */
+  def p12(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val per = Tables.documents(spark, dir)
+      .select(substring(md5(col("text")), 1, 1).as("shard"),
+        expr("size(word_tokens(text))").cast("long").as("n_tok"),
+        col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+           sum(col("n_chars")).as("chars"))
+    val tot = per.agg(sum(col("tokens")).as("corpus_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("tokens"), col("chars"),
+        (round((col("tokens") * 16).cast("double") / col("corpus_tokens").cast("double"), 6)
+          + lit(0.0d)).as("balance_ratio"))
+      .orderBy("shard")
+  }
+  val p12Sql: String = {
+    import TextAnalysis.wordsSql
+    s"""WITH per AS (
+       |  SELECT substr(md5(text), 1, 1) AS shard, COUNT(*) AS n_docs,
+       |    CAST(SUM(len($wordsSql)) AS BIGINT) AS tokens,
+       |    CAST(SUM(n_chars) AS BIGINT) AS chars
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens FROM per)
+       |SELECT shard, n_docs, tokens, chars,
+       |  ROUND(CAST(tokens * 16 AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 6) + 0.0
+       |    AS balance_ratio
+       |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p12_shard_manifest" -> (p12 _),
     "p11_dedup_savings" -> (p11 _),
     "p10_mixture_epochs" -> (p10 _),
     "p09_sequence_packing" -> (p09 _),
@@ -611,6 +650,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p12_shard_manifest" -> p12Sql,
     "p11_dedup_savings" -> p11Sql,
     "p10_mixture_epochs" -> p10Sql,
     "p09_sequence_packing" -> p09Sql,

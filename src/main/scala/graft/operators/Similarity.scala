@@ -723,7 +723,37 @@ object Similarity {
       |  FROM e LEFT JOIN deg ON e.vec_id = deg.vec_id)
       |SELECT degree, COUNT(*) AS n_vectors FROM full_ GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s13
+  /** SQ8 quantization-error audit: |sq8_cos − exact cos| banded over the
+    * s11 pair sample — the corpus-level check that the int8 index (s06)
+    * is still trustworthy on THIS data distribution, not just on the
+    * kernel's synthetic property tests. Same bounded-broadcast pair
+    * shape as s11; codes computed once per side before the fan-out.
+    * Rows-only (sq8 has no SQL mirror); the spec bounds every pair's
+    * error inside the kernel's documented envelope. */
+  def s13(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = withNormVec(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") % 5 === 0)
+      .withColumn("code", expr("sq8_encode(v)"))
+    val a = spread(e.select(col("vec_id").as("ida"), col("v").as("va"),
+      col("nrm").as("na"), col("code").as("ca")))
+    val b = e.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("nrm").as("nb"), col("code").as("cb"))
+    val band = when(col("err") < 0.0005, "a<0.0005").when(col("err") < 0.001, "b<0.001")
+      .when(col("err") < 0.005, "c<0.005").when(col("err") < 0.01, "d<0.01")
+      .otherwise("e>=0.01")
+    a.join(broadcast(b), col("ida") < col("idb"))
+      .withColumn("exact", expr(dotExpr) / (col("na") * col("nb")))
+      .withColumn("err", abs(expr("sq8_cos(ca, cb)") - col("exact")))
+      .groupBy(band.as("error_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+           round(max(col("err")), 6).as("max_err"))
+      .orderBy("error_band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s13_sq8_error_hist" -> (s13 _),
     "s12_neighbor_degree" -> (s12 _),
     "s11_cos_histogram" -> (s11 _),
     "s10_ivf_cell_stats" -> (s10 _),

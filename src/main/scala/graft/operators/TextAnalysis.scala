@@ -1176,7 +1176,50 @@ object TextAnalysis {
        |ORDER BY k""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t30
+  /** Cross-document contamination rate per source: for each document
+    * (with ≥1 word 3-gram), the share of its DISTINCT 3-grams appearing
+    * in 2+ documents, averaged per source — how much of a feed is
+    * recycled phrasing even when no pair clears a dedup threshold.
+    * Posting + df are two map-combinable aggregations; the df join back
+    * onto the posting stream is LINEAR (per-posting, never pairwise);
+    * per-doc rates are round6-DECIMAL-quantized before the
+    * order-independent per-source mean. */
+  def t30(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val post = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(expr("word_ngrams(text, 3)")).as("g"))
+      .cache() // feeds the df aggregation AND the per-doc rollup
+    val df = post.groupBy("g").agg(count(lit(1)).as("df"))
+    val perDoc = post.join(df, "g")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("rate",
+        round(dbl(col("n_shared")) / col("n_grams"), 6).cast("decimal(9,6)"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           (round(dbl(sum(col("rate"))) / count(lit(1)), 6) + lit(0.0d)).as("mean_shared_rate"))
+      .orderBy("source")
+  }
+  val t30Sql: String =
+    s"""WITH sh AS (${Dedup.shingledSql}),
+       |post AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+       |dfc AS (SELECT g, COUNT(*) AS df FROM post GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams,
+       |    SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+       |  FROM post JOIN dfc USING (g) GROUP BY 1),
+       |r AS (
+       |  SELECT d.source AS source,
+       |    CAST(ROUND(CAST(n_shared AS DOUBLE) / n_grams, 6) AS DECIMAL(9,6)) AS rate
+       |  FROM per JOIN documents d ON per.doc_id = d.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  ROUND(CAST(SUM(rate) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_shared_rate
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t30_dup_ngram_rate" -> (t30 _),
     "t29_gram_coverage" -> (t29 _),
     "t28_word_length_hist" -> (t28 _),
     "t27_template_rate" -> (t27 _),
@@ -1222,6 +1265,7 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t30_dup_ngram_rate" -> t30Sql,
     "t29_gram_coverage" -> t29Sql,
     "t28_word_length_hist" -> t28Sql,
     "t27_template_rate" -> t27Sql,

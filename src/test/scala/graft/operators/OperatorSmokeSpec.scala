@@ -57,7 +57,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q51_discount_bands", "e32_load_ratio", "d24_threshold_sweep",
       "t27_template_rate", "s12_neighbor_degree", "m11_modality_dup_rate",
       "q52_balance_bands", "e33_new_vs_returning", "t28_word_length_hist",
-      "t29_gram_coverage", "d25_pair_length_bias", "p11_dedup_savings")
+      "t29_gram_coverage", "d25_pair_length_bias", "p11_dedup_savings",
+      "d26_dup_families", "e34_audience_overlap", "e35_session_size_hist",
+      "t30_dup_ngram_rate", "s13_sq8_error_hist", "p12_shard_manifest")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -67,7 +69,18 @@ class OperatorSmokeSpec extends SparkSpec {
         "s04_ann_ivfpq", "s06_ann_sq8", "m02_decode_features", "m03_frame_sample", "m04_resize",
         "m05_payload_neardup", "m07_payload_clusters", "p02_embedding_pipeline",
         "q21_approx_stats", "d17_containment_capped", "p05_multimodal_curation",
-        "e24_rolling_active_sketch", "s09_ann_recall", "s10_ivf_cell_stats"))
+        "e24_rolling_active_sketch", "s09_ann_recall", "s10_ivf_cell_stats",
+        "s13_sq8_error_hist"))
+  }
+
+  test("s13 sq8 error audit: every sampled pair inside the kernel envelope") {
+    val rows = SparkEntry.queries("s13_sq8_error_hist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the documented SQ8 cosine-error envelope is < 0.01 on unit-ish
+    // vectors: the top band must be empty and the max observed error small
+    assert(!rows.exists(_.getAs[String]("error_band") == "e>=0.01"),
+      s"pairs above the SQ8 error envelope: ${rows.mkString(";")}")
+    assert(rows.map(_.getAs[Double]("max_err")).max < 0.01)
   }
 
   test("s09 recall harness: exact baseline 1.0, approximate methods bounded") {
