@@ -1411,7 +1411,53 @@ object Events {
        |SELECT size_band, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e36
+  /** Velocity screen: users banded by events-per-active-day (the cheap
+    * first-pass bot filter), with each band's share of purchase events —
+    * a high-velocity band that never buys is automation, not engagement.
+    * One per-user aggregation; band edges are exact-integer cross
+    * multiplications (events ≥ k·days — no division, no float
+    * boundary); ONE division per band row; 4-row-bounded output. */
+  def e36(spark: SparkSession, dir: String): DataFrame = {
+    val DayMs = 86400000L
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), (col("ms") - pmod(col("ms"), lit(DayMs))).as("day_ms"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("day_ms")).as("n_days"),
+           sum(col("is_p")).as("n_purch"))
+    val band = when(col("n_events") >= col("n_days") * 50, "d>=50/day")
+      .when(col("n_events") >= col("n_days") * 20, "c>=20/day")
+      .when(col("n_events") >= col("n_days") * 10, "b>=10/day")
+      .otherwise("a<10/day")
+    per.groupBy(band.as("velocity_band"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("total_events"),
+           sum(col("n_purch")).as("total_purchases"))
+      .withColumn("purchase_share",
+        round(dbl(col("total_purchases")) / col("total_events"), 6) + lit(0.0d))
+      .orderBy("velocity_band")
+  }
+  val e36Sql: String =
+    """WITH per AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    COUNT(DISTINCT epoch_ms(ts) - epoch_ms(ts) % 86400000) AS n_days,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purch
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT CASE WHEN n_events >= n_days * 50 THEN 'd>=50/day'
+      |              WHEN n_events >= n_days * 20 THEN 'c>=20/day'
+      |              WHEN n_events >= n_days * 10 THEN 'b>=10/day'
+      |              ELSE 'a<10/day' END AS velocity_band,
+      |         n_events, n_purch
+      |  FROM per)
+      |SELECT velocity_band, COUNT(*) AS n_users,
+      |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+      |  CAST(SUM(n_purch) AS BIGINT) AS total_purchases,
+      |  ROUND(CAST(SUM(n_purch) AS DOUBLE) / SUM(n_events), 6) + 0.0 AS purchase_share
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e36_velocity_screen" -> (e36 _),
     "e35_session_size_hist" -> (e35 _),
     "e34_audience_overlap" -> (e34 _),
     "e33_new_vs_returning" -> (e33 _),
@@ -1485,5 +1531,6 @@ object Events {
     "e33_new_vs_returning" -> e33Sql,
     "e34_audience_overlap" -> e34Sql,
     "e35_session_size_hist" -> e35Sql,
+    "e36_velocity_screen" -> e36Sql,
   )
 }

@@ -634,7 +634,39 @@ object Pipeline {
        |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p13
+  /** Effective epoch-token plan: p10's capped repeat factors applied —
+    * per-source effective tokens (tokens × repeat, DECIMAL-quantized so
+    * the corpus total is order-independent) and each source's share of
+    * the resulting epoch. The number a training run actually schedules
+    * against; 1-row total broadcast, ONE division per source row. */
+  def p13(spark: SparkSession, dir: String): DataFrame = {
+    val base = p10(spark, dir)
+      .withColumn("eff",
+        round(col("tokens").cast("double") * col("repeat_capped"), 6)
+          .cast("decimal(28,6)"))
+      .cache() // feeds the total AND the share projection
+    val tot = base.agg(sum(col("eff")).as("eff_total"))
+    base.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"), col("repeat_capped"),
+        col("eff").cast("double").as("effective_tokens"),
+        (round(col("eff").cast("double") / col("eff_total").cast("double"), 6)
+          + lit(0.0d)).as("epoch_share"))
+      .orderBy("source")
+  }
+  val p13Sql: String =
+    s"""WITH base AS (
+       |  SELECT source, tokens, repeat_capped,
+       |    CAST(ROUND(CAST(tokens AS DOUBLE) * repeat_capped, 6) AS DECIMAL(28,6)) AS eff
+       |  FROM ($p10Sql)),
+       |tot AS (SELECT SUM(eff) AS eff_total FROM base)
+       |SELECT source, tokens, repeat_capped,
+       |  CAST(eff AS DOUBLE) AS effective_tokens,
+       |  ROUND(CAST(eff AS DOUBLE) / CAST(eff_total AS DOUBLE), 6) + 0.0 AS epoch_share
+       |FROM base CROSS JOIN tot ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p13_epoch_plan" -> (p13 _),
     "p12_shard_manifest" -> (p12 _),
     "p11_dedup_savings" -> (p11 _),
     "p10_mixture_epochs" -> (p10 _),
@@ -650,6 +682,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p13_epoch_plan" -> p13Sql,
     "p12_shard_manifest" -> p12Sql,
     "p11_dedup_savings" -> p11Sql,
     "p10_mixture_epochs" -> p10Sql,

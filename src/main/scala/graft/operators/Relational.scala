@@ -1575,7 +1575,43 @@ object Relational {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_balance
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Monthly repeat-buyer rate: of the customers ordering in month M,
+    * how many also ordered in M-1 — the operational loyalty series.
+    * Months are exact integers (year·12+month, no calendar strings);
+    * repeat detection is one equi self-join of the DISTINCT
+    * (customer, month) frame on (custkey, midx−1); the rate is ONE
+    * division per month row; output bounded by the calendar. */
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    val cm = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("midx"))
+      .distinct()
+      .cache() // both self-join sides
+    cm.join(cm.select(col("o_custkey"), (col("midx") + 1).as("midx"), lit(1L).as("prev")),
+        Seq("o_custkey", "midx"), "left")
+      .groupBy("midx")
+      .agg(count(lit(1)).as("n_buyers"),
+           sum(coalesce(col("prev"), lit(0L))).as("n_repeat"))
+      .withColumn("repeat_rate",
+        round(dbl(col("n_repeat")) / col("n_buyers"), 6) + lit(0.0d))
+      .orderBy("midx")
+  }
+  val q53Sql: String =
+    """WITH cm AS (
+      |  SELECT DISTINCT o_custkey,
+      |    CAST(EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS midx
+      |  FROM orders)
+      |SELECT a.midx AS midx, COUNT(*) AS n_buyers,
+      |  SUM(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_repeat,
+      |  ROUND(CAST(SUM(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) + 0.0 AS repeat_rate
+      |FROM cm a LEFT JOIN cm b
+      |  ON a.o_custkey = b.o_custkey AND b.midx = a.midx - 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q53_repeat_rate" -> (q53 _),
     "q52_balance_bands" -> (q52 _),
     "q51_discount_bands" -> (q51 _),
     "q50_segment_share" -> (q50 _),
@@ -1631,6 +1667,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q53_repeat_rate" -> q53Sql,
     "q52_balance_bands" -> q52Sql,
     "q51_discount_bands" -> q51Sql,
     "q50_segment_share" -> q50Sql,

@@ -1218,7 +1218,88 @@ object TextAnalysis {
        |  ROUND(CAST(SUM(rate) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_shared_rate
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t31
+  /** Document-length quartiles per source (PERCENTILE_CONT interpolation
+    * — q44's bracketing-rank machinery on n_chars): the length-drift
+    * fingerprint that catches a feed silently switching from articles to
+    * snippets. Source-partitioned windows only (bounded state per key);
+    * ≤6 rows per source reach the aggregation combine; interpolation
+    * arithmetic is identical in both engines. */
+  def t31(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("v"), col("doc_id"))
+    val wc = Window.partitionBy("source")
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast("double").as("v"), col("doc_id"))
+      .select(col("source"), col("v"),
+        (row_number().over(w).cast("long") - 1).as("idx"),
+        count(lit(1)).over(wc).as("cnt"))
+    def pos(q: Double): Column = (col("cnt") - 1).cast("double") * lit(q)
+    def lo(q: Double, nm: String): Column =
+      max(when(col("idx") === floor(pos(q)), col("v"))).as(s"${nm}_lo")
+    def hi(q: Double, nm: String): Column =
+      max(when(col("idx") === ceil(pos(q)), col("v"))).as(s"${nm}_hi")
+    def interp(nm: String, q: Double): Column = {
+      val p = (col("n") - 1).cast("double") * lit(q)
+      col(s"${nm}_lo") + (col(s"${nm}_hi") - col(s"${nm}_lo")) * (p - floor(p))
+    }
+    ranked.groupBy("source")
+      .agg(max(col("cnt")).as("n"),
+           lo(0.25, "q1"), hi(0.25, "q1"), lo(0.5, "q2"), hi(0.5, "q2"),
+           lo(0.75, "q3"), hi(0.75, "q3"))
+      .select(col("source"), col("n"),
+        interp("q1", 0.25).as("p25"), interp("q2", 0.5).as("p50"),
+        interp("q3", 0.75).as("p75"))
+      .orderBy("source")
+  }
+  val t31Sql: String =
+    """WITH r AS (
+      |  SELECT source, CAST(n_chars AS DOUBLE) AS v,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) - 1 AS idx,
+      |    COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents),
+      |a AS (
+      |  SELECT source, MAX(cnt) AS n,
+      |    MAX(CASE WHEN idx = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.25) THEN v END) AS q1_lo,
+      |    MAX(CASE WHEN idx = CEIL(CAST(cnt - 1 AS DOUBLE) * 0.25) THEN v END) AS q1_hi,
+      |    MAX(CASE WHEN idx = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.5) THEN v END) AS q2_lo,
+      |    MAX(CASE WHEN idx = CEIL(CAST(cnt - 1 AS DOUBLE) * 0.5) THEN v END) AS q2_hi,
+      |    MAX(CASE WHEN idx = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.75) THEN v END) AS q3_lo,
+      |    MAX(CASE WHEN idx = CEIL(CAST(cnt - 1 AS DOUBLE) * 0.75) THEN v END) AS q3_hi
+      |  FROM r GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n,
+      |  q1_lo + (q1_hi - q1_lo) * (CAST(n - 1 AS DOUBLE) * 0.25 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.25)) AS p25,
+      |  q2_lo + (q2_hi - q2_lo) * (CAST(n - 1 AS DOUBLE) * 0.5 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)) AS p50,
+      |  q3_lo + (q3_hi - q3_lo) * (CAST(n - 1 AS DOUBLE) * 0.75 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.75)) AS p75
+      |FROM a ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- t32
+  /** Numeric-token density per source: share of whitespace tokens that
+    * are number-like — the table-dump / price-list / sensor-log detector
+    * that length and language filters miss. One explode + one
+    * map-combinable groupBy, identical anchored regex in both engines,
+    * ONE division per source row. */
+  def t32(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(wordsCol).as("w"))
+      .withColumn("is_num", when(col("w").rlike("^[0-9][0-9.,]*$"), 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("is_num")).as("n_numeric"))
+      .withColumn("numeric_share",
+        round(dbl(col("n_numeric")) / col("n_tokens"), 6) + lit(0.0d))
+      .orderBy("source")
+  val t32Sql: String =
+    s"""WITH w AS (SELECT source, UNNEST($wordsSql) AS w FROM documents)
+       |SELECT source, COUNT(*) AS n_tokens,
+       |  SUM(CASE WHEN regexp_full_match(w, '[0-9][0-9.,]*') THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_numeric,
+       |  ROUND(CAST(SUM(CASE WHEN regexp_full_match(w, '[0-9][0-9.,]*') THEN 1 ELSE 0 END)
+       |             AS DOUBLE) / COUNT(*), 6) + 0.0 AS numeric_share
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t32_numeric_density" -> (t32 _),
+    "t31_length_quartiles" -> (t31 _),
     "t30_dup_ngram_rate" -> (t30 _),
     "t29_gram_coverage" -> (t29 _),
     "t28_word_length_hist" -> (t28 _),
@@ -1265,6 +1346,8 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t32_numeric_density" -> t32Sql,
+    "t31_length_quartiles" -> t31Sql,
     "t30_dup_ngram_rate" -> t30Sql,
     "t29_gram_coverage" -> t29Sql,
     "t28_word_length_hist" -> t28Sql,

@@ -59,7 +59,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q52_balance_bands", "e33_new_vs_returning", "t28_word_length_hist",
       "t29_gram_coverage", "d25_pair_length_bias", "p11_dedup_savings",
       "d26_dup_families", "e34_audience_overlap", "e35_session_size_hist",
-      "t30_dup_ngram_rate", "s13_sq8_error_hist", "p12_shard_manifest")
+      "t30_dup_ngram_rate", "s13_sq8_error_hist", "p12_shard_manifest",
+      "q53_repeat_rate", "e36_velocity_screen", "t31_length_quartiles",
+      "t32_numeric_density", "p13_epoch_plan")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
