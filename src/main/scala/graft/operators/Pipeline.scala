@@ -562,7 +562,7 @@ object Pipeline {
       .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("h")))
       .filter(col("doc_id") === col("min_id"))
       .select("doc_id")
-    val dropped = Dedup.jaccardPairs(Dedup.shingled(spark, dir), 1, 2)
+    val dropped = Dedup.sharedPairs(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
     val surv = kept.join(dropped, Seq("doc_id"), "left_anti")
     def lvl(label: String, ids: DataFrame): DataFrame =
