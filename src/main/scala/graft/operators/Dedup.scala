@@ -1167,7 +1167,31 @@ object Dedup {
       |  COUNT(*) * family_size AS n_docs
       |FROM fam GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- d28
+  /** Near-dup CLUSTER-size histogram: how many d10 connected components
+    * have exactly N members — d26's family question for transitive
+    * near-dup groups (chain shapes show up here as large sparse
+    * clusters). Sizes are one map-combinable groupBy over d10's
+    * (doc_id, cluster_id) output; oracle = the same histogram over the
+    * recursive-CTE transitive closure. */
+  def d28(spark: SparkSession, dir: String): DataFrame =
+    d10(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+           (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      .orderBy("cluster_size")
+  val d28Sql: String = {
+    val base = d10Sql.replace("ORDER BY doc_id", "")
+    s"""WITH cc AS ($base),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
+       |SELECT cluster_size, COUNT(*) AS n_clusters,
+       |  COUNT(*) * cluster_size AS n_docs
+       |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d28_cluster_sizes" -> (d28 _),
     "d26_dup_families" -> (d26 _),
     "d25_pair_length_bias" -> (d25 _),
     "d24_threshold_sweep" -> (d24 _),
@@ -1197,6 +1221,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d28_cluster_sizes" -> d28Sql,
     "d26_dup_families" -> d26Sql,
     "d25_pair_length_bias" -> d25Sql,
     "d24_threshold_sweep" -> d24Sql,

@@ -1610,7 +1610,44 @@ object Relational {
       |  ON a.o_custkey = b.o_custkey AND b.midx = a.midx - 1
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** Order-shape matrix: joint distribution of line count × value band
+    * per order — the 2D histogram behind packing/fulfillment planning
+    * (are big-ticket orders few-line or many-line). Line counts from one
+    * orderkey rollup joined back to orders; value bands on exact integer
+    * cents; \|line bands\|×\|value bands\|-bounded output. */
+  def q54(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+    val lineBand = when(col("n_lines") <= 2, "a1-2")
+      .when(col("n_lines") <= 4, "b3-4").otherwise("c5-7")
+    val cents = (dec(col("o_totalprice")) * 100).cast("long")
+    val valueBand = when(cents < 5000000L, "a<50k").when(cents < 15000000L, "b<150k")
+      .when(cents < 30000000L, "c<300k").otherwise("d>=300k")
+    Tables.orders(spark, dir)
+      .join(lines, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(lineBand.as("line_band"), valueBand.as("value_band"))
+      .agg(count(lit(1)).as("n_orders"), davg(col("o_totalprice")).as("avg_value"))
+      .orderBy("line_band", "value_band")
+  }
+  val q54Sql: String =
+    """WITH lines AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT n_lines, o_totalprice,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN lines ON o_orderkey = l_orderkey)
+      |SELECT
+      |  CASE WHEN n_lines <= 2 THEN 'a1-2' WHEN n_lines <= 4 THEN 'b3-4'
+      |       ELSE 'c5-7' END AS line_band,
+      |  CASE WHEN cents < 5000000 THEN 'a<50k' WHEN cents < 15000000 THEN 'b<150k'
+      |       WHEN cents < 30000000 THEN 'c<300k' ELSE 'd>=300k' END AS value_band,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q54_order_shape" -> (q54 _),
     "q53_repeat_rate" -> (q53 _),
     "q52_balance_bands" -> (q52 _),
     "q51_discount_bands" -> (q51 _),
@@ -1667,6 +1704,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q54_order_shape" -> q54Sql,
     "q53_repeat_rate" -> q53Sql,
     "q52_balance_bands" -> q52Sql,
     "q51_discount_bands" -> q51Sql,

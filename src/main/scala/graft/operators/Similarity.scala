@@ -220,22 +220,23 @@ object Similarity {
 
   /** Cell-probed search phase shared by s03 (inline model) and searchIvf
     * (persisted model). */
-  private[operators] def ivfSearch(spark: SparkSession, e: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def ivfSearch(spark: SparkSession, e: DataFrame, cents: DataFrame,
+                                   nProbes: Int = 2): DataFrame = {
     // ONE vector x centroid pass ranks all cells per vector; the ranked
     // rows carry the vector payload, so cell membership (rk = 1) and the
-    // 2-cell probe list (rk <= 2) both project straight out of it —
-    // no re-joins back to the embeddings table.
+    // nProbes-cell probe list (rk <= nProbes) both project straight out
+    // of it — no re-joins back to the embeddings table.
     val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
     val ranked = spread(e.select(col("vec_id"), col("v"), col("nrm")))
       .join(broadcast(cents), lit(true))
       .withColumn("ccos", expr("vec_dot(v, vc)") / (col("nrm") * col("nc")))
       .withColumn("rk", row_number().over(wCell))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"), col("rk"))
-      .filter(col("rk") <= 2)
+      .filter(col("rk") <= nProbes)
       .cache() // the member/probe self-join below reads it from both sides
     val members = ranked.filter(col("rk") === 1)
       .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))
-    val probes = ranked.filter(col("rk") <= 2)
+    val probes = ranked.filter(col("rk") <= nProbes)
       .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"), col("cell"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     probes.join(members, Seq("cell")).filter(col("q_id") =!= col("n_id"))
@@ -752,7 +753,33 @@ object Similarity {
       .orderBy("error_band")
   }
 
+  // ---------------------------------------------------------------- s14
+  /** IVF recall-vs-probe curve: recall@5 against the exact s01 truth at
+    * nProbes = 1/2/4 over ONE trained index — the cost/recall trade-off
+    * table an ANN deployment tunes against (each probed cell multiplies
+    * search fan-out; the curve says what the extra cells buy). Train
+    * once (cached survivor frame), search three times, one key join per
+    * point. Rows-only (k-means); the spec asserts recall is
+    * non-decreasing in probes and the 4-probe point dominates. */
+  def s14(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val truth = s01(spark, dir).select(col("q_id"), col("n_id")).localCheckpoint()
+    val e = withNormVec(Tables.embeddings(spark, dir)).cache()
+    val cents = centroidFrame(spark, e, k = 16, iters = 2)
+    def point(nProbes: Int): DataFrame = {
+      val res = ivfSearch(spark, e, cents, nProbes)
+      val hits = truth.join(res.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+        .select(count(lit(1)).as("n_hits"))
+      truth.select(countDistinct(col("q_id")).as("n_queries"))
+        .crossJoin(hits)
+        .select(lit(nProbes.toLong).as("n_probes"), col("n_queries"), col("n_hits"),
+          round(col("n_hits").cast("double") / (col("n_queries") * 5), 6).as("recall_at_5"))
+    }
+    point(1).unionByName(point(2)).unionByName(point(4)).orderBy("n_probes")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s14_recall_curve" -> (s14 _),
     "s13_sq8_error_hist" -> (s13 _),
     "s12_neighbor_degree" -> (s12 _),
     "s11_cos_histogram" -> (s11 _),

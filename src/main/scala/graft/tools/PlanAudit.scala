@@ -48,7 +48,7 @@ object PlanAudit {
     "t23_source_divergence", "e29_rfm_segments", "t25_vocab_growth",
     "s11_cos_histogram", "e31_type_lift", "p10_mixture_epochs",
     "s12_neighbor_degree", "t29_gram_coverage", "s13_sq8_error_hist",
-    "p12_shard_manifest", "p13_epoch_plan",
+    "p12_shard_manifest", "p13_epoch_plan", "s14_recall_curve",
     "q37_heavy_hitters", "s06_ann_sq8", "s07_mips_topk", "s08_range_search",
     "s09_ann_recall", "s10_ivf_cell_stats")
 

@@ -61,7 +61,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "d26_dup_families", "e34_audience_overlap", "e35_session_size_hist",
       "t30_dup_ngram_rate", "s13_sq8_error_hist", "p12_shard_manifest",
       "q53_repeat_rate", "e36_velocity_screen", "t31_length_quartiles",
-      "t32_numeric_density", "p13_epoch_plan")
+      "t32_numeric_density", "p13_epoch_plan",
+      "q54_order_shape", "d28_cluster_sizes", "s14_recall_curve")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -72,7 +73,16 @@ class OperatorSmokeSpec extends SparkSpec {
         "m05_payload_neardup", "m07_payload_clusters", "p02_embedding_pipeline",
         "q21_approx_stats", "d17_containment_capped", "p05_multimodal_curation",
         "e24_rolling_active_sketch", "s09_ann_recall", "s10_ivf_cell_stats",
-        "s13_sq8_error_hist"))
+        "s13_sq8_error_hist", "s14_recall_curve"))
+  }
+
+  test("s14 recall curve: non-decreasing in probes, correct row shape") {
+    val rows = SparkEntry.queries("s14_recall_curve")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("n_probes"))
+    assert(rows.map(_.getAs[Long]("n_probes")).toSeq == Seq(1L, 2L, 4L))
+    val recalls = rows.map(_.getAs[Double]("recall_at_5")).toSeq
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
   }
 
   test("s13 sq8 error audit: every sampled pair inside the kernel envelope") {
