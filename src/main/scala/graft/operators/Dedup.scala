@@ -94,6 +94,14 @@ object Dedup {
     * equals the exact all-pairs oracle on any realistic dataset.
     */
   def d02(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    d02Verify(sh, d02Candidates(sh))
+  }
+
+  /** d02's LSH candidate generator (128-perm MinHash, 32 bands of 4):
+    * exposed so the candidate-quality report (d29) can count the pair
+    * stream BEFORE exact verification. */
+  private[operators] def d02Candidates(sh: DataFrame): DataFrame = {
     // Carter-Wegman universal hash family mod 2^31-1: a*h fits in a long
     // (< 2^62) and a ranges over the FULL multiplicative group, so the 128
     // permutations are genuinely independent (a small-`a` family would be
@@ -102,7 +110,6 @@ object Dedup {
     val rnd = new scala.util.Random(42)
     val perms = Array.fill(128)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
 
-    val sh = shingled(spark, dir).cache()
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
       .select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
     val minhashCols = perms.zipWithIndex.map { case ((a, b), i) =>
@@ -118,12 +125,15 @@ object Dedup {
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .cache()
-    val candidates = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification on candidates only
+  }
+
+  /** Exact J ≥ 0.8 verification of a candidate pair stream. */
+  private def d02Verify(sh: DataFrame, candidates: DataFrame): DataFrame = {
     val ga = sh.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val gb = sh.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
     candidates.join(ga, "doc_a").join(gb, "doc_b")
@@ -1190,7 +1200,26 @@ object Dedup {
        |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d29
+  /** MinHash-LSH candidate-quality report: candidates generated vs pairs
+    * surviving exact J ≥ 0.8 verification, and the resulting precision —
+    * the number that says whether the band/row configuration is wasting
+    * verify work (low precision) or risking recall (suspiciously high).
+    * Counts ride d02's own frames; one row out. Rows-only (MinHash is
+    * not SQL-expressible); the spec pins verified == the exact J ≥ 0.8
+    * pair count (recall evidence) and precision ∈ (0, 1]. */
+  def d29(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val cand = d02Candidates(sh).cache() // counted AND verified below
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nVer = d02Verify(sh, cand).agg(count(lit(1)).as("n_verified"))
+    nCand.crossJoin(broadcast(nVer))
+      .select(col("n_candidates"), col("n_verified"),
+        (round(dbl(col("n_verified")) / col("n_candidates"), 6) + lit(0.0d)).as("precision"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d29_lsh_candidate_report" -> (d29 _),
     "d28_cluster_sizes" -> (d28 _),
     "d26_dup_families" -> (d26 _),
     "d25_pair_length_bias" -> (d25 _),

@@ -1456,7 +1456,34 @@ object Events {
       |  ROUND(CAST(SUM(n_purch) AS DOUBLE) / SUM(n_events), 6) + 0.0 AS purchase_share
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e37
+  /** First-session conversion: the share of users whose FIRST session
+    * already contains a purchase — activation quality of the signup/
+    * landing flow, read before any retention metric means anything.
+    * Rides the gap-labeling chain (sess_idx = 1 is the first session by
+    * construction); two scalar counts crossed as 1-row broadcasts, ONE
+    * division. */
+  def e37(spark: SparkSession, dir: String): DataFrame = {
+    val st = sessionTypeSets(spark, dir)
+    val conv = st.filter(col("sess_idx") === 1L && col("event_type") === "purchase")
+      .agg(countDistinct(col("user_id")).as("n_converted"))
+    val tot = st.agg(countDistinct(col("user_id")).as("n_users"))
+    tot.crossJoin(broadcast(conv))
+      .select(col("n_users"), col("n_converted"),
+        (round(dbl(col("n_converted")) / col("n_users"), 6) + lit(0.0d)).as("conversion_rate"))
+  }
+  val e37Sql: String =
+    s"""WITH $sessionTypeSetsCte,
+       |conv AS (
+       |  SELECT COUNT(DISTINCT user_id) AS n_converted FROM d
+       |  WHERE sess_idx = 1 AND event_type = 'purchase'),
+       |tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM d)
+       |SELECT n_users, n_converted,
+       |  ROUND(CAST(n_converted AS DOUBLE) / n_users, 6) + 0.0 AS conversion_rate
+       |FROM tot CROSS JOIN conv""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e37_first_session_conversion" -> (e37 _),
     "e36_velocity_screen" -> (e36 _),
     "e35_session_size_hist" -> (e35 _),
     "e34_audience_overlap" -> (e34 _),
@@ -1532,5 +1559,6 @@ object Events {
     "e34_audience_overlap" -> e34Sql,
     "e35_session_size_hist" -> e35Sql,
     "e36_velocity_screen" -> e36Sql,
+    "e37_first_session_conversion" -> e37Sql,
   )
 }

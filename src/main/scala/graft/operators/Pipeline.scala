@@ -28,7 +28,11 @@ import graft.functions.VectorFunctions
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame
 
-  def p01(spark: SparkSession, dir: String): DataFrame = {
+  /** p01's stage frames, shared with the p14 ledger: (raw docs, quality+
+    * langid survivors, exact-dedup keepers, near-dup survivors, sampled
+    * final mix). Each frame is exactly the standalone stage semantics. */
+  private def p01Stages(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     VectorFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
     // 1+2: quality gate, then language ID on survivors
@@ -60,12 +64,17 @@ object Pipeline {
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
       .select(col("doc_b").as("doc_id")).distinct()
+    val surv = keep.join(dropped, Seq("doc_id"), "left_anti").cache()
     // 5: deterministic stratified sample on the predicted language
     val nib = substring(md5(col("text")), 1, 1)
-    keep.join(dropped, Seq("doc_id"), "left_anti")
+    val sampled = surv
       .filter(when(col("pred_lang") === "en", nib < "8").otherwise(nib < "4"))
-      .select("doc_id", "pred_lang", "quality")
-      .orderBy("doc_id")
+    (docs, scored, keep, surv, sampled)
+  }
+
+  def p01(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, _, sampled) = p01Stages(spark, dir)
+    sampled.select("doc_id", "pred_lang", "quality").orderBy("doc_id")
   }
 
   val p01Sql: String = {
@@ -665,7 +674,42 @@ object Pipeline {
        |  ROUND(CAST(eff AS DOUBLE) / CAST(eff_total AS DOUBLE), 6) + 0.0 AS epoch_share
        |FROM base CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p14
+  /** Curation ledger: surviving doc counts after EVERY p01 stage (raw →
+    * quality+langid → exact dedup → near-dup drop → sampled mix) — the
+    * per-run shrinkage record an auditable curation pipeline logs
+    * alongside its output. Counts ride p01's own cached stage frames
+    * (zero recomputation beyond p01 itself); 5 rows at any scale. */
+  def p14(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, scored, keep, surv, sampled) = p01Stages(spark, dir)
+    def lvl(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(label).as("stage"), col("n_docs"))
+    lvl("a_raw", docs)
+      .unionByName(lvl("b_quality_lang", scored))
+      .unionByName(lvl("c_exact_dedup", keep))
+      .unionByName(lvl("d_near_dedup", surv))
+      .unionByName(lvl("e_sampled", sampled))
+      .orderBy("stage")
+  }
+  val p14Sql: String = {
+    val idx = p01Sql.indexOf("SELECT doc_id, pred_lang, quality FROM keep")
+    require(idx > 0, "p01Sql shape changed under p14")
+    val ctes = p01Sql.substring(0, idx).trim
+    s"""$ctes,
+       |surv AS (
+       |  SELECT * FROM keep WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+       |SELECT 'a_raw' AS stage, COUNT(*)::BIGINT AS n_docs FROM documents
+       |UNION ALL SELECT 'b_quality_lang', COUNT(*)::BIGINT FROM pl
+       |UNION ALL SELECT 'c_exact_dedup', COUNT(*)::BIGINT FROM keep
+       |UNION ALL SELECT 'd_near_dedup', COUNT(*)::BIGINT FROM surv
+       |UNION ALL SELECT 'e_sampled', COUNT(*)::BIGINT FROM surv
+       |  WHERE (CASE WHEN pred_lang = 'en' THEN substr(md5(text), 1, 1) < '8'
+       |              ELSE substr(md5(text), 1, 1) < '4' END)
+       |ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p14_curation_ledger" -> (p14 _),
     "p13_epoch_plan" -> (p13 _),
     "p12_shard_manifest" -> (p12 _),
     "p11_dedup_savings" -> (p11 _),
@@ -682,6 +726,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p14_curation_ledger" -> p14Sql,
     "p13_epoch_plan" -> p13Sql,
     "p12_shard_manifest" -> p12Sql,
     "p11_dedup_savings" -> p11Sql,

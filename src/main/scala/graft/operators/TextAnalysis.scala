@@ -1297,7 +1297,33 @@ object TextAnalysis {
        |             AS DOUBLE) / COUNT(*), 6) + 0.0 AS numeric_share
        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t33
+  /** Stopword coverage per LABELED language: share of tokens in the
+    * (English) stopword list — near the corpus norm for genuine English,
+    * near zero for other languages, and in between for mislabeled or
+    * code-mixed feeds (the cross-check on the lang column that t03's
+    * prediction can't give for its own training markers). One explode +
+    * one map-combinable groupBy, exact integer counts, ONE division per
+    * language row. */
+  def t33(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(wordsCol).as("w"))
+      .withColumn("is_stop", when(col("w").isin(stopList: _*), 1L).otherwise(0L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("is_stop")).as("n_stopwords"))
+      .withColumn("stopword_share",
+        round(dbl(col("n_stopwords")) / col("n_tokens"), 6) + lit(0.0d))
+      .orderBy("lang")
+  val t33Sql: String =
+    s"""WITH w AS (SELECT lang, UNNEST($wordsSql) AS w FROM documents)
+       |SELECT lang, COUNT(*) AS n_tokens,
+       |  SUM(CASE WHEN w IN $stopSqlIn THEN 1 ELSE 0 END)::BIGINT AS n_stopwords,
+       |  ROUND(CAST(SUM(CASE WHEN w IN $stopSqlIn THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*), 6) + 0.0 AS stopword_share
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t33_stopword_coverage" -> (t33 _),
     "t32_numeric_density" -> (t32 _),
     "t31_length_quartiles" -> (t31 _),
     "t30_dup_ngram_rate" -> (t30 _),
@@ -1346,6 +1372,7 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t33_stopword_coverage" -> t33Sql,
     "t32_numeric_density" -> t32Sql,
     "t31_length_quartiles" -> t31Sql,
     "t30_dup_ngram_rate" -> t30Sql,

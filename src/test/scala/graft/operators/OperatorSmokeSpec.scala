@@ -62,7 +62,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "t30_dup_ngram_rate", "s13_sq8_error_hist", "p12_shard_manifest",
       "q53_repeat_rate", "e36_velocity_screen", "t31_length_quartiles",
       "t32_numeric_density", "p13_epoch_plan",
-      "q54_order_shape", "d28_cluster_sizes", "s14_recall_curve")
+      "q54_order_shape", "d28_cluster_sizes", "s14_recall_curve",
+      "e37_first_session_conversion", "t33_stopword_coverage",
+      "d29_lsh_candidate_report", "p14_curation_ledger")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -73,7 +75,16 @@ class OperatorSmokeSpec extends SparkSpec {
         "m05_payload_neardup", "m07_payload_clusters", "p02_embedding_pipeline",
         "q21_approx_stats", "d17_containment_capped", "p05_multimodal_curation",
         "e24_rolling_active_sketch", "s09_ann_recall", "s10_ivf_cell_stats",
-        "s13_sq8_error_hist", "s14_recall_curve"))
+        "s13_sq8_error_hist", "s14_recall_curve", "d29_lsh_candidate_report"))
+  }
+
+  test("d29 LSH candidate report: verified equals the exact J>=0.8 pair count") {
+    val row = SparkEntry.queries("d29_lsh_candidate_report")(spark, sf).head()
+    val exact = SparkEntry.queries("d02_minhash_lsh")(spark, sf).count()
+    assert(row.getAs[Long]("n_verified") == exact)
+    assert(row.getAs[Long]("n_candidates") >= row.getAs[Long]("n_verified"))
+    val p = row.getAs[Double]("precision")
+    assert(p > 0.0 && p <= 1.0)
   }
 
   test("s14 recall curve: non-decreasing in probes, correct row shape") {
