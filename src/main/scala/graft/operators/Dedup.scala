@@ -1218,7 +1218,35 @@ object Dedup {
         (round(dbl(col("n_verified")) / col("n_candidates"), 6) + lit(0.0d)).as("precision"))
   }
 
+  // ---------------------------------------------------------------- d30
+  /** Dedup source-flow matrix: under keep-min-id policy, which source
+    * KEEPS and which source LOSES for every near-dup pair — d20 asks
+    * "who copies whom", this asks "who pays for it at drop time" (an
+    * asymmetric budget question: a feed can be upstream of dups yet
+    * never lose a doc). One pass over the shared pair stream + two
+    * uniform-key source joins; \|sources\|²-bounded output. */
+  def d30(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    sharedPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("keeper_source")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("dropped_source")), "doc_b")
+      .groupBy("keeper_source", "dropped_source")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("keeper_source", "dropped_source")
+  }
+  val d30Sql: String = {
+    val pairSql = jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS ($pairSql)
+       |SELECT ka.source AS keeper_source, kb.source AS dropped_source,
+       |  COUNT(*) AS n_pairs
+       |FROM pairs
+       |JOIN documents ka ON doc_a = ka.doc_id
+       |JOIN documents kb ON doc_b = kb.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d30_dedup_source_flow" -> (d30 _),
     "d29_lsh_candidate_report" -> (d29 _),
     "d28_cluster_sizes" -> (d28 _),
     "d26_dup_families" -> (d26 _),
@@ -1250,6 +1278,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d30_dedup_source_flow" -> d30Sql,
     "d28_cluster_sizes" -> d28Sql,
     "d26_dup_families" -> d26Sql,
     "d25_pair_length_bias" -> d25Sql,

@@ -1322,7 +1322,43 @@ object TextAnalysis {
        |        / COUNT(*), 6) + 0.0 AS stopword_share
        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t35
+  /** Quality-by-length profile: mean t02 quality score per document
+    * length band — the correlation check run BEFORE using either signal
+    * as an independent filter (if quality is just length in disguise,
+    * two gates are one gate and the mix math is wrong). One scan,
+    * integer CASE bands, per-doc scores round6-DECIMAL-quantized before
+    * the order-independent band mean. */
+  def t35(spark: SparkSession, dir: String): DataFrame = {
+    val band = when(col("n_chars") < 200, "a<200").when(col("n_chars") < 400, "b<400")
+      .when(col("n_chars") < 800, "c<800").otherwise("d>=800")
+    addQuality(Tables.documents(spark, dir))
+      .select(band.as("length_band"),
+        round(col("quality"), 6).cast("decimal(9,6)").as("q"))
+      .groupBy("length_band")
+      .agg(count(lit(1)).as("n_docs"),
+           (round(dbl(sum(col("q"))) / count(lit(1)), 6) + lit(0.0d)).as("mean_quality"))
+      .orderBy("length_band")
+  }
+  val t35Sql: String =
+    s"""WITH m AS (
+       |  SELECT n_chars,
+       |    CAST(len($wordsSql) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter($wordsSql, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM documents WHERE len($wordsSql) >= 1),
+       |q AS (
+       |  SELECT CASE WHEN n_chars < 200 THEN 'a<200' WHEN n_chars < 400 THEN 'b<400'
+       |              WHEN n_chars < 800 THEN 'c<800' ELSE 'd>=800' END AS length_band,
+       |    CAST(ROUND($qualitySqlExpr, 6) AS DECIMAL(9,6)) AS q
+       |  FROM m)
+       |SELECT length_band, COUNT(*) AS n_docs,
+       |  ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_quality
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t35_quality_by_length" -> (t35 _),
     "t33_stopword_coverage" -> (t33 _),
     "t32_numeric_density" -> (t32 _),
     "t31_length_quartiles" -> (t31 _),
@@ -1372,6 +1408,7 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t35_quality_by_length" -> t35Sql,
     "t33_stopword_coverage" -> t33Sql,
     "t32_numeric_density" -> t32Sql,
     "t31_length_quartiles" -> t31Sql,

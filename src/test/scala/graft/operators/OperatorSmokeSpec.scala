@@ -64,7 +64,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "t32_numeric_density", "p13_epoch_plan",
       "q54_order_shape", "d28_cluster_sizes", "s14_recall_curve",
       "e37_first_session_conversion", "t33_stopword_coverage",
-      "d29_lsh_candidate_report", "p14_curation_ledger")
+      "d29_lsh_candidate_report", "p14_curation_ledger",
+      "d30_dedup_source_flow", "t35_quality_by_length")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
