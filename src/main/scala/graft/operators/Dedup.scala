@@ -463,8 +463,18 @@ object Dedup {
     * optimization if diameters grow. Oracle: DuckDB recursive-CTE
     * transitive closure. */
   def d10(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      sharedPairs(spark, dir).select("doc_a", "doc_b"))
+    sharedClusters(spark, dir)
+
+  /** The connected-component labels of the shared J ≥ 0.5 pair graph,
+    * computed ONCE per (session, dir) — d10's output, also consumed by
+    * the cluster-size histogram (d28). The CC loop's final generation is
+    * already localCheckpoint-materialized, so the memo reuses those
+    * blocks rather than re-running the iterative joins. */
+  private val ccMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedClusters(spark: SparkSession, dir: String): DataFrame =
+    ccMemo.getOrElseUpdate((spark, dir),
+      connectedComponents(sharedPairs(spark, dir).select("doc_a", "doc_b")))
 
   /** Min-label propagation to fixpoint over an undirected (doc_a, doc_b)
     * pair graph — d10's core, shared with the multimodal cluster view
@@ -1185,7 +1195,7 @@ object Dedup {
     * (doc_id, cluster_id) output; oracle = the same histogram over the
     * recursive-CTE transitive closure. */
   def d28(spark: SparkSession, dir: String): DataFrame =
-    d10(spark, dir)
+    sharedClusters(spark, dir)
       .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"),
