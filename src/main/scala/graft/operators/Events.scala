@@ -1482,7 +1482,47 @@ object Events {
        |  ROUND(CAST(n_converted AS DOUBLE) / n_users, 6) + 0.0 AS conversion_rate
        |FROM tot CROSS JOIN conv""".stripMargin
 
+  // ---------------------------------------------------------------- e38
+  /** Weekly retention triangle: for every signup-week cohort, the share
+    * of its users active again N weeks later — the full growth triangle
+    * (e04 is one cohort's day curve; q40 is its revenue analogue). All
+    * integer week arithmetic; cohort assignment is one min-agg joined
+    * back on a uniform user_id shuffle; the triangle is
+    * \|weeks\|²/2-bounded; cohort sizes join back as a broadcast of the
+    * offset-0 diagonal; ONE division per cell. */
+  def e38(spark: SparkSession, dir: String): DataFrame = {
+    val WeekMs = 7L * 86400000L
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), (col("ms") - pmod(col("ms"), lit(WeekMs))).as("wk"))
+      .distinct()
+      .cache() // feeds cohort min-agg AND the cell rollup
+    val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val cells = uw.join(cohort, "user_id")
+      .withColumn("week_offset", ((col("wk") - col("cohort_wk")) / lit(WeekMs)).cast("long"))
+      .groupBy("cohort_wk", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    cells.join(broadcast(cells.filter(col("week_offset") === 0L)
+        .select(col("cohort_wk"), col("n_active").as("cohort_size"))), "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"), col("cohort_size"),
+        (round(dbl(col("n_active")) / col("cohort_size"), 6) + lit(0.0d)).as("retention"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+  val e38Sql: String =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |    epoch_ms(ts) - epoch_ms(ts) % 604800000 AS wk FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1),
+      |cells AS (
+      |  SELECT cohort_wk, (wk - cohort_wk) // 604800000 AS week_offset,
+      |    COUNT(*) AS n_active
+      |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2),
+      |sz AS (SELECT cohort_wk, n_active AS cohort_size FROM cells WHERE week_offset = 0)
+      |SELECT cohort_wk, week_offset, n_active, cohort_size,
+      |  ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) + 0.0 AS retention
+      |FROM cells JOIN sz USING (cohort_wk)
+      |ORDER BY cohort_wk, week_offset""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e38_retention_triangle" -> (e38 _),
     "e37_first_session_conversion" -> (e37 _),
     "e36_velocity_screen" -> (e36 _),
     "e35_session_size_hist" -> (e35 _),
@@ -1560,5 +1600,6 @@ object Events {
     "e35_session_size_hist" -> e35Sql,
     "e36_velocity_screen" -> e36Sql,
     "e37_first_session_conversion" -> e37Sql,
+    "e38_retention_triangle" -> e38Sql,
   )
 }

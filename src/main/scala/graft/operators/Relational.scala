@@ -1646,7 +1646,40 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Revenue concentration: the top-10 customers' share of total order
+    * revenue — the "how dependent are we on whales" Pareto figure (e16
+    * is its event-value analogue at decile granularity). Per-customer
+    * DECIMAL rollup, deterministic (revenue desc, custkey) TakeOrdered
+    * head, 1-row total broadcast, ONE division per emitted row. */
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      .cache() // feeds the top-10 head AND the corpus total
+    val tot = per.agg(sum(col("rev")).as("total_rev"))
+    per.orderBy(col("rev").desc, col("o_custkey")).limit(10)
+      .agg(count(lit(1)).as("n_top"), sum(col("rev")).as("top_rev"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_top"), dbl(col("top_rev")).as("top_revenue"),
+        dbl(col("total_rev")).as("total_revenue"),
+        (round(dbl(col("top_rev")) / dbl(col("total_rev")), 6) + lit(0.0d)).as("top_share"))
+  }
+  val q55Sql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |top AS (
+      |  SELECT COUNT(*) AS n_top, SUM(rev) AS top_rev
+      |  FROM (SELECT rev FROM per ORDER BY rev DESC, o_custkey LIMIT 10)),
+      |tot AS (SELECT SUM(rev) AS total_rev FROM per)
+      |SELECT n_top, CAST(top_rev AS DOUBLE) AS top_revenue,
+      |  CAST(total_rev AS DOUBLE) AS total_revenue,
+      |  ROUND(CAST(top_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) + 0.0 AS top_share
+      |FROM top CROSS JOIN tot""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q55_revenue_concentration" -> (q55 _),
     "q54_order_shape" -> (q54 _),
     "q53_repeat_rate" -> (q53 _),
     "q52_balance_bands" -> (q52 _),
@@ -1704,6 +1737,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q55_revenue_concentration" -> q55Sql,
     "q54_order_shape" -> q54Sql,
     "q53_repeat_rate" -> q53Sql,
     "q52_balance_bands" -> q52Sql,

@@ -65,7 +65,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "q54_order_shape", "d28_cluster_sizes", "s14_recall_curve",
       "e37_first_session_conversion", "t33_stopword_coverage",
       "d29_lsh_candidate_report", "p14_curation_ledger",
-      "d30_dedup_source_flow", "t35_quality_by_length")
+      "d30_dedup_source_flow", "t35_quality_by_length",
+      "e38_retention_triangle", "q55_revenue_concentration")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
