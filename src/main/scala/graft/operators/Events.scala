@@ -1521,7 +1521,63 @@ object Events {
       |FROM cells JOIN sz USING (cohort_wk)
       |ORDER BY cohort_wk, week_offset""".stripMargin
 
+  // ---------------------------------------------------------------- e39
+  /** Revisit-gap histogram: time from one session's END to the next
+    * session's START per user, banded — the "how long until they come
+    * back" curve (e18 bands raw inter-EVENT gaps; this is the
+    * session-level signal a re-engagement campaign is tuned on).
+    * Session bounds are one map-combinable min/max over the gap-labeling
+    * chain; the lag is a user-partitioned window over per-session rows
+    * (bounded state); integer millisecond compares band the gaps. */
+  def e39(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(wr))
+      .groupBy("user_id", "sess_idx")
+      .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+    val wS = Window.partitionBy("user_id").orderBy("sess_idx")
+    val HourMs = 3600000L
+    val gaps = sess
+      .withColumn("prev_end", lag(col("end_ms"), 1).over(wS))
+      .filter(col("prev_end").isNotNull)
+      .withColumn("gap_ms", col("start_ms") - col("prev_end"))
+    val band = when(col("gap_ms") <= 6 * HourMs, "a<=6h")
+      .when(col("gap_ms") <= 24 * HourMs, "b<=24h")
+      .when(col("gap_ms") <= 72 * HourMs, "c<=72h")
+      .when(col("gap_ms") <= 168 * HourMs, "d<=7d")
+      .otherwise("e>7d")
+    gaps.groupBy(band.as("gap_band"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy("gap_band")
+  }
+  val e39Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
+       |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f),
+       |sess AS (
+       |  SELECT user_id, sess_idx, MIN(ms) AS start_ms, MAX(ms) AS end_ms
+       |  FROM s GROUP BY 1, 2),
+       |g AS (
+       |  SELECT start_ms - LAG(end_ms) OVER (PARTITION BY user_id ORDER BY sess_idx) AS gap_ms
+       |  FROM sess),
+       |b AS (
+       |  SELECT CASE WHEN gap_ms <= 21600000 THEN 'a<=6h'
+       |              WHEN gap_ms <= 86400000 THEN 'b<=24h'
+       |              WHEN gap_ms <= 259200000 THEN 'c<=72h'
+       |              WHEN gap_ms <= 604800000 THEN 'd<=7d'
+       |              ELSE 'e>7d' END AS gap_band
+       |  FROM g WHERE gap_ms IS NOT NULL)
+       |SELECT gap_band, COUNT(*) AS n_gaps FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e39_revisit_gaps" -> (e39 _),
     "e38_retention_triangle" -> (e38 _),
     "e37_first_session_conversion" -> (e37 _),
     "e36_velocity_screen" -> (e36 _),
@@ -1601,5 +1657,6 @@ object Events {
     "e36_velocity_screen" -> e36Sql,
     "e37_first_session_conversion" -> e37Sql,
     "e38_retention_triangle" -> e38Sql,
+    "e39_revisit_gaps" -> e39Sql,
   )
 }

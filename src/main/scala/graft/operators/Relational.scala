@@ -1678,7 +1678,50 @@ object Relational {
       |  ROUND(CAST(top_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) + 0.0 AS top_share
       |FROM top CROSS JOIN tot""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** Does account balance predict order volume? Exact Pearson
+    * correlation (q38's DECIMAL-moment machinery) between each
+    * customer's balance and ORDER COUNT — a correlation on a DERIVED
+    * metric, with zero-order customers included via the left join
+    * (dropping them biases r upward: the non-buying rich are the
+    * signal). One uniform custkey shuffle, one global moment rollup,
+    * round6-quantized r. */
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    val oc = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val x = dec(col("c_acctbal"))
+    val y = coalesce(col("n_orders"), lit(0L)).cast(Qf.D12)
+    Tables.customer(spark, dir)
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+           dbl(sum(x)).as("sx"), dbl(sum(y)).as("sy"),
+           dbl(sum(x * y)).as("sxy"),
+           dbl(sum(x * x)).as("sx2"), dbl(sum(y * y)).as("sy2"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 6).as("corr_balance_orders"))
+  }
+  val q56Sql: String =
+    """WITH oc AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT CAST(c_acctbal AS DECIMAL(12,2)) AS x,
+      |    CAST(COALESCE(n_orders, 0) AS DECIMAL(12,2)) AS y
+      |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+      |m AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+      |    CAST(SUM(x * x) AS DOUBLE) AS sx2, CAST(SUM(y * y) AS DOUBLE) AS sy2
+      |  FROM j)
+      |SELECT n,
+      |  ROUND((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+      |    AS corr_balance_orders
+      |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q56_balance_order_corr" -> (q56 _),
     "q55_revenue_concentration" -> (q55 _),
     "q54_order_shape" -> (q54 _),
     "q53_repeat_rate" -> (q53 _),
@@ -1737,6 +1780,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q56_balance_order_corr" -> q56Sql,
     "q55_revenue_concentration" -> q55Sql,
     "q54_order_shape" -> q54Sql,
     "q53_repeat_rate" -> q53Sql,

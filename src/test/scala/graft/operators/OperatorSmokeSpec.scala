@@ -66,7 +66,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e37_first_session_conversion", "t33_stopword_coverage",
       "d29_lsh_candidate_report", "p14_curation_ledger",
       "d30_dedup_source_flow", "t35_quality_by_length",
-      "e38_retention_triangle", "q55_revenue_concentration")
+      "e38_retention_triangle", "q55_revenue_concentration",
+      "e39_revisit_gaps", "q56_balance_order_corr")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
