@@ -1255,7 +1255,70 @@ object Dedup {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d31
+  /** Containment threshold sweep (d24's calibration curve for the
+    * ASYMMETRIC measure): pairs whose smaller side is covered at
+    * C ≥ 0.5..0.9 — sizes the subsumption-drop policy the way d24 sizes
+    * the Jaccard one (containment catches quote/excerpt nesting that
+    * Jaccard's union denominator dilutes). Same inverted-index pair
+    * machinery at the C ≥ 0.5 floor, five conditional sums in ONE
+    * map-combinable aggregation, 5-row struct-array unpack; threshold
+    * compares are exact integer cross multiplications. */
+  def d31(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
+    val pairs = posting.as("a").join(posting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("mn", least(col("na"), col("nb")))
+      .filter(col("inter") * 2 >= col("mn"))
+    def c(k: Int) = coalesce(sum(
+      when(col("inter") * 10 >= col("mn") * k, 1L).otherwise(0L)), lit(0L)).as(s"c$k")
+    val a = pairs.agg(c(5), c(6), c(7), c(8), c(9))
+    a.select(explode(array(
+        struct(lit("c>=0.5").as("threshold"), col("c5").as("n_pairs")),
+        struct(lit("c>=0.6").as("threshold"), col("c6").as("n_pairs")),
+        struct(lit("c>=0.7").as("threshold"), col("c7").as("n_pairs")),
+        struct(lit("c>=0.8").as("threshold"), col("c8").as("n_pairs")),
+        struct(lit("c>=0.9").as("threshold"), col("c9").as("n_pairs")))).as("t"))
+      .select(col("t.threshold").as("threshold"), col("t.n_pairs").as("n_pairs"))
+      .orderBy("threshold")
+  }
+  val d31Sql: String =
+    s"""WITH sh AS ($shingledSql),
+       |posting AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+       |sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT inter, LEAST(na.n, nb.n) AS mn
+       |  FROM inter
+       |  JOIN sizes na ON doc_a = na.doc_id
+       |  JOIN sizes nb ON doc_b = nb.doc_id
+       |  WHERE inter * 2 >= LEAST(na.n, nb.n)),
+       |a AS (
+       |  SELECT
+       |    COALESCE(SUM(CASE WHEN inter * 10 >= mn * 5 THEN 1 ELSE 0 END), 0)::BIGINT AS c5,
+       |    COALESCE(SUM(CASE WHEN inter * 10 >= mn * 6 THEN 1 ELSE 0 END), 0)::BIGINT AS c6,
+       |    COALESCE(SUM(CASE WHEN inter * 10 >= mn * 7 THEN 1 ELSE 0 END), 0)::BIGINT AS c7,
+       |    COALESCE(SUM(CASE WHEN inter * 10 >= mn * 8 THEN 1 ELSE 0 END), 0)::BIGINT AS c8,
+       |    COALESCE(SUM(CASE WHEN inter * 10 >= mn * 9 THEN 1 ELSE 0 END), 0)::BIGINT AS c9
+       |  FROM p)
+       |SELECT 'c>=0.5' AS threshold, c5 AS n_pairs FROM a
+       |UNION ALL SELECT 'c>=0.6', c6 FROM a
+       |UNION ALL SELECT 'c>=0.7', c7 FROM a
+       |UNION ALL SELECT 'c>=0.8', c8 FROM a
+       |UNION ALL SELECT 'c>=0.9', c9 FROM a
+       |ORDER BY threshold""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d31_containment_sweep" -> (d31 _),
     "d30_dedup_source_flow" -> (d30 _),
     "d29_lsh_candidate_report" -> (d29 _),
     "d28_cluster_sizes" -> (d28 _),
@@ -1288,6 +1351,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d31_containment_sweep" -> d31Sql,
     "d30_dedup_source_flow" -> d30Sql,
     "d28_cluster_sizes" -> d28Sql,
     "d26_dup_families" -> d26Sql,

@@ -1357,7 +1357,60 @@ object TextAnalysis {
        |  ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_quality
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t36
+  /** Corpus bigram conditional entropy H(w\|v) = −Σ p(v,w)·ln p(w\|v) —
+    * the predictability scalar that falls as boilerplate takes over
+    * (t22 is the per-doc unigram view; this is the corpus-level order-1
+    * signal). Counts come from t20's bigram construction (doc-partitioned
+    * lag windows, map-combinable rollups); both probability factors are
+    * single divisions of exact integers; each term is round9-DECIMAL-
+    * quantized before the order-independent sum; the corpus total joins
+    * as a 1-row broadcast. */
+  def t36(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val cb = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "word")))
+      .withColumn("prev", lag(col("word"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(concat_ws(" ", col("prev"), col("word")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cb"))
+      .cache() // feeds the context rollup AND the term sum
+    val cv = cb.groupBy(substring_index(col("b"), " ", 1).as("v"))
+      .agg(sum(col("cb")).as("cv"))
+    val tot = cb.agg(sum(col("cb")).as("bt"))
+    cb.withColumn("v", substring_index(col("b"), " ", 1))
+      .join(cv, "v")
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        round((dbl(col("cb")) / col("bt")) * log(dbl(col("cb")) / dbl(col("cv"))), 9)
+          .cast("decimal(18,9)"))
+      .agg(max(col("bt")).as("n_bigrams"),
+           count(lit(1)).as("n_distinct_bigrams"),
+           sum(col("term")).as("s"))
+      .select(col("n_bigrams"), col("n_distinct_bigrams"),
+        (round(-dbl(col("s")), 6) + lit(0.0d)).as("cond_entropy"))
+  }
+  val t36Sql: String =
+    s"""WITH ww AS (SELECT $wordsSql AS w FROM documents),
+       |bg AS (SELECT UNNEST(list_transform(range(1, len(w)),
+       |         i -> w[i] || ' ' || w[i+1])) AS b
+       |       FROM ww WHERE len(w) >= 2),
+       |cb AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY 1),
+       |cv AS (
+       |  SELECT split_part(b, ' ', 1) AS v, CAST(SUM(cb) AS BIGINT) AS cv
+       |  FROM cb GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cb) AS BIGINT) AS bt FROM cb),
+       |q AS (
+       |  SELECT bt,
+       |    CAST(ROUND((CAST(cb AS DOUBLE) / bt) * ln(CAST(cb AS DOUBLE) / CAST(cv AS DOUBLE)), 9)
+       |      AS DECIMAL(18,9)) AS term
+       |  FROM cb JOIN cv ON split_part(b, ' ', 1) = cv.v CROSS JOIN tot)
+       |SELECT MAX(bt) AS n_bigrams, COUNT(*) AS n_distinct_bigrams,
+       |  ROUND(-CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS cond_entropy
+       |FROM q""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t36_bigram_entropy" -> (t36 _),
     "t35_quality_by_length" -> (t35 _),
     "t33_stopword_coverage" -> (t33 _),
     "t32_numeric_density" -> (t32 _),
@@ -1408,6 +1461,7 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t36_bigram_entropy" -> t36Sql,
     "t35_quality_by_length" -> t35Sql,
     "t33_stopword_coverage" -> t33Sql,
     "t32_numeric_density" -> t32Sql,
