@@ -1720,7 +1720,78 @@ object Relational {
       |    AS corr_balance_orders
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Fulfillment-latency percentiles per priority (p25/p50/p75 days,
+    * PERCENTILE_CONT interpolation): the SLA table. NOT a row window —
+    * a 5-partition window over the whole fact is a single-reducer
+    * bottleneck at scale, so the quantile machinery runs over per-
+    * (priority, latency-day) COUNTS (bounded by \|priorities\|×\|days\|,
+    * independent of fact size; the q44/t14 trade). Bracketing ranks are
+    * conditional mins against the cumulative counts; interpolation
+    * arithmetic is identical in both engines. */
+  def q57(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy(col("o_orderpriority"), col("lat"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("o_orderpriority").orderBy("lat")
+    val cum = counts.withColumn("cum", sum(col("c")).over(wCum))
+    val n = counts.groupBy("o_orderpriority").agg(sum(col("c")).as("n"))
+    def pct(q: Double, nm: String): Seq[Column] = {
+      val pos = (col("n") - 1).cast("double") * lit(q)
+      Seq(min(when(col("cum") >= floor(pos) + 1, col("lat"))).as(s"${nm}_lo"),
+          min(when(col("cum") >= ceil(pos) + 1, col("lat"))).as(s"${nm}_hi"))
+    }
+    def interp(nm: String, q: Double): Column = {
+      val pos = (col("n") - 1).cast("double") * lit(q)
+      dbl(col(s"${nm}_lo")) +
+        (dbl(col(s"${nm}_hi")) - dbl(col(s"${nm}_lo"))) * (pos - floor(pos))
+    }
+    val aggs = pct(0.25, "q1") ++ pct(0.5, "q2") ++ pct(0.75, "q3")
+    cum.join(broadcast(n), "o_orderpriority")
+      .groupBy(col("o_orderpriority"), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("o_orderpriority"), col("n"),
+        interp("q1", 0.25).as("p25"), interp("q2", 0.5).as("p50"),
+        interp("q3", 0.75).as("p75"))
+      .orderBy("o_orderpriority")
+  }
+  val q57Sql: String =
+    """WITH j AS (
+      |  SELECT o_orderpriority,
+      |    DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |counts AS (
+      |  SELECT o_orderpriority, lat, COUNT(*) AS c FROM j GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lat) AS cum
+      |  FROM counts),
+      |nn AS (SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+      |a AS (
+      |  SELECT cum.o_orderpriority AS o_orderpriority, MAX(n) AS n,
+      |    MIN(CASE WHEN cum >= FLOOR(CAST(n - 1 AS DOUBLE) * 0.25) + 1 THEN lat END) AS q1_lo,
+      |    MIN(CASE WHEN cum >= CEIL(CAST(n - 1 AS DOUBLE) * 0.25) + 1 THEN lat END) AS q1_hi,
+      |    MIN(CASE WHEN cum >= FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) + 1 THEN lat END) AS q2_lo,
+      |    MIN(CASE WHEN cum >= CEIL(CAST(n - 1 AS DOUBLE) * 0.5) + 1 THEN lat END) AS q2_hi,
+      |    MIN(CASE WHEN cum >= FLOOR(CAST(n - 1 AS DOUBLE) * 0.75) + 1 THEN lat END) AS q3_lo,
+      |    MIN(CASE WHEN cum >= CEIL(CAST(n - 1 AS DOUBLE) * 0.75) + 1 THEN lat END) AS q3_hi
+      |  FROM cum JOIN nn ON cum.o_orderpriority = nn.o_orderpriority
+      |  GROUP BY 1)
+      |SELECT o_orderpriority, n,
+      |  CAST(q1_lo AS DOUBLE) + (CAST(q1_hi AS DOUBLE) - CAST(q1_lo AS DOUBLE))
+      |    * (CAST(n - 1 AS DOUBLE) * 0.25 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.25)) AS p25,
+      |  CAST(q2_lo AS DOUBLE) + (CAST(q2_hi AS DOUBLE) - CAST(q2_lo AS DOUBLE))
+      |    * (CAST(n - 1 AS DOUBLE) * 0.5 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)) AS p50,
+      |  CAST(q3_lo AS DOUBLE) + (CAST(q3_hi AS DOUBLE) - CAST(q3_lo AS DOUBLE))
+      |    * (CAST(n - 1 AS DOUBLE) * 0.75 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.75)) AS p75
+      |FROM a ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q57_latency_percentiles" -> (q57 _),
     "q56_balance_order_corr" -> (q56 _),
     "q55_revenue_concentration" -> (q55 _),
     "q54_order_shape" -> (q54 _),
@@ -1780,6 +1851,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q57_latency_percentiles" -> q57Sql,
     "q56_balance_order_corr" -> q56Sql,
     "q55_revenue_concentration" -> q55Sql,
     "q54_order_shape" -> q54Sql,

@@ -68,7 +68,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "d30_dedup_source_flow", "t35_quality_by_length",
       "e38_retention_triangle", "q55_revenue_concentration",
       "e39_revisit_gaps", "q56_balance_order_corr",
-      "d31_containment_sweep", "t36_bigram_entropy")
+      "d31_containment_sweep", "t36_bigram_entropy",
+      "q57_latency_percentiles")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
