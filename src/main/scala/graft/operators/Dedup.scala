@@ -1317,7 +1317,47 @@ object Dedup {
        |UNION ALL SELECT 'c>=0.9', c9 FROM a
        |ORDER BY threshold""".stripMargin
 
+  // ---------------------------------------------------------------- d32
+  /** Does cheap normalization subsume expensive Jaccard? Near-dup pairs
+    * (J ≥ 0.5) split by whether the two docs ALSO share t04's normalized
+    * fingerprint — if most pairs are fp-equal, a hash dedup on the
+    * normalized text replaces the pair join for that mass; the remainder
+    * is what the shingle machinery is genuinely paid for. One pass over
+    * the shared pair stream + two uniform-key fp joins; 1-2 rows out. */
+  def d32(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+    sharedPairs(spark, dir)
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fa")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fb")), "doc_b")
+      .groupBy(when(col("fa") === col("fb"), "a_fp_equal")
+        .otherwise("b_fp_distinct").as("fp_class"))
+      .agg(count(lit(1)).as("n_pairs"),
+           (round(dbl(sum(round(col("jaccard"), 6).cast("decimal(18,6)"))) /
+              count(lit(1)), 6) + lit(0.0d)).as("mean_jaccard"))
+      .orderBy("fp_class")
+  }
+  val d32Sql: String = {
+    val pairSql = jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS ($pairSql),
+       |fp AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |j AS (
+       |  SELECT CASE WHEN fa.fp = fb.fp THEN 'a_fp_equal' ELSE 'b_fp_distinct' END AS fp_class,
+       |    CAST(ROUND(jaccard, 6) AS DECIMAL(18,6)) AS dj
+       |  FROM pairs
+       |  JOIN fp fa ON doc_a = fa.doc_id
+       |  JOIN fp fb ON doc_b = fb.doc_id)
+       |SELECT fp_class, COUNT(*) AS n_pairs,
+       |  ROUND(CAST(SUM(dj) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_jaccard
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d32_fp_vs_jaccard" -> (d32 _),
     "d31_containment_sweep" -> (d31 _),
     "d30_dedup_source_flow" -> (d30 _),
     "d29_lsh_candidate_report" -> (d29 _),
@@ -1351,6 +1391,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d32_fp_vs_jaccard" -> d32Sql,
     "d31_containment_sweep" -> d31Sql,
     "d30_dedup_source_flow" -> d30Sql,
     "d28_cluster_sizes" -> d28Sql,

@@ -1576,7 +1576,36 @@ object Events {
        |  FROM g WHERE gap_ms IS NOT NULL)
        |SELECT gap_band, COUNT(*) AS n_gaps FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e40
+  /** Weekly event-type mix: each type's share of its week's volume —
+    * the schema-drift series that catches an instrumented release
+    * changing WHAT is emitted before any volume alarm fires (e13 sees
+    * spikes; this sees composition). One map-combinable (week, type)
+    * rollup; shares from a week-partitioned window over the
+    * \|weeks\|×\|types\|-bounded frame; ONE division per row. */
+  def e40(spark: SparkSession, dir: String): DataFrame = {
+    val WeekMs = 7L * 86400000L
+    val wt = Tables.events(spark, dir)
+      .select((col("ms") - pmod(col("ms"), lit(WeekMs))).as("wk"), col("event_type"))
+      .groupBy("wk", "event_type").agg(count(lit(1)).as("n"))
+    val wW = Window.partitionBy("wk")
+    wt.withColumn("wk_total", sum(col("n")).over(wW))
+      .select(col("wk"), col("event_type"), col("n"),
+        (round(dbl(col("n")) / dbl(col("wk_total")), 6) + lit(0.0d)).as("share"))
+      .orderBy("wk", "event_type")
+  }
+  val e40Sql: String =
+    """WITH wt AS (
+      |  SELECT epoch_ms(ts) - epoch_ms(ts) % 604800000 AS wk, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT wk, event_type, n,
+      |  ROUND(CAST(n AS DOUBLE) /
+      |        CAST(SUM(n) OVER (PARTITION BY wk) AS DOUBLE), 6) + 0.0 AS share
+      |FROM wt ORDER BY wk, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e40_type_mix_trend" -> (e40 _),
     "e39_revisit_gaps" -> (e39 _),
     "e38_retention_triangle" -> (e38 _),
     "e37_first_session_conversion" -> (e37 _),
@@ -1658,5 +1687,6 @@ object Events {
     "e37_first_session_conversion" -> e37Sql,
     "e38_retention_triangle" -> e38Sql,
     "e39_revisit_gaps" -> e39Sql,
+    "e40_type_mix_trend" -> e40Sql,
   )
 }
