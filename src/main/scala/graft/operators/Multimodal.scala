@@ -397,7 +397,72 @@ object Multimodal {
       |    AS dup_rate
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- m12
+  /** Payload-size quartiles per modality (PERCENTILE_CONT interpolation
+    * over per-(modality, size) COUNTS — q57's bounded-frame quantile
+    * machinery, never a per-row window over the payload table): the
+    * size-SLA table that drives per-modality batch sizing and transfer
+    * budgets. Counts bounded by \|kinds\|×\|distinct sizes\|. */
+  def m12(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", routeModality(col("payload"), col("text")))
+      .withColumn("nb", octet_length(col("payload")).cast("long"))
+      .groupBy(col("modality"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("modality").orderBy("nb")
+    val cum = counts.withColumn("cum", sum(col("c")).over(wCum))
+    val n = counts.groupBy("modality").agg(sum(col("c")).as("n"))
+    def pct(q: Double, nm: String): Seq[org.apache.spark.sql.Column] = {
+      val pos = (col("n") - 1).cast("double") * lit(q)
+      Seq(min(when(col("cum") >= floor(pos) + 1, col("nb"))).as(s"${nm}_lo"),
+          min(when(col("cum") >= ceil(pos) + 1, col("nb"))).as(s"${nm}_hi"))
+    }
+    def interp(nm: String, q: Double): org.apache.spark.sql.Column = {
+      val pos = (col("n") - 1).cast("double") * lit(q)
+      col(s"${nm}_lo").cast("double") +
+        (col(s"${nm}_hi").cast("double") - col(s"${nm}_lo").cast("double")) * (pos - floor(pos))
+    }
+    val aggs = pct(0.25, "q1") ++ pct(0.5, "q2") ++ pct(0.75, "q3")
+    cum.join(broadcast(n), "modality")
+      .groupBy(col("modality"), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("modality"), col("n"),
+        interp("q1", 0.25).as("p25"), interp("q2", 0.5).as("p50"),
+        interp("q3", 0.75).as("p75"))
+      .orderBy("modality")
+  }
+  val m12Sql: String =
+    s"""WITH r AS (
+      |  SELECT octet_length(CAST(text AS BLOB)) AS nb,
+      |    $modalitySqlCase AS modality
+      |  FROM documents),
+      |counts AS (SELECT modality, nb, COUNT(*) AS c FROM r GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, SUM(c) OVER (PARTITION BY modality ORDER BY nb) AS cum FROM counts),
+      |nn AS (SELECT modality, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+      |a AS (
+      |  SELECT cum.modality AS modality, MAX(n) AS n,
+      |    MIN(CASE WHEN cum >= FLOOR(CAST(n - 1 AS DOUBLE) * 0.25) + 1 THEN nb END) AS q1_lo,
+      |    MIN(CASE WHEN cum >= CEIL(CAST(n - 1 AS DOUBLE) * 0.25) + 1 THEN nb END) AS q1_hi,
+      |    MIN(CASE WHEN cum >= FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) + 1 THEN nb END) AS q2_lo,
+      |    MIN(CASE WHEN cum >= CEIL(CAST(n - 1 AS DOUBLE) * 0.5) + 1 THEN nb END) AS q2_hi,
+      |    MIN(CASE WHEN cum >= FLOOR(CAST(n - 1 AS DOUBLE) * 0.75) + 1 THEN nb END) AS q3_lo,
+      |    MIN(CASE WHEN cum >= CEIL(CAST(n - 1 AS DOUBLE) * 0.75) + 1 THEN nb END) AS q3_hi
+      |  FROM cum JOIN nn ON cum.modality = nn.modality
+      |  GROUP BY 1)
+      |SELECT modality, n,
+      |  CAST(q1_lo AS DOUBLE) + (CAST(q1_hi AS DOUBLE) - CAST(q1_lo AS DOUBLE))
+      |    * (CAST(n - 1 AS DOUBLE) * 0.25 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.25)) AS p25,
+      |  CAST(q2_lo AS DOUBLE) + (CAST(q2_hi AS DOUBLE) - CAST(q2_lo AS DOUBLE))
+      |    * (CAST(n - 1 AS DOUBLE) * 0.5 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)) AS p50,
+      |  CAST(q3_lo AS DOUBLE) + (CAST(q3_hi AS DOUBLE) - CAST(q3_lo AS DOUBLE))
+      |    * (CAST(n - 1 AS DOUBLE) * 0.75 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.75)) AS p75
+      |FROM a ORDER BY modality""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m12_size_quartiles" -> (m12 _),
     "m11_modality_dup_rate" -> (m11 _),
     "m10_source_modality" -> (m10 _),
     "m09_modality_sizes" -> (m09 _),
@@ -418,5 +483,6 @@ object Multimodal {
     "m09_modality_sizes" -> m09Sql,
     "m10_source_modality" -> m10Sql,
     "m11_modality_dup_rate" -> m11Sql,
+    "m12_size_quartiles" -> m12Sql,
   )
 }

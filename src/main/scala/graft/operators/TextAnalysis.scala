@@ -1409,7 +1409,60 @@ object TextAnalysis {
        |  ROUND(-CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS cond_entropy
        |FROM q""".stripMargin
 
+  // ---------------------------------------------------------------- t37
+  /** Zipf slope of the top-100 vocabulary: least-squares slope of
+    * ln(count) against ln(rank) — natural corpora sit near −1; flatter
+    * means templated/repetitive text, steeper means narrow vocabulary.
+    * The top-100 head is a deterministic TakeOrdered; ranks come from a
+    * bounded 100×100 broadcast self-join (COUNT of rows sorting
+    * earlier — no global window); both logs are round9-DECIMAL-quantized
+    * and the regression moments sum exactly (q38's recipe), so the
+    * slope is ONE identical arithmetic expression in both engines. */
+  def t37(spark: SparkSession, dir: String): DataFrame = {
+    val head = Tables.documents(spark, dir)
+      .select(explode(wordsCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(100)
+      .cache() // both sides of the bounded rank self-join
+    val ranked = head.as("a").join(broadcast(head.select(col("w").as("w2"), col("cnt").as("c2"))),
+        col("c2") > col("cnt") || (col("c2") === col("cnt") && col("w2") < col("w")), "left")
+      .groupBy(col("w"), col("cnt"))
+      .agg((count(col("w2")) + 1).as("rank"))
+    val q = ranked
+      .withColumn("x", round(log(dbl(col("rank"))), 9).cast("decimal(18,9)"))
+      .withColumn("y", round(log(dbl(col("cnt"))), 9).cast("decimal(18,9)"))
+    q.agg(count(lit(1)).as("n"),
+          dbl(sum(col("x"))).as("sx"), dbl(sum(col("y"))).as("sy"),
+          dbl(sum(col("x") * col("y"))).as("sxy"),
+          dbl(sum(col("x") * col("x"))).as("sx2"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sx2") - col("sx") * col("sx")), 6).as("zipf_slope"))
+  }
+  val t37Sql: String =
+    s"""WITH head AS (
+       |  SELECT w, COUNT(*) AS cnt
+       |  FROM (SELECT UNNEST($wordsSql) AS w FROM documents)
+       |  GROUP BY 1 ORDER BY cnt DESC, w LIMIT 100),
+       |r AS (
+       |  SELECT cnt,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rank
+       |  FROM head),
+       |q AS (
+       |  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+       |         CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+       |  FROM r),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sx2
+       |  FROM q)
+       |SELECT n,
+       |  ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS zipf_slope
+       |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t37_zipf_slope" -> (t37 _),
     "t36_bigram_entropy" -> (t36 _),
     "t35_quality_by_length" -> (t35 _),
     "t33_stopword_coverage" -> (t33 _),
@@ -1461,6 +1514,7 @@ object TextAnalysis {
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t19_charclass" -> t19Sql,
+    "t37_zipf_slope" -> t37Sql,
     "t36_bigram_entropy" -> t36Sql,
     "t35_quality_by_length" -> t35Sql,
     "t33_stopword_coverage" -> t33Sql,

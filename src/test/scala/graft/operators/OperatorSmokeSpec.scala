@@ -69,7 +69,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e38_retention_triangle", "q55_revenue_concentration",
       "e39_revisit_gaps", "q56_balance_order_corr",
       "d31_containment_sweep", "t36_bigram_entropy",
-      "q57_latency_percentiles", "e40_type_mix_trend", "d32_fp_vs_jaccard")
+      "q57_latency_percentiles", "e40_type_mix_trend", "d32_fp_vs_jaccard",
+      "t37_zipf_slope", "m12_size_quartiles")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
