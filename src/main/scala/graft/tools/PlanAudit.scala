@@ -50,7 +50,7 @@ object PlanAudit {
     "s12_neighbor_degree", "t29_gram_coverage", "s13_sq8_error_hist",
     "p12_shard_manifest", "p13_epoch_plan", "s14_recall_curve",
     "d29_lsh_candidate_report", "e37_first_session_conversion",
-    "q55_revenue_concentration", "t36_bigram_entropy",
+    "q55_revenue_concentration", "t36_bigram_entropy", "t37_zipf_slope",
     "q37_heavy_hitters", "s06_ann_sq8", "s07_mips_topk", "s08_range_search",
     "s09_ann_recall", "s10_ivf_cell_stats")
 
