@@ -1604,7 +1604,36 @@ object Events {
       |        CAST(SUM(n) OVER (PARTITION BY wk) AS DOUBLE), 6) + 0.0 AS share
       |FROM wt ORDER BY wk, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- e41
+  /** Purchase-size histogram: TRANSACTION-level value bands (e16 is the
+    * user-level decile view; basket-size shape drives pricing and fraud
+    * thresholds, and its drift is invisible in user rollups). Exact
+    * integer-cent CASE bands, one map-combinable groupBy, DECIMAL-exact
+    * per-band value totals; band-bounded output. */
+  def e41(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (dec(col("value")) * 100).cast("long")
+    val band = when(cents < 1000L, "a<10").when(cents < 5000L, "b<50")
+      .when(cents < 20000L, "c<200").when(cents < 50000L, "d<500")
+      .otherwise("e>=500")
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(band.as("value_band"))
+      .agg(count(lit(1)).as("n_purchases"), dbl(sum(dec(col("value")))).as("total_value"))
+      .orderBy("value_band")
+  }
+  val e41Sql: String =
+    """WITH p AS (
+      |  SELECT value, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT CASE WHEN cents < 1000 THEN 'a<10' WHEN cents < 5000 THEN 'b<50'
+      |            WHEN cents < 20000 THEN 'c<200' WHEN cents < 50000 THEN 'd<500'
+      |            ELSE 'e>=500' END AS value_band,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e41_purchase_size_hist" -> (e41 _),
     "e40_type_mix_trend" -> (e40 _),
     "e39_revisit_gaps" -> (e39 _),
     "e38_retention_triangle" -> (e38 _),
@@ -1688,5 +1717,6 @@ object Events {
     "e38_retention_triangle" -> e38Sql,
     "e39_revisit_gaps" -> e39Sql,
     "e40_type_mix_trend" -> e40Sql,
+    "e41_purchase_size_hist" -> e41Sql,
   )
 }

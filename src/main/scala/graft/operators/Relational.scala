@@ -1790,7 +1790,42 @@ object Relational {
       |    * (CAST(n - 1 AS DOUBLE) * 0.75 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.75)) AS p75
       |FROM a ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Order fill rate per priority: the share of orders whose LAST line
+    * shipped within 90 days — the order-level SLA (q57's percentiles are
+    * line-level; an order is only as done as its slowest line). One
+    * orderkey rollup to the max line latency, integer-day compare, ONE
+    * division per priority row. */
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(max(col("lat")).as("max_lat"))
+    per.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           sum(when(col("max_lat") <= 90L, 1L).otherwise(0L)).as("n_filled_90d"))
+      .withColumn("fill_rate",
+        round(dbl(col("n_filled_90d")) / col("n_orders"), 6) + lit(0.0d))
+      .orderBy("o_orderpriority")
+  }
+  val q58Sql: String =
+    """WITH per AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    MAX(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS max_lat
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  SUM(CASE WHEN max_lat <= 90 THEN 1 ELSE 0 END)::BIGINT AS n_filled_90d,
+      |  ROUND(CAST(SUM(CASE WHEN max_lat <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) + 0.0 AS fill_rate
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q58_fill_rate" -> (q58 _),
     "q57_latency_percentiles" -> (q57 _),
     "q56_balance_order_corr" -> (q56 _),
     "q55_revenue_concentration" -> (q55 _),
@@ -1851,6 +1886,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q58_fill_rate" -> q58Sql,
     "q57_latency_percentiles" -> q57Sql,
     "q56_balance_order_corr" -> q56Sql,
     "q55_revenue_concentration" -> q55Sql,

@@ -70,7 +70,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e39_revisit_gaps", "q56_balance_order_corr",
       "d31_containment_sweep", "t36_bigram_entropy",
       "q57_latency_percentiles", "e40_type_mix_trend", "d32_fp_vs_jaccard",
-      "t37_zipf_slope", "m12_size_quartiles")
+      "t37_zipf_slope", "m12_size_quartiles",
+      "e41_purchase_size_hist", "q58_fill_rate")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
