@@ -55,9 +55,12 @@ object Warehouse {
     * the data files listed at entry, and any file committed under `path`
     * AFTER the snapshot is carried across into the compacted dir before
     * the swap — a streaming sink landing files mid-compaction loses
-    * nothing. The only window needing exclusivity is the final
-    * three-rename swap itself (sub-second, metadata-only); callers must
-    * quiesce writers for the swap, not for the rewrite. The `.compact-old`
+    * nothing. Files that land between the carry-across listing and the
+    * dst→bak rename travel with the backup and are recovered by a final
+    * sweep of the backup before it is deleted. The only window needing
+    * exclusivity is the final three-rename swap itself (sub-second,
+    * metadata-only); callers must quiesce writers for the swap, not for
+    * the rewrite. The `.compact-old`
     * backup is deleted only AFTER the new dir is verified in place; a
     * crash mid-swap leaves either the original dir or the backup intact
     * for manual recovery — data is never in zero places. */
@@ -73,16 +76,21 @@ object Warehouse {
     val tmp = new Path(path + ".compact-tmp")
     val bak = new Path(path + ".compact-old")
 
-    // relative data-file listing (skips _SUCCESS and hidden/in-progress files)
+    // relative data-file listing (skips _SUCCESS and hidden/in-progress
+    // files). Every path COMPONENT is checked, not just the leaf: Spark
+    // batch writers stage in-flight output under _temporary/ and
+    // .spark-staging-*/ directories whose leaf names are plain
+    // part-*.parquet — leaf-only filtering would snapshot (and carry
+    // away) a concurrent writer's uncommitted files.
     def dataFiles(root: Path): Map[String, Path] = {
       val prefix = fs.makeQualified(root).toString + "/"
       val it = fs.listFiles(root, true)
       val b = Map.newBuilder[String, Path]
       while (it.hasNext) {
         val p = it.next().getPath
-        val name = p.getName
-        if (!name.startsWith("_") && !name.startsWith("."))
-          b += fs.makeQualified(p).toString.stripPrefix(prefix) -> p
+        val rel = fs.makeQualified(p).toString.stripPrefix(prefix)
+        if (rel.split('/').forall(s => !s.startsWith("_") && !s.startsWith(".")))
+          b += rel -> p
       }
       b.result()
     }
@@ -106,12 +114,14 @@ object Warehouse {
     onBeforeSwap() // test seam: lets a spec land a concurrent-writer file here
 
     // carry across files a concurrent writer committed since the snapshot
+    val carried = scala.collection.mutable.Set.empty[String]
     dataFiles(dst).foreach { case (rel, p) =>
       if (!snapshot.contains(rel)) {
         val to = new Path(tmp, rel)
         fs.mkdirs(to.getParent)
         if (!fs.rename(p, to))
           throw new java.io.IOException(s"compact: failed to carry $p into $tmp")
+        carried += rel
       }
     }
 
@@ -122,8 +132,22 @@ object Warehouse {
       fs.rename(bak, dst) // roll back so the warehouse path never vanishes
       throw new java.io.IOException(s"compact: failed to commit $tmp; restored original")
     }
-    // delete the backup only once the new dir is verified in place
-    if (fs.exists(dst) && fs.listStatus(dst).nonEmpty) fs.delete(bak, true)
+    // delete the backup only once the new dir is verified in place — and
+    // first sweep it for LATE ARRIVALS: a file committed into dst between
+    // the carry-across listing and the dst→bak rename traveled with the
+    // backup; move any data file that is neither in the snapshot nor
+    // already carried into the new dir, so no committed row is deleted.
+    if (fs.exists(dst) && fs.listStatus(dst).nonEmpty) {
+      dataFiles(bak).foreach { case (rel, p) =>
+        if (!snapshot.contains(rel) && !carried.contains(rel)) {
+          val to = new Path(dst, rel)
+          fs.mkdirs(to.getParent)
+          if (!fs.rename(p, to))
+            throw new java.io.IOException(s"compact: failed to recover late file $p from $bak")
+        }
+      }
+      fs.delete(bak, true)
+    }
   }
 
   /** Write `df` as a BUCKETED managed table: rows are hash-distributed

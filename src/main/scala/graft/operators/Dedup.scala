@@ -163,8 +163,32 @@ object Dedup {
     * per dataset path; on a cluster the persist level spills to disk. */
   private val pairMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Memo lookup that stays correct in long-lived processes: entries
+    * whose SparkSession has stopped are evicted (no pinned sessions /
+    * persisted frames leaking across jobs), and a hit whose persistence
+    * was dropped by `spark.catalog.clearCache()` (Bench runs it between
+    * queries) rebuilds instead of silently handing back an unpersisted
+    * frame that every consumer would then recompute from scratch. */
+  private def memoized(memo: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+                       spark: SparkSession, dir: String, requirePersisted: Boolean)
+                      (build: => DataFrame): DataFrame = {
+    memo.keysIterator.foreach { k =>
+      if (k._1.sparkContext.isStopped) memo.remove(k)
+    }
+    val key = (spark, dir)
+    memo.get(key) match {
+      case Some(df) if !requirePersisted ||
+          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE => df
+      case _ =>
+        val df = build
+        memo.put(key, df)
+        df
+    }
+  }
+
   private[operators] def sharedPairs(spark: SparkSession, dir: String): DataFrame =
-    pairMemo.getOrElseUpdate((spark, dir),
+    memoized(pairMemo, spark, dir, requirePersisted = true)(
       jaccardPairs(shingled(spark, dir).cache(), 1, 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -472,8 +496,11 @@ object Dedup {
     * blocks rather than re-running the iterative joins. */
   private val ccMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // requirePersisted=false: the CC result is localCheckpoint-backed
+  // (RDD blocks, not CacheManager entries), so clearCache() doesn't
+  // invalidate it — only session stop evicts.
   private def sharedClusters(spark: SparkSession, dir: String): DataFrame =
-    ccMemo.getOrElseUpdate((spark, dir),
+    memoized(ccMemo, spark, dir, requirePersisted = false)(
       connectedComponents(sharedPairs(spark, dir).select("doc_a", "doc_b")))
 
   /** Min-label propagation to fixpoint over an undirected (doc_a, doc_b)

@@ -1165,9 +1165,10 @@ object Events {
       |    SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)::BIGINT AS n_retained,
       |    SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)::BIGINT AS n_resurrected
       |  FROM s GROUP BY 1)
-      |SELECT wk, active, n_new, n_retained, n_resurrected,
-      |  COALESCE(LAG(active) OVER (ORDER BY wk) - n_retained, 0)::BIGINT AS n_churned
-      |FROM g ORDER BY wk""".stripMargin
+      |SELECT g.wk, g.active, g.n_new, g.n_retained, g.n_resurrected,
+      |  COALESCE(p.active - g.n_retained, 0)::BIGINT AS n_churned
+      |FROM g LEFT JOIN g p ON p.wk = g.wk - 604800000
+      |ORDER BY g.wk""".stripMargin
 
   // ---------------------------------------------------------------- e29
   /** RFM customer segmentation: per-user recency (days since last
