@@ -1824,7 +1824,199 @@ object Relational {
       |        / COUNT(*), 6) + 0.0 AS fill_rate
       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** TPC-H Q9 shape (adapted — no partsupp/supplycost in this schema):
+    * "widget" product-line revenue per supplier nation per ship year.
+    * The part filter prunes BEFORE the fact join (predicate pushdown on
+    * the dimension, then the pruned ~1/3 of partkeys broadcast into
+    * lineitem); supplier and nation are broadcast dims; the single
+    * shuffle is the (nation, year) groupBy. Year comes from l_shipdate
+    * so no orders join is needed. Revenue stays DECIMAL to the end. */
+  def q59(spark: SparkSession, dir: String): DataFrame = {
+    val widgets = Tables.part(spark, dir)
+      .filter(col("p_name").endsWith("widget"))
+      .select(col("p_partkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_lines"),
+           dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy("n_name", "yr")
+  }
+  val q59Sql: String =
+    s"""SELECT n_name, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+       |  COUNT(*) AS n_lines, CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget'
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** Nation trade balance: revenue SUPPLIED by each nation's suppliers
+    * vs revenue SPENT by its customers, and the net balance — two
+    * independent fact aggregates (each one shuffle on a 25-key group)
+    * joined on the tiny nation dim. A full outer shape is unnecessary:
+    * every nation has both suppliers and customers by construction, and
+    * the inner join keeps the oracle simple. DECIMAL until the end. */
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    val supplied = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("sup_dec"))
+    val bought = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("buy_dec"))
+    supplied.join(bought, "nationkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        dbl(col("sup_dec")).as("supplied_rev"),
+        dbl(col("buy_dec")).as("bought_rev"),
+        dbl(col("sup_dec") - col("buy_dec")).as("balance"))
+      .orderBy("n_name")
+  }
+  val q60Sql: String =
+    s"""WITH s AS (
+       |  SELECT s_nationkey AS nationkey, SUM($revenueSql) AS sup_dec
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1),
+       |b AS (
+       |  SELECT c_nationkey AS nationkey,
+       |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS buy_dec
+       |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+       |SELECT n_name, CAST(sup_dec AS DOUBLE) AS supplied_rev,
+       |  CAST(buy_dec AS DOUBLE) AS bought_rev,
+       |  CAST(sup_dec - buy_dec AS DOUBLE) AS balance
+       |FROM s JOIN b USING (nationkey)
+       |JOIN nation ON nationkey = n_nationkey
+       |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** Brand price-book profile: per brand, catalog size and the retail
+    * price min / max / spread / mean — a single-table dimension agg
+    * (bounded 25 brands) with order-independent decimal arithmetic and
+    * ONE division for the mean. */
+  def q61(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+           dbl(min(dec(col("p_retailprice")))).as("min_price"),
+           dbl(max(dec(col("p_retailprice")))).as("max_price"),
+           dbl(max(dec(col("p_retailprice"))) - min(dec(col("p_retailprice")))).as("spread"),
+           round(dbl(sum(dec(col("p_retailprice")))) / count(lit(1)), 6).as("mean_price"))
+      .orderBy("p_brand")
+  val q61Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_parts,
+      |  CAST(MIN(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+      |  CAST(MAX(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+      |  CAST(MAX(CAST(p_retailprice AS DECIMAL(12,2)))
+      |     - MIN(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS spread,
+      |  ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+      |        / COUNT(*), 6) AS mean_price
+      |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** Quarterly revenue mix: order revenue per (year, quarter) with each
+    * quarter's share of its year — the seasonality ledger. One fact
+    * aggregate (bounded years×4 groups) + a window over the 4-row year
+    * partition (never a single-partition window); the share is ONE
+    * division of exact decimal operands, round6. */
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+               quarter(col("o_orderdate")).cast("long").as("qtr"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.partitionBy("yr")
+    q.withColumn("yr_dec", sum(col("rev_dec")).over(w))
+      .select(col("yr"), col("qtr"), col("n_orders"),
+        dbl(col("rev_dec")).as("revenue"),
+        round(dbl(col("rev_dec")) / dbl(col("yr_dec")), 6).as("share_of_year"))
+      .orderBy("yr", "qtr")
+  }
+  val q62Sql: String =
+    """WITH q AS (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |    CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+      |    COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT yr, qtr, n_orders, CAST(rev_dec AS DOUBLE) AS revenue,
+      |  ROUND(CAST(rev_dec AS DOUBLE)
+      |        / CAST(SUM(rev_dec) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share_of_year
+      |FROM q ORDER BY yr, qtr""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Monthly returns series: the share of lineitem revenue flagged
+    * returned ('R') per calendar month — the merchandise quality
+    * trendline. One scan, one bounded groupBy (months), conditional
+    * decimal sums, ONE division per month row. */
+  def q63(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+        .cast("long").as("midx"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("rev_dec"),
+           sum(when(col("l_returnflag") === "R",
+             revenueTerm(col("l_extendedprice"), col("l_discount")))
+             .otherwise(dec(lit(0)))).as("ret_dec"))
+      .select(col("midx"), col("n_lines"),
+        dbl(col("rev_dec")).as("revenue"),
+        dbl(col("ret_dec")).as("returned_rev"),
+        round(dbl(col("ret_dec")) / dbl(col("rev_dec")), 6).as("returned_share"))
+      .orderBy("midx")
+  val q63Sql: String =
+    s"""SELECT CAST(EXTRACT(year FROM l_shipdate) * 12
+       |          + EXTRACT(month FROM l_shipdate) AS BIGINT) AS midx,
+       |  COUNT(*) AS n_lines,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+       |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN $revenueSql
+       |                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS returned_rev,
+       |  ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN $revenueSql
+       |                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       |        / CAST(SUM($revenueSql) AS DOUBLE), 6) AS returned_share
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** Status × priority order matrix: joint counts and decimal-exact
+    * value sums over the two categorical order axes (bounded 3×5 cells)
+    * plus each cell's share of all orders — the order-book composition
+    * view. One scan, one bounded groupBy; the global total attaches as
+    * a 1-row broadcast (scalar subquery), not a shuffle-by-constant. */
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dbl(sum(dec(col("o_totalprice")))).as("value"))
+    val total = Tables.orders(spark, dir).agg(count(lit(1)).as("n_total"))
+    cells.join(broadcast(total))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("n_orders"),
+        col("value"),
+        round(dbl(col("n_orders")) / col("n_total"), 6).as("share"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+  val q64Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS value,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE)
+      |        / (SELECT COUNT(*) FROM orders), 6) AS share
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q64_status_priority_matrix" -> (q64 _),
+    "q63_returned_share_series" -> (q63 _),
+    "q62_quarter_mix" -> (q62 _),
+    "q61_brand_price_book" -> (q61 _),
+    "q60_nation_trade_balance" -> (q60 _),
+    "q59_product_line_profit" -> (q59 _),
     "q58_fill_rate" -> (q58 _),
     "q57_latency_percentiles" -> (q57 _),
     "q56_balance_order_corr" -> (q56 _),
@@ -1886,6 +2078,12 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q64_status_priority_matrix" -> q64Sql,
+    "q63_returned_share_series" -> q63Sql,
+    "q62_quarter_mix" -> q62Sql,
+    "q61_brand_price_book" -> q61Sql,
+    "q60_nation_trade_balance" -> q60Sql,
+    "q59_product_line_profit" -> q59Sql,
     "q58_fill_rate" -> q58Sql,
     "q57_latency_percentiles" -> q57Sql,
     "q56_balance_order_corr" -> q56Sql,

@@ -71,7 +71,10 @@ class OperatorSmokeSpec extends SparkSpec {
       "d31_containment_sweep", "t36_bigram_entropy",
       "q57_latency_percentiles", "e40_type_mix_trend", "d32_fp_vs_jaccard",
       "t37_zipf_slope", "m12_size_quartiles",
-      "e41_purchase_size_hist", "q58_fill_rate")
+      "e41_purchase_size_hist", "q58_fill_rate",
+      "q59_product_line_profit", "q60_nation_trade_balance",
+      "q61_brand_price_book", "q62_quarter_mix",
+      "q63_returned_share_series", "q64_status_priority_matrix")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
