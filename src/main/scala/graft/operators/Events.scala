@@ -1633,7 +1633,190 @@ object Events {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e42
+  /** Day-of-week × event-type profile: counts plus each type's share of
+    * its weekday — the staffing/capacity view by weekday (e21 is the
+    * finer (dow, hour) heatmap WITHOUT the type axis). Weekday is pure
+    * integer arithmetic on epoch-ms (day 0 = Thursday, +4 ⇒ 0 = Monday;
+    * identical in both engines, no timezone/calendar parsing); one
+    * map-combinable groupBy; the share window runs over bounded ≤5-row
+    * (dow) partitions. */
+  def e42(spark: SparkSession, dir: String): DataFrame = {
+    val dt = Tables.events(spark, dir)
+      .select(((floor(col("ms") / 86400000L) + 4) % 7).cast("long").as("dow"),
+        col("event_type"))
+      .groupBy("dow", "event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("dow")
+    dt.withColumn("dow_total", sum(col("n")).over(w))
+      .select(col("dow"), col("event_type"), col("n"),
+        (round(dbl(col("n")) / dbl(col("dow_total")), 6) + lit(0.0d)).as("share_of_dow"))
+      .orderBy("dow", "event_type")
+  }
+  val e42Sql: String =
+    """WITH dt AS (
+      |  SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT dow, event_type, n,
+      |  ROUND(CAST(n AS DOUBLE) /
+      |        CAST(SUM(n) OVER (PARTITION BY dow) AS DOUBLE), 6) + 0.0 AS share_of_dow
+      |FROM dt ORDER BY dow, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- e43
+  /** User-lifespan bands: every user banded by the span from first to
+    * last event (inclusive days), with per-band user counts and the
+    * mean events per user — the tenure mix behind retention planning.
+    * One per-user min/max/count aggregate (map-combinable on uniform
+    * user_id), integer CASE bands, ONE division per band row;
+    * band-bounded output. */
+  def e43(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), (col("ms") / lit(86400000L)).cast("long").as("day"))
+      .groupBy("user_id")
+      .agg((max(col("day")) - min(col("day")) + 1L).as("span_d"),
+           count(lit(1)).as("n_events"))
+    val band = when(col("span_d") === 1L, "a_1d").when(col("span_d") <= 7L, "b_2-7d")
+      .when(col("span_d") <= 30L, "c_8-30d").when(col("span_d") <= 90L, "d_31-90d")
+      .otherwise("e_90d+")
+    per.groupBy(band.as("span_band"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .withColumn("events_per_user",
+        round(dbl(col("n_events")) / col("n_users"), 6) + lit(0.0d))
+      .orderBy("span_band")
+  }
+  val e43Sql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    MAX(epoch_ms(ts) // 86400000) - MIN(epoch_ms(ts) // 86400000) + 1 AS span_d,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT CASE WHEN span_d = 1 THEN 'a_1d' WHEN span_d <= 7 THEN 'b_2-7d'
+      |                  WHEN span_d <= 30 THEN 'c_8-30d' WHEN span_d <= 90 THEN 'd_31-90d'
+      |                  ELSE 'e_90d+' END AS span_band, n_events FROM per)
+      |SELECT span_band, COUNT(*) AS n_users, SUM(n_events)::BIGINT AS n_events,
+      |  ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) + 0.0 AS events_per_user
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- e44
+  /** Cohort VALUE triangle: purchase revenue per signup-week cohort per
+    * weeks-since-signup — the monetization companion to e38's retention
+    * shares (who still spends, not just who still shows up). First week
+    * is a map-combinable min-agg on user_id; attaching it is a same-key
+    * shuffle join (both legs co-keyed on user_id); the triangle groupBy
+    * is calendar-bounded. Value stays DECIMAL to the end. */
+  def e44(spark: SparkSession, dir: String): DataFrame = {
+    val WeekMs = 7L * 86400000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), (col("ms") - pmod(col("ms"), lit(WeekMs))).as("wk"),
+        col("event_type"), col("value"))
+    val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_wk"), ((col("wk") - col("cohort_wk")) / WeekMs).cast("long").as("widx"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+           dbl(sum(when(col("event_type") === "purchase", dec(col("value")))
+             .otherwise(dec(lit(0))))).as("purchase_value"))
+      .orderBy("cohort_wk", "widx")
+  }
+  val e44Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % 604800000 AS wk,
+      |    event_type, value
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1)
+      |SELECT cohort_wk, (wk - cohort_wk) // 604800000 AS widx,
+      |  COUNT(DISTINCT ev.user_id) AS n_active,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2))
+      |                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value
+      |FROM ev JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- e45
+  /** Daily conversion pulse: per calendar day, events, distinct active
+    * users, purchases, and purchases-per-active-user — the topline ops
+    * dashboard series. One groupBy with an exact distinct (uniform
+    * user_id within day groups), ONE division per day row;
+    * calendar-bounded output. */
+  def e45(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((col("ms") / lit(86400000L)).cast("long").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_active"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .withColumn("purchases_per_user",
+        round(dbl(col("n_purchases")) / col("n_active"), 6) + lit(0.0d))
+      .orderBy("day")
+  val e45Sql: String =
+    """SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_active,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+      |  ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(DISTINCT user_id), 6) + 0.0 AS purchases_per_user
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- e46
+  /** Peak hour per event type: the hour-of-day carrying each type's
+    * maximum volume, with its share of the type's total — deterministic
+    * ties (count DESC, hour ASC) via row_number over a ≤24-row per-type
+    * partition (never single-partition). */
+  def e46(spark: SparkSession, dir: String): DataFrame = {
+    val th = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (floor(col("ms") / 3600000L) % 24).cast("long").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+    th.withColumn("type_total", sum(col("n")).over(w))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("n").desc, col("hr"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("hr").as("peak_hr"), col("n").as("n_at_peak"),
+        (round(dbl(col("n")) / dbl(col("type_total")), 6) + lit(0.0d)).as("share_of_type"))
+      .orderBy("event_type")
+  }
+  val e46Sql: String =
+    """WITH th AS (
+      |  SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hr, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, hr, n,
+      |    SUM(n) OVER (PARTITION BY event_type) AS type_total,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, hr) AS rk
+      |  FROM th)
+      |SELECT event_type, hr AS peak_hr, n AS n_at_peak,
+      |  ROUND(CAST(n AS DOUBLE) / CAST(type_total AS DOUBLE), 6) + 0.0 AS share_of_type
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- e47
+  /** Type-diversity histogram: users by how many DISTINCT event types
+    * they touch (1..|types|), with per-bucket event volume — the
+    * breadth-of-engagement cut that e30's active-day depth misses. One
+    * per-user exact distinct aggregate, one bounded groupBy, ONE
+    * division per bucket row. */
+  def e47(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(countDistinct(col("event_type")).as("n_types"),
+           count(lit(1)).as("n_events"))
+      .groupBy("n_types")
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .withColumn("events_per_user",
+        round(dbl(col("n_events")) / col("n_users"), 6) + lit(0.0d))
+      .orderBy("n_types")
+  val e47Sql: String =
+    """WITH per AS (
+      |  SELECT user_id, COUNT(DISTINCT event_type) AS n_types, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT n_types, COUNT(*) AS n_users, SUM(n_events)::BIGINT AS n_events,
+      |  ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) + 0.0 AS events_per_user
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e47_type_diversity" -> (e47 _),
+    "e46_peak_hours" -> (e46 _),
+    "e45_daily_purchase_rate" -> (e45 _),
+    "e44_cohort_value" -> (e44 _),
+    "e43_lifespan_bands" -> (e43 _),
+    "e42_dow_profile" -> (e42 _),
     "e41_purchase_size_hist" -> (e41 _),
     "e40_type_mix_trend" -> (e40 _),
     "e39_revisit_gaps" -> (e39 _),
@@ -1678,6 +1861,12 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e47_type_diversity" -> e47Sql,
+    "e46_peak_hours" -> e46Sql,
+    "e45_daily_purchase_rate" -> e45Sql,
+    "e44_cohort_value" -> e44Sql,
+    "e43_lifespan_bands" -> e43Sql,
+    "e42_dow_profile" -> e42Sql,
     "e16_value_deciles" -> e16Sql,
     "e15_decay_score" -> e15Sql,
     "e14_rolling_active" -> e14Sql,

@@ -74,7 +74,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "e41_purchase_size_hist", "q58_fill_rate",
       "q59_product_line_profit", "q60_nation_trade_balance",
       "q61_brand_price_book", "q62_quarter_mix",
-      "q63_returned_share_series", "q64_status_priority_matrix")
+      "q63_returned_share_series", "q64_status_priority_matrix",
+      "e42_dow_profile", "e43_lifespan_bands", "e44_cohort_value",
+      "e45_daily_purchase_rate", "e46_peak_hours", "e47_type_diversity")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
