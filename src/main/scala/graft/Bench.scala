@@ -1,5 +1,6 @@
 package graft
 import graft.engine.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object Bench {
   /** Build the ONE bench JSON line, kept under `budget` chars.
@@ -13,13 +14,34 @@ object Bench {
     * fit, and the remainder is collapsed into one "_rest" bucket (the
     * summed seconds of the fast tail). The full per-query map goes to
     * bench_full.json next to the build for humans/SCALE.md.
+    *
+    * Failed queries are NOT silently benched as timings (round-4 bug:
+    * 47 analysis-broken queries appeared as an innocent ~0.05-0.28s
+    * fast tail). `failed` names are emitted as `"failed_count":N,
+    * "failed":[...]` — reserved in the budget BEFORE query entries so
+    * breakage always survives the stdout tail window.
     */
   def compactLine(results: Seq[(String, Double)], sfDir: String,
-                  budget: Int = 1800): String = {
+                  failed: Seq[String] = Nil, budget: Int = 1800): String = {
     val total = results.map(_._2).sum
     val head = "{\"metric\":\"total\",\"value\":" + f3(total) +
       ",\"unit\":\"sec\",\"queries\":{"
-    val tail = "},\"sf\":\"" + sfDir + "\"}"
+    val failedPart =
+      if (failed.isEmpty) ""
+      else {
+        // name as many failures as fit in a bounded slice of the budget;
+        // failed_count always carries the true total even when truncated
+        val cap = 700
+        val names = Vector.newBuilder[String]
+        var len = 0
+        failed.sorted.foreach { f =>
+          val e = "\"" + f + "\""
+          if (len + e.length + 1 <= cap) { names += e; len += e.length + 1 }
+        }
+        ",\"failed_count\":" + failed.size +
+          ",\"failed\":[" + names.result().mkString(",") + "]"
+      }
+    val tail = "}" + failedPart + ",\"sf\":\"" + sfDir + "\"}"
     // slowest first: the entries worth naming individually
     val sorted = results.sortBy { case (n, v) => (-v, n) }
     val restReserve = 24 // room for a trailing "_rest" bucket entry
@@ -39,16 +61,43 @@ object Bench {
     head + entries.mkString(",") + tail
   }
 
-  def fullLine(results: Seq[(String, Double)], sfDir: String): String = {
+  def fullLine(results: Seq[(String, Double)], sfDir: String,
+               failed: Seq[String] = Nil): String = {
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     "{\"metric\":\"total\",\"value\":" + f3(total) +
-      ",\"unit\":\"sec\",\"queries\":" + qs + ",\"sf\":\"" + sfDir + "\"}"
+      ",\"unit\":\"sec\",\"queries\":" + qs +
+      ",\"failed\":" + failedJson + ",\"sf\":\"" + sfDir + "\"}"
   }
 
   private def f3(d: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, d)
+
+  /** Time every query (best-of-2, warm) and track failures by name
+    * instead of swallowing them into the timing list. A failed query's
+    * elapsed time still lands in `results` (the run did cost that long)
+    * but its name is returned separately so no artifact can mistake a
+    * crash for a fast query. */
+  def run(spark: SparkSession, sfDir: String,
+          queries: Seq[(String, (SparkSession, String) => DataFrame)])
+      : (Seq[(String, Double)], Seq[String]) = {
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); () }
+      catch { case _: Throwable => failed += name }
+      finally spark.catalog.clearCache() // no cross-query cache leakage
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = queries.map { case (name, fn) =>
+      // best-of-2 per query: reports warm steady-state and damps the
+      // machine's run-to-run contention noise
+      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+    }
+    (results, failed.toSeq.sorted)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,21 +108,11 @@ object Bench {
     // ~5s of JIT + first-stage overhead).
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    // best-of-2 per query: reports warm steady-state and damps the
-    // machine's run-to-run contention noise
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally spark.catalog.clearCache() // no cross-query cache leakage
-      (System.nanoTime() - t0) / 1e9
-    }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
-    }
+    val (results, failed) = run(spark, sfDir, SparkEntry.queries.toSeq)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), fullLine(results, sfDir))
+      java.nio.file.Paths.get("bench_full.json"), fullLine(results, sfDir, failed))
     catch { case _: Throwable => () } // detail file is best-effort
-    println(compactLine(results, sfDir))
+    println(compactLine(results, sfDir, failed))
     spark.stop()
   }
 }

@@ -21,6 +21,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Engine.session(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Failures must leave a driver-visible artifact: in round 4 every
+    // caught exception went only to stderr, the query had no output dir,
+    // and the sweep silently dropped 47 keys from CORRECTNESS. Collect
+    // name → message here and always write _failures.json ({} when clean).
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -28,6 +33,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       } finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +51,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    // loud but exit-0: the driver still sweeps whatever DID verify
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -23,16 +23,32 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** Events table carries parquet TIMESTAMP(NANOS) which Spark has no
-    * native type for — read the raw int64 nanos (legacy conf) and derive:
+  /** Events table carries parquet TIMESTAMP(NANOS). How Spark resolves
+    * that column has drifted across versions — ≤3.x legacy builds could
+    * surface it as raw int64 nanos (`nanosAsLong`); 4.1+ reads it as
+    * TIMESTAMP_NTZ (nanos truncated to micros by the parquet reader) and
+    * silently ignores the legacy conf. The loader therefore branches on
+    * the RESOLVED column type, not on any conf, and derives:
     *   - `ms`  : epoch milliseconds (matches DuckDB `epoch_ms(ts)` exactly;
-    *             both are integral truncation of positive nanos)
-    *   - `ets` : microsecond TimestampType for date_trunc/window work.
+    *             truncation composes for positive epochs:
+    *             floor(floor(ns/1e3)/1e3) == floor(ns/1e6))
+    *   - `ets` : ms-truncated TimestampType for date_trunc/window work.
+    * No session-conf mutation: a table loader must not side-effect every
+    * caller's session. Session TZ is UTC (Engine.session), so the
+    * NTZ→timestamp cast is an identity reinterpretation.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ms", expr("ts div 1000000"))
-      .withColumn("ets", timestamp_millis(expr("ts div 1000000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(spark, dir, "events")
+    val ms = raw.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000000")
+      case TimestampNTZType => expr("unix_micros(cast(ts as timestamp)) div 1000")
+      case TimestampType    => expr("unix_micros(ts) div 1000")
+      case other => throw new IllegalStateException(
+        s"events.ts resolved as unsupported type $other — " +
+          "expected int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+    raw.withColumn("ms", ms)
+      .withColumn("ets", timestamp_millis(col("ms")))
   }
 }

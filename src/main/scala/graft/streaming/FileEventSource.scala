@@ -15,7 +15,14 @@ import org.apache.spark.sql.types._
   * unchanged between live Kafka and file replay.
   */
 object FileEventSource {
-  /** Parquet wire schema (ts = raw int64 nanos; see Tables.events). */
+  /** Parquet wire schema. `ts` is declared LongType: the drop files'
+    * timestamp column is physically INT64 whatever its logical
+    * annotation (TIMESTAMP NANOS in early testdata, MICROS now), and a
+    * user-supplied LongType schema reads that physical int64 directly on
+    * every Spark version — no reliance on the removed `nanosAsLong`
+    * legacy conf, and no logical-type resolution drift (the round-4
+    * breakage mode of the batch loader). The epoch UNIT is then
+    * normalized per-row in `stream` below. */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -25,12 +32,22 @@ object FileEventSource {
     StructField("props", StringType)))
 
   def stream(spark: SparkSession, dropDir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Streaming sources need a static schema, so the unit can't be read
+    // from file metadata up front the way Tables.events branches on the
+    // resolved type. Sniff it per-row from magnitude instead — for any
+    // epoch after 2001-09 (micros > 1e15) and before year 5138 (ms),
+    // nanos > 1e17 ⟺ the value is nanoseconds, else microseconds. One
+    // codegen'd CASE WHEN; keeps replay correct across drop files
+    // written in either unit (the testdata itself switched units
+    // between rounds).
+    val msFromInt64 =
+      when(abs(col("ts")) > lit(100000000000000000L), expr("ts div 1000000"))
+        .otherwise(expr("ts div 1000"))
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dropDir)
-      .withColumn("ms", expr("ts div 1000000"))
-      .withColumn("ets", timestamp_millis(expr("ts div 1000000")))
+      .withColumn("ms", msFromInt64)
+      .withColumn("ets", timestamp_millis(col("ms")))
   }
 }

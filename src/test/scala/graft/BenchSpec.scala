@@ -1,15 +1,17 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
 import com.fasterxml.jackson.databind.ObjectMapper
 
 /** The driver parses the bench JSON from the LAST ~2000 chars of stdout
   * (BENCH_r01/r02 both captured a 2000-char tail and recorded
   * parsed: null when the full per-query map overflowed it). These tests
   * pin the compact-line contract: always a single valid JSON object,
-  * always under the window even with sbt's trailing "[success]" line. */
-class BenchSpec extends AnyFunSuite {
-  private val sf = "/root/testdata/sf0.1"
+  * always under the window even with sbt's trailing "[success]" line —
+  * and, since round 4 (47 broken queries benched as an innocent fast
+  * tail), that failures are named in both artifacts. */
+class BenchSpec extends SparkSpec {
+  // `sf` (the dir label in the JSON + the injected-run input) comes from
+  // SparkSpec; the compact-line assertions are scale-independent.
   private val mapper = new ObjectMapper()
 
   test("compact line fits the driver's 2000-char stdout tail window") {
@@ -46,5 +48,39 @@ class BenchSpec extends AnyFunSuite {
     assert(line.length <= 1800, s"real surface overflows: ${line.length}")
     assert(mapper.readTree(line).get("queries").size() >= 40,
       "window should still name dozens of queries individually")
+  }
+
+  test("failures are named in the compact line and survive the tail window") {
+    // worst realistic case: the whole 47-key event family breaks at once
+    // (round 4) while every other query still posts a timing
+    val results = SparkEntry.queries.keys.toSeq.map(k => (k, 0.543))
+    val failed = SparkEntry.queries.keys.filter(_.startsWith("e")).toSeq
+    assert(failed.size >= 40, "test premise: event family is the big failure set")
+    val line = Bench.compactLine(results, sf, failed)
+    assert(line.length <= 1800, s"line with failures overflows: ${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("failed_count").asInt() == failed.size)
+    assert(node.get("failed").size() >= 10,
+      "at least the head of the failed list must be named, not just counted")
+    assert(node.get("queries").size() >= 10,
+      "failure reserve must not crowd out the per-query timings entirely")
+  }
+
+  test("clean runs emit no failed fields (artifact shape unchanged)") {
+    val node = mapper.readTree(Bench.compactLine(Seq(("a", 1.0)), sf))
+    assert(!node.has("failed") && !node.has("failed_count"))
+  }
+
+  test("an injected failing query is reported by run(), not benched silently") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val ok: (SparkSession, String) => DataFrame =
+      (s, _) => s.range(10).toDF("id")
+    val boom: (SparkSession, String) => DataFrame =
+      (s, _) => s.range(10).toDF("id").selectExpr("no_such_column + 1")
+    val (results, failed) = Bench.run(spark, sf, Seq("good" -> ok, "bad" -> boom))
+    assert(failed == Seq("bad"))
+    assert(results.map(_._1) == Seq("good", "bad"))
+    val full = mapper.readTree(Bench.fullLine(results, sf, failed))
+    assert(full.get("failed").get(0).asText() == "bad")
   }
 }

@@ -32,6 +32,15 @@ class FileEventSourceSpec extends SparkSpec {
       assert(types.sameElements(Array("click", "error", "purchase", "signup", "view")))
       val total = rows.map(_.getAs[Long]("n")).sum
       assert(total == 1000L, s"expected all 1000 events aggregated, got $total")
+      // epoch anchor: a unit error in the int64→ms decode (e.g. micros
+      // div 1e6 = seconds → windows land in 1970) still aggregates to
+      // 1000, so pin the actual window epochs to January 2024
+      val starts = rows.map(
+        _.getAs[java.sql.Timestamp]("window_start").toInstant.toEpochMilli)
+      assert(starts.min == 1704067200000L, // 2024-01-01T00:00Z
+        s"first hourly window drifted: ${starts.min}")
+      assert(starts.max < 1706745600000L, // < 2024-02-01T00:00Z
+        s"last hourly window drifted: ${starts.max}")
     } finally query.stop()
   }
 
