@@ -23,10 +23,11 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** Events table carries parquet TIMESTAMP(NANOS). How Spark resolves
-    * that column has drifted across versions — ≤3.x legacy builds could
-    * surface it as raw int64 nanos (`nanosAsLong`); 4.1+ reads it as
-    * TIMESTAMP_NTZ (nanos truncated to micros by the parquet reader) and
+  /** Events table carries a parquet timestamp whose logical annotation
+    * has drifted across driver rounds (TIMESTAMP NANOS originally,
+    * MICROS now), and whose Spark resolution has drifted across
+    * versions — ≤3.x legacy builds could surface nanos as raw int64
+    * (`nanosAsLong`); 4.1+ reads either annotation as TIMESTAMP_NTZ and
     * silently ignores the legacy conf. The loader therefore branches on
     * the RESOLVED column type, not on any conf, and derives:
     *   - `ms`  : epoch milliseconds (matches DuckDB `epoch_ms(ts)` exactly;

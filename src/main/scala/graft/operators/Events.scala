@@ -1810,7 +1810,102 @@ object Events {
       |  ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) + 0.0 AS events_per_user
       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e48
+  /** Exact Gini coefficient of per-user event volume — the one-number
+    * load-inequality figure (0 = uniform, →1 = a few whales generate
+    * everything) that sizes skew hardening and per-user rate limits.
+    *
+    * Gini needs a global rank over users; ranking 10^9 users in one
+    * window is the forbidden single-partition sort. Instead users
+    * collapse to their count VALUE (groupBy c → n_c users), and the rank
+    * block each tie-group occupies is reconstructed arithmetically:
+    * ties at value c with m users below occupy ranks m+1..m+n_c, whose
+    * rank-weighted mass is c·(2·n_c·m + n_c·(n_c+1)) — summed in
+    * DECIMAL(38,0)/HUGEINT so partial aggregation is exact at any scale.
+    * The "users below" prefix uses e16's two-level trick (within-band
+    * window + broadcast lower-band offsets), so no window ever sees more
+    * than one band and no shuffle exceeds the distinct-count-value frame
+    * (≤ max events/user rows, data-bounded). Final Gini is ONE IEEE
+    * division of exact integers: G = (2W − (n+1)S) / (nS). */
+  def e48(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val sc = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("nc"))
+      .withColumn("band", expr("c div 64"))
+    val wIn = Window.partitionBy("band").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBelow = sc.withColumn("ibelow", coalesce(sum(col("nc")).over(wIn), lit(0L)))
+    val bt = sc.groupBy("band").agg(sum(col("nc")).as("bc"))
+    val off = bt.as("a")
+      .join(broadcast(bt.select(col("band").as("lb"), col("bc").as("lc"))),
+        col("lb") < col("band"), "left")
+      .groupBy("band").agg(coalesce(sum(col("lc")), lit(0L)).as("off"))
+    val cD = col("c").cast(d38); val ncD = col("nc").cast(d38)
+    val mD = (col("ibelow") + col("off")).cast(d38)
+    inBelow.join(broadcast(off), "band")
+      .agg(sum(col("nc")).as("n"),
+           sum(cD * ncD).as("s"),
+           sum(cD * (lit(2).cast(d38) * ncD * mD + ncD * (ncD + lit(1).cast(d38)))).as("w2"))
+      .select(col("n").as("n_users"), col("s").cast("long").as("total_events"),
+        round(dbl(col("w2") - (col("n").cast(d38) + lit(1).cast(d38)) * col("s"))
+          / dbl(col("n").cast(d38) * col("s")), 6).as("gini"))
+  }
+  val e48Sql: String =
+    """WITH uc AS (SELECT user_id, COUNT(*)::BIGINT AS c FROM events GROUP BY 1),
+      |sc AS (SELECT c, COUNT(*)::BIGINT AS nc FROM uc GROUP BY 1),
+      |cum AS (SELECT c, nc, COALESCE(SUM(nc) OVER (
+      |    ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m
+      |  FROM sc),
+      |agg AS (SELECT SUM(nc)::BIGINT AS n,
+      |    SUM(CAST(c AS HUGEINT) * nc) AS s,
+      |    SUM(CAST(c AS HUGEINT) * (2 * CAST(nc AS HUGEINT) * m
+      |        + CAST(nc AS HUGEINT) * (nc + 1))) AS w2
+      |  FROM cum)
+      |SELECT n AS n_users, CAST(s AS BIGINT) AS total_events,
+      |  ROUND(CAST(w2 - (CAST(n AS HUGEINT) + 1) * s AS DOUBLE)
+      |        / CAST(CAST(n AS HUGEINT) * s AS DOUBLE), 6) AS gini
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- e49
+  /** DAU volatility: how noisy is the daily-active-users series — count,
+    * mean, min/max, and the coefficient of variation of per-day DAU.
+    * The capacity-planning stat behind "is traffic steady or spiky".
+    *
+    * Events collapse to distinct (user, day) map-side (e14's dedup
+    * shrink), days aggregate to a ≤|days| frame, and the CV comes from
+    * DECIMAL(38,0)-exact n/Σd/Σd² moments (e13's recipe — long n·Σd²
+    * would overflow at 10^8-DAU scale) with ONE IEEE sqrt+division:
+    * CV = √(nΣd²−S²)/S (population σ over μ, n-free form). */
+  def e49(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val dau = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ms div 86400000").as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("dau"))
+    val nD = count(lit(1)).cast(d38)
+    val sD = sum(col("dau")).cast(d38)
+    val qD = sum(col("dau") * col("dau")).cast(d38)
+    dau.agg(count(lit(1)).as("n_days"), sum(col("dau")).as("active_user_days"),
+        min(col("dau")).as("min_dau"), max(col("dau")).as("max_dau"),
+        (dbl(sum(col("dau"))) / count(lit(1))).as("avg_dau"),
+        round(sqrt(dbl(nD * qD - sD * sD)) / dbl(sum(col("dau"))), 6).as("cv_dau"))
+      .select("n_days", "active_user_days", "min_dau", "max_dau", "avg_dau", "cv_dau")
+  }
+  val e49Sql: String =
+    """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |dau AS (SELECT day, COUNT(*)::BIGINT AS dau FROM d GROUP BY 1)
+      |SELECT COUNT(*)::BIGINT AS n_days, SUM(dau)::BIGINT AS active_user_days,
+      |  CAST(MIN(dau) AS BIGINT) AS min_dau, CAST(MAX(dau) AS BIGINT) AS max_dau,
+      |  CAST(SUM(dau) AS DOUBLE) / COUNT(*) AS avg_dau,
+      |  ROUND(sqrt(CAST(COUNT(*) * SUM(CAST(dau AS HUGEINT) * dau)
+      |                  - CAST(SUM(dau) AS HUGEINT) * SUM(dau) AS DOUBLE))
+      |        / CAST(SUM(dau) AS DOUBLE), 6) AS cv_dau
+      |FROM dau""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e49_dau_volatility" -> (e49 _),
+    "e48_user_gini" -> (e48 _),
     "e47_type_diversity" -> (e47 _),
     "e46_peak_hours" -> (e46 _),
     "e45_daily_purchase_rate" -> (e45 _),
@@ -1861,6 +1956,8 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e49_dau_volatility" -> e49Sql,
+    "e48_user_gini" -> e48Sql,
     "e47_type_diversity" -> e47Sql,
     "e46_peak_hours" -> e46Sql,
     "e45_daily_purchase_rate" -> e45Sql,

@@ -461,7 +461,64 @@ object Multimodal {
       |    * (CAST(n - 1 AS DOUBLE) * 0.75 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.75)) AS p75
       |FROM a ORDER BY modality""".stripMargin
 
+  // ---------------------------------------------------------------- m13
+  /** Per-modality payload-size z-outlier screen: payloads >3σ from their
+    * modality's mean size, split high/low — the corrupt-blob detector
+    * (a 2-byte "jpeg" or a 2 GB "text" row is a feed bug, not data)
+    * that runs before any decode budget is spent.
+    *
+    * t38's exact machinery on the media axis: per-modality integer
+    * moments broadcast back (\|kinds\| rows), z>3 as the
+    * cross-multiplied DECIMAL(38,0)/HUGEINT compare
+    * (n·x − S)²·(n−1) > 9·n·(nΣx² − S²) — no float σ, no per-row
+    * division, exact at any corpus size. */
+  def m13(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val sized = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", routeModality(col("payload"), col("text")))
+      .select(col("modality"), octet_length(col("payload")).cast("long").as("x"))
+    val st = sized.groupBy("modality")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+           sum(col("x") * col("x")).as("q"))
+      .filter(col("n") >= 2)
+    val nD = col("n").cast(d38)
+    val dev = nD * col("x").cast(d38) - col("s").cast(d38)
+    val varNum = nD * col("q").cast(d38) - col("s").cast(d38) * col("s").cast(d38)
+    val out = dev * dev * (nD - 1) > lit(9).cast(d38) * nD * varNum
+    sized.join(broadcast(st), "modality")
+      .groupBy("modality")
+      .agg(max(col("n")).as("n_docs"),
+           (max(col("s")).cast("double") / max(col("n"))).as("mean_bytes"),
+           sum(when(out && dev > 0, 1L).otherwise(0L)).as("n_hi"),
+           sum(when(out && dev < 0, 1L).otherwise(0L)).as("n_lo"))
+      .withColumn("out_share",
+        round((col("n_hi") + col("n_lo")).cast("double") / col("n_docs"), 6) + lit(0.0d))
+      .orderBy("modality")
+  }
+  val m13Sql: String =
+    s"""WITH d AS (SELECT $modalitySqlCase AS modality,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS x
+      |  FROM documents),
+      |st AS (SELECT modality, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s,
+      |         SUM(x*x)::BIGINT AS q
+      |       FROM d GROUP BY 1 HAVING COUNT(*) >= 2),
+      |f AS (SELECT d.modality, x, n, s, q,
+      |    CAST(n AS HUGEINT)*x - s AS dev,
+      |    CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s AS varnum
+      |  FROM d JOIN st ON d.modality = st.modality)
+      |SELECT modality, MAX(n) AS n_docs,
+      |  CAST(MAX(s) AS DOUBLE) / MAX(n) AS mean_bytes,
+      |  SUM(CASE WHEN dev*dev*(n-1) > 9*CAST(n AS HUGEINT)*varnum AND dev > 0
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+      |  SUM(CASE WHEN dev*dev*(n-1) > 9*CAST(n AS HUGEINT)*varnum AND dev < 0
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+      |  ROUND(CAST(SUM(CASE WHEN dev*dev*(n-1) > 9*CAST(n AS HUGEINT)*varnum
+      |      THEN 1 ELSE 0 END) AS DOUBLE) / MAX(n), 6) + 0.0 AS out_share
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m13_size_outliers" -> (m13 _),
     "m12_size_quartiles" -> (m12 _),
     "m11_modality_dup_rate" -> (m11 _),
     "m10_source_modality" -> (m10 _),
@@ -477,6 +534,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m13_size_outliers" -> m13Sql,
     "m01_binary_meta" -> m01Sql,
     "m06_modality_route" -> m06Sql,
     "m08_byte_entropy" -> m08Sql,

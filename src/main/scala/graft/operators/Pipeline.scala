@@ -708,7 +708,54 @@ object Pipeline {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p15
+  /** Quality × duplication matrix: what does exact dedup actually remove,
+    * by quality band — the curation question behind every dedup budget
+    * ("are we deleting junk or deleting good data twice?"). Bands of
+    * t02's score crossed with d01's keep-min-id dup status, with doc and
+    * token counts per cell.
+    *
+    * One scan: quality is scan-parallel arithmetic, dup status is a
+    * min(doc_id) window over the content-hash partition (the same
+    * hash-shuffle d01 pays — bounded per-key state, no self-join), and
+    * the rollup is a map-combinable groupBy onto ≤ 4×2 cells. */
+  def p15(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .withColumn("h", md5(col("text")))
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy("h")))
+    val band = when(col("quality") < 0.4, "a<0.4")
+      .when(col("quality") < 0.6, "b<0.6")
+      .when(col("quality") < 0.8, "c<0.8").otherwise("d>=0.8")
+    scored
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
+      .withColumn("quality_band", band)
+      .groupBy("quality_band", "is_dup")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy("quality_band", "is_dup")
+  }
+  val p15Sql: String = {
+    import TextAnalysis.{wordsSql, stopSqlIn, qualitySqlExpr}
+    s"""WITH base AS (SELECT doc_id, text, $wordsSql AS w FROM documents),
+       |m AS (SELECT doc_id, text,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |s AS (SELECT doc_id, text, n_tok, $qualitySqlExpr AS quality FROM m),
+       |d AS (SELECT n_tok, quality,
+       |    CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+       |         THEN 1 ELSE 0 END AS is_dup
+       |  FROM s)
+       |SELECT CASE WHEN quality < 0.4 THEN 'a<0.4'
+       |            WHEN quality < 0.6 THEN 'b<0.6'
+       |            WHEN quality < 0.8 THEN 'c<0.8' ELSE 'd>=0.8' END AS quality_band,
+       |  is_dup, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS total_tokens
+       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p15_quality_dup_matrix" -> (p15 _),
     "p14_curation_ledger" -> (p14 _),
     "p13_epoch_plan" -> (p13 _),
     "p12_shard_manifest" -> (p12 _),
@@ -726,6 +773,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p15_quality_dup_matrix" -> p15Sql,
     "p14_curation_ledger" -> p14Sql,
     "p13_epoch_plan" -> p13Sql,
     "p12_shard_manifest" -> p12Sql,

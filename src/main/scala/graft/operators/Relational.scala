@@ -2010,7 +2010,44 @@ object Relational {
       |        / (SELECT COUNT(*) FROM orders), 6) AS share
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** Order-book aging snapshot: OPEN orders ('O') bucketed by how long
+    * they have been open at the dataset's observation point (the max
+    * order date — a 1-row broadcast, not a wall-clock dependency), per
+    * priority, with decimal-exact open value — the receivables-aging
+    * view of the order book.
+    *
+    * Scale: status filter prunes at the scan, the as-of date attaches as
+    * a broadcast scalar, age banding is an integer day compare (CASE
+    * edges, no float), and the rollup is one map-combinable groupBy onto
+    * a \|priorities\|×\|bands\|-bounded output. */
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = Tables.orders(spark, dir).agg(max(col("o_orderdate")).as("as_of"))
+    val band = when(col("age_d") <= 30, "a<=30d").when(col("age_d") <= 90, "b<=90d")
+      .when(col("age_d") <= 365, "c<=1y").otherwise("d>1y")
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .join(broadcast(asOf))
+      .withColumn("age_d", datediff(col("as_of"), col("o_orderdate")))
+      .withColumn("age_band", band)
+      .groupBy("o_orderpriority", "age_band")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("open_value"))
+      .orderBy("o_orderpriority", "age_band")
+  }
+  val q65Sql: String =
+    """WITH snap AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
+      |b AS (SELECT o_orderpriority, o_totalprice,
+      |    date_diff('day', CAST(o_orderdate AS DATE), CAST(as_of AS DATE)) AS age_d
+      |  FROM orders CROSS JOIN snap WHERE o_orderstatus = 'O')
+      |SELECT o_orderpriority,
+      |  CASE WHEN age_d <= 30 THEN 'a<=30d' WHEN age_d <= 90 THEN 'b<=90d'
+      |       WHEN age_d <= 365 THEN 'c<=1y' ELSE 'd>1y' END AS age_band,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS open_value
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q65_orderbook_aging" -> (q65 _),
     "q64_status_priority_matrix" -> (q64 _),
     "q63_returned_share_series" -> (q63 _),
     "q62_quarter_mix" -> (q62 _),
@@ -2078,6 +2115,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q65_orderbook_aging" -> q65Sql,
     "q64_status_priority_matrix" -> q64Sql,
     "q63_returned_share_series" -> q63Sql,
     "q62_quarter_mix" -> q62Sql,

@@ -778,7 +778,59 @@ object Similarity {
     point(1).unionByName(point(2)).unionByName(point(4)).orderBy("n_probes")
   }
 
+  // ---------------------------------------------------------------- s15
+  /** Nearest-neighbor MARGIN audit: per query, the cosine gap between its
+    * 1st and 2nd neighbor, histogrammed — the intrinsic-difficulty map of
+    * the embedding space. A corpus where most margins sit under 0.01 has
+    * ambiguous neighborhoods (ANN probe widths must widen, dedup
+    * thresholds sit on a knife edge); fat margins mean cheap recall.
+    *
+    * Same contract as s01 (the CosineTopK whole-operator at k=2 — bounded
+    * per-query buffer, no N² materialization), then one groupBy(q_id)
+    * pivot and a bounded-band rollup. The mean margin per band sums
+    * round6-quantized DECIMALs so partial aggregation is
+    * order-independent (e15's recipe), with ONE division per band. */
+  def s15(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.CosineTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.CosineTopKStrategy
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    val q = spread(e.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na")))
+    val n = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val m = graft.plans.CosineTopK(spark, q, n, k = 2)
+      .groupBy("q_id")
+      .agg(max(when(col("rnk") === 1, col("cos"))).as("c1"),
+           max(when(col("rnk") === 2, col("cos"))).as("c2"))
+      .filter(col("c2").isNotNull)
+      .withColumn("margin", round(col("c1") - col("c2"), 6))
+    val band = when(col("margin") < 0.001, "a<0.001")
+      .when(col("margin") < 0.01, "b<0.01").when(col("margin") < 0.05, "c<0.05")
+      .when(col("margin") < 0.1, "d<0.1").otherwise("e>=0.1")
+    m.withColumn("margin_band", band)
+      .groupBy("margin_band")
+      .agg(count(lit(1)).as("n_queries"),
+           (sum(col("margin").cast("decimal(12,6)")).cast("double") / count(lit(1)))
+             .as("avg_margin"))
+      .orderBy("margin_band")
+  }
+  val s15Sql: String = knnCte +
+    """,
+      |t AS (SELECT q_id,
+      |    MAX(CASE WHEN rnk = 1 THEN cos END) AS c1,
+      |    MAX(CASE WHEN rnk = 2 THEN cos END) AS c2
+      |  FROM r GROUP BY 1),
+      |m AS (SELECT q_id, ROUND(c1 - c2, 6) AS margin FROM t WHERE c2 IS NOT NULL)
+      |SELECT CASE WHEN margin < 0.001 THEN 'a<0.001'
+      |            WHEN margin < 0.01 THEN 'b<0.01'
+      |            WHEN margin < 0.05 THEN 'c<0.05'
+      |            WHEN margin < 0.1 THEN 'd<0.1' ELSE 'e>=0.1' END AS margin_band,
+      |  COUNT(*) AS n_queries,
+      |  CAST(SUM(CAST(margin AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*) AS avg_margin
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s15_knn_margin" -> (s15 _),
     "s14_recall_curve" -> (s14 _),
     "s13_sq8_error_hist" -> (s13 _),
     "s12_neighbor_degree" -> (s12 _),
@@ -796,6 +848,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s15_knn_margin" -> s15Sql,
     "s12_neighbor_degree" -> s12Sql,
     "s11_cos_histogram" -> s11Sql,
     "s08_range_search" -> s08Sql,

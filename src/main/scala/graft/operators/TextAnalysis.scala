@@ -1461,7 +1461,122 @@ object TextAnalysis {
        |  ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS zipf_slope
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- t38
+  /** Per-source character-length z-outlier screen: documents whose length
+    * sits >3σ from their source's mean, split high/low — the cheap
+    * truncation/concatenation-artifact detector a corpus intake runs
+    * per feed (a source whose n_hi spikes is concatenating records; a
+    * n_lo spike is a truncating scraper).
+    *
+    * e13's exact recipe: per-source integer moments (n, Σx, Σx²) in one
+    * map-combinable pass, broadcast back (\|sources\| rows), and the z>3
+    * test as the cross-multiplied integer compare
+    * (n·x − S)²·(n−1) > 9·n·(nΣx² − S²) in DECIMAL(38,0)/HUGEINT — no
+    * float σ, no per-row division, exact at any corpus size. */
+  def t38(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), length(col("text")).cast("long").as("x"))
+    val st = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+           sum(col("x") * col("x")).as("q"))
+      .filter(col("n") >= 2)
+    val nD = col("n").cast(d38)
+    val dev = nD * col("x").cast(d38) - col("s").cast(d38)
+    val varNum = nD * col("q").cast(d38) - col("s").cast(d38) * col("s").cast(d38)
+    val out = dev * dev * (nD - 1) > lit(9).cast(d38) * nD * varNum
+    docs.join(broadcast(st), "source")
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"),
+           (dbl(max(col("s"))) / max(col("n"))).as("mean_chars"),
+           sum(when(out && dev > 0, 1L).otherwise(0L)).as("n_hi"),
+           sum(when(out && dev < 0, 1L).otherwise(0L)).as("n_lo"))
+      .withColumn("out_share",
+        round(dbl(col("n_hi") + col("n_lo")) / col("n_docs"), 6) + lit(0.0d))
+      .orderBy("source")
+  }
+  val t38Sql: String =
+    """WITH d AS (SELECT source, CAST(LENGTH(text) AS BIGINT) AS x FROM documents),
+      |st AS (SELECT source, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s,
+      |         SUM(x*x)::BIGINT AS q
+      |       FROM d GROUP BY 1 HAVING COUNT(*) >= 2),
+      |f AS (SELECT d.source, x, n, s, q,
+      |    CAST(n AS HUGEINT)*x - s AS dev,
+      |    CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s AS varnum
+      |  FROM d JOIN st ON d.source = st.source)
+      |SELECT source, MAX(n) AS n_docs,
+      |  CAST(MAX(s) AS DOUBLE) / MAX(n) AS mean_chars,
+      |  SUM(CASE WHEN dev*dev*(n-1) > 9*CAST(n AS HUGEINT)*varnum AND dev > 0
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+      |  SUM(CASE WHEN dev*dev*(n-1) > 9*CAST(n AS HUGEINT)*varnum AND dev < 0
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+      |  ROUND(CAST(SUM(CASE WHEN dev*dev*(n-1) > 9*CAST(n AS HUGEINT)*varnum
+      |      THEN 1 ELSE 0 END) AS DOUBLE) / MAX(n), 6) + 0.0 AS out_share
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- t39
+  /** Quality-score quartiles per source (PERCENTILE_CONT interpolation):
+    * the distribution view behind per-feed quality gates — a source
+    * whose p25 sits under the keep threshold is mostly filler even if
+    * its mean looks fine. t02's exact score feeds q44's bracketing-rank
+    * machinery: rank within source (source-partitioned window, bounded
+    * per-key state), ≤6 bracketing rows per source reach the agg, and
+    * the interpolation arithmetic is identical in both engines. */
+  def t39(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("quality"), col("doc_id"))
+    val wc = Window.partitionBy("source")
+    val ranked = addQuality(Tables.documents(spark, dir))
+      .select(col("source"), col("quality"),
+        (row_number().over(w).cast("long") - 1).as("idx"),
+        count(lit(1)).over(wc).as("cnt"))
+    def pos(q: Double): Column = (col("cnt") - 1).cast("double") * lit(q)
+    def lo(q: Double, nm: String): Column =
+      max(when(col("idx") === floor(pos(q)), col("quality"))).as(s"${nm}_lo")
+    def hi(q: Double, nm: String): Column =
+      max(when(col("idx") === ceil(pos(q)), col("quality"))).as(s"${nm}_hi")
+    def interp(nm: String, q: Double): Column = {
+      val p = (col("n") - 1).cast("double") * lit(q)
+      col(s"${nm}_lo") + (col(s"${nm}_hi") - col(s"${nm}_lo")) * (p - floor(p))
+    }
+    ranked.groupBy("source")
+      .agg(max(col("cnt")).as("n"),
+           lo(0.25, "q1"), hi(0.25, "q1"), lo(0.5, "q2"), hi(0.5, "q2"),
+           lo(0.75, "q3"), hi(0.75, "q3"))
+      .select(col("source"), col("n"),
+        interp("q1", 0.25).as("p25"), interp("q2", 0.5).as("p50"),
+        interp("q3", 0.75).as("p75"))
+      .orderBy("source")
+  }
+  val t39Sql: String =
+    s"""WITH base AS (SELECT doc_id, source, text, $wordsSql AS w FROM documents),
+       |m AS (SELECT doc_id, source,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |s AS (SELECT doc_id, source, $qualitySqlExpr AS quality FROM m),
+       |r AS (SELECT source, quality,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS BIGINT) - 1 AS idx,
+       |    COUNT(*) OVER (PARTITION BY source) AS cnt
+       |  FROM s),
+       |a AS (SELECT source, MAX(cnt) AS n,
+       |    MAX(CASE WHEN idx = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.25) THEN quality END) AS q1_lo,
+       |    MAX(CASE WHEN idx = CEIL(CAST(cnt - 1 AS DOUBLE) * 0.25) THEN quality END) AS q1_hi,
+       |    MAX(CASE WHEN idx = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.5) THEN quality END) AS q2_lo,
+       |    MAX(CASE WHEN idx = CEIL(CAST(cnt - 1 AS DOUBLE) * 0.5) THEN quality END) AS q2_hi,
+       |    MAX(CASE WHEN idx = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.75) THEN quality END) AS q3_lo,
+       |    MAX(CASE WHEN idx = CEIL(CAST(cnt - 1 AS DOUBLE) * 0.75) THEN quality END) AS q3_hi
+       |  FROM r GROUP BY source)
+       |SELECT source, CAST(n AS BIGINT) AS n,
+       |  q1_lo + (q1_hi - q1_lo) * (CAST(n - 1 AS DOUBLE) * 0.25 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.25)) AS p25,
+       |  q2_lo + (q2_hi - q2_lo) * (CAST(n - 1 AS DOUBLE) * 0.5 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)) AS p50,
+       |  q3_lo + (q3_hi - q3_lo) * (CAST(n - 1 AS DOUBLE) * 0.75 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.75)) AS p75
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t39_quality_quartiles" -> (t39 _),
+    "t38_length_outliers" -> (t38 _),
     "t37_zipf_slope" -> (t37 _),
     "t36_bigram_entropy" -> (t36 _),
     "t35_quality_by_length" -> (t35 _),
@@ -1501,6 +1616,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t39_quality_quartiles" -> t39Sql,
+    "t38_length_outliers" -> t38Sql,
     "t18_gram_novelty" -> t18Sql,
     "t17_lexical_diversity" -> t17Sql,
     "t16_zipf_head" -> t16Sql,

@@ -9,6 +9,9 @@ class OperatorSmokeSpec extends SparkSpec {
 
   test("every SURVEY §2 query key is registered with an oracle or rows-only check") {
     val expected = Set(
+      "q65_orderbook_aging", "e48_user_gini", "e49_dau_volatility",
+      "t38_length_outliers", "t39_quality_quartiles", "s15_knn_margin",
+      "m13_size_outliers", "p15_quality_dup_matrix",
       "q01_pricing_summary", "q02_filter_project", "q03_top_revenue", "q04_order_priority",
       "q05_region_revenue", "q06_forecast_revenue", "q07_window_rank", "q08_running_total",
       "q09_rollup", "q10_distinct_agg", "q11_anti_join", "q12_set_ops", "q13_conditional_agg",
