@@ -1383,7 +1383,48 @@ object Dedup {
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d33
+  /** Cross-language duplicate leakage: of the normalized-fingerprint dup
+    * groups (t04's casefold/strip fingerprint — the dedup key p01 uses),
+    * how many span MORE than one `lang` tag — template/boilerplate
+    * leaking across language feeds, or a mislabeled source. Deduping
+    * such groups shifts the corpus language mix, so a per-lang token
+    * budget must know the rate (in this testdata at sf0.1, 7 of the 8
+    * dup families are cross-language).
+    *
+    * One fingerprint shuffle (d01's shape), per-group exact distinct-lang
+    * count, then a global 1-row summary — always emitted, zeros on a
+    * clean corpus (share is CASE-guarded, no 0/0). */
+  def d33(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("nl"))
+      .filter(col("n") > 1)
+      .agg(count(lit(1)).as("n_dup_groups"),
+           coalesce(sum(col("n")), lit(0L)).as("n_dup_docs"),
+           coalesce(sum(when(col("nl") > 1, 1L).otherwise(0L)), lit(0L))
+             .as("n_cross_lang_groups"))
+      .withColumn("cross_lang_share",
+        when(col("n_dup_groups") === 0, lit(0.0d))
+          .otherwise(round(col("n_cross_lang_groups").cast("double")
+            / col("n_dup_groups"), 6) + lit(0.0d)))
+  val d33Sql: String =
+    """WITH g AS (
+      |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+      |    COUNT(*) AS n, COUNT(DISTINCT lang) AS nl
+      |  FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+      |SELECT COUNT(*) AS n_dup_groups,
+      |  COALESCE(SUM(n), 0)::BIGINT AS n_dup_docs,
+      |  COALESCE(SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+      |    AS n_cross_lang_groups,
+      |  CASE WHEN COUNT(*) = 0 THEN 0.0
+      |       ELSE ROUND(CAST(SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |                  / COUNT(*), 6) + 0.0 END AS cross_lang_share
+      |FROM g""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d33_cross_lang_dup" -> (d33 _),
     "d32_fp_vs_jaccard" -> (d32 _),
     "d31_containment_sweep" -> (d31 _),
     "d30_dedup_source_flow" -> (d30 _),
@@ -1418,6 +1459,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d33_cross_lang_dup" -> d33Sql,
     "d32_fp_vs_jaccard" -> d32Sql,
     "d31_containment_sweep" -> d31Sql,
     "d30_dedup_source_flow" -> d30Sql,

@@ -1903,7 +1903,77 @@ object Events {
       |        / CAST(SUM(dau) AS DOUBLE), 6) AS cv_dau
       |FROM dau""".stripMargin
 
+  // ---------------------------------------------------------------- e50
+  /** Activation lag: days from a user's FIRST signup to their FIRST
+    * purchase, banded — the onboarding-funnel latency table (e19 measures
+    * view→purchase lag; this is the account-level activation clock).
+    * Pre-signup purchases land in their own band instead of poisoning a
+    * negative integer division (Spark `div` truncates toward zero,
+    * DuckDB `//` floors — negative operands would silently disagree).
+    *
+    * One map-combinable per-user min-pair, a bounded band CASE, and the
+    * share denominator as a 1-row broadcast. */
+  def e50(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ms"))).as("smin"),
+           min(when(col("event_type") === "purchase", col("ms"))).as("pmin"))
+      .filter(col("smin").isNotNull && col("pmin").isNotNull)
+    val lagD = expr("(pmin - smin) div 86400000")
+    val band = when(col("pmin") < col("smin"), "f_presignup")
+      .when(lagD === 0, "a_0d").when(lagD <= 3, "b_1_3d")
+      .when(lagD <= 7, "c_4_7d").when(lagD <= 30, "d_8_30d")
+      .otherwise("e_gt30d")
+    val total = u.agg(count(lit(1)).as("n_total"))
+    u.withColumn("lag_band", band)
+      .groupBy("lag_band").agg(count(lit(1)).as("n_users"))
+      .join(broadcast(total))
+      .withColumn("share", round(dbl(col("n_users")) / col("n_total"), 6) + lit(0.0d))
+      .select("lag_band", "n_users", "share")
+      .orderBy("lag_band")
+  }
+  val e50Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS smin,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS pmin
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT CASE WHEN pmin < smin THEN 'f_presignup'
+      |      WHEN (pmin - smin) // 86400000 = 0 THEN 'a_0d'
+      |      WHEN (pmin - smin) // 86400000 <= 3 THEN 'b_1_3d'
+      |      WHEN (pmin - smin) // 86400000 <= 7 THEN 'c_4_7d'
+      |      WHEN (pmin - smin) // 86400000 <= 30 THEN 'd_8_30d'
+      |      ELSE 'e_gt30d' END AS lag_band
+      |  FROM u WHERE smin IS NOT NULL AND pmin IS NOT NULL),
+      |t AS (SELECT COUNT(*)::BIGINT AS n_total FROM b)
+      |SELECT lag_band, COUNT(*) AS n_users,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 6) + 0.0 AS share
+      |FROM b CROSS JOIN t GROUP BY 1, n_total ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- e51
+  /** Daily error-rate series: events vs errors per calendar day with the
+    * error share — the basic service-health trendline over the event
+    * stream. One scan, integer epoch-day keys, one map-combinable
+    * groupBy onto a ≤\|days\| frame, ONE division per row. */
+  def e51(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("ms div 86400000").as("day"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"), sum(col("is_err")).as("n_errors"))
+      .withColumn("err_share",
+        round(dbl(col("n_errors")) / col("n_events"), 6) + lit(0.0d))
+      .orderBy("day")
+  val e51Sql: String =
+    """SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n_events,
+      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
+      |  ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) + 0.0 AS err_share
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e51_error_rate_series" -> (e51 _),
+    "e50_activation_lag" -> (e50 _),
     "e49_dau_volatility" -> (e49 _),
     "e48_user_gini" -> (e48 _),
     "e47_type_diversity" -> (e47 _),
@@ -1956,6 +2026,8 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e51_error_rate_series" -> e51Sql,
+    "e50_activation_lag" -> e50Sql,
     "e49_dau_volatility" -> e49Sql,
     "e48_user_gini" -> e48Sql,
     "e47_type_diversity" -> e47Sql,

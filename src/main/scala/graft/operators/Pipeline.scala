@@ -754,7 +754,44 @@ object Pipeline {
        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p16
+  /** What exact dedup does to the LANGUAGE mix: per language, docs and
+    * whitespace tokens before vs after d01's keep-min-id dedup, with the
+    * token keep-rate — the table that shows a per-lang token budget
+    * whether deduping just reshaped the mix (duplication is never
+    * uniform across languages; a budget set pre-dedup is wrong by each
+    * language's dup rate).
+    *
+    * One scan: token count is scan arithmetic, keep status is the
+    * content-hash min window (d01's single shuffle), and the rollup is
+    * a \|langs\|-bounded map-combinable groupBy, ONE division per row. */
+  def p16(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(expr("filter(split(text, ' '), x -> x != '')")).cast("long"))
+      .withColumn("keep",
+        (col("doc_id") === min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs_before"), sum(col("n_tok")).as("tokens_before"),
+           sum(col("keep")).as("docs_after"),
+           sum(col("keep") * col("n_tok")).as("tokens_after"))
+      .withColumn("token_keep_rate",
+        round(col("tokens_after").cast("double") / col("tokens_before"), 6) + lit(0.0d))
+      .orderBy("lang")
+  val p16Sql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+      |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+      |         THEN 1 ELSE 0 END AS keep
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS docs_before, SUM(n_tok)::BIGINT AS tokens_before,
+      |  SUM(keep)::BIGINT AS docs_after, SUM(keep * n_tok)::BIGINT AS tokens_after,
+      |  ROUND(CAST(SUM(keep * n_tok) AS DOUBLE) / SUM(n_tok), 6) + 0.0 AS token_keep_rate
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p16_dedup_lang_impact" -> (p16 _),
     "p15_quality_dup_matrix" -> (p15 _),
     "p14_curation_ledger" -> (p14 _),
     "p13_epoch_plan" -> (p13 _),
@@ -773,6 +810,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p16_dedup_lang_impact" -> p16Sql,
     "p15_quality_dup_matrix" -> p15Sql,
     "p14_curation_ledger" -> p14Sql,
     "p13_epoch_plan" -> p13Sql,

@@ -2046,7 +2046,73 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS open_value
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Customer lifetime-value quartiles per market segment (the CLV
+    * distribution table behind segment budgets): per-customer decimal-
+    * exact order revenue (zero-order customers kept at 0 via left join —
+    * the mass at zero is the point), then q44's bracketing-rank
+    * PERCENTILE_CONT machinery per segment. Windows partition by
+    * segment; ≤6 bracketing rows per segment reach the final agg. */
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(sum(dec(col("o_totalprice"))).as("r"))
+    val clv = Tables.customer(spark, dir)
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        coalesce(dbl(col("r")), lit(0.0d)).as("clv"))
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("clv"), col("c_custkey"))
+    val wc = Window.partitionBy("c_mktsegment")
+    val ranked = clv.select(col("c_mktsegment"), col("clv"),
+      (row_number().over(w).cast("long") - 1).as("idx"),
+      count(lit(1)).over(wc).as("cnt"))
+    def pos(q: Double): Column = (col("cnt") - 1).cast("double") * lit(q)
+    def lo(q: Double, nm: String): Column =
+      max(when(col("idx") === floor(pos(q)), col("clv"))).as(s"${nm}_lo")
+    def hi(q: Double, nm: String): Column =
+      max(when(col("idx") === ceil(pos(q)), col("clv"))).as(s"${nm}_hi")
+    def interp(nm: String, q: Double): Column = {
+      val p = (col("n") - 1).cast("double") * lit(q)
+      col(s"${nm}_lo") + (col(s"${nm}_hi") - col(s"${nm}_lo")) * (p - floor(p))
+    }
+    ranked.groupBy("c_mktsegment")
+      .agg(max(col("cnt")).as("n"),
+           lo(0.25, "q1"), hi(0.25, "q1"), lo(0.5, "q2"), hi(0.5, "q2"),
+           lo(0.75, "q3"), hi(0.75, "q3"))
+      .select(col("c_mktsegment"), col("n"),
+        interp("q1", 0.25).as("p25"), interp("q2", 0.5).as("p50"),
+        interp("q3", 0.75).as("p75"))
+      .orderBy("c_mktsegment")
+  }
+  val q66Sql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+      |  FROM orders GROUP BY 1),
+      |clv AS (
+      |  SELECT c_mktsegment, c_custkey,
+      |    COALESCE(CAST(r AS DOUBLE), 0.0) AS clv
+      |  FROM customer LEFT JOIN rev ON c_custkey = o_custkey),
+      |rk AS (
+      |  SELECT c_mktsegment, clv,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY clv, c_custkey) AS BIGINT) - 1 AS idx,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+      |  FROM clv),
+      |a AS (
+      |  SELECT c_mktsegment, MAX(cnt) AS n,
+      |    MAX(CASE WHEN idx = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.25) THEN clv END) AS q1_lo,
+      |    MAX(CASE WHEN idx = CEIL(CAST(cnt - 1 AS DOUBLE) * 0.25) THEN clv END) AS q1_hi,
+      |    MAX(CASE WHEN idx = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.5) THEN clv END) AS q2_lo,
+      |    MAX(CASE WHEN idx = CEIL(CAST(cnt - 1 AS DOUBLE) * 0.5) THEN clv END) AS q2_hi,
+      |    MAX(CASE WHEN idx = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.75) THEN clv END) AS q3_lo,
+      |    MAX(CASE WHEN idx = CEIL(CAST(cnt - 1 AS DOUBLE) * 0.75) THEN clv END) AS q3_hi
+      |  FROM rk GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+      |  q1_lo + (q1_hi - q1_lo) * (CAST(n - 1 AS DOUBLE) * 0.25 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.25)) AS p25,
+      |  q2_lo + (q2_hi - q2_lo) * (CAST(n - 1 AS DOUBLE) * 0.5 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)) AS p50,
+      |  q3_lo + (q3_hi - q3_lo) * (CAST(n - 1 AS DOUBLE) * 0.75 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.75)) AS p75
+      |FROM a ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q66_clv_quartiles" -> (q66 _),
     "q65_orderbook_aging" -> (q65 _),
     "q64_status_priority_matrix" -> (q64 _),
     "q63_returned_share_series" -> (q63 _),
@@ -2115,6 +2181,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q66_clv_quartiles" -> q66Sql,
     "q65_orderbook_aging" -> q65Sql,
     "q64_status_priority_matrix" -> q64Sql,
     "q63_returned_share_series" -> q63Sql,

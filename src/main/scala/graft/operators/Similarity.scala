@@ -829,7 +829,46 @@ object Similarity {
       |  CAST(SUM(CAST(margin AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*) AS avg_margin
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s16
+  /** Label homophily of the embedding neighborhood: per class, what share
+    * of each member's exact top-5 neighbors carry the SAME label — the
+    * one-table answer to "does this embedding space respect the labels"
+    * (high homophily → kNN classification and label-aware dedup are
+    * trustworthy; low → the space needs retraining before s05 votes mean
+    * anything).
+    *
+    * Rides s01's CosineTopK contract; two key joins attach query and
+    * neighbor labels (AQE sizes them), and the rollup is one
+    * \|labels\|-bounded map-combinable groupBy with ONE division. */
+  def s16(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    s01(spark, dir)
+      .join(lbl.select(col("vec_id").as("q_id"), col("label")), "q_id")
+      .join(lbl.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      .groupBy("label")
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+           count(lit(1)).as("n_slots"),
+           sum((col("n_label") === col("label")).cast("long")).as("n_same"))
+      .withColumn("homophily",
+        round(dbl(col("n_same")) / col("n_slots"), 6) + lit(0.0d))
+      .orderBy("label")
+  }
+  val s16Sql: String = knnCte +
+    """,
+      |top5 AS (SELECT q_id, n_id FROM r WHERE rnk <= 5),
+      |j AS (SELECT lq.label AS label, ln.label AS n_label, t.q_id
+      |  FROM top5 t
+      |  JOIN embeddings lq ON t.q_id = lq.vec_id
+      |  JOIN embeddings ln ON t.n_id = ln.vec_id)
+      |SELECT label, COUNT(DISTINCT q_id)::BIGINT AS n_queries,
+      |  COUNT(*) AS n_slots,
+      |  SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END)::BIGINT AS n_same,
+      |  ROUND(CAST(SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) + 0.0 AS homophily
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s16_label_homophily" -> (s16 _),
     "s15_knn_margin" -> (s15 _),
     "s14_recall_curve" -> (s14 _),
     "s13_sq8_error_hist" -> (s13 _),
@@ -848,6 +887,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s16_label_homophily" -> s16Sql,
     "s15_knn_margin" -> s15Sql,
     "s12_neighbor_degree" -> s12Sql,
     "s11_cos_histogram" -> s11Sql,

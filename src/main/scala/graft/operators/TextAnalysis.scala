@@ -1574,7 +1574,49 @@ object TextAnalysis {
        |  q3_lo + (q3_hi - q3_lo) * (CAST(n - 1 AS DOUBLE) * 0.75 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.75)) AS p75
        |FROM a ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t40
+  /** Casing profile per source: sentence-case share (tokens starting
+    * [A-Z]) and ALL-CAPS share (tokens of ≥2 uppercase letters) — the
+    * shouting/headline/boilerplate signal that separates prose feeds
+    * from scraped navigation chrome.
+    *
+    * Both counters are lambda filters over the shared token split
+    * (codegen'd HOFs, no UDF), summed as exact longs in one
+    * map-combinable groupBy; ONE division per share. The identical
+    * regex runs on the DuckDB side. */
+  def t40(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(wordsCol).cast("long"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("n_ustart",
+        size(expr("filter(filter(split(text, ' '), x -> x != ''), x -> x rlike '^[A-Z]')")).cast("long"))
+      .withColumn("n_allcaps",
+        size(expr("filter(filter(split(text, ' '), x -> x != ''), x -> x rlike '^[A-Z]{2,}$')")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+           sum(col("n_ustart")).as("n_upper_start"),
+           sum(col("n_allcaps")).as("n_allcaps"))
+      .withColumn("upper_start_share",
+        round(dbl(col("n_upper_start")) / col("n_tokens"), 6) + lit(0.0d))
+      .withColumn("allcaps_share",
+        round(dbl(col("n_allcaps")) / col("n_tokens"), 6) + lit(0.0d))
+      .orderBy("source")
+  val t40Sql: String =
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '^[A-Z]'))) AS BIGINT) AS n_ustart,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '^[A-Z]{2,}$$'))) AS BIGINT) AS n_allcaps
+       |  FROM (SELECT source, $wordsSql AS w FROM documents)
+       |  WHERE len(w) >= 1)
+       |SELECT source, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+       |  SUM(n_ustart)::BIGINT AS n_upper_start, SUM(n_allcaps)::BIGINT AS n_allcaps,
+       |  ROUND(CAST(SUM(n_ustart) AS DOUBLE) / SUM(n_tok), 6) + 0.0 AS upper_start_share,
+       |  ROUND(CAST(SUM(n_allcaps) AS DOUBLE) / SUM(n_tok), 6) + 0.0 AS allcaps_share
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t40_casing_profile" -> (t40 _),
     "t39_quality_quartiles" -> (t39 _),
     "t38_length_outliers" -> (t38 _),
     "t37_zipf_slope" -> (t37 _),
@@ -1616,6 +1658,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t40_casing_profile" -> t40Sql,
     "t39_quality_quartiles" -> t39Sql,
     "t38_length_outliers" -> t38Sql,
     "t18_gram_novelty" -> t18Sql,

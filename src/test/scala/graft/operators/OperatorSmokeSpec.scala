@@ -12,6 +12,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q65_orderbook_aging", "e48_user_gini", "e49_dau_volatility",
       "t38_length_outliers", "t39_quality_quartiles", "s15_knn_margin",
       "m13_size_outliers", "p15_quality_dup_matrix",
+      "q66_clv_quartiles", "e50_activation_lag", "e51_error_rate_series",
+      "t40_casing_profile", "s16_label_homophily", "d33_cross_lang_dup",
+      "p16_dedup_lang_impact",
       "q01_pricing_summary", "q02_filter_project", "q03_top_revenue", "q04_order_priority",
       "q05_region_revenue", "q06_forecast_revenue", "q07_window_rank", "q08_running_total",
       "q09_rollup", "q10_distinct_agg", "q11_anti_join", "q12_set_ops", "q13_conditional_agg",
