@@ -1829,10 +1829,14 @@ object Events {
     * division of exact integers: G = (2W − (n+1)S) / (nS). */
   def e48(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
+    // cache: sc (the distinct-count frame, ≤ max-events/user rows) feeds
+    // the window input AND both band-total sides — uncached, the full
+    // events scan + per-user groupBy would run three times
     val sc = Tables.events(spark, dir)
       .groupBy("user_id").agg(count(lit(1)).as("c"))
       .groupBy("c").agg(count(lit(1)).as("nc"))
       .withColumn("band", expr("c div 64"))
+      .cache()
     val wIn = Window.partitionBy("band").orderBy("c")
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBelow = sc.withColumn("ibelow", coalesce(sum(col("nc")).over(wIn), lit(0L)))
