@@ -281,11 +281,15 @@ object Multimodal {
     * and sum the 16 p·ln p terms in the same fixed order; the result is
     * round6-quantized (+0.0 normalizes the -0.0 of single-class docs).
     * Scan-parallel, no shuffle at all until the final sort. */
-  def m08(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared per-doc nibble-entropy frame (doc_id, modality, n_bytes,
+    * entropy) — m08 projects it per doc, m14 rolls it per modality. */
+  private def nibbleEntropy(spark: SparkSession, dir: String): DataFrame = {
     val digits = "0123456789ABCDEF"
     val hi = regexp_replace(hex(col("text").cast("binary")), "(.).", "$1")
     val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), hi.as("s"))
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", routeModality(col("payload"), col("text")))
+      .select(col("doc_id"), col("modality"), hi.as("s"))
       .withColumn("n", length(col("s")))
       .filter(col("n") > 0)
     val counted = digits.foldLeft(base) { (df, d) =>
@@ -295,9 +299,14 @@ object Multimodal {
       val p = col(s"c_$d").cast("double") / col("n")
       when(col(s"c_$d") > 0, p * log(p)).otherwise(lit(0.0d))
     }.reduce(_ + _)
-    counted
-      .select(col("doc_id"), col("n").cast("long").as("n_bytes"),
-        (round(-terms, 6) + lit(0.0d)).as("entropy"))
+    counted.select(col("doc_id"), col("modality"),
+      col("n").cast("long").as("n_bytes"),
+      (round(-terms, 6) + lit(0.0d)).as("entropy"))
+  }
+
+  def m08(spark: SparkSession, dir: String): DataFrame = {
+    nibbleEntropy(spark, dir)
+      .select(col("doc_id"), col("n_bytes"), col("entropy"))
       .orderBy("doc_id")
   }
   val m08Sql: String = {
@@ -517,7 +526,48 @@ object Multimodal {
       |      THEN 1 ELSE 0 END) AS DOUBLE) / MAX(n), 6) + 0.0 AS out_share
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- m14
+  /** Per-modality byte-entropy profile: doc count, mean (order-
+    * independent DECIMAL-quantized sum), and min/max of m08's per-doc
+    * nibble entropy per routed media kind — the table that sets each
+    * modality's compressed/encrypted screen threshold (text feeds sit
+    * ~2.0–2.4 nats, good media sits near ln 16; a modality whose min
+    * collapses toward 0 is carrying constant-byte junk). Scan-parallel
+    * kernel + one \|kinds\|-bounded map-combinable groupBy. */
+  def m14(spark: SparkSession, dir: String): DataFrame =
+    nibbleEntropy(spark, dir)
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_docs"),
+           (round(sum(col("entropy").cast("decimal(12,6)")).cast("double")
+             / count(lit(1)), 6) + lit(0.0d)).as("mean_entropy"),
+           min(col("entropy")).as("min_entropy"),
+           max(col("entropy")).as("max_entropy"))
+      .orderBy("modality")
+  val m14Sql: String = {
+    val digits = "0123456789ABCDEF"
+    val counts = digits.map(d =>
+      s"LENGTH(s) - LENGTH(regexp_replace(s, '[$d]', '', 'g')) AS c_$d").mkString(",\n      |    ")
+    val terms = digits.map(d =>
+      s"CASE WHEN c_$d > 0 THEN (CAST(c_$d AS DOUBLE) / n) * ln(CAST(c_$d AS DOUBLE) / n) ELSE 0.0 END")
+      .mkString("\n      |    + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, $modalitySqlCase AS modality,
+       |    regexp_replace(hex(CAST(text AS BLOB)), '(.).', '\\1', 'g') AS s
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, modality, LENGTH(s) AS n,
+       |    $counts
+       |  FROM h WHERE LENGTH(s) > 0),
+       |e AS (SELECT modality, ROUND(-($terms), 6) + 0.0 AS entropy FROM c)
+       |SELECT modality, COUNT(*) AS n_docs,
+       |  ROUND(CAST(SUM(CAST(entropy AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6) + 0.0
+       |    AS mean_entropy,
+       |  MIN(entropy) AS min_entropy, MAX(entropy) AS max_entropy
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "m14_modality_entropy" -> (m14 _),
     "m13_size_outliers" -> (m13 _),
     "m12_size_quartiles" -> (m12 _),
     "m11_modality_dup_rate" -> (m11 _),
@@ -534,6 +584,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m14_modality_entropy" -> m14Sql,
     "m13_size_outliers" -> m13Sql,
     "m01_binary_meta" -> m01Sql,
     "m06_modality_route" -> m06Sql,

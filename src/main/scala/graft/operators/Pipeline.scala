@@ -790,7 +790,52 @@ object Pipeline {
       |  ROUND(CAST(SUM(keep * n_tok) AS DOUBLE) / SUM(n_tok), 6) + 0.0 AS token_keep_rate
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- p17
+  /** Per-SOURCE curation funnel: p14's stage ledger broken out by
+    * ingestion source — which feeds die at the quality gate, which are
+    * eaten by dedup, which survive to the mix. The feed-triage table a
+    * curation operator reads before renegotiating a source's budget.
+    *
+    * Rides p01's cached stage frames (each stage computed once); the
+    * source attach is a doc_id key join against the raw table per stage
+    * frame, and the rollup is \|sources\|×5 bounded. */
+  def p17(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, scored, keep, surv, sampled) = p01Stages(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    def lvl(label: String, df: DataFrame): DataFrame =
+      df.select("doc_id").join(src, "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("stage", lit(label))
+    lvl("a_raw", docs)
+      .unionByName(lvl("b_quality_lang", scored))
+      .unionByName(lvl("c_exact_dedup", keep))
+      .unionByName(lvl("d_near_dedup", surv))
+      .unionByName(lvl("e_sampled", sampled))
+      .select("source", "stage", "n_docs")
+      .orderBy("source", "stage")
+  }
+  val p17Sql: String = {
+    val idx = p01Sql.indexOf("SELECT doc_id, pred_lang, quality FROM keep")
+    require(idx > 0, "p01Sql shape changed under p17")
+    val ctes = p01Sql.substring(0, idx).trim
+    s"""$ctes,
+       |surv AS (
+       |  SELECT * FROM keep WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |stages AS (
+       |  SELECT 'a_raw' AS stage, doc_id FROM documents
+       |  UNION ALL SELECT 'b_quality_lang', doc_id FROM pl
+       |  UNION ALL SELECT 'c_exact_dedup', doc_id FROM keep
+       |  UNION ALL SELECT 'd_near_dedup', doc_id FROM surv
+       |  UNION ALL SELECT 'e_sampled', doc_id FROM surv
+       |    WHERE (CASE WHEN pred_lang = 'en' THEN substr(md5(text), 1, 1) < '8'
+       |                ELSE substr(md5(text), 1, 1) < '4' END))
+       |SELECT d.source, s.stage, COUNT(*) AS n_docs
+       |FROM stages s JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p17_source_funnel" -> (p17 _),
     "p16_dedup_lang_impact" -> (p16 _),
     "p15_quality_dup_matrix" -> (p15 _),
     "p14_curation_ledger" -> (p14 _),
@@ -810,6 +855,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p17_source_funnel" -> p17Sql,
     "p16_dedup_lang_impact" -> p16Sql,
     "p15_quality_dup_matrix" -> p15Sql,
     "p14_curation_ledger" -> p14Sql,

@@ -2111,7 +2111,50 @@ object Relational {
       |  q3_lo + (q3_hi - q3_lo) * (CAST(n - 1 AS DOUBLE) * 0.75 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.75)) AS p75
       |FROM a ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Supplier-concentration HHI per nation: the Herfindahl–Hirschman
+    * index of supplier revenue shares (Σ shareᵢ² — 1/n = perfectly
+    * spread, 1 = single-supplier nation), the antitrust-style
+    * concentration figure q49's top-share view summarizes per part.
+    *
+    * Exactness: HHI = Σrᵢ²/(Σrᵢ)² needs no per-supplier division —
+    * per-supplier revenue is summed as DECIMAL then rescaled ×10⁴ into
+    * an exact integer (scale-4 fixed point) in DECIMAL(38,0)/HUGEINT,
+    * squares and sums stay exact integers (≈10²⁶ ≪ 10³⁸), and ONE IEEE
+    * division lands the index. Two map-combinable aggs (suppkey, then
+    * nation), dims broadcast, \|nations\|-bounded output. */
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        revenueTerm(col("l_extendedprice"), col("l_discount")).as("rv"))
+      .groupBy("l_suppkey").agg(sum(col("rv")).as("r"))
+    val bySupp = rev
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), (col("r") * 10000).cast(d38).as("ri"))
+    bySupp.groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+           sum(col("ri") * col("ri")).as("num"), sum(col("ri")).as("tot"))
+      .select(col("n_name"), col("n_suppliers"),
+        round(dbl(col("num")) / dbl(col("tot") * col("tot")), 6).as("hhi"))
+      .orderBy("n_name")
+  }
+  val q67Sql: String =
+    s"""WITH r AS (
+       |  SELECT l_suppkey, SUM($revenueSql) AS rv FROM lineitem GROUP BY 1),
+       |b AS (
+       |  SELECT n_name, CAST(rv * 10000 AS HUGEINT) AS ri
+       |  FROM r JOIN supplier ON l_suppkey = s_suppkey
+       |         JOIN nation ON s_nationkey = n_nationkey)
+       |SELECT n_name, COUNT(*) AS n_suppliers,
+       |  ROUND(CAST(SUM(ri*ri) AS DOUBLE) / CAST(SUM(ri)*SUM(ri) AS DOUBLE), 6) AS hhi
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q67_supplier_hhi" -> (q67 _),
     "q66_clv_quartiles" -> (q66 _),
     "q65_orderbook_aging" -> (q65 _),
     "q64_status_priority_matrix" -> (q64 _),
@@ -2181,6 +2224,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q67_supplier_hhi" -> q67Sql,
     "q66_clv_quartiles" -> q66Sql,
     "q65_orderbook_aging" -> q65Sql,
     "q64_status_priority_matrix" -> q64Sql,
