@@ -13,6 +13,12 @@ import org.apache.spark.sql.SparkSession
   *  - s03/s04: vector x k-centroid ranking pass (model broadcast, k<=16)
   *  - d05: the exact all-pairs BASELINE (non-equi vec_a < vec_b pair
   *    condition); its scale path is d07
+  *  - d07: allow-listed for its documented cost-based fallback — when
+  *    the LSH table count for tau=0.35 exceeds the L budget at the
+  *    current corpus size (true at sf0.1: L≈681 > 96), d07 RETURNS
+  *    d05's exact plan, so d05's allow-listed BNLJ shape appears under
+  *    d07's name; at bucketable scales d07 plans no BNLJ (sf0.001
+  *    audit proves it)
   *  - e05: k x k rank self-join AFTER limit(10)
   *  - q16/q28/t11/t12: scalar-subquery compare against a 1-row aggregate
   *  - q23: month-frame range self-join (one row per calendar month)
@@ -45,7 +51,8 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
   private val allowBnlj = Set(
-    "s03_ann_ivf", "s04_ann_ivfpq", "d05_embedding_neardup", "d13_semdedup",
+    "s03_ann_ivf", "s04_ann_ivfpq", "d05_embedding_neardup",
+    "d07_embedding_neardup_lsh", "d13_semdedup",
     "p02_embedding_pipeline",
     "e05_top_users", "q16_scalar_subquery", "q23_moving_avg",
     "q28_dormant_balances", "q29_top_supplier", "t09_tfidf_keywords",
