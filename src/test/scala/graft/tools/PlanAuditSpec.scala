@@ -10,4 +10,13 @@ class PlanAuditSpec extends SparkSpec {
     val flagged = PlanAudit.audit(spark, sf)
     assert(flagged.isEmpty, flagged.map { case (n, r) => s"$n: $r" }.mkString("; "))
   }
+
+  test("the audit also holds at sf0.1 (size-dependent planning)") {
+    // plans are not scale-invariant: statistics drive broadcast
+    // decisions and cost-based fallbacks (d07 switches to its exact
+    // baseline when the LSH table count blows the budget — a shape the
+    // sf0.001 audit never sees). Analysis-only: no query executes.
+    val flagged = PlanAudit.audit(spark, "/root/testdata/sf0.1")
+    assert(flagged.isEmpty, flagged.map { case (n, r) => s"$n: $r" }.mkString("; "))
+  }
 }
