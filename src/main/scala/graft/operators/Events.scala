@@ -1975,7 +1975,74 @@ object Events {
       |        / COUNT(*), 6) + 0.0 AS err_share
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e52
+  /** Hourly-load percentiles per event type: p50/p95/p99 of events-per-
+    * hour — the capacity-planning quantiles behind provisioning (e13
+    * flags anomalous hours, e32 gives peak/mean; this is the
+    * distribution the SLO lives on).
+    *
+    * Quantiles run over the per-(type, hour) COUNT frame (≤\|types\|×
+    * \|hours\| rows — q57's bounded-frame machinery), never a window
+    * over raw events; PERCENTILE_CONT interpolation arithmetic is
+    * identical in both engines. */
+  def e52(spark: SparkSession, dir: String): DataFrame = {
+    val th = Tables.events(spark, dir)
+      .select(col("event_type"), (col("ms") - col("ms") % 3600000L).as("hour_ms"))
+      .groupBy("event_type", "hour_ms").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy(col("cnt"), col("hour_ms"))
+    val wc = Window.partitionBy("event_type")
+    val ranked = th.select(col("event_type"), col("cnt"),
+      (row_number().over(w).cast("long") - 1).as("idx"),
+      count(lit(1)).over(wc).as("n"))
+    def pos(q: Double): Column = (col("n") - 1).cast("double") * lit(q)
+    def lo(q: Double, nm: String): Column =
+      max(when(col("idx") === floor(pos(q)), col("cnt"))).as(s"${nm}_lo")
+    def hi(q: Double, nm: String): Column =
+      max(when(col("idx") === ceil(pos(q)), col("cnt"))).as(s"${nm}_hi")
+    def interp(nm: String, q: Double): Column = {
+      val p = (col("nn") - 1).cast("double") * lit(q)
+      col(s"${nm}_lo").cast("double") +
+        (col(s"${nm}_hi").cast("double") - col(s"${nm}_lo").cast("double")) * (p - floor(p))
+    }
+    ranked.groupBy("event_type")
+      .agg(max(col("n")).as("nn"),
+           lo(0.5, "q50"), hi(0.5, "q50"), lo(0.95, "q95"), hi(0.95, "q95"),
+           lo(0.99, "q99"), hi(0.99, "q99"))
+      .select(col("event_type"), col("nn").as("n_hours"),
+        interp("q50", 0.5).as("p50"), interp("q95", 0.95).as("p95"),
+        interp("q99", 0.99).as("p99"))
+      .orderBy("event_type")
+  }
+  val e52Sql: String =
+    """WITH th AS (
+      |  SELECT event_type, epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hour_ms,
+      |    COUNT(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, cnt,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt, hour_ms) AS BIGINT) - 1 AS idx,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM th),
+      |a AS (
+      |  SELECT event_type, MAX(n) AS nn,
+      |    MAX(CASE WHEN idx = FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) THEN cnt END) AS q50_lo,
+      |    MAX(CASE WHEN idx = CEIL(CAST(n - 1 AS DOUBLE) * 0.5) THEN cnt END) AS q50_hi,
+      |    MAX(CASE WHEN idx = FLOOR(CAST(n - 1 AS DOUBLE) * 0.95) THEN cnt END) AS q95_lo,
+      |    MAX(CASE WHEN idx = CEIL(CAST(n - 1 AS DOUBLE) * 0.95) THEN cnt END) AS q95_hi,
+      |    MAX(CASE WHEN idx = FLOOR(CAST(n - 1 AS DOUBLE) * 0.99) THEN cnt END) AS q99_lo,
+      |    MAX(CASE WHEN idx = CEIL(CAST(n - 1 AS DOUBLE) * 0.99) THEN cnt END) AS q99_hi
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, CAST(nn AS BIGINT) AS n_hours,
+      |  CAST(q50_lo AS DOUBLE) + (CAST(q50_hi AS DOUBLE) - CAST(q50_lo AS DOUBLE))
+      |    * (CAST(nn - 1 AS DOUBLE) * 0.5 - FLOOR(CAST(nn - 1 AS DOUBLE) * 0.5)) AS p50,
+      |  CAST(q95_lo AS DOUBLE) + (CAST(q95_hi AS DOUBLE) - CAST(q95_lo AS DOUBLE))
+      |    * (CAST(nn - 1 AS DOUBLE) * 0.95 - FLOOR(CAST(nn - 1 AS DOUBLE) * 0.95)) AS p95,
+      |  CAST(q99_lo AS DOUBLE) + (CAST(q99_hi AS DOUBLE) - CAST(q99_lo AS DOUBLE))
+      |    * (CAST(nn - 1 AS DOUBLE) * 0.99 - FLOOR(CAST(nn - 1 AS DOUBLE) * 0.99)) AS p99
+      |FROM a ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e52_hourly_load_percentiles" -> (e52 _),
     "e51_error_rate_series" -> (e51 _),
     "e50_activation_lag" -> (e50 _),
     "e49_dau_volatility" -> (e49 _),
@@ -2030,6 +2097,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e52_hourly_load_percentiles" -> e52Sql,
     "e51_error_rate_series" -> e51Sql,
     "e50_activation_lag" -> e50Sql,
     "e49_dau_volatility" -> e49Sql,
