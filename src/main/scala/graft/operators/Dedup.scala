@@ -1423,7 +1423,59 @@ object Dedup {
       |                  / COUNT(*), 6) + 0.0 END AS cross_lang_share
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- d34
+  /** Near-dup QUALITY bias (d25's length-bias sibling): over the J ≥ 0.5
+    * pair stream, mean t02 quality of the kept side (doc_a — the
+    * keep-min-id convention) vs the dropped side (doc_b), and the delta —
+    * "does near-dup dedup systematically delete better or worse copies
+    * than it keeps". A positive bias says keep-min-id is accidentally
+    * quality-correlated; near zero says the tie-break is safe.
+    *
+    * Rides the memoized shared pair stream (no new pair generation);
+    * quality attaches via two uniform doc_id key joins; sums are
+    * DECIMAL-quantized round6 scores (order-independent), ONE division
+    * per mean. 1-row output. */
+  def d34(spark: SparkSession, dir: String): DataFrame = {
+    val qd = TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("quality"))
+    sharedPairs(spark, dir)
+      .join(qd.select(col("doc_id").as("doc_a"), col("quality").as("qa")), "doc_a")
+      .join(qd.select(col("doc_id").as("doc_b"), col("quality").as("qb")), "doc_b")
+      .agg(count(lit(1)).as("n_pairs"),
+           round(sum(col("qa").cast("decimal(12,6)")).cast("double")
+             / count(lit(1)), 6).as("mean_q_kept"),
+           round(sum(col("qb").cast("decimal(12,6)")).cast("double")
+             / count(lit(1)), 6).as("mean_q_dropped"))
+      .withColumn("quality_bias",
+        round(col("mean_q_kept") - col("mean_q_dropped"), 6) + lit(0.0d))
+  }
+  val d34Sql: String = {
+    val pairSql = jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS ($pairSql),
+       |base AS (SELECT doc_id, text, ${TextAnalysis.wordsSql} AS w FROM documents),
+       |m AS (SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN ${TextAnalysis.stopSqlIn})) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |qd AS (SELECT doc_id, ${TextAnalysis.qualitySqlExpr} AS quality FROM m),
+       |j AS (
+       |  SELECT CAST(qa.quality AS DECIMAL(12,6)) AS qa,
+       |         CAST(qb.quality AS DECIMAL(12,6)) AS qb
+       |  FROM pairs
+       |  JOIN qd qa ON doc_a = qa.doc_id
+       |  JOIN qd qb ON doc_b = qb.doc_id)
+       |SELECT COUNT(*) AS n_pairs,
+       |  ROUND(CAST(SUM(qa) AS DOUBLE) / COUNT(*), 6) AS mean_q_kept,
+       |  ROUND(CAST(SUM(qb) AS DOUBLE) / COUNT(*), 6) AS mean_q_dropped,
+       |  ROUND(ROUND(CAST(SUM(qa) AS DOUBLE) / COUNT(*), 6)
+       |        - ROUND(CAST(SUM(qb) AS DOUBLE) / COUNT(*), 6), 6) + 0.0 AS quality_bias
+       |FROM j""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d34_pair_quality_bias" -> (d34 _),
     "d33_cross_lang_dup" -> (d33 _),
     "d32_fp_vs_jaccard" -> (d32 _),
     "d31_containment_sweep" -> (d31 _),
@@ -1459,6 +1511,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d34_pair_quality_bias" -> d34Sql,
     "d33_cross_lang_dup" -> d33Sql,
     "d32_fp_vs_jaccard" -> d32Sql,
     "d31_containment_sweep" -> d31Sql,

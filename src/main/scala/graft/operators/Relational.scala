@@ -2153,7 +2153,58 @@ object Relational {
        |  ROUND(CAST(SUM(ri*ri) AS DOUBLE) / CAST(SUM(ri)*SUM(ri) AS DOUBLE), 6) AS hhi
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Market-basket part pairs: the top-20 part pairs co-ordered in the
+    * same order, with lift vs independence — the association-mining
+    * view over the order book (e31 does this for event types; this is
+    * the relational basket).
+    *
+    * Scale: the pair generator self-joins lineitem ON ORDERKEY with
+    * partkey< — pairs per order are bounded by lines-per-order squared
+    * (≤ ~7² on TPC-H shapes), NOT by part count, so the join output is
+    * a small constant × the fact table at any scale. Per-part order
+    * counts and the order total attach as broadcasts; lift is computed
+    * in exact integer cross-products with ONE IEEE division per
+    * emitted row; deterministic TakeOrdered head. */
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = lp.as("a").join(lp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val pc = lp.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val tot = lp.select(countDistinct(col("l_orderkey")).as("n_orders"))
+    pairs
+      .join(pc.select(col("l_partkey").as("part_a"), col("n_part").as("na")), "part_a")
+      .join(pc.select(col("l_partkey").as("part_b"), col("n_part").as("nb")), "part_b")
+      .join(broadcast(tot))
+      .withColumn("lift",
+        round(dbl(col("n_both") * col("n_orders")) / dbl(col("na") * col("nb")), 6))
+      .select("part_a", "part_b", "n_both", "na", "nb", "lift")
+      .orderBy(col("n_both").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+  val q68Sql: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+      |  FROM lp a JOIN lp b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |pc AS (SELECT l_partkey, COUNT(*) AS n_part FROM lp GROUP BY 1),
+      |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lp)
+      |SELECT part_a, part_b, n_both, pa.n_part AS na, pb.n_part AS nb,
+      |  ROUND(CAST(n_both * n_orders AS DOUBLE) / CAST(pa.n_part * pb.n_part AS DOUBLE), 6) AS lift
+      |FROM pairs
+      |JOIN pc pa ON part_a = pa.l_partkey
+      |JOIN pc pb ON part_b = pb.l_partkey
+      |CROSS JOIN tot
+      |ORDER BY n_both DESC, part_a, part_b LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q68_basket_pairs" -> (q68 _),
     "q67_supplier_hhi" -> (q67 _),
     "q66_clv_quartiles" -> (q66 _),
     "q65_orderbook_aging" -> (q65 _),
@@ -2224,6 +2275,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q68_basket_pairs" -> q68Sql,
     "q67_supplier_hhi" -> q67Sql,
     "q66_clv_quartiles" -> q66Sql,
     "q65_orderbook_aging" -> q65Sql,

@@ -33,6 +33,7 @@ import org.apache.spark.sql.SparkSession
   *    to the bounded 3x5 status x priority matrix
   *  - q65: 1-row as-of-date broadcast for order-book aging
   *  - e50: 1-row activated-user-count broadcast (share denominator)
+  *  - q68: 1-row distinct-order-count broadcast (lift denominator)
   *  - e48: broadcast band-offset join over the bounded distinct-count
   *    frame (e16's two-level prefix-sum shape)
   *  - s06: the SQ8 candidate scan — s01's brute-force contract over 4x-
@@ -65,7 +66,7 @@ object PlanAudit {
     "d29_lsh_candidate_report", "e37_first_session_conversion",
     "q55_revenue_concentration", "t36_bigram_entropy", "t37_zipf_slope",
     "q64_status_priority_matrix", "q65_orderbook_aging", "e48_user_gini",
-    "e50_activation_lag",
+    "e50_activation_lag", "q68_basket_pairs",
     "q37_heavy_hitters", "s06_ann_sq8", "s07_mips_topk", "s08_range_search",
     "s09_ann_recall", "s10_ivf_cell_stats")
 

@@ -16,7 +16,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "t40_casing_profile", "s16_label_homophily", "d33_cross_lang_dup",
       "p16_dedup_lang_impact",
       "q67_supplier_hhi", "m14_modality_entropy", "p17_source_funnel",
-      "e52_hourly_load_percentiles",
+      "e52_hourly_load_percentiles", "q68_basket_pairs", "d34_pair_quality_bias",
       "q01_pricing_summary", "q02_filter_project", "q03_top_revenue", "q04_order_priority",
       "q05_region_revenue", "q06_forecast_revenue", "q07_window_rank", "q08_running_total",
       "q09_rollup", "q10_distinct_agg", "q11_anti_join", "q12_set_ops", "q13_conditional_agg",
