@@ -2041,7 +2041,129 @@ object Events {
       |    * (CAST(nn - 1 AS DOUBLE) * 0.99 - FLOOR(CAST(nn - 1 AS DOUBLE) * 0.99)) AS p99
       |FROM a ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- e53
+  /** Entry-point profile: each user's FIRST-ever event type and its share
+    * of the user base. The argmin is a map-combinable
+    * min(struct(ms, event_id, type)) — deterministic under ties because
+    * event_id is unique — so the fact collapses per-user without any
+    * window; the share denominator is a 1-row broadcast. */
+  def e53(spark: SparkSession, dir: String): DataFrame = {
+    val first = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(struct(col("ms"), col("event_id"), col("event_type"))).as("f"))
+      .select(col("f.event_type").as("event_type"))
+    val tot = first.agg(count(lit(1)).as("total"))
+    first.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      .join(broadcast(tot))
+      .select(col("event_type"), col("n_users"),
+        round(dbl(col("n_users")) / col("total"), 6).as("share"))
+      .orderBy("event_type")
+  }
+  val e53Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+      |f AS (SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS rn
+      |  FROM e),
+      |fe AS (SELECT event_type FROM f WHERE rn = 1),
+      |t AS (SELECT COUNT(*)::BIGINT AS total FROM fe)
+      |SELECT event_type, COUNT(*)::BIGINT AS n_users,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / total, 6) AS share
+      |FROM fe CROSS JOIN t GROUP BY event_type, total
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- e54
+  /** Weekly-rhythm heatmap: traffic per (day-of-week × hour-of-day) cell
+    * — events, distinct users, total value. Pure integer calendar
+    * arithmetic on epoch-ms (e42's dow formula; 0=Sunday), one
+    * map-combinable groupBy, output bounded at 7×24 rows at any scale. */
+  def e54(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(((floor(col("ms") / 86400000L) + 4) % 7).cast("long").as("dow"),
+        expr("(ms % 86400000) div 3600000").as("hod"),
+        col("user_id"), col("value"))
+      .groupBy("dow", "hod")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           dsum(col("value")).as("total_value"))
+      .orderBy("dow", "hod")
+  val e54Sql: String =
+    """SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+      |  (epoch_ms(ts) % 86400000) // 3600000 AS hod,
+      |  COUNT(*)::BIGINT AS n_events,
+      |  COUNT(DISTINCT user_id)::BIGINT AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- e55
+  /** Session-duration histogram: 5-minute duration bands (capped at 12 =
+    * "over an hour") with session counts and mean events per session.
+    * Sessions come from the whale-hardened split-and-stitch sessionizer
+    * (e09's machinery — no window partition ever exceeds one time-block
+    * of one user), then collapse to a ≤13-row frame map-side. */
+  def e55(spark: SparkSession, dir: String): DataFrame =
+    sessionizeSplit(Tables.events(spark, dir))
+      .groupBy(least(expr("dur_ms div 300000"), lit(12L)).as("dur_band"))
+      .agg(count(lit(1)).as("n_sessions"),
+           round(dbl(sum(col("n_events"))) / count(lit(1)), 6).as("avg_events"),
+           max(col("dur_ms")).as("max_dur_ms"))
+      .orderBy("dur_band")
+  val e55Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
+       |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f),
+       |sess AS (SELECT user_id, sess_idx, COUNT(*) AS n_events,
+       |    MAX(ms) - MIN(ms) AS dur_ms
+       |  FROM s GROUP BY user_id, sess_idx)
+       |SELECT LEAST(dur_ms // 300000, 12) AS dur_band,
+       |  COUNT(*)::BIGINT AS n_sessions,
+       |  ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events,
+       |  MAX(dur_ms) AS max_dur_ms
+       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- e56
+  /** Daily-volume trend per event type: exact OLS slope of events/day
+    * over epoch-day index. Moments (n, Σx, Σy, Σxy, Σx²) accumulate in
+    * DECIMAL(38,0) over the ≤|types|×|days| daily frame — exact and
+    * order-independent under map-side combine — then ONE IEEE division
+    * forms the slope, round6. The trend-screen behind "is this event
+    * type growing or dying". */
+  def e56(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val xD = col("day").cast(d38); val yD = col("cnt").cast(d38)
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("total_events"),
+           sum(xD).as("sx"), sum(yD).as("sy"),
+           sum(xD * yD).as("sxy"), sum(xD * xD).as("sx2"))
+      .select(col("event_type"), col("n_days"), col("total_events"),
+        round(dbl(col("n_days").cast(d38) * col("sxy") - col("sx") * col("sy")) /
+          dbl(col("n_days").cast(d38) * col("sx2") - col("sx") * col("sx")), 6)
+          .as("slope_per_day"))
+      .orderBy("event_type")
+  }
+  val e56Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, COUNT(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, COUNT(*)::BIGINT AS n_days, SUM(cnt)::BIGINT AS total_events,
+      |    SUM(CAST(day AS HUGEINT)) AS sx, SUM(CAST(cnt AS HUGEINT)) AS sy,
+      |    SUM(CAST(day AS HUGEINT) * cnt) AS sxy, SUM(CAST(day AS HUGEINT) * day) AS sx2
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_days, total_events,
+      |  ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+      |        / CAST(n_days * sx2 - sx * sx AS DOUBLE), 6) AS slope_per_day
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e56_daily_trend" -> (e56 _),
+    "e55_session_duration_hist" -> (e55 _),
+    "e54_hour_dow_heatmap" -> (e54 _),
+    "e53_entry_event" -> (e53 _),
     "e52_hourly_load_percentiles" -> (e52 _),
     "e51_error_rate_series" -> (e51 _),
     "e50_activation_lag" -> (e50 _),
@@ -2097,6 +2219,10 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e56_daily_trend" -> e56Sql,
+    "e55_session_duration_hist" -> e55Sql,
+    "e54_hour_dow_heatmap" -> e54Sql,
+    "e53_entry_event" -> e53Sql,
     "e52_hourly_load_percentiles" -> e52Sql,
     "e51_error_rate_series" -> e51Sql,
     "e50_activation_lag" -> e50Sql,

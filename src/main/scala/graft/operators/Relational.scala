@@ -2203,7 +2203,221 @@ object Relational {
       |CROSS JOIN tot
       |ORDER BY n_both DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Order-intake weekday profile: volume and value per day-of-week ×
+    * priority. One map-combinable groupBy over a 2-column scan; the
+    * output is 7×|priorities|-bounded so each map task ships ≤35 partial
+    * rows regardless of fact size. dow is 0=Sunday in both engines
+    * (Spark `dayofweek` is 1-based Sunday-first, DuckDB's 0-based). */
+  def q69(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy((dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+               col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("total_value"),
+           round(davg(col("o_totalprice")), 6).as("avg_value"))
+      .orderBy("dow", "o_orderpriority")
+  val q69Sql: String =
+    """SELECT dayofweek(o_orderdate) AS dow, o_orderpriority,
+      |  COUNT(*)::BIGINT AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |        / COUNT(*), 6) AS avg_value
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Pareto concentration points: how many top-revenue parts cover 50 /
+    * 80 / 90 % of total revenue. The ranked cumulative frame is the PART
+    * AGGREGATE (≈fact/1000 rows), never the fact — and even that frame
+    * is never sorted on one task: e48's banded two-level prefix sum
+    * (partition-local window per revenue-cents band + a broadcast
+    * cross-band offset join) replaces the global window, so the only
+    * all-rows structure is the bounded band list. Threshold tests are
+    * integer-cross-multiplied decimal compares (cum·100 ≥ pct·total) —
+    * no float share is materialized before the final counts. */
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    // revq: revenue in exact integer 1/100-cents (the decimal product has
+    // scale 4), so every cumulative sum and threshold compare is integer
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg((sum(revenueTerm(col("l_extendedprice"), col("l_discount"))) * 10000)
+        .cast(d38).as("revq"))
+      .withColumn("band", expr("cast(revq as long) div 100000000"))
+      .cache()
+    val wIn = Window.partitionBy("band")
+      .orderBy(col("revq").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBand = rev.withColumn("cumIn", sum(col("revq")).over(wIn))
+    val bt = rev.groupBy("band").agg(sum(col("revq")).as("brev"))
+    val off = bt.as("a")
+      .join(broadcast(bt.select(col("band").as("hb"), col("brev").as("hrev"))),
+        col("hb") > col("band"), "left")
+      .groupBy("band")
+      .agg(coalesce(sum(col("hrev")), lit(0)).cast(d38).as("off"))
+    val tot = rev.agg(sum(col("revq")).as("tot"))
+    val cum = inBand.join(broadcast(off), "band")
+      .withColumn("cum", (col("cumIn") + col("off")).cast(d38))
+    cum.join(broadcast(tot))
+      .agg(count(lit(1)).as("n_parts"),
+           count(when(col("cum") * 100 <= col("tot") * 50, lit(1))).as("below50"),
+           count(when(col("cum") * 100 <= col("tot") * 80, lit(1))).as("below80"),
+           count(when(col("cum") * 100 <= col("tot") * 90, lit(1))).as("below90"))
+      // min k with cum ≥ pct: parts strictly below the threshold + 1
+      .select(col("n_parts"),
+        least(col("below50") + 1, col("n_parts")).as("parts_p50"),
+        least(col("below80") + 1, col("n_parts")).as("parts_p80"),
+        least(col("below90") + 1, col("n_parts")).as("parts_p90"))
+  }
+  val q70Sql: String =
+    s"""WITH rev AS (
+       |  SELECT l_partkey, CAST(SUM($revenueSql) * 10000 AS HUGEINT) AS revq
+       |  FROM lineitem GROUP BY 1),
+       |cum AS (
+       |  SELECT revq, SUM(revq) OVER (ORDER BY revq DESC, l_partkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM rev),
+       |tot AS (SELECT SUM(revq) AS tot FROM rev)
+       |SELECT COUNT(*)::BIGINT AS n_parts,
+       |  LEAST(COUNT(CASE WHEN cum * 100 <= tot * 50 THEN 1 END) + 1, COUNT(*))::BIGINT AS parts_p50,
+       |  LEAST(COUNT(CASE WHEN cum * 100 <= tot * 80 THEN 1 END) + 1, COUNT(*))::BIGINT AS parts_p80,
+       |  LEAST(COUNT(CASE WHEN cum * 100 <= tot * 90 THEN 1 END) + 1, COUNT(*))::BIGINT AS parts_p90
+       |FROM cum CROSS JOIN tot""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** Monthly active customers with month-over-month delta. The fact
+    * collapses to distinct (month, custkey) map-side, then to a ≤|months|
+    * frame; the MoM lag is a broadcast-sized equi self-join on the month
+    * index (months×12+month arithmetic), NOT a global window — the
+    * all-months frame never lands on one task. First month's delta is
+    * NULL in both engines. */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+               (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mkey"))
+      .agg(countDistinct(col("o_custkey")).as("active_customers"),
+           count(lit(1)).as("n_orders"))
+    m.join(broadcast(m.select(col("mkey").as("pkey"),
+        col("active_customers").as("prev_active"))),
+        col("mkey") === col("pkey") + 1, "left")
+      .select(col("month"), col("active_customers"), col("n_orders"),
+        (col("active_customers") - col("prev_active")).as("mom_delta"))
+      .orderBy("month")
+  }
+  val q71Sql: String =
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    year(o_orderdate) * 12 + month(o_orderdate) AS mkey,
+      |    COUNT(DISTINCT o_custkey)::BIGINT AS active_customers,
+      |    COUNT(*)::BIGINT AS n_orders
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT a.month, a.active_customers, a.n_orders,
+      |  a.active_customers - b.active_customers AS mom_delta
+      |FROM m a LEFT JOIN m b ON a.mkey = b.mkey + 1
+      |ORDER BY a.month""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** Order-value inequality per market segment: exact Gini coefficient
+    * of o_totalprice within each c_mktsegment. e48's banded two-level
+    * prefix sum generalized to a grouped frame: ranks come from
+    * (segment, cents-band)-partitioned windows over the distinct-value
+    * frame plus a broadcast per-segment band-offset equi-join — no
+    * global or segment-wide window ever forms. Arithmetic is integer
+    * cents in DECIMAL(38,0) end-to-end (tie-block rank formula:
+    * Σ c·(2·nc·m + nc·(nc+1)) with m = values-below count), ONE IEEE
+    * division at the end, round6. */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val sc = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (dec(col("o_totalprice")) * 100).cast("decimal(38,0)").cast("long").as("cents"))
+      .groupBy("seg", "cents").agg(count(lit(1)).as("nc"))
+      .withColumn("band", expr("cents div 1048576"))
+      .cache()
+    val wIn = Window.partitionBy("seg", "band").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBelow = sc.withColumn("ibelow", coalesce(sum(col("nc")).over(wIn), lit(0L)))
+    val bt = sc.groupBy("seg", "band").agg(sum(col("nc")).as("bc"))
+    val off = bt.as("a")
+      .join(broadcast(bt.select(col("seg").as("s2"), col("band").as("lb"), col("bc").as("lc"))),
+        col("seg") === col("s2") && col("lb") < col("band"), "left")
+      .groupBy("seg", "band").agg(coalesce(sum(col("lc")), lit(0L)).as("off"))
+    val cD = col("cents").cast(d38); val ncD = col("nc").cast(d38)
+    val mD = (col("ibelow") + col("off")).cast(d38)
+    inBelow.join(broadcast(off), Seq("seg", "band"))
+      .groupBy("seg")
+      .agg(sum(col("nc")).as("n"),
+           sum(cD * ncD).as("s"),
+           sum(cD * (lit(2).cast(d38) * ncD * mD + ncD * (ncD + lit(1).cast(d38)))).as("w2"))
+      .select(col("seg").as("c_mktsegment"), col("n").as("n_orders"),
+        (dbl(col("s")) / 100).as("total_value"),
+        round(dbl(col("w2") - (col("n").cast(d38) + lit(1).cast(d38)) * col("s"))
+          / dbl(col("n").cast(d38) * col("s")), 6).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+  val q72Sql: String =
+    """WITH oc AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |sc AS (SELECT seg, cents, COUNT(*)::BIGINT AS nc FROM oc GROUP BY 1, 2),
+      |cum AS (SELECT seg, cents, nc, COALESCE(SUM(nc) OVER (PARTITION BY seg
+      |    ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m
+      |  FROM sc),
+      |agg AS (SELECT seg, SUM(nc)::BIGINT AS n,
+      |    SUM(CAST(cents AS HUGEINT) * nc) AS s,
+      |    SUM(CAST(cents AS HUGEINT) * (2 * CAST(nc AS HUGEINT) * m
+      |        + CAST(nc AS HUGEINT) * (nc + 1))) AS w2
+      |  FROM cum GROUP BY 1)
+      |SELECT seg AS c_mktsegment, n AS n_orders,
+      |  CAST(s AS DOUBLE) / 100 AS total_value,
+      |  ROUND(CAST(w2 - (CAST(n AS HUGEINT) + 1) * s AS DOUBLE)
+      |        / CAST(CAST(n AS HUGEINT) * s AS DOUBLE), 6) AS gini
+      |FROM agg ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** Does discounting move volume? Pearson correlation of line discount
+    * vs quantity per part type — q38's DECIMAL-exact distributed-moment
+    * recipe (order-independent under map-side combine) behind a
+    * broadcast part-dim join; output is |p_type|-bounded. */
+  def q73(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_discount"))
+    val y = dec(col("l_quantity"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"),
+           dbl(sum(x)).as("sx"), dbl(sum(y)).as("sy"),
+           dbl(sum(x * y)).as("sxy"),
+           dbl(sum(x * x)).as("sx2"), dbl(sum(y * y)).as("sy2"))
+      .select(col("p_type"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 6).as("corr_disc_qty"))
+      .orderBy("p_type")
+  }
+  val q73Sql: String =
+    """WITH m AS (
+      |  SELECT p_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sx2,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sy2
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+      |SELECT p_type, n,
+      |  ROUND((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS corr_disc_qty
+      |FROM m ORDER BY p_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q73_discount_qty_corr" -> (q73 _),
+    "q72_segment_gini" -> (q72 _),
+    "q71_monthly_active" -> (q71 _),
+    "q70_pareto_points" -> (q70 _),
+    "q69_weekday_profile" -> (q69 _),
     "q68_basket_pairs" -> (q68 _),
     "q67_supplier_hhi" -> (q67 _),
     "q66_clv_quartiles" -> (q66 _),
@@ -2275,6 +2489,11 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q73_discount_qty_corr" -> q73Sql,
+    "q72_segment_gini" -> q72Sql,
+    "q71_monthly_active" -> q71Sql,
+    "q70_pareto_points" -> q70Sql,
+    "q69_weekday_profile" -> q69Sql,
     "q68_basket_pairs" -> q68Sql,
     "q67_supplier_hhi" -> q67Sql,
     "q66_clv_quartiles" -> q66Sql,

@@ -68,7 +68,12 @@ object PlanAudit {
     "q64_status_priority_matrix", "q65_orderbook_aging", "e48_user_gini",
     "e50_activation_lag", "q68_basket_pairs",
     "q37_heavy_hitters", "s06_ann_sq8", "s07_mips_topk", "s08_range_search",
-    "s09_ann_recall", "s10_ivf_cell_stats")
+    "s09_ann_recall", "s10_ivf_cell_stats",
+    // q70: e48's band-offset broadcast join over the bounded revenue-band
+    // list + a 1-row corpus-total broadcast for the Pareto thresholds
+    "q70_pareto_points",
+    // e53: 1-row user-base-total broadcast (entry-share denominator)
+    "e53_entry_event")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
