@@ -1474,7 +1474,49 @@ object Dedup {
        |FROM j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d35
+  /** Near-dup transitivity audit: is "similar" behaving like an
+    * equivalence relation? Counts wedges (2-paths) and closed triangles
+    * on the J ≥ 0.5 pair graph and reports the closure rate — low
+    * closure means cluster-based keep/drop decisions (d10/d18) are
+    * merging chains of dissimilar documents. Wedge counts come from the
+    * degree frame (Σ deg·(deg−1)/2 — no path enumeration), triangles
+    * from two equi-joins on the edge list (output-bounded, same
+    * inverted-index economics as the pair stream itself). */
+  def d35(spark: SparkSession, dir: String): DataFrame = {
+    val e = sharedPairs(spark, dir).select("doc_a", "doc_b")
+    val adj = e.select(col("doc_a").as("v")).union(e.select(col("doc_b").as("v")))
+    val wedges = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .select(col("e1.doc_a").as("x"), col("e2.doc_b").as("z"))
+      .join(e.select(col("doc_a").as("x"), col("doc_b").as("z")), Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .join(broadcast(wedges)).join(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(dbl(col("n_triangles") * 3) / col("n_wedges"), 6)).as("closure_rate"))
+  }
+  val d35Sql: String = {
+    val pairSql = jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH e AS (SELECT doc_a, doc_b FROM ($pairSql)),
+       |adj AS (SELECT doc_a AS v FROM e UNION ALL SELECT doc_b FROM e),
+       |w AS (SELECT SUM((deg * (deg - 1)) // 2)::BIGINT AS n_wedges
+       |  FROM (SELECT v, COUNT(*)::BIGINT AS deg FROM adj GROUP BY 1)),
+       |tr AS (SELECT COUNT(*)::BIGINT AS n_triangles
+       |  FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+       |  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |ne AS (SELECT COUNT(*)::BIGINT AS n_edges FROM e)
+       |SELECT n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges > 0
+       |       THEN ROUND(CAST(3 * n_triangles AS DOUBLE) / n_wedges, 6) END AS closure_rate
+       |FROM ne CROSS JOIN w CROSS JOIN tr""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d35_pair_transitivity" -> (d35 _),
     "d34_pair_quality_bias" -> (d34 _),
     "d33_cross_lang_dup" -> (d33 _),
     "d32_fp_vs_jaccard" -> (d32 _),
@@ -1511,6 +1553,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d35_pair_transitivity" -> d35Sql,
     "d34_pair_quality_bias" -> d34Sql,
     "d33_cross_lang_dup" -> d33Sql,
     "d32_fp_vs_jaccard" -> d32Sql,

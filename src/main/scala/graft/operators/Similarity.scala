@@ -867,7 +867,66 @@ object Similarity {
       |        / COUNT(*), 6) + 0.0 AS homophily
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s17
+  /** Embedding-space dimension census: per-dimension min / max / sign
+    * counts across the whole corpus — the QA screen for dead dimensions
+    * (constant), scale drift (runaway max), and sign collapse. One
+    * posexplode + one map-combinable groupBy on the dim key (output
+    * bounded at |dims| rows); min/max/counts are exact (no float sums),
+    * so the result is order-independent at any parallelism. */
+  def s17(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
+      .agg(dbl(min(col("val"))).as("vmin"),
+           dbl(max(col("val"))).as("vmax"),
+           count(when(col("val") > 0, lit(1))).as("n_pos"),
+           count(when(col("val") < 0, lit(1))).as("n_neg"),
+           count(when(col("val") === 0, lit(1))).as("n_zero"))
+      .orderBy("dim")
+  val s17Sql: String =
+    """WITH u AS (
+      |  SELECT UNNEST(embedding) AS val,
+      |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+      |  FROM embeddings)
+      |SELECT dim,
+      |  CAST(MIN(val) AS DOUBLE) AS vmin, CAST(MAX(val) AS DOUBLE) AS vmax,
+      |  COUNT(CASE WHEN val > 0 THEN 1 END)::BIGINT AS n_pos,
+      |  COUNT(CASE WHEN val < 0 THEN 1 END)::BIGINT AS n_neg,
+      |  COUNT(CASE WHEN val = 0 THEN 1 END)::BIGINT AS n_zero
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- s18
+  /** Vector-norm profile per label: counts and exact norm extrema in
+    * 0.25-wide norm bands. Norms come from the codegen'd vec_norm kernel
+    * (sequential fold — bit-identical to the oracle's list_reduce), the
+    * band edge is one identical IEEE floor, and min/max are exact picks,
+    * so no aggregation-order sensitivity anywhere. Output bounded at
+    * |labels| × |norm range / 0.25|. */
+  def s18(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("label"), expr("vec_norm(embedding)").as("nrm"))
+      .groupBy(col("label"), floor(col("nrm") * 4).cast("long").as("norm_band"))
+      .agg(count(lit(1)).as("n_vecs"),
+           round(min(col("nrm")), 6).as("min_norm"),
+           round(max(col("nrm")), 6).as("max_norm"))
+      .orderBy("label", "norm_band")
+  }
+  val s18Sql: String =
+    """WITH n AS (
+      |  SELECT label,
+      |    sqrt(list_reduce(list_transform(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE)), x -> x * x), (x, y) -> x + y)) AS nrm
+      |  FROM embeddings)
+      |SELECT label, CAST(FLOOR(nrm * 4) AS BIGINT) AS norm_band,
+      |  COUNT(*)::BIGINT AS n_vecs,
+      |  ROUND(MIN(nrm), 6) AS min_norm, ROUND(MAX(nrm), 6) AS max_norm
+      |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s18_norm_band_profile" -> (s18 _),
+    "s17_dim_stats" -> (s17 _),
     "s16_label_homophily" -> (s16 _),
     "s15_knn_margin" -> (s15 _),
     "s14_recall_curve" -> (s14 _),
@@ -887,6 +946,8 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s18_norm_band_profile" -> s18Sql,
+    "s17_dim_stats" -> s17Sql,
     "s16_label_homophily" -> s16Sql,
     "s15_knn_margin" -> s15Sql,
     "s12_neighbor_degree" -> s12Sql,

@@ -1615,7 +1615,138 @@ object TextAnalysis {
        |  ROUND(CAST(SUM(n_allcaps) AS DOUBLE) / SUM(n_tok), 6) + 0.0 AS allcaps_share
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t41
+  /** Corpus-level hapax profile per source: how much of each source's
+    * vocabulary occurs exactly once (hapax legomena) — high hapax share
+    * signals rich/noisy text, low signals templated text. One tf
+    * aggregation on uniform (source, word) keys, then a ≤|sources|
+    * rollup; all ratios are exact-integer numerators with ONE IEEE
+    * division. Complements t17 (per-document TTR/hapax). */
+  def t41(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(wordsCol).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("tf"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+           count(when(col("tf") === 1, lit(1))).as("hapax"),
+           sum(col("tf")).as("n_tokens"))
+      .select(col("source"), col("vocab"), col("hapax"), col("n_tokens"),
+        round(dbl(col("hapax")) / col("vocab"), 6).as("hapax_rate"))
+      .orderBy("source")
+  val t41Sql: String =
+    s"""WITH tok AS (SELECT source, UNNEST($wordsSql) AS word FROM documents),
+       |tf AS (SELECT source, word, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2)
+       |SELECT source, COUNT(*)::BIGINT AS vocab,
+       |  COUNT(CASE WHEN tf = 1 THEN 1 END)::BIGINT AS hapax,
+       |  SUM(tf)::BIGINT AS n_tokens,
+       |  ROUND(CAST(COUNT(CASE WHEN tf = 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS hapax_rate
+       |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- t42
+  /** Word-frequency inequality per language: exact Gini coefficient of
+    * the unigram frequency distribution — the single-number cousin of
+    * t37's Zipf slope (1 = one word dominates, 0 = uniform vocabulary).
+    * e48's banded two-level prefix sum on the (tf, #words) frame keyed
+    * by lang: windows partition by (lang, tf-band), cross-band offsets
+    * come from a broadcast equi-join, DECIMAL(38,0) tie-block rank
+    * arithmetic, ONE IEEE division, round6. */
+  def t42(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val sc = Tables.documents(spark, dir)
+      .select(col("lang"), explode(wordsCol).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      .groupBy("lang", "c").agg(count(lit(1)).as("nc"))
+      .withColumn("band", expr("c div 1024"))
+      .cache()
+    val wIn = Window.partitionBy("lang", "band").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBelow = sc.withColumn("ibelow", coalesce(sum(col("nc")).over(wIn), lit(0L)))
+    val bt = sc.groupBy("lang", "band").agg(sum(col("nc")).as("bc"))
+    val off = bt.as("a")
+      .join(broadcast(bt.select(col("lang").as("l2"), col("band").as("lb"), col("bc").as("lc"))),
+        col("lang") === col("l2") && col("lb") < col("band"), "left")
+      .groupBy("lang", "band").agg(coalesce(sum(col("lc")), lit(0L)).as("off"))
+    val cD = col("c").cast(d38); val ncD = col("nc").cast(d38)
+    val mD = (col("ibelow") + col("off")).cast(d38)
+    inBelow.join(broadcast(off), Seq("lang", "band"))
+      .groupBy("lang")
+      .agg(sum(col("nc")).as("n"),
+           sum(cD * ncD).as("s"),
+           sum(cD * (lit(2).cast(d38) * ncD * mD + ncD * (ncD + lit(1).cast(d38)))).as("w2"))
+      .select(col("lang"), col("n").as("vocab"), col("s").cast("long").as("n_tokens"),
+        round(dbl(col("w2") - (col("n").cast(d38) + lit(1).cast(d38)) * col("s"))
+          / dbl(col("n").cast(d38) * col("s")), 6).as("gini"))
+      .orderBy("lang")
+  }
+  val t42Sql: String =
+    s"""WITH tok AS (SELECT lang, UNNEST($wordsSql) AS word FROM documents),
+       |tf AS (SELECT lang, word, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+       |sc AS (SELECT lang, c, COUNT(*)::BIGINT AS nc FROM tf GROUP BY 1, 2),
+       |cum AS (SELECT lang, c, nc, COALESCE(SUM(nc) OVER (PARTITION BY lang
+       |    ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m
+       |  FROM sc),
+       |agg AS (SELECT lang, SUM(nc)::BIGINT AS n,
+       |    SUM(CAST(c AS HUGEINT) * nc) AS s,
+       |    SUM(CAST(c AS HUGEINT) * (2 * CAST(nc AS HUGEINT) * m
+       |        + CAST(nc AS HUGEINT) * (nc + 1))) AS w2
+       |  FROM cum GROUP BY 1)
+       |SELECT lang, n AS vocab, CAST(s AS BIGINT) AS n_tokens,
+       |  ROUND(CAST(w2 - (CAST(n AS HUGEINT) + 1) * s AS DOUBLE)
+       |        / CAST(CAST(n AS HUGEINT) * s AS DOUBLE), 6) AS gini
+       |FROM agg ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- t43
+  /** Collocation mining: top PMI word pairs among the 100 most frequent
+    * words. The candidate space is df-capped BY CONSTRUCTION — only the
+    * broadcast top-100 vocabulary forms pairs, so per-doc fan-out is
+    * ≤C(100,2) regardless of corpus size (the d06 df-cap argument). All
+    * counts are exact integers; PMI's ln() runs on one identical IEEE
+    * quotient in both engines, round6 absorbs the libm ulp. */
+  def t43(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(wordsCol).as("word"))
+    val top = tok.groupBy("word").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("word")).limit(100).select("word")
+    val fdw = tok.join(broadcast(top), "word").select("doc_id", "word").distinct()
+    val df = fdw.groupBy("word").agg(count(lit(1)).as("n_docs"))
+    val nn = docs.agg(count(lit(1)).as("n"))
+    fdw.as("a").join(fdw.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.word") < col("b.word"))
+      .groupBy(col("a.word").as("word_a"), col("b.word").as("word_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 5)
+      .join(broadcast(df.select(col("word").as("word_a"), col("n_docs").as("na"))), "word_a")
+      .join(broadcast(df.select(col("word").as("word_b"), col("n_docs").as("nb"))), "word_b")
+      .join(broadcast(nn))
+      .select(col("word_a"), col("word_b"), col("n_both"), col("na"), col("nb"),
+        round(log(dbl(col("n_both") * col("n")) / dbl(col("na") * col("nb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
+      .limit(50)
+  }
+  val t43Sql: String =
+    s"""WITH tok AS (SELECT doc_id, UNNEST($wordsSql) AS word FROM documents),
+       |top AS (SELECT word FROM (SELECT word, COUNT(*) AS n_occ FROM tok GROUP BY 1)
+       |        ORDER BY n_occ DESC, word LIMIT 100),
+       |fdw AS (SELECT DISTINCT doc_id, word FROM tok JOIN top USING (word)),
+       |df AS (SELECT word, COUNT(*)::BIGINT AS n_docs FROM fdw GROUP BY 1),
+       |nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+       |pairs AS (
+       |  SELECT a.word AS word_a, b.word AS word_b, COUNT(*)::BIGINT AS n_both
+       |  FROM fdw a JOIN fdw b ON a.doc_id = b.doc_id AND a.word < b.word
+       |  GROUP BY 1, 2)
+       |SELECT word_a, word_b, n_both, da.n_docs AS na, db.n_docs AS nb,
+       |  ROUND(ln(CAST(n_both * n AS DOUBLE) / CAST(da.n_docs * db.n_docs AS DOUBLE)), 6) AS pmi
+       |FROM pairs
+       |JOIN df da ON word_a = da.word
+       |JOIN df db ON word_b = db.word
+       |CROSS JOIN nn
+       |WHERE n_both >= 5
+       |ORDER BY pmi DESC, word_a, word_b LIMIT 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t43_pmi_collocations" -> (t43 _),
+    "t42_vocab_gini" -> (t42 _),
+    "t41_hapax_profile" -> (t41 _),
     "t40_casing_profile" -> (t40 _),
     "t39_quality_quartiles" -> (t39 _),
     "t38_length_outliers" -> (t38 _),
@@ -1658,6 +1789,9 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t43_pmi_collocations" -> t43Sql,
+    "t42_vocab_gini" -> t42Sql,
+    "t41_hapax_profile" -> t41Sql,
     "t40_casing_profile" -> t40Sql,
     "t39_quality_quartiles" -> t39Sql,
     "t38_length_outliers" -> t38Sql,

@@ -73,7 +73,11 @@ object PlanAudit {
     // list + a 1-row corpus-total broadcast for the Pareto thresholds
     "q70_pareto_points",
     // e53: 1-row user-base-total broadcast (entry-share denominator)
-    "e53_entry_event")
+    "e53_entry_event",
+    // t43: 1-row corpus-count broadcast inside the PMI term (t09's shape)
+    "t43_pmi_collocations",
+    // d35: 1-row × 1-row joins of the edge/wedge/triangle totals
+    "d35_pair_transitivity")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
