@@ -1515,7 +1515,44 @@ object Dedup {
        |FROM ne CROSS JOIN w CROSS JOIN tr""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d36
+  /** Eval-leak attribution: d11's exact 4-gram contamination hits rolled
+    * up by training SOURCE — which corpus slice is leaking eval content,
+    * at what rate, and how heavily. The expensive evidence (the gram
+    * join) is d11's broadcast-eval plan unchanged; this adds only a dim
+    * join to source and a ≤|sources| rollup. Zero-hit sources survive
+    * via the left join with exact-zero defaults. */
+  def d36(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val trainTotals = src.filter(col("doc_id") % 20 =!= 0)
+      .groupBy("source").agg(count(lit(1)).as("n_train_docs"))
+    val bySrc = d11(spark, dir).join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_flagged"), sum(col("n_shared_grams")).as("shared_grams"))
+    trainTotals.join(bySrc, Seq("source"), "left")
+      .select(col("source"), col("n_train_docs"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
+        round(dbl(coalesce(col("n_flagged"), lit(0L))) / col("n_train_docs"), 6)
+          .as("flag_rate"))
+      .orderBy("source")
+  }
+  val d36Sql: String =
+    s"""WITH hits AS (${d11Sql.replace("ORDER BY 1", "")}),
+       |tt AS (SELECT source, COUNT(*)::BIGINT AS n_train_docs
+       |  FROM documents WHERE doc_id % 20 <> 0 GROUP BY 1),
+       |bs AS (SELECT source, COUNT(*)::BIGINT AS n_flagged,
+       |    SUM(n_shared_grams)::BIGINT AS shared_grams
+       |  FROM hits JOIN documents USING (doc_id) GROUP BY 1)
+       |SELECT tt.source, n_train_docs,
+       |  COALESCE(n_flagged, 0) AS n_flagged,
+       |  COALESCE(shared_grams, 0) AS shared_grams,
+       |  ROUND(CAST(COALESCE(n_flagged, 0) AS DOUBLE) / n_train_docs, 6) AS flag_rate
+       |FROM tt LEFT JOIN bs ON tt.source = bs.source
+       |ORDER BY tt.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d36_leak_by_source" -> (d36 _),
     "d35_pair_transitivity" -> (d35 _),
     "d34_pair_quality_bias" -> (d34 _),
     "d33_cross_lang_dup" -> (d33 _),
@@ -1553,6 +1590,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d36_leak_by_source" -> d36Sql,
     "d35_pair_transitivity" -> d35Sql,
     "d34_pair_quality_bias" -> d34Sql,
     "d33_cross_lang_dup" -> d33Sql,

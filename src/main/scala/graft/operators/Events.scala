@@ -2159,7 +2159,67 @@ object Events {
       |        / CAST(n_days * sx2 - sx * sx AS DOUBLE), 6) AS slope_per_day
       |FROM m ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- e57
+  /** Power-user concentration: the top decile of users by event count —
+    * its size, entry threshold, and share of all events. The decile
+    * boundary is found WITHOUT ranking users: e48's banded prefix-sum
+    * machinery runs top-down over the distinct-count frame (users with
+    * count ≥ c), the cut is the minimal c whose suffix population fits
+    * ceil(n/10) (integer cross-multiplied compare), and the shares are
+    * DECIMAL(38,0)-exact sums with ONE IEEE division. When the top
+    * tie-block alone exceeds a decile (near-uniform traffic) the cut is
+    * NULL and the top-share reports 0 — deterministic in both engines. */
+  def e57(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val sc = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("nc"))
+      .withColumn("band", expr("c div 64"))
+      .cache()
+    val wIn = Window.partitionBy("band").orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inAbove = sc.withColumn("iabove", sum(col("nc")).over(wIn))
+    val bt = sc.groupBy("band").agg(sum(col("nc")).as("bc"))
+    val off = bt.as("a")
+      .join(broadcast(bt.select(col("band").as("hb"), col("bc").as("hc"))),
+        col("hb") > col("band"), "left")
+      .groupBy("band").agg(coalesce(sum(col("hc")), lit(0L)).as("off"))
+    val above = inAbove.join(broadcast(off), "band")
+      .withColumn("above", col("iabove") + col("off"))
+    val n = sc.agg(sum(col("nc")).as("n"))
+    val cut = above.join(broadcast(n))
+      .agg(min(when(col("above") * 10 <= col("n") + 9, col("c"))).as("cstar"))
+    val cD = col("c").cast(d38); val ncD = col("nc").cast(d38)
+    sc.join(broadcast(cut))
+      .agg(sum(col("nc")).as("n_users"),
+           sum(when(col("c") >= col("cstar"), col("nc")).otherwise(lit(0L))).as("top_users"),
+           max(col("cstar")).as("threshold_events"),
+           sum(cD * ncD).as("te"),
+           sum(when(col("c") >= col("cstar"), cD * ncD).otherwise(lit(0).cast(d38))).as("tte"))
+      .select(col("n_users"), col("top_users"), col("threshold_events"),
+        col("te").cast("long").as("total_events"),
+        col("tte").cast("long").as("top_events"),
+        round(dbl(col("tte")) / dbl(col("te")), 6).as("top_share"))
+  }
+  val e57Sql: String =
+    """WITH uc AS (SELECT user_id, COUNT(*)::BIGINT AS c FROM events GROUP BY 1),
+      |sc AS (SELECT c, COUNT(*)::BIGINT AS nc FROM uc GROUP BY 1),
+      |cum AS (SELECT c, nc, SUM(nc) OVER (ORDER BY c DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS above FROM sc),
+      |n AS (SELECT SUM(nc)::BIGINT AS n FROM sc),
+      |cut AS (SELECT MIN(CASE WHEN above * 10 <= n + 9 THEN c END) AS cstar
+      |  FROM cum CROSS JOIN n)
+      |SELECT SUM(nc)::BIGINT AS n_users,
+      |  SUM(CASE WHEN c >= cstar THEN nc ELSE 0 END)::BIGINT AS top_users,
+      |  MAX(cstar) AS threshold_events,
+      |  CAST(SUM(CAST(c AS HUGEINT) * nc) AS BIGINT) AS total_events,
+      |  CAST(SUM(CASE WHEN c >= cstar THEN CAST(c AS HUGEINT) * nc ELSE 0 END) AS BIGINT) AS top_events,
+      |  ROUND(CAST(SUM(CASE WHEN c >= cstar THEN CAST(c AS HUGEINT) * nc ELSE 0 END) AS DOUBLE)
+      |        / CAST(SUM(CAST(c AS HUGEINT) * nc) AS DOUBLE), 6) AS top_share
+      |FROM sc CROSS JOIN cut""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e57_power_user_share" -> (e57 _),
     "e56_daily_trend" -> (e56 _),
     "e55_session_duration_hist" -> (e55 _),
     "e54_hour_dow_heatmap" -> (e54 _),
@@ -2219,6 +2279,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e57_power_user_share" -> e57Sql,
     "e56_daily_trend" -> e56Sql,
     "e55_session_duration_hist" -> e55Sql,
     "e54_hour_dow_heatmap" -> e54Sql,

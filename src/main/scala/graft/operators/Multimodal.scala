@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
+import graft.engine.Qf.dbl
 
 /** Multimodal-column handling (SURVEY.md §2.6): media treated as opaque
   * binary payloads with typed metadata. This container has no image/audio
@@ -566,7 +567,92 @@ object Multimodal {
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m15
+  /** Magic-prefix census: the top 2-byte payload prefixes by document
+    * count — the raw evidence behind m06's router (a prefix that's
+    * frequent but unrouted means a format the pipeline silently treats
+    * as 'binary'). One map-combinable groupBy over a codegen'd
+    * hex(substring) key; the share denominator is a 1-row broadcast. */
+  def m15(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("pfx", hex(substring(col("text").cast("binary"), 1, 2)))
+    val tot = d.agg(count(lit(1)).as("total"))
+    d.groupBy("pfx").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(tot))
+      .select(col("pfx"), col("n_docs"),
+        round(dbl(col("n_docs")) / col("total"), 6).as("share"))
+      .orderBy(col("n_docs").desc, col("pfx"))
+      .limit(20)
+  }
+  val m15Sql: String =
+    """WITH d AS (SELECT substr(hex(CAST(text AS BLOB)), 1, 4) AS pfx FROM documents),
+      |t AS (SELECT COUNT(*)::BIGINT AS total FROM d)
+      |SELECT pfx, COUNT(*)::BIGINT AS n_docs,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / total, 6) AS share
+      |FROM d CROSS JOIN t GROUP BY pfx, total
+      |ORDER BY n_docs DESC, pfx LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- m16
+  /** Size-vs-entropy correlation per modality: are bigger payloads more
+    * random? Pearson over (byte count, m08's round6 nibble entropy) —
+    * both operands quantized to DECIMALs before the moment sums, so the
+    * distributed partial aggregation is exact and order-independent
+    * (q38's recipe); ONE IEEE division chain at the end, round6. The
+    * screen that catches "large payloads are all zero-padded" corpus
+    * defects. */
+  def m16(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("n_bytes").cast("decimal(18,0)")
+    val y = col("entropy").cast("decimal(12,6)")
+    nibbleEntropy(spark, dir)
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n"),
+           dbl(sum(x)).as("sx"), dbl(sum(y)).as("sy"),
+           dbl(sum(x * y)).as("sxy"),
+           dbl(sum(x * x)).as("sx2"), dbl(sum(y * y)).as("sy2"))
+      .filter(col("n") >= 2)
+      .select(col("modality"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 6)
+          .as("corr_size_entropy"))
+      .orderBy("modality")
+  }
+  val m16Sql: String = {
+    val digits = "0123456789ABCDEF"
+    val counts = digits.map(d =>
+      s"LENGTH(s) - LENGTH(regexp_replace(s, '[$d]', '', 'g')) AS c_$d").mkString(",\n      |    ")
+    val terms = digits.map(d =>
+      s"CASE WHEN c_$d > 0 THEN (CAST(c_$d AS DOUBLE) / n) * ln(CAST(c_$d AS DOUBLE) / n) ELSE 0.0 END")
+      .mkString("\n      |    + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, $modalitySqlCase AS modality,
+       |    regexp_replace(hex(CAST(text AS BLOB)), '(.).', '\\1', 'g') AS s
+       |  FROM documents),
+       |c AS (
+       |  SELECT modality, LENGTH(s) AS n,
+       |    $counts
+       |  FROM h WHERE LENGTH(s) > 0),
+       |e AS (
+       |  SELECT modality, CAST(n AS BIGINT) AS nb,
+       |    ROUND(-($terms), 6) + 0.0 AS ent
+       |  FROM c),
+       |m AS (
+       |  SELECT modality, COUNT(*)::BIGINT AS n,
+       |    CAST(SUM(CAST(nb AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(ent AS DECIMAL(12,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(nb AS DECIMAL(18,0)) * CAST(ent AS DECIMAL(12,6))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(nb AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(18,0))) AS DOUBLE) AS sx2,
+       |    CAST(SUM(CAST(ent AS DECIMAL(12,6)) * CAST(ent AS DECIMAL(12,6))) AS DOUBLE) AS sy2
+       |  FROM e GROUP BY 1 HAVING COUNT(*) >= 2)
+       |SELECT modality, n,
+       |  ROUND((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+       |    AS corr_size_entropy
+       |FROM m ORDER BY modality""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "m16_size_entropy_corr" -> (m16 _),
+    "m15_prefix_census" -> (m15 _),
     "m14_modality_entropy" -> (m14 _),
     "m13_size_outliers" -> (m13 _),
     "m12_size_quartiles" -> (m12 _),
@@ -584,6 +670,8 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m16_size_entropy_corr" -> m16Sql,
+    "m15_prefix_census" -> m15Sql,
     "m14_modality_entropy" -> m14Sql,
     "m13_size_outliers" -> m13Sql,
     "m01_binary_meta" -> m01Sql,

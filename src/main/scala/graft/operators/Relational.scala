@@ -2412,7 +2412,44 @@ object Relational {
       |  ROUND((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS corr_disc_qty
       |FROM m ORDER BY p_type""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** Returned-revenue exposure per supplier nation: total vs returned
+    * revenue and the return rate. Broadcast supplier→nation dims, one
+    * map-combinable decimal-exact rollup (|nations|-bounded), ONE IEEE
+    * division per row, round6. Complements q63 (returns over time) and
+    * q33 (per-customer returns) with the supply-side view. */
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    val rev = revenueTerm(col("l_extendedprice"), col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_lines"),
+           dbl(sum(rev)).as("total_revenue"),
+           dbl(sum(when(col("l_returnflag") === "R", rev).otherwise(dec(lit(0)))))
+             .as("returned_revenue"))
+      .select(col("n_name"), col("n_lines"), col("total_revenue"), col("returned_revenue"),
+        round(col("returned_revenue") / col("total_revenue"), 6).as("return_rate"))
+      .orderBy("n_name")
+  }
+  val q74Sql: String =
+    s"""WITH r AS (
+       |  SELECT n_name, COUNT(*)::BIGINT AS n_lines,
+       |    CAST(SUM($revenueSql) AS DOUBLE) AS total_revenue,
+       |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN $revenueSql
+       |             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS returned_revenue
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY 1)
+       |SELECT n_name, n_lines, total_revenue, returned_revenue,
+       |  ROUND(returned_revenue / total_revenue, 6) AS return_rate
+       |FROM r ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q74_nation_return_rate" -> (q74 _),
     "q73_discount_qty_corr" -> (q73 _),
     "q72_segment_gini" -> (q72 _),
     "q71_monthly_active" -> (q71 _),
@@ -2489,6 +2526,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q74_nation_return_rate" -> q74Sql,
     "q73_discount_qty_corr" -> q73Sql,
     "q72_segment_gini" -> q72Sql,
     "q71_monthly_active" -> q71Sql,

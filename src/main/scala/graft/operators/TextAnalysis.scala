@@ -1743,7 +1743,45 @@ object TextAnalysis {
        |WHERE n_both >= 5
        |ORDER BY pmi DESC, word_a, word_b LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- t44
+  /** Cross-document sentence duplication per source: the share of a
+    * source's sentences that also appear (verbatim, trimmed) in at least
+    * one OTHER document — the boilerplate signal sentence-level dedup
+    * would remove. Sentence keys pre-collapse to a distinct (doc,
+    * sentence) frame map-side before the df count, and the rate is an
+    * exact-integer numerator with ONE division. Complements t15 (fixed
+    * token-window chunks) with natural sentence boundaries. */
+  def t44(spark: SparkSession, dir: String): DataFrame = {
+    val sentCol =
+      expr("filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> x != '')")
+    val sent = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), explode(sentCol).as("s"))
+    val df = sent.select("doc_id", "s").distinct()
+      .groupBy("s").agg(count(lit(1)).as("sdocs"))
+    sent.join(df, "s")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sentences"),
+           count(when(col("sdocs") >= 2, lit(1))).as("n_shared"))
+      .select(col("source"), col("n_sentences"), col("n_shared"),
+        round(dbl(col("n_shared")) / col("n_sentences"), 6).as("shared_rate"))
+      .orderBy("source")
+  }
+  val t44Sql: String =
+    """WITH sent AS (
+      |  SELECT source, doc_id,
+      |    UNNEST(list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+      |      x -> trim(x)), x -> x <> '')) AS s
+      |  FROM documents),
+      |df AS (
+      |  SELECT s, COUNT(DISTINCT doc_id)::BIGINT AS sdocs FROM sent GROUP BY 1)
+      |SELECT source, COUNT(*)::BIGINT AS n_sentences,
+      |  COUNT(CASE WHEN sdocs >= 2 THEN 1 END)::BIGINT AS n_shared,
+      |  ROUND(CAST(COUNT(CASE WHEN sdocs >= 2 THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+      |    AS shared_rate
+      |FROM sent JOIN df USING (s) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t44_sentence_dup" -> (t44 _),
     "t43_pmi_collocations" -> (t43 _),
     "t42_vocab_gini" -> (t42 _),
     "t41_hapax_profile" -> (t41 _),
@@ -1789,6 +1827,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t44_sentence_dup" -> t44Sql,
     "t43_pmi_collocations" -> t43Sql,
     "t42_vocab_gini" -> t42Sql,
     "t41_hapax_profile" -> t41Sql,

@@ -77,7 +77,11 @@ object PlanAudit {
     // t43: 1-row corpus-count broadcast inside the PMI term (t09's shape)
     "t43_pmi_collocations",
     // d35: 1-row × 1-row joins of the edge/wedge/triangle totals
-    "d35_pair_transitivity")
+    "d35_pair_transitivity",
+    // e57: e48's band-offset broadcast + 1-row population/cut broadcasts
+    "e57_power_user_share",
+    // m15: 1-row corpus-total broadcast (prefix-share denominator)
+    "m15_prefix_census")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
