@@ -2218,7 +2218,46 @@ object Events {
       |        / CAST(SUM(CAST(c AS HUGEINT) * nc) AS DOUBLE), 6) AS top_share
       |FROM sc CROSS JOIN cut""".stripMargin
 
+  // ---------------------------------------------------------------- e58
+  /** Per-user ML feature export: the wide feature vector a churn/LTV
+    * model trains on — event counts per type (fixed-column pivot),
+    * exact-decimal spend, active days, lifespan, and events-per-active-
+    * day. ONE map-combinable groupBy over the fact (every feature is an
+    * exact sum/min/max/conditional count — order-independent), one row
+    * per user; at 100 TB this is the classic feature-store
+    * materialization pass. */
+  def e58(spark: SparkSession, dir: String): DataFrame = {
+    def n(t: String) = count(when(col("event_type") === t, lit(1))).as(s"n_$t")
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           n("click"), n("view"), n("purchase"), n("signup"), n("error"),
+           dsum(col("value")).as("total_value"),
+           countDistinct(expr("ms div 86400000")).as("n_active_days"),
+           min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"))
+      .withColumn("lifespan_days",
+        expr("(last_ms div 86400000) - (first_ms div 86400000) + 1"))
+      .withColumn("events_per_active_day",
+        round(dbl(col("n_events")) / col("n_active_days"), 6))
+      .orderBy("user_id")
+  }
+  val e58Sql: String =
+    """SELECT user_id, COUNT(*)::BIGINT AS n_events,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS n_click,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS n_view,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS n_purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END)::BIGINT AS n_signup,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS n_error,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  COUNT(DISTINCT epoch_ms(ts) // 86400000)::BIGINT AS n_active_days,
+      |  MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms,
+      |  (MAX(epoch_ms(ts)) // 86400000) - (MIN(epoch_ms(ts)) // 86400000) + 1 AS lifespan_days,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT epoch_ms(ts) // 86400000), 6)
+      |    AS events_per_active_day
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e58_user_features" -> (e58 _),
     "e57_power_user_share" -> (e57 _),
     "e56_daily_trend" -> (e56 _),
     "e55_session_duration_hist" -> (e55 _),
@@ -2279,6 +2318,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e58_user_features" -> e58Sql,
     "e57_power_user_share" -> e57Sql,
     "e56_daily_trend" -> e56Sql,
     "e55_session_duration_hist" -> e55Sql,

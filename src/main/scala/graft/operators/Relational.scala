@@ -2448,7 +2448,43 @@ object Relational {
        |  ROUND(returned_revenue / total_revenue, 6) AS return_rate
        |FROM r ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Join-key skew census: the shuffle-planning numbers for the fact
+    * tables' main join keys — rows, distinct keys, the hottest key's
+    * row count, and the skew factor (max/avg). One map-combinable count
+    * frame per key, each collapsing to a single row; at 100 TB this is
+    * the profile that decides salting / AQE-skew thresholds BEFORE a
+    * job hits the whale key. */
+  def q75(spark: SparkSession, dir: String): DataFrame = {
+    def stats(df: DataFrame, key: String, label: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+             max(col("cnt")).as("max_per_key"))
+        .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_per_key"),
+          round(dbl(col("n_rows")) / col("n_keys"), 6).as("avg_per_key"),
+          round(dbl(col("max_per_key") * col("n_keys")) / col("n_rows"), 6).as("skew"))
+    val l = Tables.lineitem(spark, dir)
+    stats(l, "l_orderkey", "lineitem.l_orderkey")
+      .unionByName(stats(l, "l_partkey", "lineitem.l_partkey"))
+      .unionByName(stats(l, "l_suppkey", "lineitem.l_suppkey"))
+      .unionByName(stats(Tables.orders(spark, dir), "o_custkey", "orders.o_custkey"))
+      .orderBy("key_col")
+  }
+  val q75Sql: String = {
+    def block(table: String, key: String) =
+      s"""SELECT '$table.$key' AS key_col, SUM(cnt)::BIGINT AS n_rows,
+         |  COUNT(*)::BIGINT AS n_keys, MAX(cnt) AS max_per_key,
+         |  ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS avg_per_key,
+         |  ROUND(CAST(MAX(cnt) * COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS skew
+         |FROM (SELECT $key, COUNT(*)::BIGINT AS cnt FROM $table GROUP BY 1)""".stripMargin
+    Seq(block("lineitem", "l_orderkey"), block("lineitem", "l_partkey"),
+        block("lineitem", "l_suppkey"), block("orders", "o_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q75_key_skew_census" -> (q75 _),
     "q74_nation_return_rate" -> (q74 _),
     "q73_discount_qty_corr" -> (q73 _),
     "q72_segment_gini" -> (q72 _),
@@ -2526,6 +2562,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q75_key_skew_census" -> q75Sql,
     "q74_nation_return_rate" -> q74Sql,
     "q73_discount_qty_corr" -> q73Sql,
     "q72_segment_gini" -> q72Sql,
