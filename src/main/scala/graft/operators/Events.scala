@@ -2256,7 +2256,49 @@ object Events {
       |    AS events_per_active_day
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e59
+  /** Session entry→exit matrix: which event type opens a session vs
+    * which closes it (|types|²-bounded). Sessions come from e01's gap
+    * split; the boundary events are map-combinable min/max(struct(ms,
+    * event_id, type)) argmin/argmax — deterministic under ties because
+    * event_id is unique — so no per-session sort or second window ever
+    * runs. The UX view e12's event-to-event transition matrix can't
+    * give (it has no session boundary notion). */
+  def e59(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(wr))
+      .groupBy("user_id", "sess_idx")
+      .agg(min(struct(col("ms"), col("event_id"), col("event_type"))).as("f"),
+           max(struct(col("ms"), col("event_id"), col("event_type"))).as("l"))
+      .groupBy(col("f.event_type").as("entry_type"), col("l.event_type").as("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("entry_type", "exit_type")
+  }
+  val e59Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
+       |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f),
+       |r AS (SELECT user_id, sess_idx, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, sess_idx ORDER BY ms, event_id) AS rf,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, sess_idx ORDER BY ms DESC, event_id DESC) AS rl
+       |  FROM s)
+       |SELECT fe.event_type AS entry_type, le.event_type AS exit_type,
+       |  COUNT(*)::BIGINT AS n_sessions
+       |FROM (SELECT user_id, sess_idx, event_type FROM r WHERE rf = 1) fe
+       |JOIN (SELECT user_id, sess_idx, event_type FROM r WHERE rl = 1) le
+       |  USING (user_id, sess_idx)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e59_entry_exit_matrix" -> (e59 _),
     "e58_user_features" -> (e58 _),
     "e57_power_user_share" -> (e57 _),
     "e56_daily_trend" -> (e56 _),
@@ -2318,6 +2360,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e59_entry_exit_matrix" -> e59Sql,
     "e58_user_features" -> e58Sql,
     "e57_power_user_share" -> e57Sql,
     "e56_daily_trend" -> e56Sql,

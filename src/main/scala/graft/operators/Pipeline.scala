@@ -834,7 +834,59 @@ object Pipeline {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p18
+  /** Quality-threshold budget curve: documents and tokens that survive
+    * each quality cut 0.0–0.9 — the planning table that picks the gate
+    * threshold to hit a token budget. The corpus collapses to a ≤10-row
+    * quality-decile frame map-side; the cumulative "≥ threshold" sums
+    * are a bounded 10×10 broadcast join over that frame (never a window,
+    * never a second corpus pass). Exact integer counts, ONE division per
+    * share, round6. */
+  def p18(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    val q = TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .select(least(floor(col("quality") * 10), lit(9L)).cast("long").as("bin"),
+        col("n_tok"))
+    val bins = q.groupBy("bin")
+      .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("toks"))
+    val tot = bins.agg(sum(col("docs")).as("tdocs"), sum(col("toks")).as("ttoks"))
+    bins.as("t").join(broadcast(bins.as("b")), col("b.bin") >= col("t.bin"))
+      .groupBy(col("t.bin").as("bin"))
+      .agg(sum(col("b.docs")).as("docs_kept"), sum(col("b.toks")).as("tokens_kept"))
+      .join(broadcast(tot))
+      .select((col("bin").cast("double") / 10).as("threshold"),
+        col("docs_kept"), col("tokens_kept"),
+        round(dbl(col("docs_kept")) / col("tdocs"), 6).as("doc_share"),
+        round(dbl(col("tokens_kept")) / col("ttoks"), 6).as("token_share"))
+      .orderBy("threshold")
+  }
+  val p18Sql: String = {
+    import TextAnalysis.{qualitySqlExpr, stopSqlIn, wordsSql}
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |q AS (
+       |  SELECT CAST(LEAST(FLOOR(($qualitySqlExpr) * 10), 9) AS BIGINT) AS bin, n_tok
+       |  FROM m),
+       |bins AS (SELECT bin, COUNT(*)::BIGINT AS docs, SUM(n_tok)::BIGINT AS toks
+       |  FROM q GROUP BY 1),
+       |tot AS (SELECT SUM(docs)::BIGINT AS tdocs, SUM(toks)::BIGINT AS ttoks FROM bins)
+       |SELECT CAST(t.bin AS DOUBLE) / 10 AS threshold,
+       |  SUM(b.docs)::BIGINT AS docs_kept, SUM(b.toks)::BIGINT AS tokens_kept,
+       |  ROUND(CAST(SUM(b.docs) AS DOUBLE) / MAX(tdocs), 6) AS doc_share,
+       |  ROUND(CAST(SUM(b.toks) AS DOUBLE) / MAX(ttoks), 6) AS token_share
+       |FROM bins t JOIN bins b ON b.bin >= t.bin CROSS JOIN tot
+       |GROUP BY t.bin ORDER BY threshold""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p18_quality_budget_curve" -> (p18 _),
     "p17_source_funnel" -> (p17 _),
     "p16_dedup_lang_impact" -> (p16 _),
     "p15_quality_dup_matrix" -> (p15 _),
@@ -855,6 +907,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p18_quality_budget_curve" -> p18Sql,
     "p17_source_funnel" -> p17Sql,
     "p16_dedup_lang_impact" -> p16Sql,
     "p15_quality_dup_matrix" -> p15Sql,

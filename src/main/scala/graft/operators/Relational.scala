@@ -2483,7 +2483,51 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
   }
 
+  // ---------------------------------------------------------------- q76
+  /** Brand league table with rank shift: each brand's revenue rank per
+    * quarter and its movement vs the previous quarter. The window is
+    * partitioned per quarter over the |brands|-bounded aggregate (never
+    * the fact); the quarter-over-quarter link is a broadcast equi
+    * self-join on (brand, quarter-index). First-quarter shifts are NULL
+    * in both engines. */
+  def q76(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        (year(col("l_shipdate")) * 4 + quarter(col("l_shipdate"))).as("qkey"),
+        concat(year(col("l_shipdate")).cast("string"), lit("-Q"),
+          quarter(col("l_shipdate")).cast("string")).as("quarter"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val w = Window.partitionBy("qkey").orderBy(col("rev").desc, col("p_brand"))
+    val ranked = rev.withColumn("rnk", row_number().over(w).cast("long"))
+    ranked.join(
+        broadcast(ranked.select(col("p_brand").as("pb"), col("qkey").as("pq"),
+          col("rnk").as("prev_rnk"))),
+        col("p_brand") === col("pb") && col("qkey") === col("pq") + 1, "left")
+      .select(col("quarter"), col("p_brand"), dbl(col("rev")).as("revenue"),
+        col("rnk"), col("prev_rnk"), (col("prev_rnk") - col("rnk")).as("shift"))
+      .orderBy("quarter", "rnk")
+  }
+  val q76Sql: String =
+    s"""WITH rev AS (
+       |  SELECT p_brand, year(l_shipdate) * 4 + quarter(l_shipdate) AS qkey,
+       |    CAST(year(l_shipdate) AS VARCHAR) || '-Q' || CAST(quarter(l_shipdate) AS VARCHAR) AS quarter,
+       |    SUM($revenueSql) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qkey
+       |    ORDER BY rev DESC, p_brand) AS BIGINT) AS rnk
+       |  FROM rev)
+       |SELECT a.quarter, a.p_brand, CAST(a.rev AS DOUBLE) AS revenue,
+       |  a.rnk, b.rnk AS prev_rnk, b.rnk - a.rnk AS shift
+       |FROM ranked a LEFT JOIN ranked b
+       |  ON a.p_brand = b.p_brand AND a.qkey = b.qkey + 1
+       |ORDER BY a.quarter, a.rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q76_brand_rank_shift" -> (q76 _),
     "q75_key_skew_census" -> (q75 _),
     "q74_nation_return_rate" -> (q74 _),
     "q73_discount_qty_corr" -> (q73 _),
@@ -2562,6 +2606,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q76_brand_rank_shift" -> q76Sql,
     "q75_key_skew_census" -> q75Sql,
     "q74_nation_return_rate" -> q74Sql,
     "q73_discount_qty_corr" -> q73Sql,

@@ -81,7 +81,9 @@ object PlanAudit {
     // e57: e48's band-offset broadcast + 1-row population/cut broadcasts
     "e57_power_user_share",
     // m15: 1-row corpus-total broadcast (prefix-share denominator)
-    "m15_prefix_census")
+    "m15_prefix_census",
+    // p18: bounded 10×10 quality-decile broadcast join + 1-row totals
+    "p18_quality_budget_curve")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -84,7 +84,19 @@ class OperatorSmokeSpec extends SparkSpec {
       "q61_brand_price_book", "q62_quarter_mix",
       "q63_returned_share_series", "q64_status_priority_matrix",
       "e42_dow_profile", "e43_lifespan_bands", "e44_cohort_value",
-      "e45_daily_purchase_rate", "e46_peak_hours", "e47_type_diversity")
+      "e45_daily_purchase_rate", "e46_peak_hours", "e47_type_diversity",
+      "q69_weekday_profile", "q70_pareto_points", "q71_monthly_active",
+      "q72_segment_gini", "q73_discount_qty_corr", "q74_nation_return_rate",
+      "q75_key_skew_census", "q76_brand_rank_shift",
+      "e53_entry_event", "e54_hour_dow_heatmap", "e55_session_duration_hist",
+      "e56_daily_trend", "e57_power_user_share", "e58_user_features",
+      "e59_entry_exit_matrix",
+      "t41_hapax_profile", "t42_vocab_gini", "t43_pmi_collocations",
+      "t44_sentence_dup",
+      "s17_dim_stats", "s18_norm_band_profile",
+      "d35_pair_transitivity", "d36_leak_by_source",
+      "m15_prefix_census", "m16_size_entropy_corr",
+      "p18_quality_budget_curve")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
