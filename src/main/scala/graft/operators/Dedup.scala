@@ -1551,7 +1551,61 @@ object Dedup {
        |FROM tt LEFT JOIN bs ON tt.source = bs.source
        |ORDER BY tt.source""".stripMargin
 
+  // ---------------------------------------------------------------- d37
+  /** Keeper-policy quality regret: within each near-dup cluster, does
+    * keep-min-id actually keep the best document? Reports the share of
+    * clusters where the keeper is also the quality argmax, plus the
+    * average and worst quality give-up. Keeper and best qualities come
+    * from map-combinable min/max(struct) argmin/argmax over the memoized
+    * cluster labels (no per-cluster sort); regrets accumulate in
+    * DECIMAL(12,6) of the round6 quality, so the means are exact and
+    * order-independent. d34 asks this per pair; this asks it per final
+    * cluster decision. */
+  def d37(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("quality"))
+    val per = d10(spark, dir).join(q, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+           max(struct((-col("doc_id")).as("nid"), col("quality").as("q"))).as("k"),
+           max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("b"))
+    val regret = col("b.q").cast("decimal(12,6)") - col("k.q").cast("decimal(12,6)")
+    per.agg(count(lit(1)).as("n_clusters"),
+         sum(col("n_members")).as("n_docs"),
+         count(when(col("k.q") === col("b.q"), lit(1))).as("keeper_best"),
+         sum(regret).as("sreg"), max(regret).as("mreg"))
+      .select(col("n_clusters"), col("n_docs"),
+        round(dbl(col("keeper_best")) / col("n_clusters"), 6).as("keeper_best_share"),
+        round(dbl(col("sreg")) / col("n_clusters"), 6).as("avg_regret"),
+        dbl(col("mreg")).as("max_regret"))
+  }
+  val d37Sql: String = {
+    val cc = d10Sql.replace("ORDER BY doc_id", "")
+    s"""WITH cc AS ($cc),
+       |base AS (SELECT doc_id, text, ${TextAnalysis.wordsSql} AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN ${TextAnalysis.stopSqlIn})) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |q AS (SELECT doc_id, ${TextAnalysis.qualitySqlExpr} AS quality FROM m),
+       |per AS (
+       |  SELECT cluster_id, COUNT(*)::BIGINT AS n_members,
+       |    arg_min(quality, doc_id) AS kq, MAX(quality) AS bq
+       |  FROM cc JOIN q USING (doc_id) GROUP BY 1)
+       |SELECT COUNT(*)::BIGINT AS n_clusters, SUM(n_members)::BIGINT AS n_docs,
+       |  ROUND(CAST(COUNT(CASE WHEN kq = bq THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+       |    AS keeper_best_share,
+       |  ROUND(CAST(SUM(CAST(bq AS DECIMAL(12,6)) - CAST(kq AS DECIMAL(12,6))) AS DOUBLE)
+       |        / COUNT(*), 6) AS avg_regret,
+       |  CAST(MAX(CAST(bq AS DECIMAL(12,6)) - CAST(kq AS DECIMAL(12,6))) AS DOUBLE) AS max_regret
+       |FROM per""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d37_keeper_regret" -> (d37 _),
     "d36_leak_by_source" -> (d36 _),
     "d35_pair_transitivity" -> (d35 _),
     "d34_pair_quality_bias" -> (d34 _),
@@ -1590,6 +1644,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d37_keeper_regret" -> d37Sql,
     "d36_leak_by_source" -> d36Sql,
     "d35_pair_transitivity" -> d35Sql,
     "d34_pair_quality_bias" -> d34Sql,

@@ -2526,7 +2526,74 @@ object Relational {
        |  ON a.p_brand = b.p_brand AND a.qkey = b.qkey + 1
        |ORDER BY a.quarter, a.rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Seasonality index per calendar month: each month-of-year's revenue
+    * against the uniform 1/12 share (index 1.0 = no seasonality). One
+    * map-combinable groupBy to a 12-row frame, decimal-exact revenue,
+    * 1-row total broadcast, ONE division per row. */
+  def q77(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy(month(col("o_orderdate")).cast("long").as("moy"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("rev"))
+    val tot = m.agg(sum(col("rev")).as("trev"))
+    m.join(broadcast(tot))
+      .select(col("moy"), col("n_orders"), dbl(col("rev")).as("revenue"),
+        round(dbl(col("rev") * 12) / dbl(col("trev")), 6).as("seasonality_index"))
+      .orderBy("moy")
+  }
+  val q77Sql: String =
+    """WITH m AS (
+      |  SELECT month(o_orderdate) AS moy, COUNT(*)::BIGINT AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT SUM(rev) AS trev FROM m)
+      |SELECT moy, n_orders, CAST(rev AS DOUBLE) AS revenue,
+      |  ROUND(CAST(rev * 12 AS DOUBLE) / CAST(trev AS DOUBLE), 6) AS seasonality_index
+      |FROM m CROSS JOIN t ORDER BY moy""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  /** Customer value-migration matrix: first-active-year spend band vs
+    * last-active-year spend band for multi-year customers — who is
+    * trading up, who is churning down. First/last-year revenues come
+    * from map-combinable min/max(struct(year, revenue)) argmin/argmax
+    * (year is unique per customer-year), bands are exact decimal
+    * compares, output bounded at |bands|². */
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    def band(c: Column): Column =
+      when(c < 100000, "a<100k").when(c < 250000, "b<250k")
+        .when(c < 500000, "c<500k").otherwise("d>=500k")
+    val cy = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    cy.groupBy("o_custkey")
+      .agg(min(struct(col("yr"), col("rev"))).as("f"),
+           max(struct(col("yr"), col("rev"))).as("l"))
+      .filter(col("f.yr") < col("l.yr"))
+      .select(band(col("f.rev")).as("band_first"), band(col("l.rev")).as("band_last"))
+      .groupBy("band_first", "band_last")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("band_first", "band_last")
+  }
+  val q78Sql: String = {
+    def band(e: String) =
+      s"""CASE WHEN $e < 100000 THEN 'a<100k' WHEN $e < 250000 THEN 'b<250k'
+         |       WHEN $e < 500000 THEN 'c<500k' ELSE 'd>=500k' END""".stripMargin
+    s"""WITH cy AS (
+       |  SELECT o_custkey, year(o_orderdate) AS yr,
+       |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+       |  FROM orders GROUP BY 1, 2),
+       |fl AS (
+       |  SELECT o_custkey, arg_min(rev, yr) AS frev, arg_max(rev, yr) AS lrev
+       |  FROM cy GROUP BY 1 HAVING MIN(yr) < MAX(yr))
+       |SELECT ${band("frev")} AS band_first,
+       |  ${band("lrev")} AS band_last,
+       |  COUNT(*)::BIGINT AS n_customers
+       |FROM fl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q78_value_migration" -> (q78 _),
+    "q77_seasonality_index" -> (q77 _),
     "q76_brand_rank_shift" -> (q76 _),
     "q75_key_skew_census" -> (q75 _),
     "q74_nation_return_rate" -> (q74 _),
@@ -2606,6 +2673,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q78_value_migration" -> q78Sql,
+    "q77_seasonality_index" -> q77Sql,
     "q76_brand_rank_shift" -> q76Sql,
     "q75_key_skew_census" -> q75Sql,
     "q74_nation_return_rate" -> q74Sql,

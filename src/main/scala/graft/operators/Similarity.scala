@@ -924,7 +924,29 @@ object Similarity {
       |  ROUND(MIN(nrm), 6) AS min_norm, ROUND(MAX(nrm), 6) AS max_norm
       |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- s19
+  /** Exact-duplicate vector census: embeddings grouped by their full
+    * float array (bit-identical duplicates — the re-embedded-twice /
+    * copy-paste corpus defect d05's cosine threshold would also catch
+    * but can't prove exact). One map-combinable groupBy on the array
+    * key, 1-row summary out. */
+  def s19(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .groupBy(col("embedding")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"),
+           count(when(col("n") >= 2, lit(1))).as("n_dup_groups"),
+           sum(when(col("n") >= 2, col("n")).otherwise(lit(0L))).as("n_dup_vectors"),
+           max(col("n")).as("max_group"))
+  val s19Sql: String =
+    """WITH g AS (SELECT embedding, COUNT(*)::BIGINT AS n FROM embeddings GROUP BY 1)
+      |SELECT COUNT(*)::BIGINT AS n_groups,
+      |  COUNT(CASE WHEN n >= 2 THEN 1 END)::BIGINT AS n_dup_groups,
+      |  SUM(CASE WHEN n >= 2 THEN n ELSE 0 END)::BIGINT AS n_dup_vectors,
+      |  MAX(n) AS max_group
+      |FROM g""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s19_exact_dup_vectors" -> (s19 _),
     "s18_norm_band_profile" -> (s18 _),
     "s17_dim_stats" -> (s17 _),
     "s16_label_homophily" -> (s16 _),
@@ -946,6 +968,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s19_exact_dup_vectors" -> s19Sql,
     "s18_norm_band_profile" -> s18Sql,
     "s17_dim_stats" -> s17Sql,
     "s16_label_homophily" -> s16Sql,

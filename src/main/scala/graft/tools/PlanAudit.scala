@@ -83,7 +83,9 @@ object PlanAudit {
     // m15: 1-row corpus-total broadcast (prefix-share denominator)
     "m15_prefix_census",
     // p18: bounded 10×10 quality-decile broadcast join + 1-row totals
-    "p18_quality_budget_curve")
+    "p18_quality_budget_curve",
+    // q77: 1-row revenue-total broadcast (seasonality denominator)
+    "q77_seasonality_index")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -96,7 +96,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "s17_dim_stats", "s18_norm_band_profile",
       "d35_pair_transitivity", "d36_leak_by_source",
       "m15_prefix_census", "m16_size_entropy_corr",
-      "p18_quality_budget_curve")
+      "p18_quality_budget_curve",
+      "q77_seasonality_index", "q78_value_migration",
+      "d37_keeper_regret", "s19_exact_dup_vectors")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
