@@ -2297,7 +2297,55 @@ object Events {
        |  USING (user_id, sess_idx)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- e60
+  /** Segment 360 view: the KSE enrichment join in batch form — event
+    * activity joined to the customer dimension and the order book, rolled
+    * up per market segment. Both facts pre-aggregate per key BEFORE the
+    * joins (map-combinable; the join inputs are |users| and |customers|
+    * rows, never raw events), all money stays decimal-exact, output is
+    * |segments|-bounded. */
+  def e60(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dec
+    val ev = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("ev_value"))
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_ord"), sum(dec(col("o_totalprice"))).as("o_rev"))
+    Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .join(ev, col("c_custkey") === col("user_id"), "left")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           count(col("user_id")).as("n_event_active"),
+           sum(coalesce(col("n_events"), lit(0L))).as("n_events"),
+           dbl(sum(coalesce(col("ev_value"), dec(lit(0))))).as("event_value"),
+           sum(coalesce(col("n_ord"), lit(0L))).as("n_orders"),
+           dbl(sum(coalesce(col("o_rev"), dec(lit(0))))).as("order_revenue"))
+      .orderBy("c_mktsegment")
+  }
+  val e60Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, COUNT(*)::BIGINT AS n_events,
+      |    SUM(CAST(value AS DECIMAL(12,2))) AS ev_value
+      |  FROM events GROUP BY 1),
+      |ord AS (
+      |  SELECT o_custkey, COUNT(*)::BIGINT AS n_ord,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS o_rev
+      |  FROM orders GROUP BY 1)
+      |SELECT c_mktsegment, COUNT(*)::BIGINT AS n_customers,
+      |  COUNT(user_id)::BIGINT AS n_event_active,
+      |  SUM(COALESCE(n_events, 0))::BIGINT AS n_events,
+      |  CAST(SUM(COALESCE(ev_value, CAST(0 AS DECIMAL(12,2)))) AS DOUBLE) AS event_value,
+      |  SUM(COALESCE(n_ord, 0))::BIGINT AS n_orders,
+      |  CAST(SUM(COALESCE(o_rev, CAST(0 AS DECIMAL(12,2)))) AS DOUBLE) AS order_revenue
+      |FROM customer
+      |LEFT JOIN ev ON c_custkey = user_id
+      |LEFT JOIN ord ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e60_segment_360" -> (e60 _),
     "e59_entry_exit_matrix" -> (e59 _),
     "e58_user_features" -> (e58 _),
     "e57_power_user_share" -> (e57 _),
@@ -2360,6 +2408,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e60_segment_360" -> e60Sql,
     "e59_entry_exit_matrix" -> e59Sql,
     "e58_user_features" -> e58Sql,
     "e57_power_user_share" -> e57Sql,

@@ -2591,7 +2591,55 @@ object Relational {
        |FROM fl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q79
+  /** Referential-integrity census: orphan counts for every foreign key
+    * in the star schema (lineitem→orders/part/supplier, orders→customer,
+    * customer/supplier→nation, events→customer). Each relation is one
+    * distinct-key collapse + one left-anti join on the key — the
+    * data-quality gate a warehouse load runs before trusting its joins;
+    * exact integer counts, ONE division per rate. */
+  def q79(spark: SparkSession, dir: String): DataFrame = {
+    def rel(label: String, fact: DataFrame, fk: String,
+            dim: DataFrame, pk: String): DataFrame =
+      fact.select(col(fk)).filter(col(fk).isNotNull)
+        .join(dim.select(col(pk)).distinct(), col(fk) === col(pk), "left")
+        .agg(count(lit(1)).as("n_rows"),
+             count(when(col(pk).isNull, lit(1))).as("n_orphans"))
+        .select(lit(label).as("relation"), col("n_rows"), col("n_orphans"),
+          round(dbl(col("n_orphans")) / col("n_rows"), 6).as("orphan_rate"))
+    val l = Tables.lineitem(spark, dir); val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir); val s = Tables.supplier(spark, dir)
+    val p = Tables.part(spark, dir); val n = Tables.nation(spark, dir)
+    rel("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
+      .unionByName(rel("events.user_id->customer", Tables.events(spark, dir), "user_id", c, "c_custkey"))
+      .unionByName(rel("lineitem.l_orderkey->orders", l, "l_orderkey", o, "o_orderkey"))
+      .unionByName(rel("lineitem.l_partkey->part", l, "l_partkey", p, "p_partkey"))
+      .unionByName(rel("lineitem.l_suppkey->supplier", l, "l_suppkey", s, "s_suppkey"))
+      .unionByName(rel("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
+      .unionByName(rel("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"))
+      .orderBy("relation")
+  }
+  val q79Sql: String = {
+    def block(label: String, fact: String, fk: String, dim: String, pk: String) =
+      s"""SELECT '$label' AS relation, COUNT(*)::BIGINT AS n_rows,
+         |  COUNT(CASE WHEN $pk IS NULL THEN 1 END)::BIGINT AS n_orphans,
+         |  ROUND(CAST(COUNT(CASE WHEN $pk IS NULL THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+         |    AS orphan_rate
+         |FROM (SELECT $fk FROM $fact WHERE $fk IS NOT NULL) f
+         |LEFT JOIN (SELECT DISTINCT $pk FROM $dim) d ON f.$fk = d.$pk""".stripMargin
+    Seq(
+      block("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      block("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+      block("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      block("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      block("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      block("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      block("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q79_fk_integrity" -> (q79 _),
     "q78_value_migration" -> (q78 _),
     "q77_seasonality_index" -> (q77 _),
     "q76_brand_rank_shift" -> (q76 _),
@@ -2673,6 +2721,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q79_fk_integrity" -> q79Sql,
     "q78_value_migration" -> q78Sql,
     "q77_seasonality_index" -> q77Sql,
     "q76_brand_rank_shift" -> q76Sql,

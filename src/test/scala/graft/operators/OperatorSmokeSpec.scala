@@ -98,7 +98,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "m15_prefix_census", "m16_size_entropy_corr",
       "p18_quality_budget_curve",
       "q77_seasonality_index", "q78_value_migration",
-      "d37_keeper_regret", "s19_exact_dup_vectors")
+      "d37_keeper_regret", "s19_exact_dup_vectors",
+      "e60_segment_360", "q79_fk_integrity")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
