@@ -2344,7 +2344,52 @@ object Events {
       |LEFT JOIN ord ON c_custkey = o_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e61
+  /** Stream/warehouse reconciliation: monthly purchase-event value from
+    * the event stream against booked order revenue from the warehouse,
+    * full-outer-joined on month so either side's gaps surface as rows
+    * with zero on the other side. Both sides pre-aggregate to ≤|months|
+    * frames map-side; the delta is an exact decimal difference. The ops
+    * check every Kafka→warehouse pipeline runs nightly. */
+  def e61(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dec
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ets"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_purchases"), sum(dec(col("value"))).as("pv"))
+    val or_ = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("ov"))
+    ev.join(or_, Seq("month"), "full_outer")
+      .select(col("month"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        dbl(coalesce(col("pv"), dec(lit(0)))).as("purchase_value"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        dbl(coalesce(col("ov"), dec(lit(0)))).as("order_value"),
+        dbl(coalesce(col("pv"), dec(lit(0))) - coalesce(col("ov"), dec(lit(0)))).as("delta"))
+      .orderBy("month")
+  }
+  val e61Sql: String =
+    """WITH ev AS (
+      |  SELECT strftime(ts, '%Y-%m') AS month, COUNT(*)::BIGINT AS n_purchases,
+      |    SUM(CAST(value AS DECIMAL(12,2))) AS pv
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |o AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*)::BIGINT AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS ov
+      |  FROM orders GROUP BY 1)
+      |SELECT COALESCE(ev.month, o.month) AS month,
+      |  COALESCE(n_purchases, 0) AS n_purchases,
+      |  CAST(COALESCE(pv, CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS purchase_value,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  CAST(COALESCE(ov, CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS order_value,
+      |  CAST(COALESCE(pv, CAST(0 AS DECIMAL(12,2)))
+      |     - COALESCE(ov, CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS delta
+      |FROM ev FULL OUTER JOIN o ON ev.month = o.month
+      |ORDER BY month""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e61_purchase_reconciliation" -> (e61 _),
     "e60_segment_360" -> (e60 _),
     "e59_entry_exit_matrix" -> (e59 _),
     "e58_user_features" -> (e58 _),
@@ -2408,6 +2453,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e61_purchase_reconciliation" -> e61Sql,
     "e60_segment_360" -> e60Sql,
     "e59_entry_exit_matrix" -> e59Sql,
     "e58_user_features" -> e58Sql,

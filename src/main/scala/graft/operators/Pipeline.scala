@@ -885,7 +885,65 @@ object Pipeline {
        |GROUP BY t.bin ORDER BY threshold""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p19
+  /** Keeper-policy comparison: what the corpus keeps under keep-min-id
+    * vs keep-best-quality exact dedup (same fingerprint groups, different
+    * survivor choice), against the raw baseline. Both keepers come from
+    * one map-combinable min/max(struct) pass over the fingerprint groups
+    * — the struct carries the survivor's token count so no second join
+    * resolves it; quality ties break on doc_id, so both policies are
+    * deterministic. The A/B table for "does smarter keeping buy tokens". */
+  def p19(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    val d = TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .select(col("fp"), col("doc_id"), col("quality"), col("n_tok"))
+    val per = d.groupBy("fp")
+      .agg(count(lit(1)).as("n_members"), sum(col("n_tok")).as("group_toks"),
+           min(struct(col("doc_id"), col("n_tok").as("nt"))).as("kmin"),
+           max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"),
+             col("n_tok").as("nt"))).as("kq"))
+    per.agg(sum(col("n_members")).as("raw_docs"), sum(col("group_toks")).as("raw_toks"),
+         count(lit(1)).as("kept_docs"),
+         sum(col("kmin.nt")).as("minid_toks"), sum(col("kq.nt")).as("best_toks"))
+      .select(col("raw_docs"), col("raw_toks"), col("kept_docs"),
+        col("minid_toks").as("keep_min_id_tokens"),
+        col("best_toks").as("keep_best_quality_tokens"),
+        (col("best_toks") - col("minid_toks")).as("token_gain"),
+        round(dbl(col("best_toks") - col("minid_toks")) / col("minid_toks"), 6)
+          .as("gain_rate"))
+  }
+  val p19Sql: String = {
+    import TextAnalysis.{qualitySqlExpr, stopSqlIn, wordsSql}
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |d AS (
+       |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+       |    doc_id, $qualitySqlExpr AS quality, n_tok
+       |  FROM m),
+       |per AS (
+       |  SELECT fp, COUNT(*)::BIGINT AS n_members, SUM(n_tok)::BIGINT AS group_toks,
+       |    arg_min(n_tok, doc_id) AS kmin_nt,
+       |    (MAX({'q': quality, 'nid': -doc_id, 'nt': n_tok})).nt AS kq_nt
+       |  FROM d GROUP BY 1)
+       |SELECT SUM(n_members)::BIGINT AS raw_docs, SUM(group_toks)::BIGINT AS raw_toks,
+       |  COUNT(*)::BIGINT AS kept_docs,
+       |  SUM(kmin_nt)::BIGINT AS keep_min_id_tokens,
+       |  SUM(kq_nt)::BIGINT AS keep_best_quality_tokens,
+       |  SUM(kq_nt)::BIGINT - SUM(kmin_nt)::BIGINT AS token_gain,
+       |  ROUND(CAST(SUM(kq_nt) - SUM(kmin_nt) AS DOUBLE) / SUM(kmin_nt), 6) AS gain_rate
+       |FROM per""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p19_keeper_policy_compare" -> (p19 _),
     "p18_quality_budget_curve" -> (p18 _),
     "p17_source_funnel" -> (p17 _),
     "p16_dedup_lang_impact" -> (p16 _),
@@ -907,6 +965,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p19_keeper_policy_compare" -> p19Sql,
     "p18_quality_budget_curve" -> p18Sql,
     "p17_source_funnel" -> p17Sql,
     "p16_dedup_lang_impact" -> p16Sql,

@@ -99,7 +99,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "p18_quality_budget_curve",
       "q77_seasonality_index", "q78_value_migration",
       "d37_keeper_regret", "s19_exact_dup_vectors",
-      "e60_segment_360", "q79_fk_integrity")
+      "e60_segment_360", "q79_fk_integrity",
+      "e61_purchase_reconciliation", "p19_keeper_policy_compare")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
