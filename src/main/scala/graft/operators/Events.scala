@@ -2388,7 +2388,38 @@ object Events {
       |FROM ev FULL OUTER JOIN o ON ev.month = o.month
       |ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------- e62
+  /** Ingestion-completeness audit: is the event_id sequence dense, or
+    * did the pipeline drop rows? Global min/max/count plus duplicate-id
+    * count — all map-combinable exact aggregates, 1 row out. The
+    * at-least-once / exactly-once health check a Kafka consumer group is
+    * graded by. */
+  def e62(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.events(spark, dir).select(col("event_id"))
+    val dup = ids.groupBy("event_id").agg(count(lit(1)).as("c"))
+      .agg(count(when(col("c") >= 2, lit(1))).as("n_dup_ids"))
+    ids.agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .join(broadcast(dup))
+      .select(col("n_events"), col("min_id"), col("max_id"), col("n_dup_ids"),
+        (col("max_id") - col("min_id") + 1 - col("n_events")).as("n_missing"),
+        round(dbl(col("max_id") - col("min_id") + 1 - col("n_events"))
+          / (col("max_id") - col("min_id") + 1), 6).as("missing_rate"))
+  }
+  val e62Sql: String =
+    """WITH ids AS (SELECT event_id FROM events),
+      |d AS (SELECT COUNT(CASE WHEN c >= 2 THEN 1 END)::BIGINT AS n_dup_ids
+      |  FROM (SELECT event_id, COUNT(*) AS c FROM ids GROUP BY 1)),
+      |a AS (SELECT COUNT(*)::BIGINT AS n_events, MIN(event_id) AS min_id,
+      |    MAX(event_id) AS max_id FROM ids)
+      |SELECT n_events, min_id, max_id, n_dup_ids,
+      |  max_id - min_id + 1 - n_events AS n_missing,
+      |  ROUND(CAST(max_id - min_id + 1 - n_events AS DOUBLE)
+      |        / (max_id - min_id + 1), 6) AS missing_rate
+      |FROM a CROSS JOIN d""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e62_id_continuity" -> (e62 _),
     "e61_purchase_reconciliation" -> (e61 _),
     "e60_segment_360" -> (e60 _),
     "e59_entry_exit_matrix" -> (e59 _),
@@ -2453,6 +2484,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e62_id_continuity" -> e62Sql,
     "e61_purchase_reconciliation" -> e61Sql,
     "e60_segment_360" -> e60Sql,
     "e59_entry_exit_matrix" -> e59Sql,

@@ -2638,7 +2638,28 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
   }
 
+  // ---------------------------------------------------------------- q80
+  /** Order-position profile: does basket position change behavior?
+    * Quantity/price/discount means per l_linenumber — one map-combinable
+    * groupBy to a ≤|max linenumber| frame, decimal-exact sums, ONE
+    * division per mean, round6. */
+  def q80(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linenumber").cast("long").as("position"))
+      .agg(count(lit(1)).as("n_lines"),
+           round(davg(col("l_quantity")), 6).as("avg_qty"),
+           round(davg(col("l_extendedprice")), 6).as("avg_price"),
+           round(davg(col("l_discount")), 6).as("avg_discount"))
+      .orderBy("position")
+  val q80Sql: String =
+    """SELECT CAST(l_linenumber AS BIGINT) AS position, COUNT(*)::BIGINT AS n_lines,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_discount
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q80_line_position_profile" -> (q80 _),
     "q79_fk_integrity" -> (q79 _),
     "q78_value_migration" -> (q78 _),
     "q77_seasonality_index" -> (q77 _),
@@ -2721,6 +2742,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q80_line_position_profile" -> q80Sql,
     "q79_fk_integrity" -> q79Sql,
     "q78_value_migration" -> q78Sql,
     "q77_seasonality_index" -> q77Sql,

@@ -945,7 +945,31 @@ object Similarity {
       |  MAX(n) AS max_group
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- s20
+  /** Embedding-coverage report: which document slices actually HAVE
+    * vectors (vec_id keys into doc_id) — per source: docs, embedded
+    * docs, coverage rate. The census run before any semantic dedup /
+    * ANN stage, since an uncovered slice silently skips d05/d13. One
+    * left join on the key + a ≤|sources| rollup. */
+  def s20(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id")),
+        col("doc_id") === col("vec_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           count(col("vec_id")).as("n_embedded"))
+      .select(col("source"), col("n_docs"), col("n_embedded"),
+        round(dbl(col("n_embedded")) / col("n_docs"), 6).as("coverage"))
+      .orderBy("source")
+  val s20Sql: String =
+    """SELECT source, COUNT(*)::BIGINT AS n_docs,
+      |  COUNT(vec_id)::BIGINT AS n_embedded,
+      |  ROUND(CAST(COUNT(vec_id) AS DOUBLE) / COUNT(*), 6) AS coverage
+      |FROM documents LEFT JOIN embeddings ON doc_id = vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s20_embedding_coverage" -> (s20 _),
     "s19_exact_dup_vectors" -> (s19 _),
     "s18_norm_band_profile" -> (s18 _),
     "s17_dim_stats" -> (s17 _),
@@ -968,6 +992,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s20_embedding_coverage" -> s20Sql,
     "s19_exact_dup_vectors" -> s19Sql,
     "s18_norm_band_profile" -> s18Sql,
     "s17_dim_stats" -> s17Sql,

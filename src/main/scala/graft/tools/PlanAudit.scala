@@ -85,7 +85,9 @@ object PlanAudit {
     // p18: bounded 10×10 quality-decile broadcast join + 1-row totals
     "p18_quality_budget_curve",
     // q77: 1-row revenue-total broadcast (seasonality denominator)
-    "q77_seasonality_index")
+    "q77_seasonality_index",
+    // e62: 1-row × 1-row join of the id-range and dup-id aggregates
+    "e62_id_continuity")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -100,7 +100,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "q77_seasonality_index", "q78_value_migration",
       "d37_keeper_regret", "s19_exact_dup_vectors",
       "e60_segment_360", "q79_fk_integrity",
-      "e61_purchase_reconciliation", "p19_keeper_policy_compare")
+      "e61_purchase_reconciliation", "p19_keeper_policy_compare",
+      "s20_embedding_coverage", "q80_line_position_profile", "e62_id_continuity")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
