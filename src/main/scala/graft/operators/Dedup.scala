@@ -1604,7 +1604,31 @@ object Dedup {
        |FROM per""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d38
+  /** Dup-graph degree distribution: how many documents have exactly k
+    * near-dup partners (J ≥ 0.5). The histogram behind d15's top-k
+    * centrality — its tail is what says whether clusters are chains
+    * (deg ≈ 2) or template blowups (deg ≫ 2). Two map-combinable
+    * groupBys over the memoized pair stream; output bounded by max
+    * degree. */
+  def d38(spark: SparkSession, dir: String): DataFrame = {
+    val e = sharedPairs(spark, dir).select("doc_a", "doc_b")
+    e.select(col("doc_a").as("v")).union(e.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_docs"))
+      .orderBy("deg")
+  }
+  val d38Sql: String = {
+    val pairSql = jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH e AS (SELECT doc_a, doc_b FROM ($pairSql)),
+       |adj AS (SELECT doc_a AS v FROM e UNION ALL SELECT doc_b FROM e),
+       |deg AS (SELECT v, COUNT(*)::BIGINT AS deg FROM adj GROUP BY 1)
+       |SELECT deg, COUNT(*)::BIGINT AS n_docs FROM deg
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d38_degree_histogram" -> (d38 _),
     "d37_keeper_regret" -> (d37 _),
     "d36_leak_by_source" -> (d36 _),
     "d35_pair_transitivity" -> (d35 _),
@@ -1644,6 +1668,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d38_degree_histogram" -> d38Sql,
     "d37_keeper_regret" -> d37Sql,
     "d36_leak_by_source" -> d36Sql,
     "d35_pair_transitivity" -> d35Sql,

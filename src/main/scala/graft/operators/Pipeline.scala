@@ -942,7 +942,39 @@ object Pipeline {
        |FROM per""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p20
+  /** Cross-shard dup leakage: near-dup pairs (J ≥ 0.5) whose two sides
+    * hash to DIFFERENT p12 output shards — exactly the pairs a
+    * shard-local dedup pass can never see, so this rate is the error
+    * bound of sharded dedup. Rides the memoized pair stream + two key
+    * joins to the shard assignment; 1-row summary with ONE division. */
+  def p20(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    val shard = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(md5(col("text")), 1, 1).as("shard"))
+    Dedup.sharedPairs(spark, dir).select("doc_a", "doc_b")
+      .join(shard.select(col("doc_id").as("doc_a"), col("shard").as("sa")), "doc_a")
+      .join(shard.select(col("doc_id").as("doc_b"), col("shard").as("sb")), "doc_b")
+      .agg(count(lit(1)).as("n_pairs"),
+           count(when(col("sa") =!= col("sb"), lit(1))).as("n_cross_shard"))
+      .select(col("n_pairs"), col("n_cross_shard"),
+        round(dbl(col("n_cross_shard")) / col("n_pairs"), 6).as("leakage_rate"))
+  }
+  val p20Sql: String = {
+    val pairSql = Dedup.jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH e AS (SELECT doc_a, doc_b FROM ($pairSql)),
+       |sh AS (SELECT doc_id, substr(md5(text), 1, 1) AS shard FROM documents)
+       |SELECT COUNT(*)::BIGINT AS n_pairs,
+       |  COUNT(CASE WHEN sa.shard <> sb.shard THEN 1 END)::BIGINT AS n_cross_shard,
+       |  ROUND(CAST(COUNT(CASE WHEN sa.shard <> sb.shard THEN 1 END) AS DOUBLE)
+       |        / COUNT(*), 6) AS leakage_rate
+       |FROM e
+       |JOIN sh sa ON e.doc_a = sa.doc_id
+       |JOIN sh sb ON e.doc_b = sb.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p20_cross_shard_dups" -> (p20 _),
     "p19_keeper_policy_compare" -> (p19 _),
     "p18_quality_budget_curve" -> (p18 _),
     "p17_source_funnel" -> (p17 _),
@@ -965,6 +997,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p20_cross_shard_dups" -> p20Sql,
     "p19_keeper_policy_compare" -> p19Sql,
     "p18_quality_budget_curve" -> p18Sql,
     "p17_source_funnel" -> p17Sql,

@@ -101,7 +101,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "d37_keeper_regret", "s19_exact_dup_vectors",
       "e60_segment_360", "q79_fk_integrity",
       "e61_purchase_reconciliation", "p19_keeper_policy_compare",
-      "s20_embedding_coverage", "q80_line_position_profile", "e62_id_continuity")
+      "s20_embedding_coverage", "q80_line_position_profile", "e62_id_continuity",
+      "d38_degree_histogram", "p20_cross_shard_dups")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
