@@ -2418,7 +2418,51 @@ object Events {
       |        / (max_id - min_id + 1), 6) AS missing_rate
       |FROM a CROSS JOIN d""".stripMargin
 
+  // ---------------------------------------------------------------- e63
+  /** LTV driver screen: Pearson correlation of user lifespan (active-day
+    * span) vs total spend — does retention actually buy revenue? Users
+    * collapse map-side to (lifespan_days, value_cents) exact integers,
+    * then q38's DECIMAL(38,0) distributed-moment recipe: one groupBy,
+    * one 1-row result, ONE IEEE division chain, round6. */
+  def e63(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val u = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg((expr("max(ms) div 86400000") - expr("min(ms) div 86400000") + 1)
+             .as("lifespan"),
+           sum((dec(col("value")) * 100).cast(d38)).as("cents"))
+    val x = col("lifespan").cast(d38); val y = col("cents")
+    u.agg(count(lit(1)).as("n"),
+         dbl(sum(x)).as("sx"), dbl(sum(y)).as("sy"),
+         dbl(sum(x * y)).as("sxy"),
+         dbl(sum(x * x)).as("sx2"), dbl(sum(y * y)).as("sy2"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 6)
+          .as("corr_lifespan_value"))
+  }
+  val e63Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(epoch_ms(ts)) // 86400000 - MIN(epoch_ms(ts)) // 86400000 + 1 AS lifespan,
+      |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT)) AS cents
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(lifespan AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(SUM(cents) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(lifespan AS HUGEINT) * cents) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(lifespan AS HUGEINT) * lifespan) AS DOUBLE) AS sx2,
+      |    CAST(SUM(cents * cents) AS DOUBLE) AS sy2
+      |  FROM u)
+      |SELECT n,
+      |  ROUND((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+      |    AS corr_lifespan_value
+      |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e63_lifespan_value_corr" -> (e63 _),
     "e62_id_continuity" -> (e62 _),
     "e61_purchase_reconciliation" -> (e61 _),
     "e60_segment_360" -> (e60 _),
@@ -2484,6 +2528,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e63_lifespan_value_corr" -> e63Sql,
     "e62_id_continuity" -> e62Sql,
     "e61_purchase_reconciliation" -> e61Sql,
     "e60_segment_360" -> e60Sql,

@@ -2658,7 +2658,31 @@ object Relational {
       |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_discount
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Customer-base demographics: customers and balance profile per
+    * (nation, segment) cell — broadcast nation dim, one map-combinable
+    * groupBy, |nations|×|segments|-bounded, decimal-exact balance
+    * extrema and a single-division mean. */
+  def q81(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           dbl(min(dec(col("c_acctbal")))).as("min_bal"),
+           dbl(max(dec(col("c_acctbal")))).as("max_bal"),
+           round(davg(col("c_acctbal")), 6).as("avg_bal"))
+      .orderBy("n_name", "c_mktsegment")
+  val q81Sql: String =
+    """SELECT n_name, c_mktsegment, COUNT(*)::BIGINT AS n_customers,
+      |  CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_bal,
+      |  CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal,
+      |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q81_nation_segment_census" -> (q81 _),
     "q80_line_position_profile" -> (q80 _),
     "q79_fk_integrity" -> (q79 _),
     "q78_value_migration" -> (q78 _),
@@ -2742,6 +2766,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q81_nation_segment_census" -> q81Sql,
     "q80_line_position_profile" -> q80Sql,
     "q79_fk_integrity" -> q79Sql,
     "q78_value_migration" -> q78Sql,

@@ -968,7 +968,31 @@ object Similarity {
       |FROM documents LEFT JOIN embeddings ON doc_id = vec_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s21
+  /** Class-balance census: vectors per label with corpus share and the
+    * max/min imbalance ratio — the table every classifier training run
+    * prints first. |labels|-bounded frame, 1-row totals broadcast. */
+  def s21(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.embeddings(spark, dir)
+      .groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    val tot = l.agg(sum(col("n_vecs")).as("t"),
+      max(col("n_vecs")).as("mx"), min(col("n_vecs")).as("mn"))
+    l.join(broadcast(tot))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        round(dbl(col("n_vecs")) / col("t"), 6).as("share"),
+        round(dbl(col("mx")) / col("mn"), 6).as("imbalance_ratio"))
+      .orderBy("label")
+  }
+  val s21Sql: String =
+    """WITH l AS (SELECT label, COUNT(*)::BIGINT AS n_vecs FROM embeddings GROUP BY 1),
+      |t AS (SELECT SUM(n_vecs)::BIGINT AS t, MAX(n_vecs) AS mx, MIN(n_vecs) AS mn FROM l)
+      |SELECT CAST(label AS BIGINT) AS label, n_vecs,
+      |  ROUND(CAST(n_vecs AS DOUBLE) / t, 6) AS share,
+      |  ROUND(CAST(mx AS DOUBLE) / mn, 6) AS imbalance_ratio
+      |FROM l CROSS JOIN t ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s21_label_balance" -> (s21 _),
     "s20_embedding_coverage" -> (s20 _),
     "s19_exact_dup_vectors" -> (s19 _),
     "s18_norm_band_profile" -> (s18 _),
@@ -992,6 +1016,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s21_label_balance" -> s21Sql,
     "s20_embedding_coverage" -> s20Sql,
     "s19_exact_dup_vectors" -> s19Sql,
     "s18_norm_band_profile" -> s18Sql,

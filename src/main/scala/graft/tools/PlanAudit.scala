@@ -87,7 +87,9 @@ object PlanAudit {
     // q77: 1-row revenue-total broadcast (seasonality denominator)
     "q77_seasonality_index",
     // e62: 1-row × 1-row join of the id-range and dup-id aggregates
-    "e62_id_continuity")
+    "e62_id_continuity",
+    // s21: 1-row totals broadcast (share + imbalance denominators)
+    "s21_label_balance")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

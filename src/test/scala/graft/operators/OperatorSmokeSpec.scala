@@ -102,7 +102,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e60_segment_360", "q79_fk_integrity",
       "e61_purchase_reconciliation", "p19_keeper_policy_compare",
       "s20_embedding_coverage", "q80_line_position_profile", "e62_id_continuity",
-      "d38_degree_histogram", "p20_cross_shard_dups")
+      "d38_degree_histogram", "p20_cross_shard_dups",
+      "e63_lifespan_value_corr", "q81_nation_segment_census", "s21_label_balance")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
