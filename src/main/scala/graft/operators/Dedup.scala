@@ -102,6 +102,18 @@ object Dedup {
     * exposed so the candidate-quality report (d29) can count the pair
     * stream BEFORE exact verification. */
   private[operators] def d02Candidates(sh: DataFrame): DataFrame = {
+    val bands = d02Bands(sh)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** d02's banded signature table (doc_id, band, key) — the 128-perm
+    * MinHash folded into 32 bands of 4. Shared by the candidate
+    * self-join and the bucket-occupancy audit (d39). */
+  private[operators] def d02Bands(sh: DataFrame): DataFrame = {
     // Carter-Wegman universal hash family mod 2^31-1: a*h fits in a long
     // (< 2^62) and a ranges over the FULL multiplicative group, so the 128
     // permutations are genuinely independent (a small-`a` family would be
@@ -120,16 +132,11 @@ object Dedup {
       struct(lit(j).as("band"),
         xxhash64((j * 4 until j * 4 + 4).map(i => col(s"m$i")): _*).as("key"))
     }
-    // cache the (tiny) band table: the self-join below would otherwise
-    // recompute the whole 128-column signature aggregation for each side
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    // cache the (tiny) band table: consumers self-join or re-aggregate it,
+    // which would otherwise recompute the 128-column signature aggregation
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .cache()
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
   }
 
   /** Exact J ≥ 0.8 verification of a candidate pair stream. */
@@ -1627,7 +1634,23 @@ object Dedup {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d39
+  /** LSH bucket-occupancy audit: the size histogram of d02's (band, key)
+    * buckets with the candidate-pair mass each size class generates
+    * (Σ C(s,2)). A hot bucket costs O(s²) compares while contributing
+    * mostly sub-threshold pairs — this is the table that says whether
+    * the 32×4 band shape is wasting the verify stage. Signature-space
+    * construct (no SQL oracle — rows-only); two map-combinable groupBys
+    * over the shared band table. */
+  def d39(spark: SparkSession, dir: String): DataFrame =
+    d02Bands(shingled(spark, dir).cache())
+      .groupBy("band", "key").agg(count(lit(1)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("n_buckets"),
+        sum(expr("(s * (s - 1)) div 2")).as("pair_mass"))
+      .orderBy("s")
+
   val queries: Map[String, Q] = Map(
+    "d39_lsh_bucket_histogram" -> (d39 _),
     "d38_degree_histogram" -> (d38 _),
     "d37_keeper_regret" -> (d37 _),
     "d36_leak_by_source" -> (d36 _),

@@ -103,7 +103,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e61_purchase_reconciliation", "p19_keeper_policy_compare",
       "s20_embedding_coverage", "q80_line_position_profile", "e62_id_continuity",
       "d38_degree_histogram", "p20_cross_shard_dups",
-      "e63_lifespan_value_corr", "q81_nation_segment_census", "s21_label_balance")
+      "e63_lifespan_value_corr", "q81_nation_segment_census", "s21_label_balance",
+      "d39_lsh_bucket_histogram")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -114,7 +115,8 @@ class OperatorSmokeSpec extends SparkSpec {
         "m05_payload_neardup", "m07_payload_clusters", "p02_embedding_pipeline",
         "q21_approx_stats", "d17_containment_capped", "p05_multimodal_curation",
         "e24_rolling_active_sketch", "s09_ann_recall", "s10_ivf_cell_stats",
-        "s13_sq8_error_hist", "s14_recall_curve", "d29_lsh_candidate_report"))
+        "s13_sq8_error_hist", "s14_recall_curve", "d29_lsh_candidate_report",
+        "d39_lsh_bucket_histogram"))
   }
 
   test("d29 LSH candidate report: verified equals the exact J>=0.8 pair count") {
