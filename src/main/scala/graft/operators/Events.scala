@@ -2461,7 +2461,40 @@ object Events {
       |    AS corr_lifespan_value
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- e64
+  /** Acquisition-quality table: for each entry event type (a user's
+    * first-ever event — e53's argmin), how many of those users EVER
+    * purchase, and the conversion rate. One map-combinable per-user
+    * collapse carrying both the entry struct and the purchase flag —
+    * no second scan, no join; output |types|-bounded. The
+    * "which front door brings buyers" attribution read. */
+  def e64(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(struct(col("ms"), col("event_id"), col("event_type"))).as("f"),
+           max(when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)))
+             .as("converted"))
+      .groupBy(col("f.event_type").as("entry_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+      .select(col("entry_type"), col("n_users"), col("n_converted"),
+        round(dbl(col("n_converted")) / col("n_users"), 6).as("conversion_rate"))
+      .orderBy("entry_type")
+  val e64Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+      |f AS (SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS rn
+      |  FROM e),
+      |conv AS (SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS converted
+      |  FROM e GROUP BY 1),
+      |fe AS (SELECT user_id, event_type AS entry_type FROM f WHERE rn = 1)
+      |SELECT entry_type, COUNT(*)::BIGINT AS n_users,
+      |  SUM(converted)::BIGINT AS n_converted,
+      |  ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+      |FROM fe JOIN conv USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e64_entry_conversion" -> (e64 _),
     "e63_lifespan_value_corr" -> (e63 _),
     "e62_id_continuity" -> (e62 _),
     "e61_purchase_reconciliation" -> (e61 _),
@@ -2528,6 +2561,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e64_entry_conversion" -> e64Sql,
     "e63_lifespan_value_corr" -> e63Sql,
     "e62_id_continuity" -> e62Sql,
     "e61_purchase_reconciliation" -> e61Sql,
