@@ -127,7 +127,7 @@ object Dedup {
     val minhashCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"m$i")
     }
-    val sig = posting.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
+    val sig = posting.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail.toIndexedSeq: _*)
     val bandCols = (0 until 32).map { j =>
       struct(lit(j).as("band"),
         xxhash64((j * 4 until j * 4 + 4).map(i => col(s"m$i")): _*).as("key"))
@@ -642,7 +642,7 @@ object Dedup {
     val minhashCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"m$i")
     }
-    val sig = posting.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
+    val sig = posting.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail.toIndexedSeq: _*)
     val bandCols = (0 until 64).map { j =>
       struct(lit(j).as("band"), xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("key"))
     }
@@ -764,7 +764,7 @@ object Dedup {
     val bits = evalGrams * 16L
     val bf = eval_
       .select(expr(s"bloom_agg(xxhash64(g), ${evalGrams}L, ${bits}L)").as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     post.filter(col("doc_id") % 20 =!= 0)
       .filter(call_function("bloom_contains", lit(bf), xxhash64(col("g"))))
       .join(broadcast(eval_), "g")

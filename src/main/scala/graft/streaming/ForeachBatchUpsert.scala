@@ -57,7 +57,7 @@ object ForeachBatchUpsert {
         val existing = spark.read.schema(incoming.schema).parquet(targetDir)
           .join(touched, "key_bucket")
           // partition column must come last again for the union/write
-          .select(incoming.columns.map(col): _*)
+          .select(incoming.columns.toIndexedSeq.map(col): _*)
         dedupeLatest(incoming.unionByName(existing), keyCol, versionCol)
       } else incoming
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
