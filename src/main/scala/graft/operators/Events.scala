@@ -2493,7 +2493,46 @@ object Events {
       |  ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
       |FROM fe JOIN conv USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e65
+  /** Engagement→conversion curve: purchase rate per session-depth band
+    * (sessions of 1, 2, … 10+ events). e01's gap split, a per-session
+    * map-combinable (count, purchase-flag) collapse, then a ≤10-row
+    * rollup — the curve that justifies (or kills) engagement-driven
+    * ranking. */
+  def e65(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(wr))
+      .groupBy("user_id", "sess_idx")
+      .agg(count(lit(1)).as("n_events"),
+           max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("has_purchase"))
+      .groupBy(least(col("n_events"), lit(10L)).as("depth_band"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("has_purchase")).as("n_converted"))
+      .select(col("depth_band"), col("n_sessions"), col("n_converted"),
+        round(dbl(col("n_converted")) / col("n_sessions"), 6).as("conversion_rate"))
+      .orderBy("depth_band")
+  }
+  val e65Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
+       |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f),
+       |sess AS (SELECT user_id, sess_idx, COUNT(*)::BIGINT AS n_events,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS has_purchase
+       |  FROM s GROUP BY 1, 2)
+       |SELECT LEAST(n_events, 10) AS depth_band,
+       |  COUNT(*)::BIGINT AS n_sessions, SUM(has_purchase)::BIGINT AS n_converted,
+       |  ROUND(CAST(SUM(has_purchase) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e65_depth_conversion" -> (e65 _),
     "e64_entry_conversion" -> (e64 _),
     "e63_lifespan_value_corr" -> (e63 _),
     "e62_id_continuity" -> (e62 _),
@@ -2561,6 +2600,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e65_depth_conversion" -> e65Sql,
     "e64_entry_conversion" -> e64Sql,
     "e63_lifespan_value_corr" -> e63Sql,
     "e62_id_continuity" -> e62Sql,

@@ -2681,7 +2681,25 @@ object Relational {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Supply-chain redundancy census: suppliers-per-part histogram —
+    * how much of the catalog is single-sourced (the procurement risk
+    * q49's share concentration doesn't show). Distinct (part, supplier)
+    * collapse map-side, two bounded groupBys. */
+  def q82(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_suppliers"))
+      .groupBy("n_suppliers").agg(count(lit(1)).as("n_parts"))
+      .orderBy("n_suppliers")
+  val q82Sql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |pp AS (SELECT l_partkey, COUNT(*)::BIGINT AS n_suppliers FROM ps GROUP BY 1)
+      |SELECT n_suppliers, COUNT(*)::BIGINT AS n_parts
+      |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q82_supplier_redundancy" -> (q82 _),
     "q81_nation_segment_census" -> (q81 _),
     "q80_line_position_profile" -> (q80 _),
     "q79_fk_integrity" -> (q79 _),
@@ -2766,6 +2784,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q82_supplier_redundancy" -> q82Sql,
     "q81_nation_segment_census" -> q81Sql,
     "q80_line_position_profile" -> q80Sql,
     "q79_fk_integrity" -> q79Sql,
