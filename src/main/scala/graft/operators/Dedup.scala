@@ -1649,7 +1649,60 @@ object Dedup {
         sum(expr("(s * (s - 1)) div 2")).as("pair_mass"))
       .orderBy("s")
 
+  // ---------------------------------------------------------------- d40
+  /** Containment-direction profile: how asymmetric are d16's containment
+    * pairs — strict subsets (contained side ≤ half the container),
+    * partial overlaps, or near-peers? Plus the aggregate size ratio
+    * (Σ min-size / Σ max-size — exact integer sums, ONE division).
+    * Near-peer-heavy containment means drop-the-smaller is really
+    * near-dup dedup; subset-heavy means quote/excerpt removal. */
+  def d40(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
+    posting.as("a").join(posting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
+      .agg(count(lit(1)).as("n_pairs"),
+           count(when(least(col("na"), col("nb")) * 2 <= greatest(col("na"), col("nb")),
+             lit(1))).as("n_strict_subset"),
+           count(when(least(col("na"), col("nb")) * 2 > greatest(col("na"), col("nb")) &&
+               least(col("na"), col("nb")) * 10 <= greatest(col("na"), col("nb")) * 9,
+             lit(1))).as("n_partial"),
+           count(when(least(col("na"), col("nb")) * 10 > greatest(col("na"), col("nb")) * 9,
+             lit(1))).as("n_near_peer"),
+           sum(least(col("na"), col("nb"))).as("sum_min"),
+           sum(greatest(col("na"), col("nb"))).as("sum_max"))
+      .select(col("n_pairs"), col("n_strict_subset"), col("n_partial"), col("n_near_peer"),
+        round(dbl(col("sum_min")) / col("sum_max"), 6).as("agg_size_ratio"))
+  }
+  val d40Sql: String =
+    s"""WITH sh AS ($shingledSql),
+       |posting AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+       |sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT LEAST(na.n, nb.n) AS mn, GREATEST(na.n, nb.n) AS mx
+       |  FROM inter
+       |  JOIN sizes na ON doc_a = na.doc_id
+       |  JOIN sizes nb ON doc_b = nb.doc_id
+       |  WHERE inter * 10 >= LEAST(na.n, nb.n) * 9)
+       |SELECT COUNT(*)::BIGINT AS n_pairs,
+       |  COUNT(CASE WHEN mn * 2 <= mx THEN 1 END)::BIGINT AS n_strict_subset,
+       |  COUNT(CASE WHEN mn * 2 > mx AND mn * 10 <= mx * 9 THEN 1 END)::BIGINT AS n_partial,
+       |  COUNT(CASE WHEN mn * 10 > mx * 9 THEN 1 END)::BIGINT AS n_near_peer,
+       |  ROUND(CAST(SUM(mn) AS DOUBLE) / SUM(mx), 6) AS agg_size_ratio
+       |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d40_containment_direction" -> (d40 _),
     "d39_lsh_bucket_histogram" -> (d39 _),
     "d38_degree_histogram" -> (d38 _),
     "d37_keeper_regret" -> (d37 _),
@@ -1691,6 +1744,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d40_containment_direction" -> d40Sql,
     "d38_degree_histogram" -> d38Sql,
     "d37_keeper_regret" -> d37Sql,
     "d36_leak_by_source" -> d36Sql,

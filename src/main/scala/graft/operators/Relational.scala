@@ -2698,7 +2698,32 @@ object Relational {
       |SELECT n_suppliers, COUNT(*)::BIGINT AS n_parts
       |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Order-priority mix trend: each priority's share of orders per year
+    * — drift in the order book's urgency profile. Map-combinable census
+    * to a |years|×|priorities| frame; the share window partitions by
+    * year over that bounded frame (never the fact). */
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    m.withColumn("share",
+        round(dbl(col("n_orders")) /
+          dbl(sum(col("n_orders")).over(Window.partitionBy("yr"))), 6))
+      .orderBy("yr", "o_orderpriority")
+  }
+  val q83Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+      |    COUNT(*)::BIGINT AS n_orders
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT yr, o_orderpriority, n_orders,
+      |  ROUND(CAST(n_orders AS DOUBLE) /
+      |        CAST(SUM(n_orders) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
+      |FROM m ORDER BY yr, o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q83_priority_mix_trend" -> (q83 _),
     "q82_supplier_redundancy" -> (q82 _),
     "q81_nation_segment_census" -> (q81 _),
     "q80_line_position_profile" -> (q80 _),
@@ -2784,6 +2809,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q83_priority_mix_trend" -> q83Sql,
     "q82_supplier_redundancy" -> q82Sql,
     "q81_nation_segment_census" -> q81Sql,
     "q80_line_position_profile" -> q80Sql,

@@ -105,7 +105,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "d38_degree_histogram", "p20_cross_shard_dups",
       "e63_lifespan_value_corr", "q81_nation_segment_census", "s21_label_balance",
       "d39_lsh_bucket_histogram", "e64_entry_conversion",
-      "e65_depth_conversion", "q82_supplier_redundancy")
+      "e65_depth_conversion", "q82_supplier_redundancy",
+      "q83_priority_mix_trend", "d40_containment_direction")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
