@@ -650,7 +650,49 @@ object Multimodal {
        |FROM m ORDER BY modality""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m17
+  /** Quality-by-modality gate evidence: t02's text-quality score
+    * averaged per routed modality — the table that justifies sending
+    * only 'text'-routed payloads through the text-quality gate (binary
+    * payloads scoring low is expected; text payloads scoring low is a
+    * router bug). Quality quantizes to DECIMAL(12,6) before the sum so
+    * the means are order-independent; output |modalities|-bounded. */
+  def m17(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", routeModality(col("payload"), col("text")))
+      .select(col("modality"), col("quality").cast("decimal(12,6)").as("q"))
+    q.groupBy("modality")
+      .agg(count(lit(1)).as("n_docs"),
+           round(dbl(sum(col("q"))) / count(lit(1)), 6).as("avg_quality"),
+           dbl(min(col("q"))).as("min_quality"),
+           dbl(max(col("q"))).as("max_quality"))
+      .orderBy("modality")
+  }
+  val m17Sql: String = {
+    import TextAnalysis.{qualitySqlExpr, stopSqlIn, wordsSql}
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |q AS (
+       |  SELECT $modalitySqlCase AS modality,
+       |    CAST(($qualitySqlExpr) AS DECIMAL(12,6)) AS q
+       |  FROM m)
+       |SELECT modality, COUNT(*)::BIGINT AS n_docs,
+       |  ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+       |  CAST(MIN(q) AS DOUBLE) AS min_quality,
+       |  CAST(MAX(q) AS DOUBLE) AS max_quality
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "m17_modality_quality" -> (m17 _),
     "m16_size_entropy_corr" -> (m16 _),
     "m15_prefix_census" -> (m15 _),
     "m14_modality_entropy" -> (m14 _),
@@ -670,6 +712,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m17_modality_quality" -> m17Sql,
     "m16_size_entropy_corr" -> m16Sql,
     "m15_prefix_census" -> m15Sql,
     "m14_modality_entropy" -> m14Sql,

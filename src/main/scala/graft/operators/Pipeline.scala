@@ -973,7 +973,49 @@ object Pipeline {
        |JOIN sh sb ON e.doc_b = sb.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p22
+  /** Per-LANGUAGE curation funnel: p17's stage ledger keyed by the
+    * document's language instead of its source — which languages die at
+    * which gate (the fairness/coverage view of the same pipeline).
+    * Rides p01's cached stage frames; doc_id key joins; |langs|×5-
+    * bounded output. */
+  def p22(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, scored, keep, surv, sampled) = p01Stages(spark, dir)
+    val lg = docs.select(col("doc_id"), col("lang"))
+    def lvl(label: String, df: DataFrame): DataFrame =
+      df.select("doc_id").join(lg, "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("stage", lit(label))
+    lvl("a_raw", docs)
+      .unionByName(lvl("b_quality_lang", scored))
+      .unionByName(lvl("c_exact_dedup", keep))
+      .unionByName(lvl("d_near_dedup", surv))
+      .unionByName(lvl("e_sampled", sampled))
+      .select("lang", "stage", "n_docs")
+      .orderBy("lang", "stage")
+  }
+  val p22Sql: String = {
+    val idx = p01Sql.indexOf("SELECT doc_id, pred_lang, quality FROM keep")
+    require(idx > 0, "p01Sql shape changed under p22")
+    val ctes = p01Sql.substring(0, idx).trim
+    s"""$ctes,
+       |surv AS (
+       |  SELECT * FROM keep WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |stages AS (
+       |  SELECT 'a_raw' AS stage, doc_id FROM documents
+       |  UNION ALL SELECT 'b_quality_lang', doc_id FROM pl
+       |  UNION ALL SELECT 'c_exact_dedup', doc_id FROM keep
+       |  UNION ALL SELECT 'd_near_dedup', doc_id FROM surv
+       |  UNION ALL SELECT 'e_sampled', doc_id FROM surv
+       |    WHERE (CASE WHEN pred_lang = 'en' THEN substr(md5(text), 1, 1) < '8'
+       |                ELSE substr(md5(text), 1, 1) < '4' END))
+       |SELECT d.lang, s.stage, COUNT(*)::BIGINT AS n_docs
+       |FROM stages s JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p22_lang_funnel" -> (p22 _),
     "p20_cross_shard_dups" -> (p20 _),
     "p19_keeper_policy_compare" -> (p19 _),
     "p18_quality_budget_curve" -> (p18 _),
@@ -997,6 +1039,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p22_lang_funnel" -> p22Sql,
     "p20_cross_shard_dups" -> p20Sql,
     "p19_keeper_policy_compare" -> p19Sql,
     "p18_quality_budget_curve" -> p18Sql,

@@ -106,7 +106,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e63_lifespan_value_corr", "q81_nation_segment_census", "s21_label_balance",
       "d39_lsh_bucket_histogram", "e64_entry_conversion",
       "e65_depth_conversion", "q82_supplier_redundancy",
-      "q83_priority_mix_trend", "d40_containment_direction")
+      "q83_priority_mix_trend", "d40_containment_direction",
+      "m17_modality_quality", "p22_lang_funnel")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
