@@ -1701,7 +1701,42 @@ object Dedup {
        |  ROUND(CAST(SUM(mn) AS DOUBLE) / SUM(mx), 6) AS agg_size_ratio
        |FROM p""".stripMargin
 
+  // ---------------------------------------------------------------- d41
+  /** Dup-cluster source purity: do near-dup clusters stay inside one
+    * ingestion source, or do templates spread across feeds? Counts
+    * clusters by distinct-source membership and reports the mixed
+    * share — d20's pairwise matrix rolled up to cluster granularity.
+    * Rides the memoized CC labels + one key join. */
+  def d41(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val per = d10(spark, dir).join(src, "doc_id")
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("source")).as("n_sources"))
+    val hist = per.groupBy("n_sources").agg(count(lit(1)).as("n_clusters"))
+    val tot = hist.agg(sum(col("n_clusters")).as("t"),
+      sum(when(col("n_sources") >= 2, col("n_clusters")).otherwise(lit(0L))).as("mixed"))
+    hist.join(broadcast(tot))
+      .select(col("n_sources"), col("n_clusters"),
+        round(dbl(col("mixed")) / col("t"), 6).as("mixed_cluster_share"))
+      .orderBy("n_sources")
+  }
+  val d41Sql: String = {
+    val cc = d10Sql.replace("ORDER BY doc_id", "")
+    s"""WITH cc AS ($cc),
+       |per AS (
+       |  SELECT cluster_id, COUNT(DISTINCT source)::BIGINT AS n_sources
+       |  FROM cc JOIN documents USING (doc_id) GROUP BY 1),
+       |hist AS (SELECT n_sources, COUNT(*)::BIGINT AS n_clusters FROM per GROUP BY 1),
+       |t AS (SELECT SUM(n_clusters)::BIGINT AS t,
+       |    SUM(CASE WHEN n_sources >= 2 THEN n_clusters ELSE 0 END)::BIGINT AS mixed
+       |  FROM hist)
+       |SELECT n_sources, n_clusters,
+       |  ROUND(CAST(mixed AS DOUBLE) / t, 6) AS mixed_cluster_share
+       |FROM hist CROSS JOIN t ORDER BY n_sources""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d41_cluster_source_purity" -> (d41 _),
     "d40_containment_direction" -> (d40 _),
     "d39_lsh_bucket_histogram" -> (d39 _),
     "d38_degree_histogram" -> (d38 _),
@@ -1744,6 +1779,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d41_cluster_source_purity" -> d41Sql,
     "d40_containment_direction" -> d40Sql,
     "d38_degree_histogram" -> d38Sql,
     "d37_keeper_regret" -> d37Sql,

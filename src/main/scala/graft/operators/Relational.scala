@@ -2722,7 +2722,29 @@ object Relational {
       |        CAST(SUM(n_orders) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
       |FROM m ORDER BY yr, o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Do discounted lines come back? Return rate per integer discount
+    * band — q51's banding (identical IEEE round both engines) with the
+    * return dimension; one map-combinable groupBy, exact counts, ONE
+    * division per band. */
+  def q84(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(round(col("l_discount") * 100).cast("long").as("discount_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+           count(when(col("l_returnflag") === "R", lit(1))).as("n_returned"))
+      .select(col("discount_pct"), col("n_lines"), col("n_returned"),
+        round(dbl(col("n_returned")) / col("n_lines"), 6).as("return_rate"))
+      .orderBy("discount_pct")
+  val q84Sql: String =
+    """SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS discount_pct,
+      |  COUNT(*)::BIGINT AS n_lines,
+      |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)::BIGINT AS n_returned,
+      |  ROUND(CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS return_rate
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q84_discount_return_rate" -> (q84 _),
     "q83_priority_mix_trend" -> (q83 _),
     "q82_supplier_redundancy" -> (q82 _),
     "q81_nation_segment_census" -> (q81 _),
@@ -2809,6 +2831,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q84_discount_return_rate" -> q84Sql,
     "q83_priority_mix_trend" -> q83Sql,
     "q82_supplier_redundancy" -> q82Sql,
     "q81_nation_segment_census" -> q81Sql,

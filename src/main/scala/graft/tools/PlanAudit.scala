@@ -89,7 +89,9 @@ object PlanAudit {
     // e62: 1-row × 1-row join of the id-range and dup-id aggregates
     "e62_id_continuity",
     // s21: 1-row totals broadcast (share + imbalance denominators)
-    "s21_label_balance")
+    "s21_label_balance",
+    // d41: 1-row cluster-totals broadcast (mixed-share denominator)
+    "d41_cluster_source_purity")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -107,7 +107,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "d39_lsh_bucket_histogram", "e64_entry_conversion",
       "e65_depth_conversion", "q82_supplier_redundancy",
       "q83_priority_mix_trend", "d40_containment_direction",
-      "m17_modality_quality", "p22_lang_funnel")
+      "m17_modality_quality", "p22_lang_funnel",
+      "d41_cluster_source_purity", "q84_discount_return_rate")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
