@@ -2743,7 +2743,71 @@ object Relational {
       |        / COUNT(*), 6) AS return_rate
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Fulfillment-window census: days between an order's first and last
+    * line shipment, as a span histogram — how staggered multi-line
+    * fulfillment is (q48 measures order→ship lag; this measures the
+    * intra-order spread). One map-combinable min/max rollup per order,
+    * then a bounded span-day histogram; integer day arithmetic only. */
+  def q85(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(datediff(max(col("l_shipdate")), min(col("l_shipdate")))
+             .cast("long").as("span_days"),
+           count(lit(1)).as("n_lines"))
+      .groupBy("span_days")
+      .agg(count(lit(1)).as("n_orders"),
+           (sum(col("n_lines")).cast("double") / count(lit(1))).as("avg_lines"))
+      .orderBy("span_days")
+  val q85Sql: String =
+    """WITH o AS (
+      |  SELECT l_orderkey,
+      |    DATE_DIFF('day', CAST(MIN(l_shipdate) AS DATE),
+      |              CAST(MAX(l_shipdate) AS DATE)) AS span_days,
+      |    COUNT(*)::BIGINT AS n_lines
+      |  FROM lineitem GROUP BY 1)
+      |SELECT span_days, COUNT(*)::BIGINT AS n_orders,
+      |  CAST(SUM(n_lines) AS DOUBLE) / COUNT(*) AS avg_lines
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+  /** Intra-order revenue concentration: how dominant is each order's
+    * largest line? Decile bands of max-line-share computed with PURE
+    * INTEGER arithmetic — revenue scaled to exact 4-decimal units, band
+    * = (10·max)/total by integer division — so the band edge can never
+    * drift between engines. Two map-combinable rollups, bounded output. */
+  def q86(spark: SparkSession, dir: String): DataFrame = {
+    val rev4 = (revenueTerm(col("l_extendedprice"), col("l_discount")) * 10000)
+      .cast("long")
+    val perOrder = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), rev4.as("rev4"))
+      .groupBy("l_orderkey")
+      .agg(max(col("rev4")).as("max4"), sum(col("rev4")).as("tot4"),
+           count(lit(1)).as("n_lines"))
+    perOrder
+      .withColumn("band", least(expr("max4 * 10 div tot4"), lit(9L)).cast("long"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+           (sum(col("n_lines")).cast("double") / count(lit(1))).as("avg_lines"))
+      .orderBy("band")
+  }
+  val q86Sql: String =
+    s"""WITH l AS (
+      |  SELECT l_orderkey,
+      |    CAST($revenueSql * 10000 AS BIGINT) AS rev4
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT l_orderkey, MAX(rev4) AS max4, SUM(rev4) AS tot4,
+      |    COUNT(*)::BIGINT AS n_lines
+      |  FROM l GROUP BY 1)
+      |SELECT LEAST(max4 * 10 // tot4, 9)::BIGINT AS band,
+      |  COUNT(*)::BIGINT AS n_orders,
+      |  CAST(SUM(n_lines) AS DOUBLE) / COUNT(*) AS avg_lines
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q86_line_dominance" -> (q86 _),
+    "q85_fulfillment_span" -> (q85 _),
     "q84_discount_return_rate" -> (q84 _),
     "q83_priority_mix_trend" -> (q83 _),
     "q82_supplier_redundancy" -> (q82 _),
@@ -2831,6 +2895,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q86_line_dominance" -> q86Sql,
+    "q85_fulfillment_span" -> q85Sql,
     "q84_discount_return_rate" -> q84Sql,
     "q83_priority_mix_trend" -> q83Sql,
     "q82_supplier_redundancy" -> q82Sql,
