@@ -2531,7 +2531,134 @@ object Events {
        |  ROUND(CAST(SUM(has_purchase) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e66
+  /** Session revenue histogram: purchase revenue per 30-min session,
+    * banded on exact integer cents (zero-revenue sessions are their own
+    * band) — the monetization profile e55's duration histogram and e65's
+    * depth curve don't show. Same bounded per-user session windows as
+    * e01; cents accumulate as integers so the band edge can't drift. */
+  def e66(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"),
+        when(col("event_type") === "purchase",
+          (dec(col("value")) * 100).cast("long")).as("cents"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(wr))
+      .groupBy("user_id", "sess_idx")
+      .agg(count(lit(1)).as("n_events"),
+           coalesce(sum(col("cents")), lit(0L)).as("cents"))
+    val band = when(col("cents") === 0, "a0").when(col("cents") <= 5000, "b<=50")
+      .when(col("cents") <= 15000, "c<=150").when(col("cents") <= 30000, "d<=300")
+      .otherwise("e>300")
+    sess.groupBy(band.as("revenue_band"))
+      .agg(count(lit(1)).as("n_sessions"),
+           (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_events"),
+           (sum(col("cents")).cast("double") / 100).as("total_revenue"))
+      .orderBy("revenue_band")
+  }
+  val e66Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    CASE WHEN event_type = 'purchase'
+       |         THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END AS cents
+       |  FROM events),
+       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
+       |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f),
+       |sess AS (SELECT user_id, sess_idx, COUNT(*)::BIGINT AS n_events,
+       |    COALESCE(SUM(cents), 0)::BIGINT AS cents
+       |  FROM s GROUP BY 1, 2)
+       |SELECT CASE WHEN cents = 0 THEN 'a0' WHEN cents <= 5000 THEN 'b<=50'
+       |            WHEN cents <= 15000 THEN 'c<=150' WHEN cents <= 30000 THEN 'd<=300'
+       |            ELSE 'e>300' END AS revenue_band,
+       |  COUNT(*)::BIGINT AS n_sessions,
+       |  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events,
+       |  CAST(SUM(cents) AS DOUBLE) / 100 AS total_revenue
+       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- e67
+  /** Repurchase latency: gaps between a user's consecutive PURCHASES
+    * (e18 bands all inter-event gaps; this is the buy-again cycle),
+    * banded on integer hours. The lag window runs over the purchase
+    * subset only — state per user is its purchase count, and the
+    * filter reaches the scan before any shuffle. */
+  def e67(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ms"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .filter(col("prev_ms").isNotNull)
+      .withColumn("gap_h", expr("(ms - prev_ms) div 3600000"))
+    val band = when(col("gap_h") <= 24, "a<=1d").when(col("gap_h") <= 168, "b<=7d")
+      .when(col("gap_h") <= 720, "c<=30d").otherwise("d>30d")
+    gaps.groupBy(band.as("gap_band"))
+      .agg(count(lit(1)).as("n_gaps"),
+           (sum(col("gap_h")).cast("double") / count(lit(1))).as("avg_gap_h"),
+           max(col("gap_h")).as("max_gap_h"))
+      .orderBy("gap_band")
+  }
+  val e67Sql: String =
+    """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+       |  WHERE event_type = 'purchase'),
+       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM p),
+       |g AS (SELECT (ms - prev_ms) // 3600000 AS gap_h FROM l WHERE prev_ms IS NOT NULL)
+       |SELECT CASE WHEN gap_h <= 24 THEN 'a<=1d' WHEN gap_h <= 168 THEN 'b<=7d'
+       |            WHEN gap_h <= 720 THEN 'c<=30d' ELSE 'd>30d' END AS gap_band,
+       |  COUNT(*)::BIGINT AS n_gaps,
+       |  CAST(SUM(gap_h) AS DOUBLE) / COUNT(*) AS avg_gap_h,
+       |  MAX(gap_h)::BIGINT AS max_gap_h
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- e68
+  /** Value front-loading: what share of each buyer's lifetime purchase
+    * value lands within 7 days of their FIRST event (any type)? Decile
+    * bands via pure integer arithmetic ((10·early) div total, like
+    * q86), so no float share ever decides a band. Per-user window over
+    * bounded partitions; buyers only. */
+  def e68(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 7L * 24 * 3600 * 1000
+    val u = Tables.events(spark, dir)
+      .select(col("user_id"), col("ms"),
+        when(col("event_type") === "purchase",
+          (dec(col("value")) * 100).cast("long")).as("cents"))
+      .withColumn("first_ms", min(col("ms")).over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg(sum(col("cents")).as("tot"),
+           coalesce(sum(when(col("ms") < col("first_ms") + weekMs, col("cents"))),
+             lit(0L)).as("early"))
+      .filter(col("tot").isNotNull && col("tot") > 0)
+    u.withColumn("frontload_band", least(expr("early * 10 div tot"), lit(9L)))
+      .groupBy("frontload_band")
+      .agg(count(lit(1)).as("n_users"),
+           (sum(col("early")).cast("double") / 100).as("early_value"),
+           (sum(col("tot")).cast("double") / 100).as("lifetime_value"))
+      .orderBy("frontload_band")
+  }
+  val e68Sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms,
+       |    CASE WHEN event_type = 'purchase'
+       |         THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END AS cents
+       |  FROM events),
+       |w AS (SELECT *, MIN(ms) OVER (PARTITION BY user_id) AS first_ms FROM e),
+       |u AS (SELECT user_id, SUM(cents) AS tot,
+       |    COALESCE(SUM(CASE WHEN ms < first_ms + 604800000 THEN cents END), 0) AS early
+       |  FROM w GROUP BY 1)
+       |SELECT LEAST(early * 10 // tot, 9)::BIGINT AS frontload_band,
+       |  COUNT(*)::BIGINT AS n_users,
+       |  CAST(SUM(early) AS DOUBLE) / 100 AS early_value,
+       |  CAST(SUM(tot) AS DOUBLE) / 100 AS lifetime_value
+       |FROM u WHERE tot IS NOT NULL AND tot > 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e68_value_frontload" -> (e68 _),
+    "e67_repurchase_latency" -> (e67 _),
+    "e66_session_revenue_hist" -> (e66 _),
     "e65_depth_conversion" -> (e65 _),
     "e64_entry_conversion" -> (e64 _),
     "e63_lifespan_value_corr" -> (e63 _),
@@ -2600,6 +2727,9 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e68_value_frontload" -> e68Sql,
+    "e67_repurchase_latency" -> e67Sql,
+    "e66_session_revenue_hist" -> e66Sql,
     "e65_depth_conversion" -> e65Sql,
     "e64_entry_conversion" -> e64Sql,
     "e63_lifespan_value_corr" -> e63Sql,
