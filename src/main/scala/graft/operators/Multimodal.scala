@@ -691,7 +691,84 @@ object Multimodal {
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m18
+  /** Header-vs-body entropy screen: nibble entropy of each payload's
+    * first 32 bytes against the whole payload, rolled up per modality —
+    * a high-entropy header on a supposedly-text payload flags miscoded
+    * or encrypted content BEFORE decode cycles are spent (complements
+    * m08's whole-payload screen). Same count-by-erasure integer
+    * histogram in both engines; per-doc entropies are round6-quantized,
+    * per-modality means use DECIMAL-exact sums. Scan-parallel until the
+    * bounded modality rollup. */
+  def m18(spark: SparkSession, dir: String): DataFrame = {
+    val digits = "0123456789ABCDEF"
+    val hi = regexp_replace(hex(col("text").cast("binary")), "(.).", "$1")
+    val base = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", routeModality(col("payload"), col("text")))
+      .select(col("doc_id"), col("modality"), hi.as("sf"))
+      .withColumn("sh", substring(col("sf"), 1, 32))
+      .withColumn("nf", length(col("sf")))
+      .withColumn("nh", length(substring(col("sf"), 1, 32)))
+      .filter(col("nf") > 0)
+    def ent(df: DataFrame, s: String, n: String, out: String): DataFrame = {
+      val counted = digits.foldLeft(df) { (d2, d) =>
+        d2.withColumn(s"c${out}_$d", length(col(s)) - length(regexp_replace(col(s), s"[$d]", "")))
+      }
+      val terms = digits.map { d =>
+        val p = col(s"c${out}_$d").cast("double") / col(n)
+        when(col(s"c${out}_$d") > 0, p * log(p)).otherwise(lit(0.0d))
+      }.reduce(_ + _)
+      counted.withColumn(out, round(-terms, 6) + lit(0.0d))
+        .drop(digits.map(d => s"c${out}_$d"): _*)
+    }
+    ent(ent(base, "sf", "nf", "ef"), "sh", "nh", "eh")
+      .select(col("modality"),
+        col("eh").cast("decimal(18,6)").as("ehq"),
+        col("ef").cast("decimal(18,6)").as("efq"),
+        round(col("eh") - col("ef"), 6).cast("decimal(18,6)").as("dq"))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_docs"),
+           round(dbl(sum(col("ehq"))) / count(lit(1)), 6).as("avg_head_entropy"),
+           round(dbl(sum(col("efq"))) / count(lit(1)), 6).as("avg_full_entropy"),
+           round(dbl(sum(col("dq"))) / count(lit(1)), 6).as("avg_delta"))
+      .orderBy("modality")
+  }
+  val m18Sql: String = {
+    val digits = "0123456789ABCDEF"
+    def counts(src: String, tag: String) = digits.map(d =>
+      s"LENGTH($src) - LENGTH(regexp_replace($src, '[$d]', '', 'g')) AS c${tag}_$d")
+      .mkString(",\n       |    ")
+    def terms(tag: String, n: String) = digits.map(d =>
+      s"CASE WHEN c${tag}_$d > 0 THEN (CAST(c${tag}_$d AS DOUBLE) / $n) * ln(CAST(c${tag}_$d AS DOUBLE) / $n) ELSE 0.0 END")
+      .mkString("\n       |    + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, $modalitySqlCase AS modality,
+       |    regexp_replace(hex(CAST(text AS BLOB)), '(.).', '\\1', 'g') AS sf
+       |  FROM documents),
+       |h2 AS (
+       |  SELECT doc_id, modality, sf, substr(sf, 1, 32) AS sh,
+       |    LENGTH(sf) AS nf, LENGTH(substr(sf, 1, 32)) AS nh
+       |  FROM h WHERE LENGTH(sf) > 0),
+       |c AS (
+       |  SELECT doc_id, modality, nf, nh,
+       |    ${counts("sf", "f")},
+       |    ${counts("sh", "h")}
+       |  FROM h2),
+       |e AS (
+       |  SELECT modality,
+       |    ROUND(-(${terms("f", "nf")}), 6) + 0.0 AS ef,
+       |    ROUND(-(${terms("h", "nh")}), 6) + 0.0 AS eh
+       |  FROM c)
+       |SELECT modality, COUNT(*)::BIGINT AS n_docs,
+       |  ROUND(CAST(SUM(CAST(eh AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_head_entropy,
+       |  ROUND(CAST(SUM(CAST(ef AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_full_entropy,
+       |  ROUND(CAST(SUM(CAST(ROUND(eh - ef, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_delta
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "m18_header_entropy" -> (m18 _),
     "m17_modality_quality" -> (m17 _),
     "m16_size_entropy_corr" -> (m16 _),
     "m15_prefix_census" -> (m15 _),
@@ -712,6 +789,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m18_header_entropy" -> m18Sql,
     "m17_modality_quality" -> m17Sql,
     "m16_size_entropy_corr" -> m16Sql,
     "m15_prefix_census" -> m15Sql,

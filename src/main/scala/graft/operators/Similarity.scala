@@ -991,7 +991,69 @@ object Similarity {
       |  ROUND(CAST(mx AS DOUBLE) / mn, 6) AS imbalance_ratio
       |FROM l CROSS JOIN t ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- s22
+  /** Per-class centroid cohesion: each label's mean (and worst) member
+    * cosine to the label centroid — the cluster-quality table behind
+    * "are these labels separable" and the direct QA for s03's IVF cell
+    * assumption. Every cross-row float sum is DECIMAL(18,9)-quantized
+    * first (centroid accumulation, dot/norm folds, final averaging), so
+    * Spark's partial aggregation order and DuckDB's sequential fold
+    * produce identical bits. Centroid frame is |labels|×|dims| →
+    * broadcast back; shuffles are one groupBy on (label,pos) and one on
+    * (label,vec_id). */
+  def s22(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vq", round(dbl(col("v")), 9).cast("decimal(18,9)"))
+    val cent = u.groupBy("label", "pos")
+      .agg((dbl(sum(col("vq"))) / count(lit(1))).as("c"))
+    val r = u.join(broadcast(cent), Seq("label", "pos"))
+      .select(col("label"), col("vec_id"),
+        round(dbl(col("vq")) * col("c"), 9).cast("decimal(18,9)").as("xc"),
+        round(dbl(col("vq")) * dbl(col("vq")), 9).cast("decimal(18,9)").as("xx"),
+        round(col("c") * col("c"), 9).cast("decimal(18,9)").as("cc"))
+      .groupBy("label", "vec_id")
+      .agg(dbl(sum(col("xc"))).as("dot"), dbl(sum(col("xx"))).as("nx"),
+           dbl(sum(col("cc"))).as("nc"))
+      .withColumn("cos", when(col("nx") > 0 && col("nc") > 0,
+        col("dot") / sqrt(col("nx") * col("nc"))).otherwise(lit(0.0d)))
+    r.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           round(dbl(sum(round(col("cos"), 9).cast("decimal(18,9)"))) / count(lit(1)), 6)
+             .as("avg_cohesion"),
+           (round(min(col("cos")), 6) + lit(0.0d)).as("min_cohesion"))
+      .orderBy("label")
+  }
+  val s22Sql: String =
+    """WITH u AS (
+      |  SELECT label, vec_id,
+      |    CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE), 9) AS DECIMAL(18,9)) AS vq,
+      |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, pos, CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS c
+      |  FROM u GROUP BY 1, 2),
+      |t AS (
+      |  SELECT u.label AS label, vec_id,
+      |    CAST(ROUND(CAST(vq AS DOUBLE) * c, 9) AS DECIMAL(18,9)) AS xc,
+      |    CAST(ROUND(CAST(vq AS DOUBLE) * CAST(vq AS DOUBLE), 9) AS DECIMAL(18,9)) AS xx,
+      |    CAST(ROUND(c * c, 9) AS DECIMAL(18,9)) AS cc
+      |  FROM u JOIN cent ON u.label = cent.label AND u.pos = cent.pos),
+      |r AS (
+      |  SELECT label, vec_id, CAST(SUM(xc) AS DOUBLE) AS dot,
+      |    CAST(SUM(xx) AS DOUBLE) AS nx, CAST(SUM(cc) AS DOUBLE) AS nc
+      |  FROM t GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT label, CASE WHEN nx > 0 AND nc > 0
+      |    THEN dot / sqrt(nx * nc) ELSE 0.0 END AS cos FROM r)
+      |SELECT CAST(label AS BIGINT) AS label, COUNT(*)::BIGINT AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(ROUND(cos, 9) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_cohesion,
+      |  ROUND(MIN(cos), 6) + 0.0 AS min_cohesion
+      |FROM c2 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s22_centroid_cohesion" -> (s22 _),
     "s21_label_balance" -> (s21 _),
     "s20_embedding_coverage" -> (s20 _),
     "s19_exact_dup_vectors" -> (s19 _),
@@ -1016,6 +1078,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s22_centroid_cohesion" -> s22Sql,
     "s21_label_balance" -> s21Sql,
     "s20_embedding_coverage" -> s20Sql,
     "s19_exact_dup_vectors" -> s19Sql,

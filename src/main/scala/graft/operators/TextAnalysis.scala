@@ -1780,7 +1780,41 @@ object TextAnalysis {
       |    AS shared_rate
       |FROM sent JOIN df USING (s) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t45
+  /** Word-graph branching factor per source: distinct bigram types over
+    * distinct head words — the average out-degree of each source's word
+    * graph. Templated/boilerplate text branches low; diverse prose
+    * branches high (a corpus-level complement to t17's per-doc TTR).
+    * Bigrams collapse map-side per (source, bigram); both distincts ride
+    * one shuffle on the bigram key; |sources|-bounded output. */
+  def t45(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), posexplode(wordsCol).as(Seq("pos", "word")))
+      .withColumn("prev", lag(col("word"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigram_tokens"),
+           countDistinct(concat_ws(" ", col("prev"), col("word"))).as("n_bigram_types"),
+           countDistinct(col("prev")).as("n_heads"))
+      .withColumn("branching",
+        round(dbl(col("n_bigram_types")) / dbl(col("n_heads")), 6))
+      .orderBy("source")
+  }
+  val t45Sql: String =
+    s"""WITH w AS (SELECT source, doc_id, $wordsSql AS w FROM documents),
+       |bg AS (SELECT source, doc_id, UNNEST(list_transform(range(1, len(w)),
+       |         i -> w[i] || ' ' || w[i+1])) AS b
+       |       FROM w WHERE len(w) >= 2)
+       |SELECT source, COUNT(*)::BIGINT AS n_bigram_tokens,
+       |  COUNT(DISTINCT b)::BIGINT AS n_bigram_types,
+       |  COUNT(DISTINCT split_part(b, ' ', 1))::BIGINT AS n_heads,
+       |  ROUND(CAST(COUNT(DISTINCT b) AS DOUBLE)
+       |        / CAST(COUNT(DISTINCT split_part(b, ' ', 1)) AS DOUBLE), 6) AS branching
+       |FROM bg GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t45_word_branching" -> (t45 _),
     "t44_sentence_dup" -> (t44 _),
     "t43_pmi_collocations" -> (t43 _),
     "t42_vocab_gini" -> (t42 _),
@@ -1827,6 +1861,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t45_word_branching" -> t45Sql,
     "t44_sentence_dup" -> t44Sql,
     "t43_pmi_collocations" -> t43Sql,
     "t42_vocab_gini" -> t42Sql,
