@@ -1735,7 +1735,53 @@ object Dedup {
        |FROM hist CROSS JOIN t ORDER BY n_sources""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d42
+  /** Duplication-vs-quality census: exact-dup group size band × mean
+    * member quality — the "is heavily-duplicated text also low-quality
+    * boilerplate" table that decides whether dedup doubles as a quality
+    * gate. Quality quantizes to DECIMAL(9,6) before any cross-row sum;
+    * one fingerprint groupBy then a ≤5-row band rollup. */
+  def d42(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .select(col("fp"), col("quality").cast("decimal(9,6)").as("qq"), col("n_tok"))
+    val per = d.groupBy("fp")
+      .agg(count(lit(1)).as("n_members"), sum(col("qq")).as("sq"),
+           sum(col("n_tok")).as("toks"))
+    per.groupBy(least(col("n_members"), lit(5L)).as("group_size_band"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_members")).as("n_docs"),
+           sum(col("toks")).as("n_tokens"),
+           round(dbl(sum(col("sq"))) / sum(col("n_members")), 6).as("avg_quality"))
+      .orderBy("group_size_band")
+  }
+  val d42Sql: String = {
+    import TextAnalysis.{qualitySqlExpr, stopSqlIn, wordsSql}
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |d AS (
+       |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+       |    CAST($qualitySqlExpr AS DECIMAL(9,6)) AS qq, n_tok
+       |  FROM m),
+       |per AS (
+       |  SELECT fp, COUNT(*)::BIGINT AS n_members, SUM(qq) AS sq,
+       |    SUM(n_tok)::BIGINT AS toks
+       |  FROM d GROUP BY 1)
+       |SELECT LEAST(n_members, 5) AS group_size_band,
+       |  COUNT(*)::BIGINT AS n_groups, SUM(n_members)::BIGINT AS n_docs,
+       |  SUM(toks)::BIGINT AS n_tokens,
+       |  ROUND(CAST(SUM(sq) AS DOUBLE) / SUM(n_members), 6) AS avg_quality
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d42_dupsize_quality" -> (d42 _),
     "d41_cluster_source_purity" -> (d41 _),
     "d40_containment_direction" -> (d40 _),
     "d39_lsh_bucket_histogram" -> (d39 _),
@@ -1779,6 +1825,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d42_dupsize_quality" -> d42Sql,
     "d41_cluster_source_purity" -> d41Sql,
     "d40_containment_direction" -> d40Sql,
     "d38_degree_histogram" -> d38Sql,

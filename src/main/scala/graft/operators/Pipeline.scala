@@ -1014,7 +1014,73 @@ object Pipeline {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p23
+  /** Stage-ordering A/B: dedup→quality vs quality→dedup over the same
+    * corpus. The two pipelines genuinely differ — if a group's min-id
+    * keeper fails the quality gate, order A drops the whole group while
+    * order B rescues the lowest-id PASSING member. One fingerprint
+    * groupBy computes both keepers via min(struct) (the conditional
+    * keeper skips nulls), so the A/B costs one pass, not two pipelines.
+    * 1-row verdict: docs/tokens under each order + groups rescued. */
+  def p23(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    val d = TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .select(col("fp"), col("doc_id"), col("quality"), col("n_tok"))
+    val per = d.groupBy("fp")
+      .agg(count(lit(1)).as("n_members"),
+           min(struct(col("doc_id"), col("quality").as("q"),
+             col("n_tok").as("nt"))).as("ka"),
+           min(when(col("quality") >= 0.5d,
+             struct(col("doc_id"), col("n_tok").as("nt")))).as("kb"))
+    per.agg(sum(col("n_members")).as("raw_docs"),
+         count(when(col("ka.q") >= 0.5d, lit(1))).as("a_docs"),
+         coalesce(sum(when(col("ka.q") >= 0.5d, col("ka.nt"))), lit(0L)).as("a_tokens"),
+         count(col("kb")).as("b_docs"),
+         coalesce(sum(col("kb.nt")), lit(0L)).as("b_tokens"),
+         count(when(col("ka.q") < 0.5d && col("kb").isNotNull, lit(1))).as("n_rescued"))
+      .select(col("raw_docs"), col("a_docs"), col("a_tokens"),
+        col("b_docs"), col("b_tokens"), col("n_rescued"),
+        (col("b_tokens") - col("a_tokens")).as("token_gain"),
+        round(dbl(col("b_tokens") - col("a_tokens")) /
+          greatest(col("a_tokens"), lit(1L)), 6).as("gain_rate"))
+  }
+  val p23Sql: String = {
+    import TextAnalysis.{qualitySqlExpr, stopSqlIn, wordsSql}
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |d AS (
+       |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+       |    doc_id, $qualitySqlExpr AS quality, n_tok
+       |  FROM m),
+       |per AS (
+       |  SELECT fp, COUNT(*)::BIGINT AS n_members,
+       |    MIN({'doc_id': doc_id, 'q': quality, 'nt': n_tok}) AS ka,
+       |    MIN(CASE WHEN quality >= 0.5 THEN {'doc_id': doc_id, 'nt': n_tok} END) AS kb
+       |  FROM d GROUP BY 1),
+       |s AS (
+       |  SELECT SUM(n_members)::BIGINT AS raw_docs,
+       |    COUNT(CASE WHEN ka.q >= 0.5 THEN 1 END)::BIGINT AS a_docs,
+       |    COALESCE(SUM(CASE WHEN ka.q >= 0.5 THEN ka.nt END), 0)::BIGINT AS a_tokens,
+       |    COUNT(kb)::BIGINT AS b_docs,
+       |    COALESCE(SUM(kb.nt), 0)::BIGINT AS b_tokens,
+       |    COUNT(CASE WHEN ka.q < 0.5 AND kb IS NOT NULL THEN 1 END)::BIGINT AS n_rescued
+       |  FROM per)
+       |SELECT raw_docs, a_docs, a_tokens, b_docs, b_tokens, n_rescued,
+       |  b_tokens - a_tokens AS token_gain,
+       |  ROUND(CAST(b_tokens - a_tokens AS DOUBLE) / GREATEST(a_tokens, 1), 6) AS gain_rate
+       |FROM s""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p23_stage_order_ab" -> (p23 _),
     "p22_lang_funnel" -> (p22 _),
     "p20_cross_shard_dups" -> (p20 _),
     "p19_keeper_policy_compare" -> (p19 _),
@@ -1039,6 +1105,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p23_stage_order_ab" -> p23Sql,
     "p22_lang_funnel" -> p22Sql,
     "p20_cross_shard_dups" -> p20Sql,
     "p19_keeper_policy_compare" -> p19Sql,
