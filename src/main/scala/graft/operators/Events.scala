@@ -2655,7 +2655,40 @@ object Events {
        |FROM u WHERE tot IS NOT NULL AND tot > 0
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e69
+  /** Monthly stickiness (DAU/MAU): the engagement-frequency ratio per
+    * calendar month — e49 measures DAU noise, this measures how much of
+    * the monthly audience shows up daily. Events collapse to distinct
+    * (month, day, user) map-side; each month's row needs two distinct
+    * counts over that shrunken frame; ≤|months| output rows. Division
+    * order is pinned ((aud/days)/mau) identically in both engines. */
+  def e69(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_format(col("ets"), "yyyy-MM").as("month"),
+        expr("ms div 86400000").as("day"), col("user_id"))
+      .distinct()
+      .groupBy("month")
+      .agg(count(lit(1)).as("active_user_days"),
+           countDistinct(col("day")).as("n_days"),
+           countDistinct(col("user_id")).as("mau"))
+      .withColumn("avg_dau", dbl(col("active_user_days")) / dbl(col("n_days")))
+      .withColumn("stickiness", round(col("avg_dau") / dbl(col("mau")), 6))
+      .orderBy("month")
+  val e69Sql: String =
+    """WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m') AS month,
+      |    epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+      |m AS (SELECT month, COUNT(*)::BIGINT AS active_user_days,
+      |    COUNT(DISTINCT day)::BIGINT AS n_days,
+      |    COUNT(DISTINCT user_id)::BIGINT AS mau
+      |  FROM d GROUP BY 1)
+      |SELECT month, active_user_days, n_days, mau,
+      |  CAST(active_user_days AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_dau,
+      |  ROUND((CAST(active_user_days AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |        / CAST(mau AS DOUBLE), 6) AS stickiness
+      |FROM m ORDER BY month""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e69_stickiness" -> (e69 _),
     "e68_value_frontload" -> (e68 _),
     "e67_repurchase_latency" -> (e67 _),
     "e66_session_revenue_hist" -> (e66 _),
@@ -2727,6 +2760,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e69_stickiness" -> e69Sql,
     "e68_value_frontload" -> e68Sql,
     "e67_repurchase_latency" -> e67Sql,
     "e66_session_revenue_hist" -> e66Sql,

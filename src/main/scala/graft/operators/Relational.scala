@@ -2805,7 +2805,82 @@ object Relational {
       |  CAST(SUM(n_lines) AS DOUBLE) / COUNT(*) AS avg_lines
       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Brand reorder rate: of each brand's distinct (customer, part)
+    * pairs, how many bought that part in ≥2 distinct orders — the
+    * repeat-purchase signal at catalog granularity (q53 is monthly
+    * repeat rate at customer granularity). Fact-fact join shuffles on
+    * orderkey (AQE-sized), the pair rollup on (cust, part), then a
+    * broadcast part-dim join into a \|brands\|-bounded frame. */
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey", "l_partkey")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    pairs
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_pairs"),
+           count(when(col("n_orders") >= 2, lit(1))).as("n_reordered"))
+      .withColumn("reorder_rate", round(dbl(col("n_reordered")) / col("n_pairs"), 6))
+      .orderBy("p_brand")
+  }
+  val q87Sql: String =
+    """WITH pairs AS (
+      |  SELECT o_custkey, l_partkey, COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT p_brand, COUNT(*)::BIGINT AS n_pairs,
+      |  COUNT(CASE WHEN n_orders >= 2 THEN 1 END)::BIGINT AS n_reordered,
+      |  ROUND(CAST(COUNT(CASE WHEN n_orders >= 2 THEN 1 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS reorder_rate
+      |FROM pairs JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Supplier health×activity matrix: account-balance tier (exact
+    * decimal band compares) against shipped volume and revenue — do
+    * financially-stressed suppliers carry real volume? Lineitem
+    * pre-aggregates per suppkey BEFORE the dim join (the 100 TB side
+    * collapses first); supplier side is a broadcast; left join keeps
+    * inactive suppliers visible. */
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val tier = when(dec(col("s_acctbal")) < 0, "a<0")
+      .when(dec(col("s_acctbal")) < 2500, "b<2500")
+      .when(dec(col("s_acctbal")) < 7500, "c<7500").otherwise("d>=7500")
+    Tables.supplier(spark, dir)
+      .join(act, col("s_suppkey") === col("l_suppkey"), "left")
+      .groupBy(tier.as("balance_tier"))
+      .agg(count(lit(1)).as("n_suppliers"),
+           count(col("n_lines")).as("n_active"),
+           coalesce(sum(col("n_lines")), lit(0L)).as("total_lines"),
+           dbl(coalesce(sum(col("rev")), lit(0).cast(Qf.D12))).as("revenue"))
+      .orderBy("balance_tier")
+  }
+  val q88Sql: String =
+    s"""WITH act AS (
+      |  SELECT l_suppkey, COUNT(*)::BIGINT AS n_lines, SUM($revenueSql) AS rev
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CASE WHEN CAST(s_acctbal AS DECIMAL(12,2)) < 0 THEN 'a<0'
+      |            WHEN CAST(s_acctbal AS DECIMAL(12,2)) < 2500 THEN 'b<2500'
+      |            WHEN CAST(s_acctbal AS DECIMAL(12,2)) < 7500 THEN 'c<7500'
+      |            ELSE 'd>=7500' END AS balance_tier,
+      |  COUNT(*)::BIGINT AS n_suppliers,
+      |  COUNT(n_lines)::BIGINT AS n_active,
+      |  COALESCE(SUM(n_lines), 0)::BIGINT AS total_lines,
+      |  CAST(COALESCE(SUM(rev), 0) AS DOUBLE) AS revenue
+      |FROM supplier LEFT JOIN act ON s_suppkey = l_suppkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q88_supplier_tiers" -> (q88 _),
+    "q87_brand_reorder_rate" -> (q87 _),
     "q86_line_dominance" -> (q86 _),
     "q85_fulfillment_span" -> (q85 _),
     "q84_discount_return_rate" -> (q84 _),
@@ -2895,6 +2970,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q88_supplier_tiers" -> q88Sql,
+    "q87_brand_reorder_rate" -> q87Sql,
     "q86_line_dominance" -> q86Sql,
     "q85_fulfillment_span" -> q85Sql,
     "q84_discount_return_rate" -> q84Sql,
