@@ -2687,7 +2687,51 @@ object Events {
       |        / CAST(mau AS DOUBLE), 6) AS stickiness
       |FROM m ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------- e70
+  /** Error-recovery latency: for each error event, seconds until the
+    * same user's next NON-error event, banded (plus never-recovered) —
+    * the UX-impact table behind e51's error-rate series. One lead
+    * window per user over (ms, event_id); integer-second bands. A
+    * recovery is the next non-error AFTER the error; consecutive errors
+    * look through to the first non-error via a reverse-ordered min
+    * window over following rows. */
+  def e70(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+      .withColumn("next_ok_ms",
+        min(when(col("event_type") =!= "error", col("ms"))).over(w))
+    val err = ev.filter(col("event_type") === "error")
+      .withColumn("rec_s",
+        when(col("next_ok_ms").isNotNull, expr("(next_ok_ms - ms) div 1000")))
+    val band = when(col("rec_s").isNull, "e_never")
+      .when(col("rec_s") <= 60, "a<=1m").when(col("rec_s") <= 3600, "b<=1h")
+      .when(col("rec_s") <= 86400, "c<=1d").otherwise("d>1d")
+    err.groupBy(band.as("recovery_band"))
+      .agg(count(lit(1)).as("n_errors"),
+           coalesce((sum(col("rec_s")).cast("double") / count(col("rec_s"))), lit(0.0d))
+             .as("avg_recovery_s"))
+      .orderBy("recovery_band")
+  }
+  val e70Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+      |w AS (SELECT *, MIN(CASE WHEN event_type <> 'error' THEN ms END)
+      |    OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ok_ms
+      |  FROM e),
+      |err AS (SELECT CASE WHEN next_ok_ms IS NOT NULL
+      |      THEN (next_ok_ms - ms) // 1000 END AS rec_s
+      |  FROM w WHERE event_type = 'error')
+      |SELECT CASE WHEN rec_s IS NULL THEN 'e_never'
+      |            WHEN rec_s <= 60 THEN 'a<=1m' WHEN rec_s <= 3600 THEN 'b<=1h'
+      |            WHEN rec_s <= 86400 THEN 'c<=1d' ELSE 'd>1d' END AS recovery_band,
+      |  COUNT(*)::BIGINT AS n_errors,
+      |  COALESCE(CAST(SUM(rec_s) AS DOUBLE) / COUNT(rec_s), 0.0) AS avg_recovery_s
+      |FROM err GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e70_error_recovery" -> (e70 _),
     "e69_stickiness" -> (e69 _),
     "e68_value_frontload" -> (e68 _),
     "e67_repurchase_latency" -> (e67 _),
@@ -2760,6 +2804,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e70_error_recovery" -> e70Sql,
     "e69_stickiness" -> e69Sql,
     "e68_value_frontload" -> e68Sql,
     "e67_repurchase_latency" -> e67Sql,

@@ -2878,7 +2878,33 @@ object Relational {
       |FROM supplier LEFT JOIN act ON s_suppkey = l_suppkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Basket brand diversity: distinct brands per order as a histogram —
+    * single-brand baskets vs cross-brand shoppers (q68 finds WHICH
+    * brands pair; this counts HOW diverse each basket is). Broadcast
+    * part dim into the fact scan, per-order rollup, bounded histogram. */
+  def q89(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("p_brand")).as("n_brands"), count(lit(1)).as("n_lines"))
+      .groupBy("n_brands")
+      .agg(count(lit(1)).as("n_orders"),
+           (sum(col("n_lines")).cast("double") / count(lit(1))).as("avg_lines"))
+      .orderBy("n_brands")
+  val q89Sql: String =
+    """WITH o AS (
+      |  SELECT l_orderkey, COUNT(DISTINCT p_brand)::BIGINT AS n_brands,
+      |    COUNT(*)::BIGINT AS n_lines
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1)
+      |SELECT n_brands, COUNT(*)::BIGINT AS n_orders,
+      |  CAST(SUM(n_lines) AS DOUBLE) / COUNT(*) AS avg_lines
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q89_basket_brand_diversity" -> (q89 _),
     "q88_supplier_tiers" -> (q88 _),
     "q87_brand_reorder_rate" -> (q87 _),
     "q86_line_dominance" -> (q86 _),
@@ -2970,6 +2996,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q89_basket_brand_diversity" -> q89Sql,
     "q88_supplier_tiers" -> q88Sql,
     "q87_brand_reorder_rate" -> q87Sql,
     "q86_line_dominance" -> q86Sql,
