@@ -1813,7 +1813,44 @@ object TextAnalysis {
        |        / CAST(COUNT(DISTINCT split_part(b, ' ', 1)) AS DOUBLE), 6) AS branching
        |FROM bg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t46
+  /** Word burstiness (Katz): variance-to-mean ratio of per-document
+    * counts for the corpus's top-50 words — function words sit near
+    * Poisson (VMR≈1), topical/template words burst high. All moments
+    * are exact integer sums (counts are small longs; N·Σc² is
+    * 38-digit-safe via DECIMAL), ONE float expression at the end; the
+    * top-50 cut is a TakeOrderedAndProject (k rows per partition to the
+    * driver merge — t16's shape, no global window) with a pinned
+    * (tf desc, word) tiebreak. */
+  def t46(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordsCol).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val w = tf.groupBy("word")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+           sum(col("c") * col("c")).as("s2"))
+    val nD = col("df").cast(d38)
+    val sD = col("tf").cast(d38)
+    val qD = col("s2").cast(d38)
+    w.orderBy(col("tf").desc, col("word")).limit(50)
+      .withColumn("vmr", round(dbl(nD * qD - sD * sD) / dbl(nD * sD), 6))
+      .orderBy(col("tf").desc, col("word"))
+  }
+  val t46Sql: String =
+    s"""WITH w AS (SELECT doc_id, UNNEST($wordsSql) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+       |m AS (SELECT word, COUNT(*)::BIGINT AS df, SUM(c)::BIGINT AS tf,
+       |    SUM(c * c)::BIGINT AS s2
+       |  FROM tf GROUP BY 1
+       |  QUALIFY row_number() OVER (ORDER BY SUM(c) DESC, word) <= 50)
+       |SELECT word, df, tf, s2,
+       |  ROUND(CAST(CAST(df AS HUGEINT) * s2 - CAST(tf AS HUGEINT) * tf AS DOUBLE)
+       |        / CAST(CAST(df AS HUGEINT) * tf AS DOUBLE), 6) AS vmr
+       |FROM m ORDER BY tf DESC, word""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t46_word_burstiness" -> (t46 _),
     "t45_word_branching" -> (t45 _),
     "t44_sentence_dup" -> (t44 _),
     "t43_pmi_collocations" -> (t43 _),
@@ -1861,6 +1898,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t46_word_burstiness" -> t46Sql,
     "t45_word_branching" -> t45Sql,
     "t44_sentence_dup" -> t44Sql,
     "t43_pmi_collocations" -> t43Sql,

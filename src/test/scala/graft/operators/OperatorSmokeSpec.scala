@@ -108,7 +108,13 @@ class OperatorSmokeSpec extends SparkSpec {
       "e65_depth_conversion", "q82_supplier_redundancy",
       "q83_priority_mix_trend", "d40_containment_direction",
       "m17_modality_quality", "p22_lang_funnel",
-      "d41_cluster_source_purity", "q84_discount_return_rate")
+      "d41_cluster_source_purity", "q84_discount_return_rate",
+      "q85_fulfillment_span", "q86_line_dominance", "q87_brand_reorder_rate",
+      "q88_supplier_tiers", "q89_basket_brand_diversity",
+      "e66_session_revenue_hist", "e67_repurchase_latency", "e68_value_frontload",
+      "e69_stickiness", "e70_error_recovery",
+      "t45_word_branching", "s22_centroid_cohesion", "m18_header_entropy",
+      "d42_dupsize_quality", "p23_stage_order_ab", "t46_word_burstiness")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
