@@ -2730,7 +2730,48 @@ object Events {
       |  COALESCE(CAST(SUM(rec_s) AS DOUBLE) / COUNT(rec_s), 0.0) AS avg_recovery_s
       |FROM err GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e71
+  /** ARPDAU series: monthly purchase revenue per active-user-day — the
+    * monetization-intensity trend that e69's stickiness normalizes.
+    * Revenue accumulates as exact integer cents per month; the DAU-day
+    * denominator is e69's distinct (day, user) collapse; ONE division
+    * per ≤\|months\| row. */
+  def e71(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ets"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_purchases"),
+           sum((dec(col("value")) * 100).cast("long")).as("cents"))
+    val aud = Tables.events(spark, dir)
+      .select(date_format(col("ets"), "yyyy-MM").as("month"),
+        expr("ms div 86400000").as("day"), col("user_id"))
+      .distinct()
+      .groupBy("month").agg(count(lit(1)).as("active_user_days"))
+    aud.join(rev, Seq("month"), "left")
+      .select(col("month"), col("active_user_days"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        (coalesce(col("cents"), lit(0L)).cast("double") / 100).as("revenue"),
+        round((coalesce(col("cents"), lit(0L)).cast("double") / 100) /
+          col("active_user_days"), 6).as("arpdau"))
+      .orderBy("month")
+  }
+  val e71Sql: String =
+    """WITH rev AS (
+      |  SELECT strftime(ts, '%Y-%m') AS month, COUNT(*)::BIGINT AS n_purchases,
+      |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |d AS (SELECT DISTINCT strftime(ts, '%Y-%m') AS month,
+      |    epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+      |aud AS (SELECT month, COUNT(*)::BIGINT AS active_user_days FROM d GROUP BY 1)
+      |SELECT aud.month AS month, active_user_days,
+      |  COALESCE(n_purchases, 0)::BIGINT AS n_purchases,
+      |  CAST(COALESCE(cents, 0) AS DOUBLE) / 100 AS revenue,
+      |  ROUND((CAST(COALESCE(cents, 0) AS DOUBLE) / 100) / active_user_days, 6) AS arpdau
+      |FROM aud LEFT JOIN rev ON aud.month = rev.month
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e71_arpdau" -> (e71 _),
     "e70_error_recovery" -> (e70 _),
     "e69_stickiness" -> (e69 _),
     "e68_value_frontload" -> (e68 _),
@@ -2804,6 +2845,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e71_arpdau" -> e71Sql,
     "e70_error_recovery" -> e70Sql,
     "e69_stickiness" -> e69Sql,
     "e68_value_frontload" -> e68Sql,

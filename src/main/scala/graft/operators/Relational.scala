@@ -2903,7 +2903,36 @@ object Relational {
       |  CAST(SUM(n_lines) AS DOUBLE) / COUNT(*) AS avg_lines
       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Discount favoritism: the 20 customers with the highest average
+    * line discount (≥10 lines) — the pricing-compliance audit list.
+    * Per-customer discounts sum as exact integer percent points; ONE
+    * division + round6, then a TakeOrderedAndProject top-20 with a
+    * pinned custkey tiebreak (no global window/sort materializes). */
+  def q90(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_discount")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(round(col("l_discount") * 100).cast("long")).as("pct_sum"))
+      .filter(col("n_lines") >= 10)
+      .withColumn("avg_discount_pct", round(dbl(col("pct_sum")) / col("n_lines"), 6))
+      .select("o_custkey", "n_lines", "avg_discount_pct")
+      .orderBy(col("avg_discount_pct").desc, col("o_custkey"))
+      .limit(20)
+  val q90Sql: String =
+    """WITH c AS (
+      |  SELECT o_custkey, COUNT(*)::BIGINT AS n_lines,
+      |    SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS pct_sum
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1 HAVING COUNT(*) >= 10)
+      |SELECT o_custkey, n_lines,
+      |  ROUND(CAST(pct_sum AS DOUBLE) / n_lines, 6) AS avg_discount_pct
+      |FROM c ORDER BY avg_discount_pct DESC, o_custkey LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q90_discount_favoritism" -> (q90 _),
     "q89_basket_brand_diversity" -> (q89 _),
     "q88_supplier_tiers" -> (q88 _),
     "q87_brand_reorder_rate" -> (q87 _),
@@ -2996,6 +3025,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q90_discount_favoritism" -> q90Sql,
     "q89_basket_brand_diversity" -> q89Sql,
     "q88_supplier_tiers" -> q88Sql,
     "q87_brand_reorder_rate" -> q87Sql,

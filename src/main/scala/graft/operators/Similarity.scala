@@ -1001,12 +1001,22 @@ object Similarity {
     * produce identical bits. Centroid frame is |labels|×|dims| →
     * broadcast back; shuffles are one groupBy on (label,pos) and one on
     * (label,vec_id). */
-  def s22(spark: SparkSession, dir: String): DataFrame = {
-    val u = Tables.embeddings(spark, dir)
+  /** (label, vec_id, pos, vq): elements DECIMAL(18,9)-quantized so every
+    * downstream cross-row sum is order-independent. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("vq", round(dbl(col("v")), 9).cast("decimal(18,9)"))
-    val cent = u.groupBy("label", "pos")
+
+  /** Per-(label, pos) centroid component as double (exact decimal sum,
+    * ONE division) — shared by s22 (cohesion) and s23 (confusability). */
+  private def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir).groupBy("label", "pos")
       .agg((dbl(sum(col("vq"))) / count(lit(1))).as("c"))
+
+  def s22(spark: SparkSession, dir: String): DataFrame = {
+    val u = quantized(spark, dir)
+    val cent = labelCentroids(spark, dir)
     val r = u.join(broadcast(cent), Seq("label", "pos"))
       .select(col("label"), col("vec_id"),
         round(dbl(col("vq")) * col("c"), 9).cast("decimal(18,9)").as("xc"),
@@ -1052,7 +1062,58 @@ object Similarity {
       |  ROUND(MIN(cos), 6) + 0.0 AS min_cohesion
       |FROM c2 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s23
+  /** Label-confusability matrix: cosine between every pair of label
+    * centroids — which classes sit too close for a kNN labeler (s05) or
+    * an IVF router (s03) to separate. Reuses s22's decimal-quantized
+    * centroid frame; the pair join is an equi-join on the dim index over
+    * a \|labels\|×\|dims\| frame (bounded both sides), products are
+    * re-quantized before the per-pair sums. */
+  def s23(spark: SparkSession, dir: String): DataFrame = {
+    val cent = labelCentroids(spark, dir)
+    val a = cent.select(col("label").as("label_a"), col("pos"), col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("pos"), col("c").as("cb"))
+    a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(col("ca") * col("cb"), 9).cast("decimal(18,9)").as("ab"),
+        round(col("ca") * col("ca"), 9).cast("decimal(18,9)").as("aa"),
+        round(col("cb") * col("cb"), 9).cast("decimal(18,9)").as("bb"))
+      .groupBy("label_a", "label_b")
+      .agg(dbl(sum(col("ab"))).as("dot"), dbl(sum(col("aa"))).as("na"),
+           dbl(sum(col("bb"))).as("nb"))
+      .select(col("label_a").cast("long").as("label_a"),
+        col("label_b").cast("long").as("label_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(col("dot") / sqrt(col("na") * col("nb")), 6))
+          .otherwise(lit(0.0d)).as("centroid_cos"))
+      .orderBy("label_a", "label_b")
+  }
+  val s23Sql: String =
+    """WITH u AS (
+      |  SELECT label,
+      |    CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE), 9) AS DECIMAL(18,9)) AS vq,
+      |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, pos, CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS c
+      |  FROM u GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(ROUND(a.c * b.c, 9) AS DECIMAL(18,9)) AS ab,
+      |    CAST(ROUND(a.c * a.c, 9) AS DECIMAL(18,9)) AS aa,
+      |    CAST(ROUND(b.c * b.c, 9) AS DECIMAL(18,9)) AS bb
+      |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label),
+      |r AS (
+      |  SELECT label_a, label_b, CAST(SUM(ab) AS DOUBLE) AS dot,
+      |    CAST(SUM(aa) AS DOUBLE) AS na, CAST(SUM(bb) AS DOUBLE) AS nb
+      |  FROM p GROUP BY 1, 2)
+      |SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
+      |  CASE WHEN na > 0 AND nb > 0 THEN ROUND(dot / sqrt(na * nb), 6)
+      |       ELSE 0.0 END AS centroid_cos
+      |FROM r ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s23_centroid_confusion" -> (s23 _),
     "s22_centroid_cohesion" -> (s22 _),
     "s21_label_balance" -> (s21 _),
     "s20_embedding_coverage" -> (s20 _),
@@ -1078,6 +1139,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s23_centroid_confusion" -> s23Sql,
     "s22_centroid_cohesion" -> s22Sql,
     "s21_label_balance" -> s21Sql,
     "s20_embedding_coverage" -> s20Sql,
