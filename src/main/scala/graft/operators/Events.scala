@@ -2537,10 +2537,14 @@ object Events {
     * band) — the monetization profile e55's duration histogram and e65's
     * depth curve don't show. Same bounded per-user session windows as
     * e01; cents accumulate as integers so the band edge can't drift. */
-  def e66(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-session revenue frame (user_id, sess_idx, start_ms, n_events,
+    * cents) — e66 bands it; LambdaParitySpec replays the same events
+    * through the STREAMING revenue sessionizer and must reproduce this
+    * frame exactly. */
+  private[graft] def sessionRevenueFrame(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
     val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), col("ms"),
         when(col("event_type") === "purchase",
           (dec(col("value")) * 100).cast("long")).as("cents"))
@@ -2549,8 +2553,13 @@ object Events {
         when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
       .withColumn("sess_idx", sum(col("new_sess")).over(wr))
       .groupBy("user_id", "sess_idx")
-      .agg(count(lit(1)).as("n_events"),
+      .agg(min(col("ms")).as("start_ms"),
+           count(lit(1)).as("n_events"),
            coalesce(sum(col("cents")), lit(0L)).as("cents"))
+  }
+
+  def e66(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionRevenueFrame(Tables.events(spark, dir))
     val band = when(col("cents") === 0, "a0").when(col("cents") <= 5000, "b<=50")
       .when(col("cents") <= 15000, "c<=150").when(col("cents") <= 30000, "d<=300")
       .otherwise("e>300")

@@ -50,6 +50,47 @@ object SessionPipeline {
       }
   }
 
+  final case class EvV(userId: Long, tsMs: Long, cents: Long)
+  final case class OpenRev(startMs: Long, lastMs: Long, n: Long, cents: Long)
+  final case class RevSession(userId: Long, startMs: Long, endMs: Long,
+                              nEvents: Long, cents: Long)
+
+  /** Revenue-carrying sessionizer: [[sessionize]] plus an exact
+    * integer-cent accumulator per open session — the streaming twin of
+    * the batch e66 per-session revenue frame (LambdaParitySpec holds
+    * the two to the same multiset). State stays one open session per
+    * user; revenue adds one long to it. */
+  def sessionizeRevenue(events: Dataset[EvV]): Dataset[RevSession] = {
+    implicit val evEnc = Encoders.product[EvV]
+    implicit val stEnc = Encoders.product[OpenRev]
+    implicit val outEnc = Encoders.product[RevSession]
+    events
+      .groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[OpenRev, RevSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[EvV], state: GroupState[OpenRev]) =>
+          val sorted = evs.toSeq.sortBy(_.tsMs)
+          var open = state.getOption
+          val closed = Seq.newBuilder[RevSession]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.tsMs - s.lastMs <= GapMs =>
+                open = Some(s.copy(lastMs = e.tsMs, n = s.n + 1, cents = s.cents + e.cents))
+              case Some(s) =>
+                closed += RevSession(userId, s.startMs, s.lastMs, s.n, s.cents)
+                open = Some(OpenRev(e.tsMs, e.tsMs, 1, e.cents))
+              case None =>
+                open = Some(OpenRev(e.tsMs, e.tsMs, 1, e.cents))
+            }
+          }
+          open match {
+            case Some(s) => state.update(s)
+            case None    => state.remove()
+          }
+          closed.result().iterator
+      }
+  }
+
   /** Sessionization with EVENT-TIME TIMEOUT: a user who goes silent has
     * their open session emitted (and state evicted) once the watermark
     * passes `lastMs + GapMs`. This is what makes the "bounded state"

@@ -55,4 +55,48 @@ class LambdaParitySpec extends SparkSpec {
       s"closed-session count: streaming ${streamed.size} vs batch ${batch.size}")
     assert(streamed == batch, "streaming/batch session multisets differ")
   }
+
+  test("streaming session REVENUE over replayed sf0.001 events equals batch e66's frame") {
+    import graft.streaming.SessionPipeline.{EvV, RevSession}
+    implicit val sq = spark.sqlContext
+
+    // batch truth: the per-session revenue frame e66 bands
+    val batch = graft.operators.Events
+      .sessionRevenueFrame(graft.engine.Tables.events(spark, sf))
+      .select("user_id", "start_ms", "n_events", "cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+
+    // replay with exact integer cents (purchase value → cents, else 0)
+    val evs = graft.engine.Tables.events(spark, sf)
+      .selectExpr("user_id", "ms",
+        "coalesce(CASE WHEN event_type = 'purchase' " +
+          "THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END, CAST(0 AS BIGINT))")
+      .collect()
+      .map(r => EvV(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.tsMs)
+    val flush = evs.map(_.userId).distinct
+      .map(u => EvV(u, evs.last.tsMs + 86400000L, 0L))
+
+    val input = MemoryStream[EvV]
+    val query = SessionPipeline.sessionizeRevenue(input.toDS()).writeStream
+      .format("memory").queryName("parity_rev_sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    val streamed =
+      try {
+        input.addData(evs.toIndexedSeq)
+        query.processAllAvailable()
+        input.addData(flush.toIndexedSeq)
+        query.processAllAvailable()
+        spark.table("parity_rev_sessions").as[RevSession].collect()
+          .map(s => (s.userId, s.startMs, s.nEvents, s.cents))
+          .toSeq.sorted
+      } finally query.stop()
+
+    assert(streamed.size == batch.size,
+      s"closed-session count: streaming ${streamed.size} vs batch ${batch.size}")
+    assert(streamed == batch, "streaming/batch revenue-session multisets differ")
+  }
 }
