@@ -1780,7 +1780,35 @@ object Dedup {
        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d43
+  /** Boilerplate shingles: the top-20 word-3-grams by document
+    * frequency, with per-source spread — the concrete n-grams that
+    * drive d06/d17's df-caps (d21 histograms the df VALUES; this names
+    * the offenders a cleaning pass would strip). Explode + one
+    * map-combinable groupBy + TakeOrderedAndProject top-k with pinned
+    * (df desc, gram) tiebreak; no window, no second shuffle. */
+  def d43(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    shingled(spark, dir)
+      .join(docs, "doc_id")
+      .select(col("source"), col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"),
+           countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(20)
+  }
+  val d43Sql: String =
+    s"""WITH sh AS ($shingledSql),
+       |g AS (SELECT doc_id, UNNEST(grams) AS gram FROM sh),
+       |j AS (SELECT g.doc_id AS doc_id, gram, source
+       |  FROM g JOIN documents d ON g.doc_id = d.doc_id)
+       |SELECT gram, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       |  COUNT(DISTINCT source)::BIGINT AS n_sources
+       |FROM j GROUP BY 1 ORDER BY df DESC, gram LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d43_boilerplate_shingles" -> (d43 _),
     "d42_dupsize_quality" -> (d42 _),
     "d41_cluster_source_purity" -> (d41 _),
     "d40_containment_direction" -> (d40 _),
@@ -1825,6 +1853,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d43_boilerplate_shingles" -> d43Sql,
     "d42_dupsize_quality" -> d42Sql,
     "d41_cluster_source_purity" -> d41Sql,
     "d40_containment_direction" -> d40Sql,

@@ -2779,7 +2779,44 @@ object Events {
       |FROM aud LEFT JOIN rev ON aud.month = rev.month
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e72
+  /** Conversion by market segment: per-user event/purchase rollup joined
+    * to the customer dim (e60's enrichment key), conversion = buyers /
+    * active users per segment. The event side collapses to \|users\| rows
+    * BEFORE the join; customer side carries only (key, segment);
+    * \|segments\|-bounded output, ONE division per row. */
+  def e72(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"))
+    Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .join(ev, col("c_custkey") === col("user_id"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_active_users"),
+           count(when(col("n_purchases") > 0, lit(1))).as("n_buyers"),
+           sum(col("n_events")).as("n_events"),
+           sum(col("n_purchases")).as("n_purchases"))
+      .withColumn("conversion_rate",
+        round(dbl(col("n_buyers")) / col("n_active_users"), 6))
+      .orderBy("c_mktsegment")
+  }
+  val e72Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, COUNT(*)::BIGINT AS n_events,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS n_purchases
+      |  FROM events GROUP BY 1)
+      |SELECT c_mktsegment, COUNT(*)::BIGINT AS n_active_users,
+      |  COUNT(CASE WHEN n_purchases > 0 THEN 1 END)::BIGINT AS n_buyers,
+      |  SUM(n_events)::BIGINT AS n_events,
+      |  SUM(n_purchases)::BIGINT AS n_purchases,
+      |  ROUND(CAST(COUNT(CASE WHEN n_purchases > 0 THEN 1 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS conversion_rate
+      |FROM customer JOIN ev ON c_custkey = user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e72_segment_conversion" -> (e72 _),
     "e71_arpdau" -> (e71 _),
     "e70_error_recovery" -> (e70 _),
     "e69_stickiness" -> (e69 _),
@@ -2854,6 +2891,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e72_segment_conversion" -> e72Sql,
     "e71_arpdau" -> e71Sql,
     "e70_error_recovery" -> e70Sql,
     "e69_stickiness" -> e69Sql,

@@ -115,7 +115,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e69_stickiness", "e70_error_recovery",
       "t45_word_branching", "s22_centroid_cohesion", "m18_header_entropy",
       "d42_dupsize_quality", "p23_stage_order_ab", "t46_word_burstiness",
-      "q90_discount_favoritism", "e71_arpdau", "s23_centroid_confusion")
+      "q90_discount_favoritism", "e71_arpdau", "s23_centroid_confusion",
+      "e72_segment_conversion", "d43_boilerplate_shingles")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
