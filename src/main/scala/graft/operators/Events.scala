@@ -2815,7 +2815,35 @@ object Events {
       |FROM customer JOIN ev ON c_custkey = user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e73
+  /** Revenue by day-of-week: e42 counts events per dow; this weighs the
+    * week by exact integer-cent purchase revenue (plus per-purchase
+    * mean) — the staffing/promo calendar view. Map-combinable 7-row
+    * rollup; dow uses e42's epoch-day convention ((day+4) mod 7,
+    * 0 = Sunday) so the two weekly profiles join cleanly. */
+  def e73(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("(ms div 86400000 + 4) % 7").as("dow"))
+      .agg(count(lit(1)).as("n_purchases"),
+           sum((dec(col("value")) * 100).cast("long")).as("cents"))
+      .select(col("dow"), col("n_purchases"),
+        (col("cents").cast("double") / 100).as("revenue"),
+        round((col("cents").cast("double") / 100) / col("n_purchases"), 6)
+          .as("avg_purchase"))
+      .orderBy("dow")
+  val e73Sql: String =
+    """SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+      |  COUNT(*)::BIGINT AS n_purchases,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100
+      |    AS revenue,
+      |  ROUND((CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100)
+      |        / COUNT(*), 6) AS avg_purchase
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e73_dow_revenue" -> (e73 _),
     "e72_segment_conversion" -> (e72 _),
     "e71_arpdau" -> (e71 _),
     "e70_error_recovery" -> (e70 _),
@@ -2891,6 +2919,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e73_dow_revenue" -> e73Sql,
     "e72_segment_conversion" -> e72Sql,
     "e71_arpdau" -> e71Sql,
     "e70_error_recovery" -> e70Sql,

@@ -2931,7 +2931,48 @@ object Relational {
       |  ROUND(CAST(pct_sum AS DOUBLE) / n_lines, 6) AS avg_discount_pct
       |FROM c ORDER BY avg_discount_pct DESC, o_custkey LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Yearly churn series: customers active in year Y who place no order
+    * in Y+1 (last data year excluded — churn there is right-censored).
+    * Orders collapse to distinct (year, customer) map-side; retention is
+    * an equi self-join of that bounded frame on (customer, year+1); the
+    * rollup is ≤\|years\| rows. The annual counterpart of q71's MoM
+    * actives. */
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    val yc = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("yr"), col("o_custkey"))
+      .distinct()
+    val next = yc.select((col("yr") - 1).as("yr"), col("o_custkey").as("nc"))
+    val maxYr = yc.agg(max(col("yr")).as("max_yr"))
+    yc.join(next, yc("yr") === next("yr") && col("o_custkey") === col("nc"), "left")
+      .join(broadcast(maxYr))
+      .filter(yc("yr") < col("max_yr"))
+      .groupBy(yc("yr").as("yr"))
+      .agg(count(lit(1)).as("n_active"),
+           count(col("nc")).as("n_retained"))
+      .select(col("yr"), col("n_active"), col("n_retained"),
+        (col("n_active") - col("n_retained")).as("n_churned"),
+        round(dbl(col("n_active") - col("n_retained")) / col("n_active"), 6)
+          .as("churn_rate"))
+      .orderBy("yr")
+  }
+  val q91Sql: String =
+    """WITH yc AS (
+      |  SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr, o_custkey
+      |  FROM orders),
+      |m AS (SELECT MAX(yr) AS max_yr FROM yc),
+      |j AS (
+      |  SELECT a.yr AS yr, a.o_custkey AS c, b.o_custkey AS nc
+      |  FROM yc a LEFT JOIN yc b
+      |    ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1)
+      |SELECT yr, COUNT(*)::BIGINT AS n_active, COUNT(nc)::BIGINT AS n_retained,
+      |  (COUNT(*) - COUNT(nc))::BIGINT AS n_churned,
+      |  ROUND(CAST(COUNT(*) - COUNT(nc) AS DOUBLE) / COUNT(*), 6) AS churn_rate
+      |FROM j, m WHERE yr < max_yr
+      |GROUP BY yr ORDER BY yr""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q91_churn_series" -> (q91 _),
     "q90_discount_favoritism" -> (q90 _),
     "q89_basket_brand_diversity" -> (q89 _),
     "q88_supplier_tiers" -> (q88 _),
@@ -3025,6 +3066,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q91_churn_series" -> q91Sql,
     "q90_discount_favoritism" -> q90Sql,
     "q89_basket_brand_diversity" -> q89Sql,
     "q88_supplier_tiers" -> q88Sql,

@@ -116,7 +116,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "t45_word_branching", "s22_centroid_cohesion", "m18_header_entropy",
       "d42_dupsize_quality", "p23_stage_order_ab", "t46_word_burstiness",
       "q90_discount_favoritism", "e71_arpdau", "s23_centroid_confusion",
-      "e72_segment_conversion", "d43_boilerplate_shingles")
+      "e72_segment_conversion", "d43_boilerplate_shingles",
+      "e73_dow_revenue", "q91_churn_series")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
