@@ -767,7 +767,26 @@ object Multimodal {
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m19
+  /** Modality × language census: the routing matrix a mixed-media
+    * curation plan starts from (which languages carry which payload
+    * kinds, at what size). Pure Column routing over payload prefixes,
+    * one map-combinable groupBy, \|modalities\|×\|langs\|-bounded. */
+  def m19(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", routeModality(col("payload"), col("text")))
+      .groupBy("modality", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(octet_length(col("payload")).cast("long")).as("total_bytes"))
+      .orderBy("modality", "lang")
+  val m19Sql: String =
+    s"""SELECT $modalitySqlCase AS modality, lang, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT))::BIGINT AS total_bytes
+       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m19_modality_lang_matrix" -> (m19 _),
     "m18_header_entropy" -> (m18 _),
     "m17_modality_quality" -> (m17 _),
     "m16_size_entropy_corr" -> (m16 _),
@@ -789,6 +808,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m19_modality_lang_matrix" -> m19Sql,
     "m18_header_entropy" -> m18Sql,
     "m17_modality_quality" -> m17Sql,
     "m16_size_entropy_corr" -> m16Sql,

@@ -1079,7 +1079,52 @@ object Pipeline {
        |FROM s""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p24
+  /** Dataset card: the ONE-row corpus headline (docs, tokens, languages,
+    * sources, exact-dup rate, mean quality) that fronts a dataset
+    * release — p08 is the per-(lang, source) breakdown; this is its
+    * cover sheet. Single map-combinable pass; quality mean uses the
+    * DECIMAL(10,6)-quantized sum; dup rate = 1 − unique/total via one
+    * round6 division. */
+  def p24(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("total_tokens"),
+           sum(col("n_chars")).as("total_chars"),
+           countDistinct(col("lang")).as("n_langs"),
+           countDistinct(col("source")).as("n_sources"),
+           countDistinct(md5(col("text"))).as("n_unique_texts"),
+           (sum(col("quality").cast("decimal(10,6)")).cast("double") / count(lit(1)))
+             .as("avg_quality"))
+      .withColumn("dup_rate",
+        round(lit(1.0d) - dbl(col("n_unique_texts")) / col("n_docs"), 6))
+  }
+  val p24Sql: String = {
+    import TextAnalysis.{qualitySqlExpr, stopSqlIn, wordsSql}
+    s"""WITH base AS (
+       |  SELECT doc_id, text, lang, source, n_chars, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1)
+       |SELECT COUNT(*)::BIGINT AS n_docs,
+       |  SUM(n_tok)::BIGINT AS total_tokens,
+       |  SUM(n_chars)::BIGINT AS total_chars,
+       |  COUNT(DISTINCT lang)::BIGINT AS n_langs,
+       |  COUNT(DISTINCT source)::BIGINT AS n_sources,
+       |  COUNT(DISTINCT md5(text))::BIGINT AS n_unique_texts,
+       |  CAST(SUM(CAST($qualitySqlExpr AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*)
+       |    AS avg_quality,
+       |  ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+       |FROM m""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p24_dataset_card" -> (p24 _),
     "p23_stage_order_ab" -> (p23 _),
     "p22_lang_funnel" -> (p22 _),
     "p20_cross_shard_dups" -> (p20 _),
@@ -1105,6 +1150,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p24_dataset_card" -> p24Sql,
     "p23_stage_order_ab" -> p23Sql,
     "p22_lang_funnel" -> p22Sql,
     "p20_cross_shard_dups" -> p20Sql,

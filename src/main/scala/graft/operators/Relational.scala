@@ -2971,7 +2971,36 @@ object Relational {
       |FROM j, m WHERE yr < max_yr
       |GROUP BY yr ORDER BY yr""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** Promo design grid: quantity band × integer discount band with line
+    * counts and exact revenue — where on the (volume, discount) surface
+    * the money actually sits (q73 gives the correlation; this gives the
+    * cells). One map-combinable groupBy; both band edges are integer
+    * compares. */
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    val qty = (dec(col("l_quantity")).cast("long"))
+    val qtyBand = when(qty <= 10, "a<=10").when(qty <= 25, "b<=25")
+      .when(qty <= 40, "c<=40").otherwise("d>40")
+    Tables.lineitem(spark, dir)
+      .groupBy(qtyBand.as("qty_band"),
+        round(col("l_discount") * 100).cast("long").as("discount_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+           dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))))
+             .as("revenue"))
+      .orderBy("qty_band", "discount_pct")
+  }
+  val q92Sql: String =
+    s"""SELECT CASE WHEN CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) <= 10 THEN 'a<=10'
+       |            WHEN CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) <= 25 THEN 'b<=25'
+       |            WHEN CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) <= 40 THEN 'c<=40'
+       |            ELSE 'd>40' END AS qty_band,
+       |  CAST(ROUND(l_discount * 100) AS BIGINT) AS discount_pct,
+       |  COUNT(*)::BIGINT AS n_lines,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q92_promo_grid" -> (q92 _),
     "q91_churn_series" -> (q91 _),
     "q90_discount_favoritism" -> (q90 _),
     "q89_basket_brand_diversity" -> (q89 _),
@@ -3066,6 +3095,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q92_promo_grid" -> q92Sql,
     "q91_churn_series" -> q91Sql,
     "q90_discount_favoritism" -> q90Sql,
     "q89_basket_brand_diversity" -> q89Sql,

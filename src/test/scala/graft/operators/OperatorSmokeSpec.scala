@@ -117,7 +117,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "d42_dupsize_quality", "p23_stage_order_ab", "t46_word_burstiness",
       "q90_discount_favoritism", "e71_arpdau", "s23_centroid_confusion",
       "e72_segment_conversion", "d43_boilerplate_shingles",
-      "e73_dow_revenue", "q91_churn_series")
+      "e73_dow_revenue", "q91_churn_series",
+      "q92_promo_grid", "p24_dataset_card", "m19_modality_lang_matrix")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
