@@ -91,7 +91,10 @@ object PlanAudit {
     // s21: 1-row totals broadcast (share + imbalance denominators)
     "s21_label_balance",
     // d41: 1-row cluster-totals broadcast (mixed-share denominator)
-    "d41_cluster_source_purity")
+    "d41_cluster_source_purity",
+    // q91: 1-row max-year broadcast (right-censors the churn series —
+    // q65's as-of-date shape)
+    "q91_churn_series")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
