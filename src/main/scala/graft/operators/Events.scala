@@ -2842,7 +2842,46 @@ object Events {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e74
+  /** First-purchase depth: at what event position within a session does
+    * the FIRST purchase happen (converting sessions only) — the "how
+    * much browsing precedes buying" histogram that prices e65's depth
+    * curve. Session split + in-session row_number ride the same bounded
+    * per-user windows as e01; min() picks the first purchase position
+    * map-combinably. */
+  def e74(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ws = Window.partitionBy("user_id", "sess_idx").orderBy(col("ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(wr))
+      .withColumn("pos", row_number().over(ws).cast("long"))
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id", "sess_idx")
+      .agg(min(col("pos")).as("first_buy_pos"))
+      .groupBy(least(col("first_buy_pos"), lit(10L)).as("depth_band"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("depth_band")
+  }
+  val e74Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
+       |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f),
+       |p AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id, sess_idx
+       |        ORDER BY ms, event_id) AS BIGINT) AS pos FROM s),
+       |fb AS (SELECT user_id, sess_idx, MIN(pos) AS first_buy_pos
+       |  FROM p WHERE event_type = 'purchase' GROUP BY 1, 2)
+       |SELECT LEAST(first_buy_pos, 10) AS depth_band, COUNT(*)::BIGINT AS n_sessions
+       |FROM fb GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e74_first_purchase_depth" -> (e74 _),
     "e73_dow_revenue" -> (e73 _),
     "e72_segment_conversion" -> (e72 _),
     "e71_arpdau" -> (e71 _),
@@ -2919,6 +2958,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e74_first_purchase_depth" -> e74Sql,
     "e73_dow_revenue" -> e73Sql,
     "e72_segment_conversion" -> e72Sql,
     "e71_arpdau" -> e71Sql,

@@ -2999,7 +2999,33 @@ object Relational {
        |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Customer tenure census: years between a customer's first and last
+    * order, banded — the relationship-length profile behind q91's churn
+    * rates. One map-combinable min/max pass per customer, integer year
+    * arithmetic, ≤\|years\| output rows. */
+  def q93(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((year(max(col("o_orderdate"))) - year(min(col("o_orderdate"))))
+             .cast("long").as("tenure_years"),
+           count(lit(1)).as("n_orders"))
+      .groupBy("tenure_years")
+      .agg(count(lit(1)).as("n_customers"),
+           (sum(col("n_orders")).cast("double") / count(lit(1))).as("avg_orders"))
+      .orderBy("tenure_years")
+  val q93Sql: String =
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    CAST(year(MAX(o_orderdate)) - year(MIN(o_orderdate)) AS BIGINT) AS tenure_years,
+      |    COUNT(*)::BIGINT AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT tenure_years, COUNT(*)::BIGINT AS n_customers,
+      |  CAST(SUM(n_orders) AS DOUBLE) / COUNT(*) AS avg_orders
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q93_tenure_census" -> (q93 _),
     "q92_promo_grid" -> (q92 _),
     "q91_churn_series" -> (q91 _),
     "q90_discount_favoritism" -> (q90 _),
@@ -3095,6 +3121,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q93_tenure_census" -> q93Sql,
     "q92_promo_grid" -> q92Sql,
     "q91_churn_series" -> q91Sql,
     "q90_discount_favoritism" -> q90Sql,

@@ -1112,7 +1112,41 @@ object Similarity {
       |       ELSE 0.0 END AS centroid_cos
       |FROM r ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- s24
+  /** Per-dimension variance census: exact population variance per
+    * embedding dimension from DECIMAL-quantized moments (s17 screens
+    * ranges/signs; this ranks dimensions by information carried — the
+    * input to PQ subspace splits and dead-dim pruning). One posexplode
+    * + one map-combinable groupBy, \|dims\|-bounded, float math only in
+    * the single final expression. */
+  def s24(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .withColumn("sq", round(dbl(col("vq")) * dbl(col("vq")), 9).cast("decimal(18,9)"))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+           dbl(sum(col("vq"))).as("s"), dbl(sum(col("sq"))).as("q"))
+      .select(col("dim"), col("n"),
+        round((dbl(col("n")) * col("q") - col("s") * col("s")) /
+          (dbl(col("n")) * dbl(col("n"))), 6).as("variance"))
+      .orderBy("dim")
+  val s24Sql: String =
+    """WITH u AS (
+      |  SELECT CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE), 9) AS DECIMAL(18,9)) AS vq,
+      |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT pos AS dim, COUNT(*)::BIGINT AS n,
+      |    CAST(SUM(vq) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(ROUND(CAST(vq AS DOUBLE) * CAST(vq AS DOUBLE), 9)
+      |                  AS DECIMAL(18,9))) AS DOUBLE) AS q
+      |  FROM u GROUP BY 1)
+      |SELECT dim, n,
+      |  ROUND((CAST(n AS DOUBLE) * q - s * s)
+      |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS variance
+      |FROM m ORDER BY dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s24_dim_variance" -> (s24 _),
     "s23_centroid_confusion" -> (s23 _),
     "s22_centroid_cohesion" -> (s22 _),
     "s21_label_balance" -> (s21 _),
@@ -1139,6 +1173,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s24_dim_variance" -> s24Sql,
     "s23_centroid_confusion" -> s23Sql,
     "s22_centroid_cohesion" -> s22Sql,
     "s21_label_balance" -> s21Sql,

@@ -1849,7 +1849,44 @@ object TextAnalysis {
        |        / CAST(CAST(df AS HUGEINT) * tf AS DOUBLE), 6) AS vmr
        |FROM m ORDER BY tf DESC, word""".stripMargin
 
+  // ---------------------------------------------------------------- t47
+  /** Per-language quality profile: docs, tokens, quantized-mean quality
+    * and the below-gate share per declared lang — the per-language
+    * counterpart of t39's per-source quartiles, and the table a
+    * language-balanced curation budget starts from. One map-combinable
+    * rollup, \|langs\|-bounded. */
+  def t47(spark: SparkSession, dir: String): DataFrame =
+    addQuality(Tables.documents(spark, dir))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("total_tokens"),
+           (sum(col("quality").cast("decimal(10,6)")).cast("double") / count(lit(1)))
+             .as("avg_quality"),
+           count(when(col("quality") < 0.5d, lit(1))).as("n_below_gate"))
+      .withColumn("below_gate_rate",
+        round(dbl(col("n_below_gate")) / col("n_docs"), 6))
+      .orderBy("lang")
+  val t47Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, lang, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |q AS (SELECT lang, n_tok, $qualitySqlExpr AS quality FROM m)
+       |SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(n_tok)::BIGINT AS total_tokens,
+       |  CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_quality,
+       |  COUNT(CASE WHEN quality < 0.5 THEN 1 END)::BIGINT AS n_below_gate,
+       |  ROUND(CAST(COUNT(CASE WHEN quality < 0.5 THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+       |    AS below_gate_rate
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t47_lang_quality" -> (t47 _),
     "t46_word_burstiness" -> (t46 _),
     "t45_word_branching" -> (t45 _),
     "t44_sentence_dup" -> (t44 _),
@@ -1898,6 +1935,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t47_lang_quality" -> t47Sql,
     "t46_word_burstiness" -> t46Sql,
     "t45_word_branching" -> t45Sql,
     "t44_sentence_dup" -> t44Sql,

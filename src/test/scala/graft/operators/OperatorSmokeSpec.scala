@@ -118,7 +118,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q90_discount_favoritism", "e71_arpdau", "s23_centroid_confusion",
       "e72_segment_conversion", "d43_boilerplate_shingles",
       "e73_dow_revenue", "q91_churn_series",
-      "q92_promo_grid", "p24_dataset_card", "m19_modality_lang_matrix")
+      "q92_promo_grid", "p24_dataset_card", "m19_modality_lang_matrix",
+      "e74_first_purchase_depth", "q93_tenure_census", "t47_lang_quality",
+      "s24_dim_variance")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
