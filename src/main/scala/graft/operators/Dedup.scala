@@ -1807,7 +1807,63 @@ object Dedup {
        |  COUNT(DISTINCT source)::BIGINT AS n_sources
        |FROM j GROUP BY 1 ORDER BY df DESC, gram LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- d44
+  /** Containment source flow: d40's containment pairs attributed as a
+    * (container source → contained source) matrix — which source
+    * excerpts which (the provenance table behind excerpt-removal
+    * policy; ties by size fall to the a-side deterministically).
+    * Same inverted-index pair stream + two bounded source joins;
+    * \|sources\|²-bounded output. */
+  def d44(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    posting.as("a").join(posting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
+      .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+      .select(
+        when(col("na") >= col("nb"), col("sa")).otherwise(col("sb")).as("container_source"),
+        when(col("na") >= col("nb"), col("sb")).otherwise(col("sa")).as("contained_source"),
+        least(col("na"), col("nb")).as("mn"), greatest(col("na"), col("nb")).as("mx"))
+      .groupBy("container_source", "contained_source")
+      .agg(count(lit(1)).as("n_pairs"),
+           round(dbl(sum(col("mn"))) / sum(col("mx")), 6).as("agg_size_ratio"))
+      .orderBy("container_source", "contained_source")
+  }
+  val d44Sql: String =
+    s"""WITH sh AS ($shingledSql),
+       |posting AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+       |sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT doc_a, doc_b, na.n AS na, nb.n AS nb
+       |  FROM inter
+       |  JOIN sizes na ON doc_a = na.doc_id
+       |  JOIN sizes nb ON doc_b = nb.doc_id
+       |  WHERE inter * 10 >= LEAST(na.n, nb.n) * 9),
+       |f AS (
+       |  SELECT CASE WHEN na >= nb THEN da.source ELSE db.source END AS container_source,
+       |    CASE WHEN na >= nb THEN db.source ELSE da.source END AS contained_source,
+       |    LEAST(na, nb) AS mn, GREATEST(na, nb) AS mx
+       |  FROM p
+       |  JOIN documents da ON doc_a = da.doc_id
+       |  JOIN documents db ON doc_b = db.doc_id)
+       |SELECT container_source, contained_source, COUNT(*)::BIGINT AS n_pairs,
+       |  ROUND(CAST(SUM(mn) AS DOUBLE) / SUM(mx), 6) AS agg_size_ratio
+       |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d44_containment_flow" -> (d44 _),
     "d43_boilerplate_shingles" -> (d43 _),
     "d42_dupsize_quality" -> (d42 _),
     "d41_cluster_source_purity" -> (d41 _),
@@ -1853,6 +1909,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d44_containment_flow" -> d44Sql,
     "d43_boilerplate_shingles" -> d43Sql,
     "d42_dupsize_quality" -> d42Sql,
     "d41_cluster_source_purity" -> d41Sql,

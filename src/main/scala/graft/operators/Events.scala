@@ -2880,7 +2880,59 @@ object Events {
        |SELECT LEAST(first_buy_pos, 10) AS depth_band, COUNT(*)::BIGINT AS n_sessions
        |FROM fb GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e75
+  /** Activity Zipf slope: least-squares slope of ln(events) vs ln(rank)
+    * over the top-100 users — the skew exponent behind e48's Gini and
+    * q75's hottest-key census (a slope near −1 says whale users follow
+    * a power law; flatter says load is spread). t37's exact recipe:
+    * TakeOrdered head, bounded 100×100 broadcast rank self-join (no
+    * global window), round9-DECIMAL-quantized logs, exact regression
+    * moments, ONE final expression. */
+  def e75(spark: SparkSession, dir: String): DataFrame = {
+    val head = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id")).limit(100)
+      .cache() // both sides of the bounded rank self-join
+    val ranked = head.as("a")
+      .join(broadcast(head.select(col("user_id").as("u2"), col("cnt").as("c2"))),
+        col("c2") > col("cnt") || (col("c2") === col("cnt") && col("u2") < col("user_id")),
+        "left")
+      .groupBy(col("user_id"), col("cnt"))
+      .agg((count(col("u2")) + 1).as("rank"))
+    val q = ranked
+      .withColumn("x", round(log(dbl(col("rank"))), 9).cast("decimal(18,9)"))
+      .withColumn("y", round(log(dbl(col("cnt"))), 9).cast("decimal(18,9)"))
+    q.agg(count(lit(1)).as("n"),
+          dbl(sum(col("x"))).as("sx"), dbl(sum(col("y"))).as("sy"),
+          dbl(sum(col("x") * col("y"))).as("sxy"),
+          dbl(sum(col("x") * col("x"))).as("sx2"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sx2") - col("sx") * col("sx")), 6).as("activity_slope"))
+  }
+  val e75Sql: String =
+    """WITH head AS (
+      |  SELECT user_id, COUNT(*) AS cnt FROM events
+      |  GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 100),
+      |r AS (
+      |  SELECT cnt,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank
+      |  FROM head),
+      |q AS (
+      |  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+      |         CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+      |  FROM r),
+      |m AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sx2
+      |  FROM q)
+      |SELECT n,
+      |  ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS activity_slope
+      |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e75_activity_zipf" -> (e75 _),
     "e74_first_purchase_depth" -> (e74 _),
     "e73_dow_revenue" -> (e73 _),
     "e72_segment_conversion" -> (e72 _),
@@ -2958,6 +3010,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e75_activity_zipf" -> e75Sql,
     "e74_first_purchase_depth" -> e74Sql,
     "e73_dow_revenue" -> e73Sql,
     "e72_segment_conversion" -> e72Sql,
