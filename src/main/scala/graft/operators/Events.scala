@@ -2931,7 +2931,47 @@ object Events {
       |  ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS activity_slope
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- e76
+  /** Lifecycle census at the data horizon: every user classified as
+    * new (first seen in the final 30 days), churned (silent for > 30
+    * days), or active — the end-state snapshot behind e28's weekly
+    * growth-accounting series. One map-combinable min/max pass per
+    * user; the horizon is a 1-row broadcast max (q65's as-of shape);
+    * 3-row output with exact tenure/recency means. */
+  def e76(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+           count(lit(1)).as("n_events"))
+    val horizon = u.agg(max(col("last_ms")).as("end_ms"))
+    val stage = when(col("first_ms") >= col("end_ms") - 30 * dayMs, "a_new")
+      .when(col("last_ms") < col("end_ms") - 30 * dayMs, "c_churned")
+      .otherwise("b_active")
+    u.join(broadcast(horizon))
+      .groupBy(stage.as("stage"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("n_events")).as("n_events"),
+           (sum(expr("(end_ms - last_ms) div 86400000")).cast("double") /
+             count(lit(1))).as("avg_recency_days"))
+      .orderBy("stage")
+  }
+  val e76Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms,
+      |    COUNT(*)::BIGINT AS n_events
+      |  FROM events GROUP BY 1),
+      |h AS (SELECT MAX(last_ms) AS end_ms FROM u)
+      |SELECT CASE WHEN first_ms >= end_ms - 2592000000 THEN 'a_new'
+      |            WHEN last_ms < end_ms - 2592000000 THEN 'c_churned'
+      |            ELSE 'b_active' END AS stage,
+      |  COUNT(*)::BIGINT AS n_users,
+      |  SUM(n_events)::BIGINT AS n_events,
+      |  CAST(SUM((end_ms - last_ms) // 86400000) AS DOUBLE) / COUNT(*) AS avg_recency_days
+      |FROM u, h GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e76_lifecycle_census" -> (e76 _),
     "e75_activity_zipf" -> (e75 _),
     "e74_first_purchase_depth" -> (e74 _),
     "e73_dow_revenue" -> (e73 _),
@@ -3010,6 +3050,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e76_lifecycle_census" -> e76Sql,
     "e75_activity_zipf" -> e75Sql,
     "e74_first_purchase_depth" -> e74Sql,
     "e73_dow_revenue" -> e73Sql,

@@ -3024,7 +3024,53 @@ object Relational {
       |  CAST(SUM(n_orders) AS DOUBLE) / COUNT(*) AS avg_orders
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** Inter-region trade matrix: revenue by (supplier region → customer
+    * region) — q60's nation trade balance rolled up one dim level to
+    * the 5×5 flow matrix. The fact chain shuffles on its keys once;
+    * all four dim hops (nation×2, region×2) broadcast; decimal-exact
+    * revenue. */
+  def q94(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    val supRegion = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name").as("supp_region"))
+    val custRegion = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name").as("cust_region"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        revenueTerm(col("l_extendedprice"), col("l_discount")).as("rev"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supRegion), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .groupBy("supp_region", "cust_region")
+      .agg(count(lit(1)).as("n_lines"), dbl(sum(col("rev"))).as("revenue"))
+      .orderBy("supp_region", "cust_region")
+  }
+  val q94Sql: String =
+    s"""WITH sr AS (
+       |  SELECT s_suppkey, r_name AS supp_region
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey),
+       |cr AS (
+       |  SELECT c_custkey, r_name AS cust_region
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey)
+       |SELECT supp_region, cust_region, COUNT(*)::BIGINT AS n_lines,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN sr ON l_suppkey = s_suppkey
+       |JOIN cr ON o_custkey = c_custkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q94_region_trade_matrix" -> (q94 _),
     "q93_tenure_census" -> (q93 _),
     "q92_promo_grid" -> (q92 _),
     "q91_churn_series" -> (q91 _),
@@ -3121,6 +3167,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q94_region_trade_matrix" -> q94Sql,
     "q93_tenure_census" -> q93Sql,
     "q92_promo_grid" -> q92Sql,
     "q91_churn_series" -> q91Sql,

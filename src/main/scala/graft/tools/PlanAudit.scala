@@ -94,7 +94,9 @@ object PlanAudit {
     "d41_cluster_source_purity",
     // q91: 1-row max-year broadcast (right-censors the churn series —
     // q65's as-of-date shape)
-    "q91_churn_series")
+    "q91_churn_series",
+    // e76: 1-row data-horizon broadcast (q65's as-of shape)
+    "e76_lifecycle_census")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -120,7 +120,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e73_dow_revenue", "q91_churn_series",
       "q92_promo_grid", "p24_dataset_card", "m19_modality_lang_matrix",
       "e74_first_purchase_depth", "q93_tenure_census", "t47_lang_quality",
-      "s24_dim_variance", "e75_activity_zipf", "d44_containment_flow")
+      "s24_dim_variance", "e75_activity_zipf", "d44_containment_flow",
+      "q94_region_trade_matrix", "e76_lifecycle_census")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
