@@ -785,7 +785,75 @@ object Multimodal {
        |  SUM(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT))::BIGINT AS total_bytes
        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- m20
+  /** Per-modality ENTROPY z-outlier screen: payloads whose nibble
+    * entropy sits >3σ from their modality's mean — the "text that looks
+    * encrypted / binary that looks like padding" detector (m13 screens
+    * size; this screens content shape). Entropies quantize to exact
+    * integer micro-nats, then m13's cross-multiplied DECIMAL(38,0)
+    * z-compare applies unchanged — no float σ, no per-row division. */
+  def m20(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ent = nibbleEntropy(spark, dir)
+      .select(col("modality"), round(col("entropy") * 1000000).cast("long").as("x"))
+    val st = ent.groupBy("modality")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+           sum(col("x") * col("x")).as("q"))
+      .filter(col("n") >= 2)
+    val nD = col("n").cast(d38)
+    val dev = nD * col("x").cast(d38) - col("s").cast(d38)
+    val varNum = nD * col("q").cast(d38) - col("s").cast(d38) * col("s").cast(d38)
+    val out = dev * dev * (nD - 1) > lit(9).cast(d38) * nD * varNum
+    ent.join(broadcast(st), "modality")
+      .groupBy("modality")
+      .agg(max(col("n")).as("n_docs"),
+           round(max(col("s")).cast("double") / max(col("n")) / 1000000, 6)
+             .as("mean_entropy"),
+           sum(when(out && dev > 0, 1L).otherwise(0L)).as("n_hi"),
+           sum(when(out && dev < 0, 1L).otherwise(0L)).as("n_lo"))
+      .withColumn("out_share",
+        round((col("n_hi") + col("n_lo")).cast("double") / col("n_docs"), 6) + lit(0.0d))
+      .orderBy("modality")
+  }
+  val m20Sql: String = {
+    val digits = "0123456789ABCDEF"
+    val counts = digits.map(d =>
+      s"LENGTH(s) - LENGTH(regexp_replace(s, '[$d]', '', 'g')) AS c_$d").mkString(",\n      |    ")
+    val terms = digits.map(d =>
+      s"CASE WHEN c_$d > 0 THEN (CAST(c_$d AS DOUBLE) / n) * ln(CAST(c_$d AS DOUBLE) / n) ELSE 0.0 END")
+      .mkString("\n      |    + ")
+    s"""WITH h AS (
+      |  SELECT doc_id, $modalitySqlCase AS modality,
+      |    regexp_replace(hex(CAST(text AS BLOB)), '(.).', '\\1', 'g') AS s
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, modality, LENGTH(s) AS n,
+      |    $counts
+      |  FROM h WHERE LENGTH(s) > 0),
+      |e AS (
+      |  SELECT modality,
+      |    CAST(ROUND((ROUND(-($terms), 6) + 0.0) * 1000000) AS BIGINT) AS x
+      |  FROM c),
+      |st AS (SELECT modality, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s,
+      |         SUM(x*x)::BIGINT AS q
+      |       FROM e GROUP BY 1 HAVING COUNT(*) >= 2),
+      |f AS (SELECT e.modality AS modality, x, n, s, q,
+      |    CAST(n AS HUGEINT)*x - s AS dev,
+      |    CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s AS varnum
+      |  FROM e JOIN st ON e.modality = st.modality)
+      |SELECT modality, MAX(n) AS n_docs,
+      |  ROUND(CAST(MAX(s) AS DOUBLE) / MAX(n) / 1000000, 6) AS mean_entropy,
+      |  SUM(CASE WHEN dev*dev*(n-1) > 9*CAST(n AS HUGEINT)*varnum AND dev > 0
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+      |  SUM(CASE WHEN dev*dev*(n-1) > 9*CAST(n AS HUGEINT)*varnum AND dev < 0
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+      |  ROUND(CAST(SUM(CASE WHEN dev*dev*(n-1) > 9*CAST(n AS HUGEINT)*varnum
+      |      THEN 1 ELSE 0 END) AS DOUBLE) / MAX(n), 6) + 0.0 AS out_share
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "m20_entropy_outliers" -> (m20 _),
     "m19_modality_lang_matrix" -> (m19 _),
     "m18_header_entropy" -> (m18 _),
     "m17_modality_quality" -> (m17 _),
@@ -808,6 +876,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m20_entropy_outliers" -> m20Sql,
     "m19_modality_lang_matrix" -> m19Sql,
     "m18_header_entropy" -> m18Sql,
     "m17_modality_quality" -> m17Sql,

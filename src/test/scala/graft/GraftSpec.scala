@@ -21,6 +21,6 @@ class GraftSpec extends SparkSpec {
     assert(Graft.run(spark, sf, "q06_forecast_revenue").count() == 1L)
     val e = intercept[IllegalArgumentException](Graft.run(spark, sf, "nope"))
     assert(e.getMessage.contains("unknown operator"))
-    assert(Graft.operators.size == 325)
+    assert(Graft.operators.size == 326)
   }
 }
