@@ -96,7 +96,10 @@ object PlanAudit {
     // q65's as-of-date shape)
     "q91_churn_series",
     // e76: 1-row data-horizon broadcast (q65's as-of shape)
-    "e76_lifecycle_census")
+    "e76_lifecycle_census",
+    // e75: t37's bounded rank self-join — both sides are the top-100
+    // head after limit(100), so the BNLJ is a 100×100 constant
+    "e75_activity_zipf")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
