@@ -2970,7 +2970,55 @@ object Events {
       |  CAST(SUM((end_ms - last_ms) // 86400000) AS DOUBLE) / COUNT(*) AS avg_recency_days
       |FROM u, h GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e77
+  /** Habit-formation census: each user's LONGEST run of consecutive
+    * active days, banded — the consecutiveness signal e30's distinct-day
+    * histogram can't see (7 scattered days ≠ a 7-day streak). Classic
+    * island detection: distinct (user, day) collapse map-side, then
+    * `day − row_number()` is constant within a run (both windows
+    * partition per user — bounded state at any user count), one count
+    * per (user, island), one max per user, integer CASE bands. */
+  def e77(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ms div 86400000").as("day")).distinct()
+    val streaks = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max(col("len")).as("max_streak"),
+        sum(col("len")).as("active_days"))
+    streaks
+      .groupBy(when(col("max_streak") === 1, "a_1")
+        .when(col("max_streak") <= 3, "b_2-3")
+        .when(col("max_streak") <= 6, "c_4-6")
+        .when(col("max_streak") <= 13, "d_7-13")
+        .otherwise("e_14+").as("streak_band"))
+      .agg(count(lit(1)).as("n_users"),
+           (sum(col("active_days")).cast("double") /
+             count(lit(1))).as("avg_active_days"))
+      .orderBy("streak_band")
+  }
+  val e77Sql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |i AS (
+      |  SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM d),
+      |s AS (SELECT user_id, grp, COUNT(*) AS len FROM i GROUP BY 1, 2),
+      |u AS (SELECT user_id, MAX(len) AS max_streak, SUM(len) AS active_days
+      |      FROM s GROUP BY 1)
+      |SELECT CASE WHEN max_streak = 1 THEN 'a_1'
+      |            WHEN max_streak <= 3 THEN 'b_2-3'
+      |            WHEN max_streak <= 6 THEN 'c_4-6'
+      |            WHEN max_streak <= 13 THEN 'd_7-13'
+      |            ELSE 'e_14+' END AS streak_band,
+      |  COUNT(*)::BIGINT AS n_users,
+      |  CAST(SUM(active_days) AS DOUBLE) / COUNT(*) AS avg_active_days
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e77_active_streaks" -> (e77 _),
     "e76_lifecycle_census" -> (e76 _),
     "e75_activity_zipf" -> (e75 _),
     "e74_first_purchase_depth" -> (e74 _),
@@ -3050,6 +3098,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e77_active_streaks" -> e77Sql,
     "e76_lifecycle_census" -> e76Sql,
     "e75_activity_zipf" -> e75Sql,
     "e74_first_purchase_depth" -> e74Sql,

@@ -1123,7 +1123,54 @@ object Pipeline {
        |FROM m""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p25
+  /** Shard-balance audit: before writing p12's shard manifest, sweep
+    * candidate shard counts (16/64/256) and measure byte-weight skew —
+    * the straggler predictor for the downstream training job. The shard
+    * key is a Knuth multiplicative hash (`doc_id·2654435761 mod 2³²`),
+    * computable bit-identically in both engines with BIGINT arithmetic
+    * (no engine hash functions) and overflow-free to ~3.4 B docs. One
+    * 2-column scan exploded ×3, two map-combinable groupBys; skew is
+    * cross-multiplied (`max·n / total`) so ONE division per output row.
+    * Empty shards at small corpora don't bias the figure: the mean
+    * denominator is the FIXED shard count, and `n_used` reports
+    * occupancy. */
+  def p25(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      .select(explode(array(lit(16L), lit(64L), lit(256L))).as("n_shards"),
+        col("doc_id"), col("n_chars"))
+      .withColumn("shard",
+        col("doc_id") * lit(2654435761L) % lit(4294967296L) % col("n_shards"))
+      .groupBy("n_shards", "shard").agg(sum(col("n_chars")).as("w"))
+      .groupBy("n_shards")
+      .agg(count(lit(1)).as("n_used"), max(col("w")).as("max_w"),
+           min(col("w")).as("min_w"), sum(col("w")).as("total_w"))
+      .select(col("n_shards"), col("n_used"), col("max_w"), col("min_w"),
+        round(dbl(col("max_w") * col("n_shards")) / dbl(col("total_w")), 6)
+          .as("skew"))
+      .orderBy("n_shards")
+  }
+  val p25Sql: String =
+    """WITH s AS (
+      |  SELECT n_shards,
+      |    doc_id * 2654435761 % 4294967296 % n_shards AS shard, n_chars
+      |  FROM documents CROSS JOIN (VALUES (CAST(16 AS BIGINT)),
+      |    (CAST(64 AS BIGINT)), (CAST(256 AS BIGINT))) t(n_shards)),
+      |w AS (
+      |  SELECT n_shards, shard, SUM(n_chars)::BIGINT AS w
+      |  FROM s GROUP BY 1, 2),
+      |a AS (
+      |  SELECT n_shards, COUNT(*)::BIGINT AS n_used, MAX(w) AS max_w,
+      |    MIN(w) AS min_w, SUM(w)::BIGINT AS total_w
+      |  FROM w GROUP BY 1)
+      |SELECT n_shards, n_used, max_w, min_w,
+      |  ROUND(CAST(max_w * n_shards AS DOUBLE) / CAST(total_w AS DOUBLE), 6)
+      |    AS skew
+      |FROM a ORDER BY n_shards""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p25_shard_balance" -> (p25 _),
     "p24_dataset_card" -> (p24 _),
     "p23_stage_order_ab" -> (p23 _),
     "p22_lang_funnel" -> (p22 _),
@@ -1150,6 +1197,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p25_shard_balance" -> p25Sql,
     "p24_dataset_card" -> p24Sql,
     "p23_stage_order_ab" -> p23Sql,
     "p22_lang_funnel" -> p22Sql,

@@ -3069,7 +3069,37 @@ object Relational {
        |JOIN cr ON o_custkey = c_custkey
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** Tax-incidence census per integer tax band (the one lineitem column
+    * q01 touches and nothing profiles): line counts, decimal-exact base
+    * revenue and collected tax, effective rate as ONE division of exact
+    * operands. One map-combinable groupBy, ≤\|tax points\| (9) rows —
+    * the band key is `round(l_tax·100)` so no float equality decides a
+    * group at any scale. */
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    val rev = revenueTerm(col("l_extendedprice"), col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .groupBy(round(col("l_tax") * 100).cast("long").as("tax_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+           dbl(sum(rev)).as("base_revenue"),
+           dbl(sum(rev * dec(col("l_tax")))).as("tax_amount"))
+      .select(col("tax_pct"), col("n_lines"), col("base_revenue"), col("tax_amount"),
+        round(col("tax_amount") / col("base_revenue"), 6).as("eff_rate"))
+      .orderBy("tax_pct")
+  }
+  val q95Sql: String =
+    s"""WITH b AS (
+       |  SELECT CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_pct,
+       |    COUNT(*)::BIGINT AS n_lines,
+       |    CAST(SUM($revenueSql) AS DOUBLE) AS base_revenue,
+       |    CAST(SUM($revenueSql * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS tax_amount
+       |  FROM lineitem GROUP BY 1)
+       |SELECT tax_pct, n_lines, base_revenue, tax_amount,
+       |  ROUND(tax_amount / base_revenue, 6) AS eff_rate
+       |FROM b ORDER BY tax_pct""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q95_tax_bands" -> (q95 _),
     "q94_region_trade_matrix" -> (q94 _),
     "q93_tenure_census" -> (q93 _),
     "q92_promo_grid" -> (q92 _),
@@ -3167,6 +3197,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q95_tax_bands" -> q95Sql,
     "q94_region_trade_matrix" -> q94Sql,
     "q93_tenure_census" -> q93Sql,
     "q92_promo_grid" -> q92Sql,

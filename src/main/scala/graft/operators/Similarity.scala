@@ -1145,7 +1145,52 @@ object Similarity {
       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS variance
       |FROM m ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------- s25
+  /** Language↔label confounding screen: per document language, how
+    * concentrated are the embedding labels — a classifier trained on
+    * labels that track language learns language, not content, and this
+    * one-join audit catches it before training. The doc↔vec hop is
+    * s20's equi join (uniform ids, no skew); a \|langs\|×\|labels\|-
+    * bounded count rollup carries majority share (ONE division) and
+    * label entropy via e20's round9-DECIMAL quantized ln terms (exact
+    * partial sums at any scale). */
+  def s25(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .groupBy("lang", "label").agg(count(lit(1)).as("c"))
+      .withColumn("lq", round(log(col("c").cast("double")), 9).cast("decimal(18,9)"))
+      .groupBy("lang")
+      .agg(sum(col("c")).as("n_vecs"),
+           count(lit(1)).as("n_labels"),
+           max(col("c")).as("c_max"),
+           sum(col("c").cast("decimal(10,0)") * col("lq")).as("s"))
+      .select(col("lang"), col("n_vecs"), col("n_labels"),
+        round(dbl(col("c_max")) / dbl(col("n_vecs")), 6).as("majority_share"),
+        round(log(col("n_vecs").cast("double")) -
+          col("s").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("label_entropy"))
+      .orderBy("lang")
+  val s25Sql: String =
+    """WITH c AS (
+      |  SELECT lang, label, COUNT(*)::BIGINT AS c
+      |  FROM embeddings JOIN documents ON vec_id = doc_id
+      |  GROUP BY 1, 2),
+      |q AS (SELECT lang, c,
+      |        CAST(ROUND(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lq
+      |      FROM c),
+      |u AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_vecs,
+      |        COUNT(*)::BIGINT AS n_labels, MAX(c) AS c_max,
+      |        SUM(CAST(c AS DECIMAL(10,0)) * lq) AS s
+      |      FROM q GROUP BY 1)
+      |SELECT lang, n_vecs, n_labels,
+      |  ROUND(CAST(c_max AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS majority_share,
+      |  ROUND(ln(CAST(n_vecs AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)
+      |    AS label_entropy
+      |FROM u ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s25_lang_label_confound" -> (s25 _),
     "s24_dim_variance" -> (s24 _),
     "s23_centroid_confusion" -> (s23 _),
     "s22_centroid_cohesion" -> (s22 _),
@@ -1173,6 +1218,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s25_lang_label_confound" -> s25Sql,
     "s24_dim_variance" -> s24Sql,
     "s23_centroid_confusion" -> s23Sql,
     "s22_centroid_cohesion" -> s22Sql,

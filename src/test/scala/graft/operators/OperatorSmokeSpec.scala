@@ -121,7 +121,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q92_promo_grid", "p24_dataset_card", "m19_modality_lang_matrix",
       "e74_first_purchase_depth", "q93_tenure_census", "t47_lang_quality",
       "s24_dim_variance", "e75_activity_zipf", "d44_containment_flow",
-      "q94_region_trade_matrix", "e76_lifecycle_census", "m20_entropy_outliers")
+      "q94_region_trade_matrix", "e76_lifecycle_census", "m20_entropy_outliers",
+      "q95_tax_bands", "e77_active_streaks", "s25_lang_label_confound",
+      "p25_shard_balance")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
