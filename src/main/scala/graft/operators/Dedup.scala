@@ -1862,7 +1862,43 @@ object Dedup {
        |  ROUND(CAST(SUM(mn) AS DOUBLE) / SUM(mx), 6) AS agg_size_ratio
        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- d45
+  /** Duplicate ingestion-locality census: within each exact-dup family
+    * (d01's md5 groups, n ≥ 2), how far apart the copies sit in
+    * ingestion order (doc_id span, banded) — tight spans mean a
+    * bounded ingestion-window dedup would catch them; wide spans prove
+    * the dedup must be corpus-global. One map-combinable min/max pass
+    * per fingerprint, integer bands, ≤4 output rows with ONE division
+    * each. */
+  def d45(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"),
+           (max(col("doc_id")) - min(col("doc_id"))).as("span"))
+      .filter(col("n") >= 2)
+      .groupBy(when(col("span") <= 10, "a<=10")
+        .when(col("span") <= 100, "b<=100")
+        .when(col("span") <= 1000, "c<=1000")
+        .otherwise("d>1000").as("span_band"))
+      .agg(count(lit(1)).as("n_families"),
+           sum(col("n")).as("n_docs"),
+           (sum(col("span")).cast("double") / count(lit(1))).as("avg_span"))
+      .orderBy("span_band")
+  val d45Sql: String =
+    """WITH f AS (
+      |  SELECT md5(text) AS h, COUNT(*)::BIGINT AS n,
+      |    MAX(doc_id) - MIN(doc_id) AS span
+      |  FROM documents GROUP BY 1 HAVING COUNT(*) >= 2)
+      |SELECT CASE WHEN span <= 10 THEN 'a<=10'
+      |            WHEN span <= 100 THEN 'b<=100'
+      |            WHEN span <= 1000 THEN 'c<=1000'
+      |            ELSE 'd>1000' END AS span_band,
+      |  COUNT(*)::BIGINT AS n_families, SUM(n)::BIGINT AS n_docs,
+      |  CAST(SUM(span) AS DOUBLE) / COUNT(*) AS avg_span
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d45_dup_locality" -> (d45 _),
     "d44_containment_flow" -> (d44 _),
     "d43_boilerplate_shingles" -> (d43 _),
     "d42_dupsize_quality" -> (d42 _),
@@ -1909,6 +1945,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d45_dup_locality" -> d45Sql,
     "d44_containment_flow" -> d44Sql,
     "d43_boilerplate_shingles" -> d43Sql,
     "d42_dupsize_quality" -> d42Sql,

@@ -3017,7 +3017,120 @@ object Events {
       |  CAST(SUM(active_days) AS DOUBLE) / COUNT(*) AS avg_active_days
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e78
+  /** Dormancy-reactivation census: users who come back after ≥2 silent
+    * days, banded by how often — the win-back signal e28's weekly
+    * "resurrected" bucket quantizes away (a dormancy shorter than the
+    * week bin is invisible there; the threshold is a constant to tune
+    * per corpus horizon). One lag window per user (bounded state), one
+    * per-user rollup, integer-ms gap compares, ≤4 bands with a single
+    * division each. */
+  def e78(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val dormMs = 2L * 86400000L
+    val u = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"))
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+      .groupBy("user_id")
+      .agg(sum(when(col("gap") > dormMs, 1L).otherwise(0L)).as("n_react"),
+           max(when(col("gap") > dormMs, col("gap"))).as("max_dorm_ms"))
+    u.groupBy(when(col("n_react") === 0, "a_none")
+        .when(col("n_react") === 1, "b_once")
+        .when(col("n_react") === 2, "c_twice")
+        .otherwise("d_3plus").as("react_band"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("n_react")).as("n_reactivations"),
+           (sum(expr("max_dorm_ms div 86400000")).cast("double") /
+             count(col("max_dorm_ms"))).as("avg_max_dormancy_days"))
+      .orderBy("react_band")
+  }
+  val e78Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN gap > 172800000 THEN 1 ELSE 0 END)::BIGINT AS n_react,
+      |    MAX(CASE WHEN gap > 172800000 THEN gap END) AS max_dorm_ms
+      |  FROM g GROUP BY 1)
+      |SELECT CASE WHEN n_react = 0 THEN 'a_none'
+      |            WHEN n_react = 1 THEN 'b_once'
+      |            WHEN n_react = 2 THEN 'c_twice'
+      |            ELSE 'd_3plus' END AS react_band,
+      |  COUNT(*)::BIGINT AS n_users,
+      |  SUM(n_react)::BIGINT AS n_reactivations,
+      |  CAST(SUM(max_dorm_ms // 86400000) AS DOUBLE) / COUNT(max_dorm_ms)
+      |    AS avg_max_dormancy_days
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- e79
+  /** Per-type purchase-value outlier screen: events whose value sits
+    * more than 3σ above their type's mean, rolled up to a
+    * \|types\|-bounded census (n, outliers, and the value share they
+    * carry). Moments are exact DECIMAL(38,0) integer-cent sums (e13's
+    * recipe); the 3σ cut is ONE IEEE threshold per type computed from
+    * those exact moments — both engines derive bit-identical doubles,
+    * so the per-event compare `cents > thr` can't disagree, and
+    * nothing divides or multiplies per event (overflow-free at any
+    * per-type volume the d38 moments themselves survive). The moment
+    * frame is tiny so the back-join broadcasts. */
+  def e79(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val st = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("cents").cast(d38)).as("s"),
+           sum(col("cents").cast(d38) * col("cents").cast(d38)).as("q"))
+      .filter(col("n") >= 2)
+      .withColumn("thr", dbl(col("s")) / col("n") +
+        lit(3.0) * sqrt(dbl(col("n") * col("q") - col("s") * col("s")) /
+          dbl(col("n").cast(d38) * (col("n") - 1).cast(d38))))
+    val isOut = dbl(col("cents")) > col("thr")
+    ev.join(broadcast(st), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+           sum(when(isOut, col("cents")).otherwise(0L)).as("out_cents"),
+           max(col("s")).as("tot_cents"))
+      .select(col("event_type"), col("n_events"), col("n_outliers"),
+        round(dbl(col("n_outliers")) / col("n_events"), 6).as("outlier_rate"),
+        round(dbl(col("out_cents").cast(d38)) / dbl(col("tot_cents")), 6)
+          .as("outlier_value_share"))
+      .orderBy("event_type")
+  }
+  val e79Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type, COUNT(*)::BIGINT AS n,
+      |    SUM(CAST(cents AS HUGEINT)) AS s,
+      |    SUM(CAST(cents AS HUGEINT) * cents) AS q
+      |  FROM ev GROUP BY 1 HAVING COUNT(*) >= 2),
+      |t AS (
+      |  SELECT event_type, n, s,
+      |    CAST(s AS DOUBLE) / n +
+      |      3.0 * sqrt(CAST(n*q - s*s AS DOUBLE)
+      |                 / CAST(CAST(n AS HUGEINT)*(n-1) AS DOUBLE)) AS thr
+      |  FROM st),
+      |j AS (
+      |  SELECT ev.event_type, cents, n, s,
+      |    CAST(cents AS DOUBLE) > thr AS is_out
+      |  FROM ev JOIN t USING (event_type))
+      |SELECT event_type, COUNT(*)::BIGINT AS n_events,
+      |  SUM(CASE WHEN is_out THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+      |  ROUND(CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS outlier_rate,
+      |  ROUND(CAST(SUM(CASE WHEN is_out THEN cents ELSE 0 END) AS DOUBLE)
+      |        / CAST(MAX(s) AS DOUBLE), 6) AS outlier_value_share
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e79_value_anomaly" -> (e79 _),
+    "e78_reactivation_census" -> (e78 _),
     "e77_active_streaks" -> (e77 _),
     "e76_lifecycle_census" -> (e76 _),
     "e75_activity_zipf" -> (e75 _),
@@ -3098,6 +3211,8 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e79_value_anomaly" -> e79Sql,
+    "e78_reactivation_census" -> e78Sql,
     "e77_active_streaks" -> e77Sql,
     "e76_lifecycle_census" -> e76Sql,
     "e75_activity_zipf" -> e75Sql,

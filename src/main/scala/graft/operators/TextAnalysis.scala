@@ -1885,7 +1885,51 @@ object TextAnalysis {
        |    AS below_gate_rate
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t48
+  /** Character-bigram entropy per language — the sub-word signal t03's
+    * marker heuristic and t36's WORD-bigram entropy both miss (char
+    * statistics separate languages and flag mojibake/ciphertext without
+    * any tokenizer). The bigram explode is the t-family's standard gram
+    * fan-out (~\|chars\| rows per doc, map-combinable counts straight
+    * off the scan); the census frame is \|langs\|×\|char-pairs\|-bounded
+    * and entropy uses e20's round9-DECIMAL quantized ln terms. */
+  def t48(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 2)
+      .select(col("lang"), col("text"))
+      .withColumn("pos", explode(sequence(lit(1), length(col("text")) - 1)))
+      .select(col("lang"), expr("substring(text, pos, 2)").as("bg"))
+      .groupBy("lang", "bg").agg(count(lit(1)).as("c"))
+      .withColumn("lq", round(log(col("c").cast("double")), 9).cast("decimal(18,9)"))
+      .groupBy("lang")
+      .agg(sum(col("c")).as("n_bigrams"),
+           count(lit(1)).as("n_distinct"),
+           sum(col("c").cast("decimal(10,0)") * col("lq")).as("s"))
+      .select(col("lang"), col("n_bigrams"), col("n_distinct"),
+        round(log(col("n_bigrams").cast("double")) -
+          col("s").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("char2_entropy"))
+      .orderBy("lang")
+  val t48Sql: String =
+    """WITH g AS (
+      |  SELECT lang, substr(text, CAST(i AS INTEGER), 2) AS bg
+      |  FROM documents, UNNEST(range(1, length(text))) AS t(i)
+      |  WHERE length(text) >= 2),
+      |c AS (SELECT lang, bg, COUNT(*)::BIGINT AS c FROM g GROUP BY 1, 2),
+      |q AS (SELECT lang, c,
+      |        CAST(ROUND(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lq
+      |      FROM c),
+      |u AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |        COUNT(*)::BIGINT AS n_distinct,
+      |        SUM(CAST(c AS DECIMAL(10,0)) * lq) AS s
+      |      FROM q GROUP BY 1)
+      |SELECT lang, n_bigrams, n_distinct,
+      |  ROUND(ln(CAST(n_bigrams AS DOUBLE))
+      |        - CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS char2_entropy
+      |FROM u ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t48_char_bigram_entropy" -> (t48 _),
     "t47_lang_quality" -> (t47 _),
     "t46_word_burstiness" -> (t46 _),
     "t45_word_branching" -> (t45 _),
@@ -1935,6 +1979,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t48_char_bigram_entropy" -> t48Sql,
     "t47_lang_quality" -> t47Sql,
     "t46_word_burstiness" -> t46Sql,
     "t45_word_branching" -> t45Sql,

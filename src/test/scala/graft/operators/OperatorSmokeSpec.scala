@@ -123,7 +123,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "s24_dim_variance", "e75_activity_zipf", "d44_containment_flow",
       "q94_region_trade_matrix", "e76_lifecycle_census", "m20_entropy_outliers",
       "q95_tax_bands", "e77_active_streaks", "s25_lang_label_confound",
-      "p25_shard_balance")
+      "p25_shard_balance",
+      "e78_reactivation_census", "e79_value_anomaly", "d45_dup_locality",
+      "t48_char_bigram_entropy")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
