@@ -3025,15 +3025,22 @@ object Events {
     * per corpus horizon). One lag window per user (bounded state), one
     * per-user rollup, integer-ms gap compares, ≤4 bands with a single
     * division each. */
-  def e78(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user reactivation frame (n_react, max_dorm_ms) — shared by e78
+    * and the streaming ReactivationStage parity spec, so batch and
+    * stream are held to one definition of "dormancy". */
+  private[graft] def reactivationFrame(events: DataFrame,
+                                       dormMs: Long = 2L * 86400000L): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
-    val dormMs = 2L * 86400000L
-    val u = Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), col("ms"))
       .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
       .groupBy("user_id")
       .agg(sum(when(col("gap") > dormMs, 1L).otherwise(0L)).as("n_react"),
            max(when(col("gap") > dormMs, col("gap"))).as("max_dorm_ms"))
+  }
+
+  def e78(spark: SparkSession, dir: String): DataFrame = {
+    val u = reactivationFrame(Tables.events(spark, dir))
     u.groupBy(when(col("n_react") === 0, "a_none")
         .when(col("n_react") === 1, "b_once")
         .when(col("n_react") === 2, "c_twice")

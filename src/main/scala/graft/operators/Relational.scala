@@ -3098,7 +3098,58 @@ object Relational {
        |  ROUND(tax_amount / base_revenue, 6) AS eff_rate
        |FROM b ORDER BY tax_pct""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** Nation↔brand affinity matrix: purchase-count lift of each
+    * (customer nation, part brand) cell vs the independence baseline —
+    * q68's association lift lifted from within-order pairs to the
+    * cross-dim market view ("which brands over-index where"). The fact
+    * chain shuffles once; nation/part dims broadcast; the census frame
+    * is \|nations\|×\|brands\|-bounded, its marginals are equi
+    * broadcast joins on that bounded frame, the grand total is a 1-row
+    * broadcast (q68's shape), and lift is cross-multiplied to ONE
+    * division per cell. */
+  def q96(spark: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+        .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("n_name", "p_brand").agg(count(lit(1)).as("c"))
+    val byNation = cell.groupBy("n_name").agg(sum(col("c")).as("cn"))
+    val byBrand = cell.groupBy("p_brand").agg(sum(col("c")).as("cb"))
+    val total = cell.agg(sum(col("c")).as("t"))
+    cell
+      .join(broadcast(byNation), "n_name")
+      .join(broadcast(byBrand), "p_brand")
+      .join(broadcast(total))
+      .select(col("n_name"), col("p_brand"), col("c").as("n_lines"),
+        round(dbl(col("c") * col("t")) / dbl(col("cn") * col("cb")), 6).as("lift"))
+      .orderBy("n_name", "p_brand")
+  }
+  val q96Sql: String =
+    """WITH cell AS (
+      |  SELECT n_name, p_brand, COUNT(*)::BIGINT AS c
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |n AS (SELECT n_name, SUM(c)::BIGINT AS cn FROM cell GROUP BY 1),
+      |b AS (SELECT p_brand, SUM(c)::BIGINT AS cb FROM cell GROUP BY 1),
+      |t AS (SELECT SUM(c)::BIGINT AS t FROM cell)
+      |SELECT n_name, p_brand, c AS n_lines,
+      |  ROUND(CAST(c * t AS DOUBLE) / CAST(cn * cb AS DOUBLE), 6) AS lift
+      |FROM cell JOIN n USING (n_name) JOIN b USING (p_brand) CROSS JOIN t
+      |ORDER BY n_name, p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q96_nation_brand_affinity" -> (q96 _),
     "q95_tax_bands" -> (q95 _),
     "q94_region_trade_matrix" -> (q94 _),
     "q93_tenure_census" -> (q93 _),
@@ -3197,6 +3248,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q96_nation_brand_affinity" -> q96Sql,
     "q95_tax_bands" -> q95Sql,
     "q94_region_trade_matrix" -> q94Sql,
     "q93_tenure_census" -> q93Sql,

@@ -99,7 +99,10 @@ object PlanAudit {
     "e76_lifecycle_census",
     // e75: t37's bounded rank self-join — both sides are the top-100
     // head after limit(100), so the BNLJ is a 100×100 constant
-    "e75_activity_zipf")
+    "e75_activity_zipf",
+    // q96: 1-row grand-total broadcast for the lift denominator (q68's
+    // shape); the marginal joins are bounded-frame equi broadcasts
+    "q96_nation_brand_affinity")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
