@@ -2938,24 +2938,31 @@ object Events {
     * growth-accounting series. One map-combinable min/max pass per
     * user; the horizon is a 1-row broadcast max (q65's as-of shape);
     * 3-row output with exact tenure/recency means. */
-  def e76(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user lifecycle frame (first/last/n_events/end_ms/stage) —
+    * shared by e76's census and e80's per-stage behavior profile so
+    * both views classify users identically. */
+  private[graft] def lifecycleStages(events: DataFrame): DataFrame = {
     val dayMs = 86400000L
-    val u = Tables.events(spark, dir)
+    val u = events
       .groupBy(col("user_id"))
       .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
            count(lit(1)).as("n_events"))
     val horizon = u.agg(max(col("last_ms")).as("end_ms"))
-    val stage = when(col("first_ms") >= col("end_ms") - 30 * dayMs, "a_new")
-      .when(col("last_ms") < col("end_ms") - 30 * dayMs, "c_churned")
-      .otherwise("b_active")
     u.join(broadcast(horizon))
-      .groupBy(stage.as("stage"))
+      .withColumn("stage",
+        when(col("first_ms") >= col("end_ms") - 30 * dayMs, "a_new")
+          .when(col("last_ms") < col("end_ms") - 30 * dayMs, "c_churned")
+          .otherwise("b_active"))
+  }
+
+  def e76(spark: SparkSession, dir: String): DataFrame =
+    lifecycleStages(Tables.events(spark, dir))
+      .groupBy(col("stage"))
       .agg(count(lit(1)).as("n_users"),
            sum(col("n_events")).as("n_events"),
            (sum(expr("(end_ms - last_ms) div 86400000")).cast("double") /
              count(lit(1))).as("avg_recency_days"))
       .orderBy("stage")
-  }
   val e76Sql: String =
     """WITH u AS (
       |  SELECT user_id, MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms,
@@ -3135,7 +3142,46 @@ object Events {
       |        / CAST(MAX(s) AS DOUBLE), 6) AS outlier_value_share
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e80
+  /** Behavioral fingerprint by lifecycle stage: event-type mix of new /
+    * active / churned users (e76's stages) — do churned users look
+    * different BEFORE they leave? The stage frame collapses to one row
+    * per user and re-joins events on the uniform user key (co-keyed
+    * shuffle); the census is \|stages\|×\|types\|-bounded and the
+    * within-stage share window partitions by stage over that bounded
+    * frame only. */
+  def e80(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val wStage = Window.partitionBy("stage")
+    ev.select(col("user_id"), col("event_type"))
+      .join(lifecycleStages(ev).select(col("user_id"), col("stage")), "user_id")
+      .groupBy("stage", "event_type").agg(count(lit(1)).as("n_events"))
+      .withColumn("share",
+        round(dbl(col("n_events")) / sum(col("n_events")).over(wStage), 6))
+      .orderBy("stage", "event_type")
+  }
+  val e80Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms
+      |  FROM events GROUP BY 1),
+      |h AS (SELECT MAX(last_ms) AS end_ms FROM u),
+      |s AS (
+      |  SELECT user_id,
+      |    CASE WHEN first_ms >= end_ms - 2592000000 THEN 'a_new'
+      |         WHEN last_ms < end_ms - 2592000000 THEN 'c_churned'
+      |         ELSE 'b_active' END AS stage
+      |  FROM u, h),
+      |c AS (
+      |  SELECT stage, event_type, COUNT(*)::BIGINT AS n_events
+      |  FROM events JOIN s USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT stage, event_type, n_events,
+      |  ROUND(CAST(n_events AS DOUBLE)
+      |        / SUM(n_events) OVER (PARTITION BY stage), 6) AS share
+      |FROM c ORDER BY stage, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e80_lifecycle_type_mix" -> (e80 _),
     "e79_value_anomaly" -> (e79 _),
     "e78_reactivation_census" -> (e78 _),
     "e77_active_streaks" -> (e77 _),
@@ -3218,6 +3264,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e80_lifecycle_type_mix" -> e80Sql,
     "e79_value_anomaly" -> e79Sql,
     "e78_reactivation_census" -> e78Sql,
     "e77_active_streaks" -> e77Sql,

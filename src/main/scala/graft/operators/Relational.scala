@@ -3148,7 +3148,56 @@ object Relational {
       |FROM cell JOIN n USING (n_name) JOIN b USING (p_brand) CROSS JOIN t
       |ORDER BY n_name, p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Brand-loyalty concentration: per customer, the share of their
+    * lifetime lines going to their single top brand, banded — q89
+    * measures within-order diversity, q87 reorder depth; this is the
+    * lifetime concentration curve. Two map-combinable rollups; band
+    * edges are integer CROSS-MULTIPLIED compares (`top·4 ≤ total·3` ⇔
+    * share ≤ 75%), so no float share decides a band; ≤5 rows, one
+    * division each. */
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    val cb = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("o_custkey", "p_brand").agg(count(lit(1)).as("c"))
+    val u = cb.groupBy("o_custkey")
+      .agg(sum(col("c")).as("total"), max(col("c")).as("top"),
+           count(lit(1)).as("n_brands"))
+    u.groupBy(when(col("top") * 4 <= col("total"), "a<=25%")
+        .when(col("top") * 2 <= col("total"), "b<=50%")
+        .when(col("top") * 4 <= col("total") * 3, "c<=75%")
+        .when(col("top") < col("total"), "d<100%")
+        .otherwise("e=100%").as("loyalty_band"))
+      .agg(count(lit(1)).as("n_customers"),
+           (sum(col("n_brands")).cast("double") / count(lit(1))).as("avg_brands"))
+      .orderBy("loyalty_band")
+  }
+  val q97Sql: String =
+    """WITH cb AS (
+      |  SELECT o_custkey, p_brand, COUNT(*)::BIGINT AS c
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |u AS (
+      |  SELECT o_custkey, SUM(c)::BIGINT AS total, MAX(c) AS top,
+      |    COUNT(*)::BIGINT AS n_brands
+      |  FROM cb GROUP BY 1)
+      |SELECT CASE WHEN top * 4 <= total THEN 'a<=25%'
+      |            WHEN top * 2 <= total THEN 'b<=50%'
+      |            WHEN top * 4 <= total * 3 THEN 'c<=75%'
+      |            WHEN top < total THEN 'd<100%'
+      |            ELSE 'e=100%' END AS loyalty_band,
+      |  COUNT(*)::BIGINT AS n_customers,
+      |  CAST(SUM(n_brands) AS DOUBLE) / COUNT(*) AS avg_brands
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q97_brand_loyalty" -> (q97 _),
     "q96_nation_brand_affinity" -> (q96 _),
     "q95_tax_bands" -> (q95 _),
     "q94_region_trade_matrix" -> (q94 _),
@@ -3248,6 +3297,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q97_brand_loyalty" -> q97Sql,
     "q96_nation_brand_affinity" -> q96Sql,
     "q95_tax_bands" -> q95Sql,
     "q94_region_trade_matrix" -> q94Sql,

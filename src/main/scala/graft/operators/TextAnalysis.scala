@@ -1928,7 +1928,47 @@ object TextAnalysis {
       |        - CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS char2_entropy
       |FROM u ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t49
+  /** Ingestion-drift audit: mean quality and length per doc_id decile —
+    * "did the corpus get worse as ingestion progressed", the positional
+    * view t35's length bands and t39's quartiles can't show. Deciles
+    * are pure integer arithmetic (`doc_id·10 div (max_id+1)`, capped)
+    * against a 1-row corpus-max broadcast (q65's as-of shape), so no
+    * float edge or global rank window decides a band at any corpus
+    * size; quality means use t35's quantized DECIMAL sums. */
+  def t49(spark: SparkSession, dir: String): DataFrame = {
+    val d = addQuality(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars"),
+        round(col("quality"), 6).cast("decimal(9,6)").as("q"))
+    val mx = d.agg(max(col("doc_id")).as("max_id"))
+    d.join(broadcast(mx))
+      .groupBy(least(expr("doc_id * 10 div (max_id + 1)"), lit(9L)).as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+           (round(dbl(sum(col("q"))) / count(lit(1)), 6) + lit(0.0d)).as("mean_quality"),
+           (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
+      .orderBy("decile")
+  }
+  val t49Sql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len($wordsSql) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter($wordsSql, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM documents WHERE len($wordsSql) >= 1),
+       |q AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(ROUND($qualitySqlExpr, 6) AS DECIMAL(9,6)) AS q
+       |  FROM m),
+       |x AS (SELECT MAX(doc_id) AS max_id FROM q)
+       |SELECT LEAST(doc_id * 10 // (max_id + 1), 9) AS decile,
+       |  COUNT(*)::BIGINT AS n_docs,
+       |  ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_quality,
+       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+       |FROM q CROSS JOIN x GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t49_ingestion_quality_drift" -> (t49 _),
     "t48_char_bigram_entropy" -> (t48 _),
     "t47_lang_quality" -> (t47 _),
     "t46_word_burstiness" -> (t46 _),
@@ -1979,6 +2019,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t49_ingestion_quality_drift" -> t49Sql,
     "t48_char_bigram_entropy" -> t48Sql,
     "t47_lang_quality" -> t47Sql,
     "t46_word_burstiness" -> t46Sql,

@@ -102,7 +102,13 @@ object PlanAudit {
     "e75_activity_zipf",
     // q96: 1-row grand-total broadcast for the lift denominator (q68's
     // shape); the marginal joins are bounded-frame equi broadcasts
-    "q96_nation_brand_affinity")
+    "q96_nation_brand_affinity",
+    // t49: 1-row corpus-max broadcast anchoring the integer deciles
+    // (q65's as-of shape)
+    "t49_ingestion_quality_drift",
+    // e80: e76's 1-row data-horizon broadcast inside the shared
+    // lifecycle-stage frame
+    "e80_lifecycle_type_mix")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -125,7 +125,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q95_tax_bands", "e77_active_streaks", "s25_lang_label_confound",
       "p25_shard_balance",
       "e78_reactivation_census", "e79_value_anomaly", "d45_dup_locality",
-      "t48_char_bigram_entropy", "q96_nation_brand_affinity")
+      "t48_char_bigram_entropy", "q96_nation_brand_affinity",
+      "q97_brand_loyalty", "e80_lifecycle_type_mix",
+      "t49_ingestion_quality_drift")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
