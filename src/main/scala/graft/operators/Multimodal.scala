@@ -852,7 +852,43 @@ object Multimodal {
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m21
+  /** Modality-mix ingestion drift: modality share per doc_id decile —
+    * t49's positional-drift audit for the binary side ("did the crawl
+    * start pulling video mid-run"). Deciles are pure integer arithmetic
+    * against a 1-row corpus-max broadcast (no global rank at any
+    * size); the share window partitions per decile over the ≤10×
+    * \|modalities\| census frame only. */
+  def m21(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        routeModality(col("payload"), col("text")).as("modality"))
+    val mx = r.agg(max(col("doc_id")).as("max_id"))
+    val wDecile = org.apache.spark.sql.expressions.Window.partitionBy("decile")
+    r.join(broadcast(mx))
+      .groupBy(least(expr("doc_id * 10 div (max_id + 1)"), lit(9L)).as("decile"),
+        col("modality"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        round(dbl(col("n_docs")) / sum(col("n_docs")).over(wDecile), 6))
+      .orderBy("decile", "modality")
+  }
+  val m21Sql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, $modalitySqlCase AS modality FROM documents),
+       |x AS (SELECT MAX(doc_id) AS max_id FROM r),
+       |c AS (
+       |  SELECT LEAST(doc_id * 10 // (max_id + 1), 9) AS decile, modality,
+       |    COUNT(*)::BIGINT AS n_docs
+       |  FROM r CROSS JOIN x GROUP BY 1, 2)
+       |SELECT decile, modality, n_docs,
+       |  ROUND(CAST(n_docs AS DOUBLE)
+       |        / SUM(n_docs) OVER (PARTITION BY decile), 6) AS share
+       |FROM c ORDER BY decile, modality""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m21_modality_mix_drift" -> (m21 _),
     "m20_entropy_outliers" -> (m20 _),
     "m19_modality_lang_matrix" -> (m19 _),
     "m18_header_entropy" -> (m18 _),
@@ -876,6 +912,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m21_modality_mix_drift" -> m21Sql,
     "m20_entropy_outliers" -> m20Sql,
     "m19_modality_lang_matrix" -> m19Sql,
     "m18_header_entropy" -> m18Sql,

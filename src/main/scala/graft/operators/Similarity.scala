@@ -1189,7 +1189,49 @@ object Similarity {
       |    AS label_entropy
       |FROM u ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- s26
+  /** Embedding-version drift audit: per-dimension mean in the first vs
+    * second ingestion half — an encoder swap mid-run shifts component
+    * means, poisoning every distance downstream; this is the check that
+    * catches it without any model registry. Halves are integer
+    * arithmetic against a 1-row max-id broadcast; means are s24's
+    * round9-DECIMAL quantized exact sums with ONE division each; the
+    * final drift join is \|dim\|-bounded both sides. */
+  def s26(spark: SparkSession, dir: String): DataFrame = {
+    val mx = Tables.embeddings(spark, dir).agg(max(col("vec_id")).as("max_id"))
+    val hm = quantized(spark, dir)
+      .join(broadcast(mx))
+      .withColumn("half", least(expr("vec_id * 2 div (max_id + 1)"), lit(1L)))
+      .groupBy("half", "pos")
+      .agg((dbl(sum(col("vq"))) / count(lit(1))).as("m"))
+    val a = hm.filter(col("half") === 0)
+      .select((col("pos") + 1).cast("long").as("dim"), col("m").as("ma"))
+    val b = hm.filter(col("half") === 1)
+      .select((col("pos") + 1).cast("long").as("dim_b"), col("m").as("mb"))
+    a.join(broadcast(b), col("dim") === col("dim_b"))
+      .select(col("dim"), round(col("ma"), 6).as("mean_first"),
+        round(col("mb"), 6).as("mean_second"),
+        round(abs(col("mb") - col("ma")), 6).as("drift"))
+      .orderBy("dim")
+  }
+  val s26Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id,
+      |    CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE), 9) AS DECIMAL(18,9)) AS vq,
+      |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos
+      |  FROM embeddings),
+      |x AS (SELECT MAX(vec_id) AS max_id FROM embeddings),
+      |m AS (
+      |  SELECT LEAST(vec_id * 2 // (max_id + 1), 1) AS half, pos,
+      |    CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS m
+      |  FROM u CROSS JOIN x GROUP BY 1, 2)
+      |SELECT a.pos AS dim, ROUND(a.m, 6) AS mean_first,
+      |  ROUND(b.m, 6) AS mean_second, ROUND(abs(b.m - a.m), 6) AS drift
+      |FROM m a JOIN m b ON a.pos = b.pos AND a.half = 0 AND b.half = 1
+      |ORDER BY dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s26_embedding_drift" -> (s26 _),
     "s25_lang_label_confound" -> (s25 _),
     "s24_dim_variance" -> (s24 _),
     "s23_centroid_confusion" -> (s23 _),
@@ -1218,6 +1260,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s26_embedding_drift" -> s26Sql,
     "s25_lang_label_confound" -> s25Sql,
     "s24_dim_variance" -> s24Sql,
     "s23_centroid_confusion" -> s23Sql,

@@ -127,7 +127,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e78_reactivation_census", "e79_value_anomaly", "d45_dup_locality",
       "t48_char_bigram_entropy", "q96_nation_brand_affinity",
       "q97_brand_loyalty", "e80_lifecycle_type_mix",
-      "t49_ingestion_quality_drift")
+      "t49_ingestion_quality_drift",
+      "m21_modality_mix_drift", "s26_embedding_drift")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
