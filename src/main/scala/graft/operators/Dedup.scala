@@ -1897,7 +1897,45 @@ object Dedup {
       |  CAST(SUM(span) AS DOUBLE) / COUNT(*) AS avg_span
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- d46
+  /** Duplicate-rate ingestion drift: share of docs that are non-keeper
+    * exact copies, per doc_id decile — the dedup face of the
+    * t49/m21/s26 positional-drift quartet ("is the crawl re-fetching
+    * more as it ages"). A doc is a dup iff its id differs from its
+    * d01 family keeper (min id); deciles are integer arithmetic off a
+    * 1-row corpus-max broadcast; one map-combinable family pass, one
+    * co-keyed hash join back, ≤10 rows with ONE division each. */
+  def d46(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val keep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val mx = docs.agg(max(col("doc_id")).as("max_id"))
+    docs.withColumn("h", md5(col("text"))).join(keep, "h")
+      .join(broadcast(mx))
+      .groupBy(least(expr("doc_id * 10 div (max_id + 1)"), lit(9L)).as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("n_dups"))
+      .select(col("decile"), col("n_docs"), col("n_dups"),
+        round(dbl(col("n_dups")) / col("n_docs"), 6).as("dup_rate"))
+      .orderBy("decile")
+  }
+  val d46Sql: String =
+    """WITH k AS (
+      |  SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+      |  FROM documents GROUP BY 1),
+      |x AS (SELECT MAX(doc_id) AS max_id FROM documents),
+      |j AS (
+      |  SELECT doc_id, keep_id, max_id
+      |  FROM documents JOIN k ON md5(text) = h CROSS JOIN x)
+      |SELECT LEAST(doc_id * 10 // (max_id + 1), 9) AS decile,
+      |  COUNT(*)::BIGINT AS n_docs,
+      |  SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+      |  ROUND(CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS dup_rate
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d46_dup_rate_drift" -> (d46 _),
     "d45_dup_locality" -> (d45 _),
     "d44_containment_flow" -> (d44 _),
     "d43_boilerplate_shingles" -> (d43 _),
@@ -1945,6 +1983,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d46_dup_rate_drift" -> d46Sql,
     "d45_dup_locality" -> d45Sql,
     "d44_containment_flow" -> d44Sql,
     "d43_boilerplate_shingles" -> d43Sql,

@@ -3180,7 +3180,53 @@ object Events {
       |        / SUM(n_events) OVER (PARTITION BY stage), 6) AS share
       |FROM c ORDER BY stage, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- e81
+  /** Work-vs-leisure usage split: per-user weekend-activity share,
+    * banded — the rhythm signal e42/e54 aggregate away (they profile
+    * the CORPUS week; this profiles each USER's week and censuses the
+    * result). Weekend test is pure epoch-day integer arithmetic in
+    * e42's dow convention (`(day+4) mod 7` ∈ {0, 6} ⇔ Sun/Sat); band
+    * edges are integer
+    * cross-multiplied; one map-combinable per-user rollup then a
+    * ≤4-row census with purchase share per band. */
+  def e81(spark: SparkSession, dir: String): DataFrame = {
+    val isWe = expr("(ms div 86400000 + 4) % 7").isin(0, 6)
+    val u = Tables.events(spark, dir)
+      .select(col("user_id"),
+        when(isWe, 1L).otherwise(0L).as("we"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pu"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("total"), sum(col("we")).as("wkd"),
+           sum(col("pu")).as("purch"))
+    u.groupBy(when(col("wkd") * 10 < col("total"), "a<10%")
+        .when(col("wkd") * 10 < col("total") * 3, "b<30%")
+        .when(col("wkd") * 10 < col("total") * 6, "c<60%")
+        .otherwise("d>=60%").as("weekend_band"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("total")).as("n_events"),
+           round(dbl(sum(col("purch"))) / dbl(sum(col("total"))), 6)
+             .as("purchase_share"))
+      .orderBy("weekend_band")
+  }
+  val e81Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, COUNT(*)::BIGINT AS total,
+      |    SUM(CASE WHEN (epoch_ms(ts) // 86400000 + 4) % 7 IN (0, 6)
+      |             THEN 1 ELSE 0 END)::BIGINT AS wkd,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purch
+      |  FROM events GROUP BY 1)
+      |SELECT CASE WHEN wkd * 10 < total THEN 'a<10%'
+      |            WHEN wkd * 10 < total * 3 THEN 'b<30%'
+      |            WHEN wkd * 10 < total * 6 THEN 'c<60%'
+      |            ELSE 'd>=60%' END AS weekend_band,
+      |  COUNT(*)::BIGINT AS n_users,
+      |  SUM(total)::BIGINT AS n_events,
+      |  ROUND(CAST(SUM(purch) AS DOUBLE) / CAST(SUM(total) AS DOUBLE), 6)
+      |    AS purchase_share
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e81_weekend_profile" -> (e81 _),
     "e80_lifecycle_type_mix" -> (e80 _),
     "e79_value_anomaly" -> (e79 _),
     "e78_reactivation_census" -> (e78 _),
@@ -3264,6 +3310,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e81_weekend_profile" -> e81Sql,
     "e80_lifecycle_type_mix" -> e80Sql,
     "e79_value_anomaly" -> e79Sql,
     "e78_reactivation_census" -> e78Sql,

@@ -3196,7 +3196,53 @@ object Relational {
       |  CAST(SUM(n_brands) AS DOUBLE) / COUNT(*) AS avg_brands
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Return rate by customer tenure: do long-relationship customers
+    * return fewer lines? Crosses q93's tenure bands with q74's return
+    * share on the customer axis. The customer tenure frame is one
+    * map-combinable min/max pass over orders; lineitem joins orders
+    * once (its only wide shuffle) and the per-customer return rollup
+    * joins the tenure frame co-keyed on the uniform custkey; exact
+    * integer counts, ONE division per ≤\|years\| row. */
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    val tenure = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg((year(max(col("o_orderdate"))) - year(min(col("o_orderdate"))))
+        .cast("long").as("tenure_years"))
+    val ret = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+    ret.join(tenure, col("o_custkey") === col("custkey"))
+      .groupBy("tenure_years")
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("n_lines")).as("n_lines"),
+           sum(col("n_returned")).as("n_returned"))
+      .select(col("tenure_years"), col("n_customers"), col("n_lines"),
+        round(dbl(col("n_returned")) / col("n_lines"), 6).as("return_rate"))
+      .orderBy("tenure_years")
+  }
+  val q98Sql: String =
+    """WITH t AS (
+      |  SELECT o_custkey AS custkey,
+      |    CAST(year(MAX(o_orderdate)) - year(MIN(o_orderdate)) AS BIGINT) AS tenure_years
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT o_custkey, COUNT(*)::BIGINT AS n_lines,
+      |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_returned
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1)
+      |SELECT tenure_years, COUNT(*)::BIGINT AS n_customers,
+      |  SUM(n_lines)::BIGINT AS n_lines,
+      |  ROUND(CAST(SUM(n_returned) AS DOUBLE) / SUM(n_lines), 6) AS return_rate
+      |FROM r JOIN t ON o_custkey = custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q98_return_by_tenure" -> (q98 _),
     "q97_brand_loyalty" -> (q97 _),
     "q96_nation_brand_affinity" -> (q96 _),
     "q95_tax_bands" -> (q95 _),
@@ -3297,6 +3343,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q98_return_by_tenure" -> q98Sql,
     "q97_brand_loyalty" -> q97Sql,
     "q96_nation_brand_affinity" -> q96Sql,
     "q95_tax_bands" -> q95Sql,

@@ -109,9 +109,9 @@ object PlanAudit {
     // e80: e76's 1-row data-horizon broadcast inside the shared
     // lifecycle-stage frame
     "e80_lifecycle_type_mix",
-    // m21/s26: t49's 1-row corpus-max broadcast anchoring integer
+    // m21/s26/d46: t49's 1-row corpus-max broadcast anchoring integer
     // decile/half splits
-    "m21_modality_mix_drift", "s26_embedding_drift")
+    "m21_modality_mix_drift", "s26_embedding_drift", "d46_dup_rate_drift")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

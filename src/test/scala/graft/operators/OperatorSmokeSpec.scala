@@ -128,7 +128,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "t48_char_bigram_entropy", "q96_nation_brand_affinity",
       "q97_brand_loyalty", "e80_lifecycle_type_mix",
       "t49_ingestion_quality_drift",
-      "m21_modality_mix_drift", "s26_embedding_drift")
+      "m21_modality_mix_drift", "s26_embedding_drift",
+      "q98_return_by_tenure", "e81_weekend_profile", "d46_dup_rate_drift")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
