@@ -3225,7 +3225,121 @@ object Events {
       |    AS purchase_share
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e82
+  /** Count-min-sketch heavy hitters with exact verification: the
+    * bounded-memory path for "top users by volume" when per-key state
+    * is impossible (10⁹ distinct keys) — 4 hash rows × 1024 buckets of
+    * map-combinable counts are the ONLY shuffled state (≤4096 rows per
+    * partition regardless of key count), then the exact top-20 (e05's
+    * TakeOrdered shape) is estimated from the sketch. `overcount ≥ 0`
+    * is the CMS one-sided guarantee, asserted per row by the smoke
+    * spec. Hash arithmetic is `(a·(u mod p) + b) mod p mod w` in plain
+    * BIGINT — engine-portable, overflow-free for any long user id. */
+  def e82(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    val W = 1024L
+    val params = Seq((999983L, 12345L), (1000003L, 54321L),
+      (1000033L, 77777L), (1000211L, 99991L))
+    def bucket(a: Long, b: Long, u: Column): Column =
+      (lit(a) * (u % P) + lit(b)) % P % W
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val cms = ev
+      .select(posexplode(array(
+        params.map { case (a, b) => bucket(a, b, col("user_id")) }: _*))
+        .as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(20)
+    top
+      .select(col("user_id"), col("exact_cnt"),
+        posexplode(array(
+          params.map { case (a, b) => bucket(a, b, col("user_id")) }: _*))
+          .as(Seq("i", "bucket")))
+      .join(broadcast(cms), Seq("i", "bucket"))
+      .groupBy("user_id", "exact_cnt")
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+  val e82Sql: String =
+    """WITH p(i, a, b) AS (VALUES
+      |  (0, 999983, 12345), (1, 1000003, 54321),
+      |  (2, 1000033, 77777), (3, 1000211, 99991)),
+      |cms AS (
+      |  SELECT i, (a * (user_id % 2147483647) + b) % 2147483647 % 1024 AS bucket,
+      |    COUNT(*)::BIGINT AS c
+      |  FROM events CROSS JOIN p GROUP BY 1, 2),
+      |top AS (
+      |  SELECT user_id, COUNT(*)::BIGINT AS exact_cnt
+      |  FROM events GROUP BY 1
+      |  ORDER BY exact_cnt DESC, user_id LIMIT 20),
+      |est AS (
+      |  SELECT t.user_id, t.exact_cnt, MIN(c) AS cms_est
+      |  FROM top t CROSS JOIN p
+      |  JOIN cms ON cms.i = p.i
+      |    AND cms.bucket = (p.a * (t.user_id % 2147483647) + p.b) % 2147483647 % 1024
+      |  GROUP BY 1, 2)
+      |SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+      |FROM est ORDER BY exact_cnt DESC, user_id""".stripMargin
+
+  // ---------------------------------------------------------------- e83
+  /** Early-engagement LTV screen: Pearson corr(events in the user's
+    * first 7 days, lifetime purchase cents) — does week-1 activity
+    * predict value (e63 correlates LIFESPAN with spend; this tests the
+    * onboarding window product teams can actually move). One
+    * user-partitioned min window (no second scan), one per-user
+    * rollup, q38's DECIMAL-exact moments, 1-row output. */
+  def e83(spark: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id")
+    val weekMs = 7L * 86400000L
+    val u = Tables.events(spark, dir)
+      .select(col("user_id"), col("ms"), col("event_type"), col("value"))
+      .withColumn("first_ms", min(col("ms")).over(wU))
+      .groupBy("user_id")
+      .agg(sum(when(col("ms") < col("first_ms") + weekMs, 1L).otherwise(0L))
+             .cast("decimal(18,0)").as("x"),
+           coalesce(sum(when(col("event_type") === "purchase",
+             round(col("value") * 100).cast("long"))), lit(0L))
+             .cast("decimal(18,0)").as("y"))
+    u.agg(count(lit(1)).as("n_users"),
+          dbl(sum(col("x"))).as("sx"), dbl(sum(col("y"))).as("sy"),
+          dbl(sum(col("x") * col("y"))).as("sxy"),
+          dbl(sum(col("x") * col("x"))).as("sx2"),
+          dbl(sum(col("y") * col("y"))).as("sy2"))
+      .select(col("n_users"),
+        round((col("n_users") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n_users") * col("sx2") - col("sx") * col("sx")) *
+           sqrt(col("n_users") * col("sy2") - col("sy") * col("sy"))), 6)
+          .as("corr_week1_ltv"))
+  }
+  val e83Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, event_type, value,
+      |    MIN(epoch_ms(ts)) OVER (PARTITION BY user_id) AS first_ms
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN ms < first_ms + 604800000 THEN 1 ELSE 0 END)
+      |         AS DECIMAL(18,0)) AS x,
+      |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS DECIMAL(18,0)) AS y
+      |  FROM e GROUP BY 1),
+      |m AS (
+      |  SELECT COUNT(*) AS n_users,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+      |    CAST(SUM(x * x) AS DOUBLE) AS sx2, CAST(SUM(y * y) AS DOUBLE) AS sy2
+      |  FROM u)
+      |SELECT n_users,
+      |  ROUND((n_users * sxy - sx * sy) /
+      |        (sqrt(n_users * sx2 - sx * sx) * sqrt(n_users * sy2 - sy * sy)), 6)
+      |    AS corr_week1_ltv
+      |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e83_early_engagement_ltv" -> (e83 _),
+    "e82_cms_heavy_hitters" -> (e82 _),
     "e81_weekend_profile" -> (e81 _),
     "e80_lifecycle_type_mix" -> (e80 _),
     "e79_value_anomaly" -> (e79 _),
@@ -3310,6 +3424,8 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e83_early_engagement_ltv" -> e83Sql,
+    "e82_cms_heavy_hitters" -> e82Sql,
     "e81_weekend_profile" -> e81Sql,
     "e80_lifecycle_type_mix" -> e80Sql,
     "e79_value_anomaly" -> e79Sql,

@@ -3241,7 +3241,32 @@ object Relational {
       |FROM r JOIN t ON o_custkey = custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Multi-year relationship census: customers by number of DISTINCT
+    * active years (q93 measures first→last span; this measures how
+    * many of those years actually saw an order — span 5 / active 2 is
+    * a lapsing customer). One map-combinable pass per customer
+    * (n_orders + exact distinct years), ≤\|years\| output rows. */
+  def q99(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(year(col("o_orderdate"))).as("n_years"))
+      .groupBy("n_years")
+      .agg(count(lit(1)).as("n_customers"),
+           (sum(col("n_orders")).cast("double") / count(lit(1))).as("avg_orders"))
+      .orderBy("n_years")
+  val q99Sql: String =
+    """WITH c AS (
+      |  SELECT o_custkey, COUNT(*)::BIGINT AS n_orders,
+      |    COUNT(DISTINCT year(o_orderdate))::BIGINT AS n_years
+      |  FROM orders GROUP BY 1)
+      |SELECT n_years, COUNT(*)::BIGINT AS n_customers,
+      |  CAST(SUM(n_orders) AS DOUBLE) / COUNT(*) AS avg_orders
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q99_active_years" -> (q99 _),
     "q98_return_by_tenure" -> (q98 _),
     "q97_brand_loyalty" -> (q97 _),
     "q96_nation_brand_affinity" -> (q96 _),
@@ -3343,6 +3368,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q99_active_years" -> q99Sql,
     "q98_return_by_tenure" -> q98Sql,
     "q97_brand_loyalty" -> q97Sql,
     "q96_nation_brand_affinity" -> q96Sql,

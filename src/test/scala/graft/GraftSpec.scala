@@ -21,6 +21,8 @@ class GraftSpec extends SparkSpec {
     assert(Graft.run(spark, sf, "q06_forecast_revenue").count() == 1L)
     val e = intercept[IllegalArgumentException](Graft.run(spark, sf, "nope"))
     assert(e.getMessage.contains("unknown operator"))
-    assert(Graft.operators.size == 326)
+    // the exact key set is pinned by OperatorSmokeSpec; here only the
+    // dispatch behavior matters
+    assert(Graft.operators.nonEmpty && Graft.operators == Graft.operators.sorted)
   }
 }

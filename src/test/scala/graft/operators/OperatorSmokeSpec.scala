@@ -129,7 +129,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q97_brand_loyalty", "e80_lifecycle_type_mix",
       "t49_ingestion_quality_drift",
       "m21_modality_mix_drift", "s26_embedding_drift",
-      "q98_return_by_tenure", "e81_weekend_profile", "d46_dup_rate_drift")
+      "q98_return_by_tenure", "e81_weekend_profile", "d46_dup_rate_drift",
+      "e82_cms_heavy_hitters", "e83_early_engagement_ltv",
+      "q99_active_years")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -142,6 +144,17 @@ class OperatorSmokeSpec extends SparkSpec {
         "e24_rolling_active_sketch", "s09_ann_recall", "s10_ivf_cell_stats",
         "s13_sq8_error_hist", "s14_recall_curve", "d29_lsh_candidate_report",
         "d39_lsh_bucket_histogram"))
+  }
+
+  test("e82 CMS heavy hitters: one-sided overcount on every top-20 row") {
+    val rows = SparkEntry.queries("e82_cms_heavy_hitters")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"),
+        s"CMS undercounted user ${r.getAs[Long]("user_id")}")
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("cms_est") - r.getAs[Long]("exact_cnt"))
+    }
   }
 
   test("d29 LSH candidate report: verified equals the exact J>=0.8 pair count") {
