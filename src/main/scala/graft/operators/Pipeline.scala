@@ -1169,7 +1169,75 @@ object Pipeline {
       |    AS skew
       |FROM a ORDER BY n_shards""".stripMargin
 
+  // ---------------------------------------------------------------- p26
+  /** Corpus snapshot diff: per source, docs/tokens/exact-dup rate in
+    * the FIRST ingestion half vs the SECOND, with deltas — the nightly
+    * "what changed in the corpus" report (p24's card says where we
+    * are; this says which direction each source is moving). Halves
+    * are integer arithmetic off a 1-row max-id broadcast; each half's
+    * census is one map-combinable pass; the diff is a \|sources\|-
+    * bounded full-outer join. */
+  def p26(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), md5(col("text")).as("h"))
+    val keep = docs.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+    val mx = docs.agg(max(col("doc_id")).as("max_id"))
+    val half = docs.join(keep, "h").join(broadcast(mx))
+      .withColumn("half", least(expr("doc_id * 2 div (max_id + 1)"), lit(1L)))
+      .groupBy("source", "half")
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+           sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("dups"))
+    val a = half.filter(col("half") === 0)
+      .select(col("source"), col("docs").as("docs_a"),
+        col("chars").as("chars_a"), col("dups").as("dups_a"))
+    val b = half.filter(col("half") === 1)
+      .select(col("source").as("source_b"), col("docs").as("docs_b"),
+        col("chars").as("chars_b"), col("dups").as("dups_b"))
+    a.join(b, col("source") === col("source_b"), "full_outer")
+      .select(coalesce(col("source"), col("source_b")).as("source"),
+        coalesce(col("docs_a"), lit(0L)).as("docs_first"),
+        coalesce(col("docs_b"), lit(0L)).as("docs_second"),
+        (coalesce(col("docs_b"), lit(0L)) - coalesce(col("docs_a"), lit(0L)))
+          .as("docs_delta"),
+        coalesce(col("chars_a"), lit(0L)).as("chars_first"),
+        coalesce(col("chars_b"), lit(0L)).as("chars_second"),
+        round(dbl(coalesce(col("dups_a"), lit(0L))) /
+          greatest(coalesce(col("docs_a"), lit(0L)), lit(1L)), 6).as("dup_rate_first"),
+        round(dbl(coalesce(col("dups_b"), lit(0L))) /
+          greatest(coalesce(col("docs_b"), lit(0L)), lit(1L)), 6).as("dup_rate_second"))
+      .orderBy("source")
+  }
+  val p26Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars, md5(text) AS h FROM documents),
+      |k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY 1),
+      |x AS (SELECT MAX(doc_id) AS max_id FROM d),
+      |c AS (
+      |  SELECT source, LEAST(doc_id * 2 // (max_id + 1), 1) AS half,
+      |    COUNT(*)::BIGINT AS docs, SUM(n_chars)::BIGINT AS chars,
+      |    SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)::BIGINT AS dups
+      |  FROM d JOIN k USING (h) CROSS JOIN x GROUP BY 1, 2),
+      |a AS (SELECT source, docs AS docs_a, chars AS chars_a, dups AS dups_a
+      |      FROM c WHERE half = 0),
+      |b AS (SELECT source AS source_b, docs AS docs_b, chars AS chars_b,
+      |        dups AS dups_b
+      |      FROM c WHERE half = 1)
+      |SELECT COALESCE(source, source_b) AS source,
+      |  COALESCE(docs_a, 0) AS docs_first,
+      |  COALESCE(docs_b, 0) AS docs_second,
+      |  COALESCE(docs_b, 0) - COALESCE(docs_a, 0) AS docs_delta,
+      |  COALESCE(chars_a, 0) AS chars_first,
+      |  COALESCE(chars_b, 0) AS chars_second,
+      |  ROUND(CAST(COALESCE(dups_a, 0) AS DOUBLE)
+      |        / GREATEST(COALESCE(docs_a, 0), 1), 6) AS dup_rate_first,
+      |  ROUND(CAST(COALESCE(dups_b, 0) AS DOUBLE)
+      |        / GREATEST(COALESCE(docs_b, 0), 1), 6) AS dup_rate_second
+      |FROM a FULL OUTER JOIN b ON source = source_b
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p26_snapshot_diff" -> (p26 _),
     "p25_shard_balance" -> (p25 _),
     "p24_dataset_card" -> (p24 _),
     "p23_stage_order_ab" -> (p23 _),
@@ -1197,6 +1265,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p26_snapshot_diff" -> p26Sql,
     "p25_shard_balance" -> p25Sql,
     "p24_dataset_card" -> p24Sql,
     "p23_stage_order_ab" -> p23Sql,

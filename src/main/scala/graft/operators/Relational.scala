@@ -3265,7 +3265,48 @@ object Relational {
       |  CAST(SUM(n_orders) AS DOUBLE) / COUNT(*) AS avg_orders
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  /** Brand price-premium table: each brand's mean retail price vs its
+    * part TYPE's market mean — the cross-level comparison q61's
+    * per-brand book can't make (a $900 brand is cheap in one type,
+    * premium in another). Two bounded dimension aggs off one `part`
+    * scan; the type-market join is a broadcast of the \|types\|-row
+    * frame; premium is ONE division of exact decimal-derived doubles
+    * per \|types\|×\|brands\| cell. (A supplier customer-reach census
+    * was tried first and measured degenerate: the synthetic bipartite
+    * graph is near-complete — every supplier serves 139–679 customers
+    * at every scale — so the banding carried zero information.) */
+  def q100(spark: SparkSession, dir: String): DataFrame = {
+    val byBrand = Tables.part(spark, dir)
+      .groupBy("p_type", "p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+           sum(dec(col("p_retailprice"))).as("spd"))
+    val byType = byBrand.groupBy("p_type")
+      .agg(sum(col("n_parts")).as("tn"), sum(col("spd")).as("tpd"))
+    byBrand.join(broadcast(byType), "p_type")
+      .select(col("p_type"), col("p_brand"), col("n_parts"),
+        round(dbl(col("spd")) / col("n_parts"), 2).as("brand_mean"),
+        round(dbl(col("tpd")) / col("tn"), 2).as("type_mean"),
+        round((dbl(col("spd")) / col("n_parts")) /
+              (dbl(col("tpd")) / col("tn")), 6).as("premium"))
+      .orderBy("p_type", "p_brand")
+  }
+  val q100Sql: String =
+    """WITH b AS (
+      |  SELECT p_type, p_brand, COUNT(*)::BIGINT AS n_parts,
+      |    SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS spd
+      |  FROM part GROUP BY 1, 2),
+      |t AS (SELECT p_type, SUM(n_parts)::BIGINT AS tn, SUM(spd) AS tpd
+      |      FROM b GROUP BY 1)
+      |SELECT p_type, p_brand, n_parts,
+      |  ROUND(CAST(spd AS DOUBLE) / n_parts, 2) AS brand_mean,
+      |  ROUND(CAST(tpd AS DOUBLE) / tn, 2) AS type_mean,
+      |  ROUND((CAST(spd AS DOUBLE) / n_parts) / (CAST(tpd AS DOUBLE) / tn), 6)
+      |    AS premium
+      |FROM b JOIN t USING (p_type) ORDER BY p_type, p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q100_brand_price_premium" -> (q100 _),
     "q99_active_years" -> (q99 _),
     "q98_return_by_tenure" -> (q98 _),
     "q97_brand_loyalty" -> (q97 _),
@@ -3368,6 +3409,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q100_brand_price_premium" -> q100Sql,
     "q99_active_years" -> q99Sql,
     "q98_return_by_tenure" -> q98Sql,
     "q97_brand_loyalty" -> q97Sql,

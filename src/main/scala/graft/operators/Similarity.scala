@@ -1230,7 +1230,35 @@ object Similarity {
       |FROM m a JOIN m b ON a.pos = b.pos AND a.half = 0 AND b.half = 1
       |ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------- s27
+  /** kNN-graph symmetry audit: the share of s01's exact top-5 edges
+    * that are MUTUAL (a∈knn(b) ∧ b∈knn(a)) — kNN-graph consumers
+    * (clustering, graph-based dedup, label propagation) behave very
+    * differently on asymmetric graphs, and this is the one-number
+    * health check. The edge list is \|N\|·k rows; mutuality is a
+    * single equi self-join on the swapped key pair (shuffle-keyed,
+    * no pair blow-up), then a 1-row rollup with ONE division. */
+  def s27(spark: SparkSession, dir: String): DataFrame = {
+    val edges = s01(spark, dir).select(col("q_id"), col("n_id"))
+    val rev = edges.select(col("n_id").as("rq"), col("q_id").as("rn"))
+    edges
+      .join(rev, col("q_id") === col("rq") && col("n_id") === col("rn"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+           count(col("rq")).as("n_mutual"))
+      .select(col("n_edges"), col("n_mutual"),
+        round(dbl(col("n_mutual")) / col("n_edges"), 6).as("mutual_share"))
+  }
+  val s27Sql: String = knnCte +
+    """,
+      |k AS (SELECT q_id, n_id FROM r WHERE rnk <= 5)
+      |SELECT COUNT(*)::BIGINT AS n_edges,
+      |  COUNT(m.rq)::BIGINT AS n_mutual,
+      |  ROUND(CAST(COUNT(m.rq) AS DOUBLE) / COUNT(*), 6) AS mutual_share
+      |FROM k LEFT JOIN (SELECT n_id AS rq, q_id AS rn FROM k) m
+      |  ON k.q_id = m.rq AND k.n_id = m.rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s27_mutual_knn" -> (s27 _),
     "s26_embedding_drift" -> (s26 _),
     "s25_lang_label_confound" -> (s25 _),
     "s24_dim_variance" -> (s24 _),
@@ -1260,6 +1288,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s27_mutual_knn" -> s27Sql,
     "s26_embedding_drift" -> s26Sql,
     "s25_lang_label_confound" -> s25Sql,
     "s24_dim_variance" -> s24Sql,

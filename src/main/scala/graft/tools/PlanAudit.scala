@@ -111,7 +111,9 @@ object PlanAudit {
     "e80_lifecycle_type_mix",
     // m21/s26/d46: t49's 1-row corpus-max broadcast anchoring integer
     // decile/half splits
-    "m21_modality_mix_drift", "s26_embedding_drift", "d46_dup_rate_drift")
+    "m21_modality_mix_drift", "s26_embedding_drift", "d46_dup_rate_drift",
+    // p26: the same 1-row max-id broadcast anchoring the half split
+    "p26_snapshot_diff")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -131,7 +131,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "m21_modality_mix_drift", "s26_embedding_drift",
       "q98_return_by_tenure", "e81_weekend_profile", "d46_dup_rate_drift",
       "e82_cms_heavy_hitters", "e83_early_engagement_ltv",
-      "q99_active_years")
+      "q99_active_years",
+      "s27_mutual_knn", "q100_brand_price_premium", "p26_snapshot_diff")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
