@@ -1934,7 +1934,51 @@ object Dedup {
       |        / COUNT(*), 6) AS dup_rate
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- d47
+  /** PageRank centrality on the near-dup graph (5 fixed iterations,
+    * damping 0.85): which documents sit at the CENTER of duplication
+    * mass — the keeper-selection signal d15's raw degree can't give
+    * (a hub touching three separate dup families outranks a node with
+    * three edges inside one clique). Per-iteration contributions are
+    * round9-DECIMAL quantized before the exact sum, so ranks are
+    * bit-deterministic under any partitioning/re-run; each round
+    * localCheckpoints (CC's recipe) so plan lineage stays flat. Graph
+    * volume is the J≥0.5 pair stream — bucketed upstream, never
+    * all-pairs. Rows-only by design (iterative float recurrence has
+    * no tractable SQL oracle); the smoke spec asserts the PageRank
+    * mass invariant Σrank = \|nodes\| and per-row bounds. */
+  def d47(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = sharedPairs(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    var rank = deg.select(col("src").as("doc_id"), lit(1.0d).as("r"))
+      .localCheckpoint()
+    (1 to 5).foreach { _ =>
+      val contrib = edges
+        .join(deg, "src")
+        .join(rank.select(col("doc_id").as("src"), col("r")), "src")
+        .select(col("dst").as("doc_id"),
+          round(col("r") / col("deg"), 9).cast("decimal(18,9)").as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("s"))
+      val next = rank.select(col("doc_id"))
+        .join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(0.15d) + lit(0.85d) *
+            coalesce(dbl(col("s")), lit(0.0d))).as("r"))
+        .localCheckpoint()
+      rank.unpersist()
+      rank = next
+    }
+    rank.join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
+      .select(col("doc_id"), col("deg").as("degree"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d47_dup_pagerank" -> (d47 _),
     "d46_dup_rate_drift" -> (d46 _),
     "d45_dup_locality" -> (d45 _),
     "d44_containment_flow" -> (d44 _),

@@ -3337,7 +3337,67 @@ object Events {
       |    AS corr_week1_ltv
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- e84
+  /** Truncated-EWMA daily volume smoother (α=0.3, 14-day horizon):
+    * the load baseline behind alerting — e13 flags hourly spikes
+    * against a STATIC mean; this gives the moving baseline. The decay
+    * weights are 14 EXACT decimal literals (`0.3·0.7^k` written out),
+    * so no engine's `pow` is ever called and every term/sum is exact
+    * decimal arithmetic — bit-identical partial sums at any cluster
+    * layout. Each observed day explodes into ≤14 (target-day, term)
+    * contributions (map-combinable), then one equi join back to the
+    * \|days\|-bounded daily frame. Gap-aware: weights key on CALENDAR
+    * day distance, and contributions landing on unobserved days drop
+    * with the inner join. */
+  def e84(spark: SparkSession, dir: String): DataFrame = {
+    // 0.3 * 0.7^k, k = 0..13, written exactly (decimal, never pow)
+    val ws = Seq(
+      "0.3", "0.21", "0.147", "0.1029", "0.07203", "0.050421",
+      "0.0352947", "0.02470629", "0.017294403", "0.0121060821",
+      "0.00847425747", "0.005931980229", "0.0041523861603",
+      "0.00290667031221")
+    val wExpr = ws.zipWithIndex
+      .foldLeft(lit(null).cast("decimal(20,15)")) { case (acc, (w, k)) =>
+        when(col("k") === k, lit(new java.math.BigDecimal(w)).cast("decimal(20,15)"))
+          .otherwise(acc)
+      }
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val contrib = daily
+      .select(col("day").as("src_day"), col("n_events").as("x"),
+        explode(sequence(lit(0), lit(13))).as("k"))
+      .select((col("src_day") + col("k")).as("day"),
+        (wExpr * col("x").cast("decimal(18,0)")).as("term"))
+      .groupBy("day").agg(sum(col("term")).as("s"))
+    daily.join(contrib, "day")
+      .select(col("day"), col("n_events"),
+        round(dbl(col("s")), 6).as("ewma"))
+      .orderBy("day")
+  }
+  val e84Sql: String = {
+    val ws = Seq(
+      "0.3", "0.21", "0.147", "0.1029", "0.07203", "0.050421",
+      "0.0352947", "0.02470629", "0.017294403", "0.0121060821",
+      "0.00847425747", "0.005931980229", "0.0041523861603",
+      "0.00290667031221")
+    val cases = ws.zipWithIndex
+      .map { case (w, k) => s"WHEN k = $k THEN CAST($w AS DECIMAL(20,15))" }
+      .mkString(" ")
+    s"""WITH daily AS (
+       |  SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*)::BIGINT AS n_events
+       |  FROM events GROUP BY 1),
+       |c AS (
+       |  SELECT day + k AS day,
+       |    (CASE $cases END) * CAST(n_events AS DECIMAL(18,0)) AS term
+       |  FROM daily CROSS JOIN (SELECT UNNEST(range(0, 14)) AS k)),
+       |s AS (SELECT day, SUM(term) AS s FROM c GROUP BY 1)
+       |SELECT daily.day, n_events, ROUND(CAST(s AS DOUBLE), 6) AS ewma
+       |FROM daily JOIN s USING (day) ORDER BY day""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "e84_volume_ewma" -> (e84 _),
     "e83_early_engagement_ltv" -> (e83 _),
     "e82_cms_heavy_hitters" -> (e82 _),
     "e81_weekend_profile" -> (e81 _),
@@ -3424,6 +3484,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e84_volume_ewma" -> e84Sql,
     "e83_early_engagement_ltv" -> e83Sql,
     "e82_cms_heavy_hitters" -> e82Sql,
     "e81_weekend_profile" -> e81Sql,

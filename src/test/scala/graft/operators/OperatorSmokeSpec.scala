@@ -132,7 +132,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "q98_return_by_tenure", "e81_weekend_profile", "d46_dup_rate_drift",
       "e82_cms_heavy_hitters", "e83_early_engagement_ltv",
       "q99_active_years",
-      "s27_mutual_knn", "q100_brand_price_premium", "p26_snapshot_diff")
+      "s27_mutual_knn", "q100_brand_price_premium", "p26_snapshot_diff",
+      "d47_dup_pagerank", "e84_volume_ewma")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -144,7 +145,21 @@ class OperatorSmokeSpec extends SparkSpec {
         "q21_approx_stats", "d17_containment_capped", "p05_multimodal_curation",
         "e24_rolling_active_sketch", "s09_ann_recall", "s10_ivf_cell_stats",
         "s13_sq8_error_hist", "s14_recall_curve", "d29_lsh_candidate_report",
-        "d39_lsh_bucket_histogram"))
+        "d39_lsh_bucket_histogram", "d47_dup_pagerank"))
+  }
+
+  test("d47 dup PageRank: mass invariant, bounds, degree join total") {
+    val rows = SparkEntry.queries("d47_dup_pagerank")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toDouble
+    val mass = rows.map(_.getAs[Double]("rank")).sum
+    // no dangling nodes (every node has deg >= 1), so PageRank mass is
+    // conserved each iteration up to the round9 contribution quantization
+    assert(math.abs(mass - n) < 1e-3 * n, s"rank mass $mass vs n=$n")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rank") >= 0.15 - 1e-9)
+      assert(r.getAs[Long]("degree") >= 1L)
+    }
   }
 
   test("e82 CMS heavy hitters: one-sided overcount on every top-20 row") {
