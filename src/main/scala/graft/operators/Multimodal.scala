@@ -887,7 +887,48 @@ object Multimodal {
        |        / SUM(n_docs) OVER (PARTITION BY decile), 6) AS share
        |FROM c ORDER BY decile, modality""".stripMargin
 
+  // ---------------------------------------------------------------- m22
+  /** Dedup ROI by modality: BYTES reclaimed by exact dedup per routed
+    * modality — m11 counts dup rows, p11 counts tokens; storage bills
+    * are paid in bytes, and video dups cost 1000× a text dup. One scan
+    * builds (modality, bytes, hash); d01's keeper pass joins back
+    * co-keyed on the hash; \|modalities\|-bounded output, ONE division
+    * per row. */
+  def m22(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        routeModality(col("payload"), col("text")).as("modality"),
+        octet_length(col("payload")).cast("long").as("nb"),
+        md5(col("text")).as("h"))
+    val keep = d.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+    d.join(keep, "h")
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("nb")).as("total_bytes"),
+           sum(when(col("doc_id") =!= col("keep_id"), col("nb")).otherwise(0L))
+             .as("dup_bytes"))
+      .select(col("modality"), col("n_docs"), col("total_bytes"), col("dup_bytes"),
+        round(dbl(col("dup_bytes")) / dbl(col("total_bytes")), 6)
+          .as("reclaim_share"))
+      .orderBy("modality")
+  }
+  val m22Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $modalitySqlCase AS modality,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb,
+       |    md5(text) AS h
+       |  FROM documents),
+       |k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY 1)
+       |SELECT modality, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(nb)::BIGINT AS total_bytes,
+       |  SUM(CASE WHEN doc_id <> keep_id THEN nb ELSE 0 END)::BIGINT AS dup_bytes,
+       |  ROUND(CAST(SUM(CASE WHEN doc_id <> keep_id THEN nb ELSE 0 END) AS DOUBLE)
+       |        / CAST(SUM(nb) AS DOUBLE), 6) AS reclaim_share
+       |FROM d JOIN k USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m22_dedup_roi" -> (m22 _),
     "m21_modality_mix_drift" -> (m21 _),
     "m20_entropy_outliers" -> (m20 _),
     "m19_modality_lang_matrix" -> (m19 _),
@@ -912,6 +953,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m22_dedup_roi" -> m22Sql,
     "m21_modality_mix_drift" -> m21Sql,
     "m20_entropy_outliers" -> m20Sql,
     "m19_modality_lang_matrix" -> m19Sql,
