@@ -3396,7 +3396,58 @@ object Events {
        |FROM daily JOIN s USING (day) ORDER BY day""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e85
+  /** Adaptive daily-volume anomaly screen: days whose volume deviates
+    * from the PREVIOUS day's EWMA baseline by more than 3σ of the
+    * residual distribution — e13 alarms against a static per-type
+    * mean; this adapts to trend (a ramp that would permanently trip a
+    * static alarm is absorbed into the baseline). Composes e84's
+    * exact-decimal EWMA via a bounded equi shift-join (day = day+1);
+    * residual moments are round9-quantized exact sums; the 3σ cut is
+    * ONE IEEE threshold from a 1-row broadcast (e79's recipe). */
+  def e85(spark: SparkSession, dir: String): DataFrame = {
+    val base = e84(spark, dir) // day, n_events, ewma
+    val resid = base.as("t")
+      .join(broadcast(base.select((col("day") + 1).as("nday"), col("ewma").as("prev_ewma"))),
+        col("day") === col("nday"))
+      .select(col("day"), col("n_events"), col("prev_ewma"),
+        round(dbl(col("n_events")) - col("prev_ewma"), 9)
+          .cast("decimal(18,9)").as("r"))
+    val st = resid.agg(count(lit(1)).as("n"),
+        dbl(sum(col("r"))).as("s"),
+        dbl(sum(col("r") * col("r"))).as("q"))
+      .filter(col("n") >= 2)
+      .select(col("n"), (col("s") / col("n")).as("mu"),
+        sqrt((col("q") - col("s") * col("s") / col("n")) / (col("n") - 1))
+          .as("sd"))
+    resid.join(broadcast(st))
+      .filter(abs(dbl(col("r")) - col("mu")) > lit(3.0) * col("sd"))
+      .select(col("day"), col("n_events"),
+        round(col("prev_ewma"), 6).as("baseline"),
+        round((dbl(col("r")) - col("mu")) / col("sd"), 6).as("z"))
+      .orderBy("day")
+  }
+  val e85Sql: String = {
+    s"""WITH e AS (${e84Sql.replace("ORDER BY day", "")}),
+       |r AS (
+       |  SELECT t.day, t.n_events, p.ewma AS prev_ewma,
+       |    CAST(ROUND(CAST(t.n_events AS DOUBLE) - p.ewma, 9) AS DECIMAL(18,9)) AS r
+       |  FROM e t JOIN e p ON t.day = p.day + 1),
+       |st AS (
+       |  SELECT COUNT(*)::BIGINT AS n,
+       |    CAST(SUM(r) AS DOUBLE) AS s, CAST(SUM(r * r) AS DOUBLE) AS q
+       |  FROM r HAVING COUNT(*) >= 2),
+       |th AS (
+       |  SELECT n, s / n AS mu, sqrt((q - s * s / n) / (n - 1)) AS sd FROM st)
+       |SELECT day, n_events, ROUND(prev_ewma, 6) AS baseline,
+       |  ROUND((CAST(r AS DOUBLE) - mu) / sd, 6) AS z
+       |FROM r CROSS JOIN th
+       |WHERE abs(CAST(r AS DOUBLE) - mu) > 3.0 * sd
+       |ORDER BY day""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "e85_adaptive_anomaly_days" -> (e85 _),
     "e84_volume_ewma" -> (e84 _),
     "e83_early_engagement_ltv" -> (e83 _),
     "e82_cms_heavy_hitters" -> (e82 _),
@@ -3484,6 +3535,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e85_adaptive_anomaly_days" -> e85Sql,
     "e84_volume_ewma" -> e84Sql,
     "e83_early_engagement_ltv" -> e83Sql,
     "e82_cms_heavy_hitters" -> e82Sql,

@@ -3305,7 +3305,61 @@ object Relational {
       |    AS premium
       |FROM b JOIN t USING (p_type) ORDER BY p_type, p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Customer spend-trend census: per multi-order customer, the SIGN
+    * of the OLS slope of order value over order date (rising / flat /
+    * falling), censused — e56 fits one slope per event type; this
+    * fits \|customers\| regressions and classifies by the slope
+    * NUMERATOR's exact integer sign (`n·Σxy − Σx·Σy` in DECIMAL(38,0);
+    * the denominator is positive whenever dates differ), so no float
+    * division decides a class. One map-combinable moment pass, ≤3
+    * output rows. */
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").cast(d38)
+    val y = (dec(col("o_totalprice")) * 100).cast(d38)
+    val u = Tables.orders(spark, dir)
+      .select(col("o_custkey"), x.as("x"), y.as("y"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("x") * col("x")).as("sx2"))
+      .filter(col("n") >= 2)
+      .withColumn("num", col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n").cast(d38) * col("sx2") - col("sx") * col("sx"))
+      .filter(col("den") > 0) // all orders same day → slope undefined
+    u.groupBy(when(col("num") > 0, "a_rising")
+        .when(col("num") < 0, "c_falling")
+        .otherwise("b_flat").as("trend"))
+      .agg(count(lit(1)).as("n_customers"),
+           (sum(col("n")).cast("double") / count(lit(1))).as("avg_orders"))
+      .orderBy("trend")
+  }
+  val q101Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS HUGEINT) AS x,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS y
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_custkey, COUNT(*)::BIGINT AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sx2
+      |  FROM o GROUP BY 1 HAVING COUNT(*) >= 2),
+      |c AS (
+      |  SELECT n,
+      |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+      |    CAST(n AS HUGEINT) * sx2 - sx * sx AS den
+      |  FROM u)
+      |SELECT CASE WHEN num > 0 THEN 'a_rising'
+      |            WHEN num < 0 THEN 'c_falling'
+      |            ELSE 'b_flat' END AS trend,
+      |  COUNT(*)::BIGINT AS n_customers,
+      |  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_orders
+      |FROM c WHERE den > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q101_spend_trend_census" -> (q101 _),
     "q100_brand_price_premium" -> (q100 _),
     "q99_active_years" -> (q99 _),
     "q98_return_by_tenure" -> (q98 _),
@@ -3409,6 +3463,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q101_spend_trend_census" -> q101Sql,
     "q100_brand_price_premium" -> q100Sql,
     "q99_active_years" -> q99Sql,
     "q98_return_by_tenure" -> q98Sql,

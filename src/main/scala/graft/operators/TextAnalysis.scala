@@ -1967,7 +1967,71 @@ object TextAnalysis {
        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
        |FROM q CROSS JOIN x GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t51
+  /** Vocabulary drift as ONE number: Jensen–Shannon divergence between
+    * the word distributions of the first and second ingestion halves —
+    * the scalar that turns the t49/m21/s26/d46 drift quartet into an
+    * alertable metric (JS is symmetric and bounded [0, ln 2], unlike
+    * t23's per-source KL). One gram fan-out, one conditional-sum
+    * groupBy per word, 1-row totals broadcast; each word's two JS
+    * terms are round9-DECIMAL quantized before the exact global sum. */
+  def t51(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("doc_id")).as("max_id"))
+    val wc = docs.select(col("doc_id"), explode(wordsCol).as("w"))
+      .join(broadcast(mx))
+      .withColumn("half", least(expr("doc_id * 2 div (max_id + 1)"), lit(1L)))
+      .groupBy("w")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+           sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = wc.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val pa = dbl(col("ca")) / col("na")
+    val pb = dbl(col("cb")) / col("nb")
+    val tp = when(col("ca") > 0,
+      round(pa * log(lit(2.0) * pa / (pa + pb)), 9)).otherwise(lit(0.0d))
+    val tq = when(col("cb") > 0,
+      round(pb * log(lit(2.0) * pb / (pa + pb)), 9)).otherwise(lit(0.0d))
+    wc.join(broadcast(tot))
+      .select(col("ca"), col("cb"),
+        tp.cast("decimal(18,9)").as("tp"), tq.cast("decimal(18,9)").as("tq"))
+      .agg(sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_first"),
+           sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_second"),
+           sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+             .as("vocab_shared"),
+           round(lit(0.5d) * (dbl(sum(col("tp"))) + dbl(sum(col("tq")))), 6)
+             .as("js_divergence"))
+  }
+  val t51Sql: String =
+    s"""WITH x AS (SELECT MAX(doc_id) AS max_id FROM documents),
+       |g AS (
+       |  SELECT LEAST(doc_id * 2 // (max_id + 1), 1) AS half, UNNEST($wordsSql) AS w
+       |  FROM documents CROSS JOIN x),
+       |wc AS (
+       |  SELECT w,
+       |    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+       |  FROM g GROUP BY 1),
+       |tot AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM wc),
+       |t AS (
+       |  SELECT ca, cb,
+       |    CAST(CASE WHEN ca > 0 THEN ROUND((CAST(ca AS DOUBLE) / na) *
+       |        ln(2.0 * (CAST(ca AS DOUBLE) / na) /
+       |           ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb))), 9)
+       |      ELSE 0.0 END AS DECIMAL(18,9)) AS tp,
+       |    CAST(CASE WHEN cb > 0 THEN ROUND((CAST(cb AS DOUBLE) / nb) *
+       |        ln(2.0 * (CAST(cb AS DOUBLE) / nb) /
+       |           ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb))), 9)
+       |      ELSE 0.0 END AS DECIMAL(18,9)) AS tq
+       |  FROM wc CROSS JOIN tot)
+       |SELECT SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_first,
+       |  SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_second,
+       |  SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_shared,
+       |  ROUND(0.5 * (CAST(SUM(tp) AS DOUBLE) + CAST(SUM(tq) AS DOUBLE)), 6)
+       |    AS js_divergence
+       |FROM t""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t51_vocab_half_divergence" -> (t51 _),
     "t49_ingestion_quality_drift" -> (t49 _),
     "t48_char_bigram_entropy" -> (t48 _),
     "t47_lang_quality" -> (t47 _),
@@ -2019,6 +2083,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t51_vocab_half_divergence" -> t51Sql,
     "t49_ingestion_quality_drift" -> t49Sql,
     "t48_char_bigram_entropy" -> t48Sql,
     "t47_lang_quality" -> t47Sql,

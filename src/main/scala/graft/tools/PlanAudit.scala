@@ -113,7 +113,12 @@ object PlanAudit {
     // decile/half splits
     "m21_modality_mix_drift", "s26_embedding_drift", "d46_dup_rate_drift",
     // p26: the same 1-row max-id broadcast anchoring the half split
-    "p26_snapshot_diff")
+    "p26_snapshot_diff",
+    // t51: the half-split max-id broadcast + the 1-row totals broadcast
+    // feeding the JS terms
+    "t51_vocab_half_divergence",
+    // e85: 1-row residual-moment broadcast for the 3σ cut (e79's shape)
+    "e85_adaptive_anomaly_days")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

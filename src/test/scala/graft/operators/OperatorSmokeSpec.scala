@@ -133,7 +133,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "e82_cms_heavy_hitters", "e83_early_engagement_ltv",
       "q99_active_years",
       "s27_mutual_knn", "q100_brand_price_premium", "p26_snapshot_diff",
-      "d47_dup_pagerank", "e84_volume_ewma", "m22_dedup_roi")
+      "d47_dup_pagerank", "e84_volume_ewma", "m22_dedup_roi",
+      "e85_adaptive_anomaly_days", "q101_spend_trend_census",
+      "t51_vocab_half_divergence")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
