@@ -3446,7 +3446,59 @@ object Events {
        |ORDER BY day""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e86
+  /** Peak 7-day spending burst per user, banded: the rolling-window
+    * shape (RANGE frame over event-time ms, per-user partitions) that
+    * e14 deliberately avoids for DISTINCT counts is exactly right for
+    * SUMS — additive state, bounded per key, no fan-out. Each
+    * purchase row carries the user's trailing-7-day integer-cent
+    * total; the per-user max is the "burst" and the census is ≤5
+    * integer-edged bands. */
+  def e86(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 7L * 86400000L
+    val w = Window.partitionBy("user_id").orderBy("ms")
+      .rangeBetween(-weekMs + 1, Window.currentRow)
+    val u = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("roll", sum(col("cents")).over(w))
+      .groupBy("user_id")
+      .agg(max(col("roll")).as("burst"), count(lit(1)).as("n_purchases"))
+    u.groupBy(when(col("burst") < 10000L, "a<$100")
+        .when(col("burst") < 50000L, "b<$500")
+        .when(col("burst") < 100000L, "c<$1000")
+        .when(col("burst") < 200000L, "d<$2000")
+        .otherwise("e>=$2000").as("burst_band"))
+      .agg(count(lit(1)).as("n_users"),
+           (sum(col("n_purchases")).cast("double") / count(lit(1)))
+             .as("avg_purchases"))
+      .orderBy("burst_band")
+  }
+  val e86Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id, cents,
+      |    SUM(cents) OVER (PARTITION BY user_id ORDER BY ms
+      |      RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW) AS roll
+      |  FROM p),
+      |u AS (
+      |  SELECT user_id, MAX(roll) AS burst, COUNT(*)::BIGINT AS n_purchases
+      |  FROM r GROUP BY 1)
+      |SELECT CASE WHEN burst < 10000 THEN 'a<$100'
+      |            WHEN burst < 50000 THEN 'b<$500'
+      |            WHEN burst < 100000 THEN 'c<$1000'
+      |            WHEN burst < 200000 THEN 'd<$2000'
+      |            ELSE 'e>=$2000' END AS burst_band,
+      |  COUNT(*)::BIGINT AS n_users,
+      |  CAST(SUM(n_purchases) AS DOUBLE) / COUNT(*) AS avg_purchases
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e86_rolling_value_bands" -> (e86 _),
     "e85_adaptive_anomaly_days" -> (e85 _),
     "e84_volume_ewma" -> (e84 _),
     "e83_early_engagement_ltv" -> (e83 _),
@@ -3535,6 +3587,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e86_rolling_value_bands" -> e86Sql,
     "e85_adaptive_anomaly_days" -> e85Sql,
     "e84_volume_ewma" -> e84Sql,
     "e83_early_engagement_ltv" -> e83Sql,

@@ -1257,7 +1257,58 @@ object Similarity {
       |FROM k LEFT JOIN (SELECT n_id AS rq, q_id AS rn FROM k) m
       |  ON k.q_id = m.rq AND k.n_id = m.rn""".stripMargin
 
+  // ---------------------------------------------------------------- s28
+  /** Dedup distribution-shift audit: per-dimension embedding mean over
+    * the FULL corpus vs the d01-KEEPER subset — if dups cluster in one
+    * region of embedding space, deduping MOVES the training
+    * distribution, and this measures by how much (s26's drift recipe,
+    * with "before/after dedup" in place of "first/second half"). The
+    * keeper flag joins doc-keyed (uniform); means are s24's quantized
+    * exact sums; the final compare joins two \|dim\|-row frames. */
+  def s28(spark: SparkSession, dir: String): DataFrame = {
+    val keep = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("keep_id"))
+    val flags = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(keep, "h")
+      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_keeper"))
+    val q = quantized(spark, dir)
+      .join(flags, col("vec_id") === col("doc_id"))
+    val full = q.groupBy("pos")
+      .agg((dbl(sum(col("vq"))) / count(lit(1))).as("m_full"))
+    val kept = q.filter(col("is_keeper"))
+      .groupBy(col("pos").as("pos_k"))
+      .agg((dbl(sum(col("vq"))) / count(lit(1))).as("m_kept"))
+    full.join(broadcast(kept), col("pos") === col("pos_k"))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        round(col("m_full"), 6).as("mean_full"),
+        round(col("m_kept"), 6).as("mean_kept"),
+        round(abs(col("m_kept") - col("m_full")), 6).as("shift"))
+      .orderBy("dim")
+  }
+  val s28Sql: String =
+    """WITH k AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+      |           FROM documents GROUP BY 1),
+      |f AS (
+      |  SELECT doc_id, doc_id = keep_id AS is_keeper
+      |  FROM documents JOIN k ON md5(text) = h),
+      |u AS (
+      |  SELECT vec_id,
+      |    CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE), 9) AS DECIMAL(18,9)) AS vq,
+      |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos
+      |  FROM embeddings),
+      |j AS (SELECT pos, vq, is_keeper FROM u JOIN f ON vec_id = doc_id),
+      |a AS (SELECT pos, CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS m_full
+      |      FROM j GROUP BY 1),
+      |b AS (SELECT pos, CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS m_kept
+      |      FROM j WHERE is_keeper GROUP BY 1)
+      |SELECT a.pos AS dim, ROUND(m_full, 6) AS mean_full,
+      |  ROUND(m_kept, 6) AS mean_kept,
+      |  ROUND(abs(m_kept - m_full), 6) AS shift
+      |FROM a JOIN b ON a.pos = b.pos ORDER BY dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s28_dedup_centroid_shift" -> (s28 _),
     "s27_mutual_knn" -> (s27 _),
     "s26_embedding_drift" -> (s26 _),
     "s25_lang_label_confound" -> (s25 _),
@@ -1288,6 +1339,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s28_dedup_centroid_shift" -> s28Sql,
     "s27_mutual_knn" -> s27Sql,
     "s26_embedding_drift" -> s26Sql,
     "s25_lang_label_confound" -> s25Sql,

@@ -135,7 +135,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "s27_mutual_knn", "q100_brand_price_premium", "p26_snapshot_diff",
       "d47_dup_pagerank", "e84_volume_ewma", "m22_dedup_roi",
       "e85_adaptive_anomaly_days", "q101_spend_trend_census",
-      "t51_vocab_half_divergence")
+      "t51_vocab_half_divergence",
+      "e86_rolling_value_bands", "s28_dedup_centroid_shift")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
