@@ -3358,7 +3358,61 @@ object Relational {
       |  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_orders
       |FROM c WHERE den > 0 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** Classical seasonal decomposition of monthly revenue:
+    * revenue = year-trend + month-seasonal + residual — q77 gives the
+    * seasonal INDEX; this gives the full additive decomposition table
+    * an analyst actually plots. Three bounded rollups off one monthly
+    * census (\|years\|×12 rows): the year mean is the trend, the mean
+    * monthly deviation from trend is the seasonal component, and what
+    * remains is the residual. All money stays decimal-exact until the
+    * per-row divisions; joins are broadcasts of bounded frames. */
+  def q102(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+               month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    val trend = monthly.groupBy(col("yr").as("tyr"))
+      .agg((dbl(sum(col("rev"))) / count(lit(1))).as("trend"))
+    val detr = monthly.join(broadcast(trend), col("yr") === col("tyr"))
+      .select(col("yr"), col("mo"), col("rev"), col("trend"),
+        (dbl(col("rev")) - col("trend")).as("dev"))
+    val seas = detr.groupBy(col("mo").as("smo"))
+      .agg((sum(round(col("dev"), 6).cast("decimal(28,6)")).cast("double") /
+        count(lit(1))).as("seasonal"))
+    // no output rounding: every emitted value is either an exact
+    // decimal cast to double or ONE identical IEEE op on such values,
+    // so both engines produce the same bits — round2 here would
+    // reintroduce engine-specific halfway behavior (a .505 trend DID
+    // split the engines at sf0.01)
+    detr.join(broadcast(seas), col("mo") === col("smo"))
+      .select(col("yr"), col("mo"), dbl(col("rev")).as("revenue"),
+        col("trend"), col("seasonal"),
+        (dbl(col("rev")) - col("trend") - col("seasonal")).as("residual"))
+      .orderBy("yr", "mo")
+  }
+  val q102Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |t AS (SELECT yr AS tyr, CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS trend
+      |      FROM m GROUP BY 1),
+      |d AS (
+      |  SELECT yr, mo, rev, trend, CAST(rev AS DOUBLE) - trend AS dev
+      |  FROM m JOIN t ON yr = tyr),
+      |s AS (SELECT mo AS smo,
+      |        CAST(SUM(CAST(ROUND(dev, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |          / COUNT(*) AS seasonal
+      |      FROM d GROUP BY 1)
+      |SELECT yr, mo, CAST(rev AS DOUBLE) AS revenue,
+      |  trend, seasonal,
+      |  CAST(rev AS DOUBLE) - trend - seasonal AS residual
+      |FROM d JOIN s ON mo = smo ORDER BY yr, mo""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q102_seasonal_decomposition" -> (q102 _),
     "q101_spend_trend_census" -> (q101 _),
     "q100_brand_price_premium" -> (q100 _),
     "q99_active_years" -> (q99 _),
@@ -3463,6 +3517,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q102_seasonal_decomposition" -> q102Sql,
     "q101_spend_trend_census" -> q101Sql,
     "q100_brand_price_premium" -> q100Sql,
     "q99_active_years" -> q99Sql,

@@ -2030,7 +2030,56 @@ object TextAnalysis {
        |    AS js_divergence
        |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- t52
+  /** Trending terms: top-20 words RISING from the first to the second
+    * ingestion half by smoothed log-odds z-score (Monroe et al.'s
+    * informative-prior log-odds — robust where raw ratios blow up on
+    * rare words) — t51 says HOW MUCH the vocabulary moved; this says
+    * WHICH words moved it. Rides t51's per-word half-count frame and
+    * 1-row totals broadcast; the cut is TakeOrderedAndProject top-20
+    * with a pinned tiebreak. */
+  def t52(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("doc_id")).as("max_id"))
+    val wc = docs.select(col("doc_id"), explode(wordsCol).as("w"))
+      .join(broadcast(mx))
+      .withColumn("half", least(expr("doc_id * 2 div (max_id + 1)"), lit(1L)))
+      .groupBy("w")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+           sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = wc.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val a0 = lit(0.5d) // Dirichlet prior pseudo-count
+    val la = log((dbl(col("cb")) + a0) / (dbl(col("nb")) - col("cb") + a0))
+    val lb = log((dbl(col("ca")) + a0) / (dbl(col("na")) - col("ca") + a0))
+    val z = (la - lb) /
+      sqrt(lit(1.0d) / (dbl(col("cb")) + a0) + lit(1.0d) / (dbl(col("ca")) + a0))
+    wc.join(broadcast(tot))
+      .select(col("w"), col("ca").as("n_first"), col("cb").as("n_second"),
+        round(z, 6).as("rise_z"))
+      .orderBy(col("rise_z").desc, col("w"))
+      .limit(20)
+  }
+  val t52Sql: String =
+    s"""WITH x AS (SELECT MAX(doc_id) AS max_id FROM documents),
+       |g AS (
+       |  SELECT LEAST(doc_id * 2 // (max_id + 1), 1) AS half, UNNEST($wordsSql) AS w
+       |  FROM documents CROSS JOIN x),
+       |wc AS (
+       |  SELECT w,
+       |    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+       |  FROM g GROUP BY 1),
+       |tot AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM wc)
+       |SELECT w, ca AS n_first, cb AS n_second,
+       |  ROUND((ln((CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) - cb + 0.5))
+       |       - ln((CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) - ca + 0.5)))
+       |    / sqrt(1.0 / (CAST(cb AS DOUBLE) + 0.5)
+       |         + 1.0 / (CAST(ca AS DOUBLE) + 0.5)), 6) AS rise_z
+       |FROM wc CROSS JOIN tot
+       |ORDER BY rise_z DESC, w LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t52_trending_terms" -> (t52 _),
     "t51_vocab_half_divergence" -> (t51 _),
     "t49_ingestion_quality_drift" -> (t49 _),
     "t48_char_bigram_entropy" -> (t48 _),
@@ -2083,6 +2132,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t52_trending_terms" -> t52Sql,
     "t51_vocab_half_divergence" -> t51Sql,
     "t49_ingestion_quality_drift" -> t49Sql,
     "t48_char_bigram_entropy" -> t48Sql,

@@ -118,7 +118,9 @@ object PlanAudit {
     // feeding the JS terms
     "t51_vocab_half_divergence",
     // e85: 1-row residual-moment broadcast for the 3σ cut (e79's shape)
-    "e85_adaptive_anomaly_days")
+    "e85_adaptive_anomaly_days",
+    // t52: t51's half-split max-id + 1-row totals broadcasts
+    "t52_trending_terms")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

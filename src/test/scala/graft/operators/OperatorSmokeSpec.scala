@@ -136,7 +136,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "d47_dup_pagerank", "e84_volume_ewma", "m22_dedup_roi",
       "e85_adaptive_anomaly_days", "q101_spend_trend_census",
       "t51_vocab_half_divergence",
-      "e86_rolling_value_bands", "s28_dedup_centroid_shift")
+      "e86_rolling_value_bands", "s28_dedup_centroid_shift",
+      "q102_seasonal_decomposition", "t52_trending_terms")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
