@@ -3497,7 +3497,68 @@ object Events {
       |  CAST(SUM(n_purchases) AS DOUBLE) / COUNT(*) AS avg_purchases
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e87
+  /** Session handoff matrix: how a user's session ENDS vs how their
+    * NEXT session BEGINS (exit type → next entry type, with the
+    * inter-session gap) — the cross-session intent signal e12 (within-
+    * stream transitions) and e59 (within-session entry↔exit) both
+    * stop short of. Rides e59's gap-split + min/max(struct) boundary
+    * argmin/argmax; the handoff link is one lag window over the
+    * per-session frame (per-user partitions, ≤\|sessions\| rows);
+    * \|types\|²-bounded output with exact mean gaps. */
+  def e87(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(wr))
+      .groupBy("user_id", "sess_idx")
+      .agg(min(struct(col("ms"), col("event_id"), col("event_type"))).as("f"),
+           max(struct(col("ms"), col("event_id"), col("event_type"))).as("l"))
+    val ws = Window.partitionBy("user_id").orderBy("sess_idx")
+    sess
+      .withColumn("next_entry", lead(col("f.event_type"), 1).over(ws))
+      .withColumn("next_start", lead(col("f.ms"), 1).over(ws))
+      .filter(col("next_entry").isNotNull)
+      .groupBy(col("l.event_type").as("exit_type"),
+        col("next_entry").as("next_entry_type"))
+      .agg(count(lit(1)).as("n_handoffs"),
+           (sum(expr("(next_start - l.ms) div 60000")).cast("double") /
+             count(lit(1))).as("avg_gap_minutes"))
+      .orderBy("exit_type", "next_entry_type")
+  }
+  val e87Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
+       |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f),
+       |r AS (SELECT user_id, sess_idx, event_type, ms,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, sess_idx ORDER BY ms, event_id) AS rf,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, sess_idx ORDER BY ms DESC, event_id DESC) AS rl
+       |  FROM s),
+       |b AS (
+       |  SELECT fe.user_id, fe.sess_idx,
+       |    fe.event_type AS entry_type, fe.ms AS start_ms,
+       |    le.event_type AS exit_type, le.ms AS end_ms
+       |  FROM (SELECT user_id, sess_idx, event_type, ms FROM r WHERE rf = 1) fe
+       |  JOIN (SELECT user_id, sess_idx, event_type, ms FROM r WHERE rl = 1) le
+       |    USING (user_id, sess_idx)),
+       |h AS (
+       |  SELECT exit_type, end_ms,
+       |    LEAD(entry_type) OVER (PARTITION BY user_id ORDER BY sess_idx) AS next_entry_type,
+       |    LEAD(start_ms) OVER (PARTITION BY user_id ORDER BY sess_idx) AS next_start
+       |  FROM b)
+       |SELECT exit_type, next_entry_type, COUNT(*)::BIGINT AS n_handoffs,
+       |  CAST(SUM((next_start - end_ms) // 60000) AS DOUBLE) / COUNT(*) AS avg_gap_minutes
+       |FROM h WHERE next_entry_type IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e87_session_handoff" -> (e87 _),
     "e86_rolling_value_bands" -> (e86 _),
     "e85_adaptive_anomaly_days" -> (e85 _),
     "e84_volume_ewma" -> (e84 _),
@@ -3587,6 +3648,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e87_session_handoff" -> e87Sql,
     "e86_rolling_value_bands" -> e86Sql,
     "e85_adaptive_anomaly_days" -> e85Sql,
     "e84_volume_ewma" -> e84Sql,

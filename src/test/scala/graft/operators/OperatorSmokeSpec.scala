@@ -137,7 +137,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e85_adaptive_anomaly_days", "q101_spend_trend_census",
       "t51_vocab_half_divergence",
       "e86_rolling_value_bands", "s28_dedup_centroid_shift",
-      "q102_seasonal_decomposition", "t52_trending_terms")
+      "q102_seasonal_decomposition", "t52_trending_terms",
+      "e87_session_handoff")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
