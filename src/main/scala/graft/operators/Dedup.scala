@@ -1977,7 +1977,74 @@ object Dedup {
       .orderBy(col("rank").desc, col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- d48
+  /** idf-WEIGHTED Jaccard near-dup pairs (τ ≥ 0.5): shingles shared by
+    * half the corpus (boilerplate headers, licence blocks) carry
+    * almost no weight, so two docs that agree only on boilerplate no
+    * longer pair — the d43-informed refinement of d03's uniform
+    * Jaccard. idf terms are round9-DECIMAL quantized (exact,
+    * order-independent weight sums); the threshold is an exact decimal
+    * cross-multiplied compare, and the plain Jaccard rides along so
+    * the boilerplate discount is visible per pair. Same inverted-index
+    * envelope as d03 (no all-pairs; the df-cap escape hatch d06
+    * documents applies to the same hot-gram postings). */
+  def d48(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val nDocs = sh.agg(count(lit(1)).as("nd"))
+    val wg = posting.groupBy("g").agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs))
+      .select(col("g"),
+        round(log(dbl(col("nd")) / col("df")), 9).cast("decimal(18,9)").as("w"))
+    val wpost = posting.join(wg, "g")
+    val docw = wpost.groupBy("doc_id")
+      .agg(sum(col("w")).as("wt"), count(lit(1)).as("n"))
+    val inter = wpost.as("a").join(wpost.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w")).as("iw"), count(lit(1)).as("inter"))
+    inter
+      .join(docw.select(col("doc_id").as("doc_a"), col("wt").as("wa"),
+        col("n").as("na")), "doc_a")
+      .join(docw.select(col("doc_id").as("doc_b"), col("wt").as("wb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("uw", col("wa") + col("wb") - col("iw"))
+      .filter(col("iw") * 2 >= col("uw"))
+      .select(col("doc_a"), col("doc_b"),
+        round(dbl(col("iw")) / dbl(col("uw")), 6).as("weighted_j"),
+        round(dbl(col("inter")) /
+          dbl(col("na") + col("nb") - col("inter")), 6).as("plain_j"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val d48Sql: String =
+    s"""WITH sh AS ($shingledSql),
+       |posting AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+       |nd AS (SELECT COUNT(*)::BIGINT AS nd FROM sh),
+       |wg AS (
+       |  SELECT g, CAST(ROUND(ln(CAST(nd AS DOUBLE) / COUNT(*)), 9)
+       |    AS DECIMAL(18,9)) AS w
+       |  FROM posting CROSS JOIN nd GROUP BY g, nd),
+       |wp AS (SELECT doc_id, posting.g, w FROM posting JOIN wg USING (g)),
+       |docw AS (SELECT doc_id, SUM(w) AS wt, COUNT(*)::BIGINT AS n
+       |         FROM wp GROUP BY 1),
+       |i AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    SUM(a.w) AS iw, COUNT(*)::BIGINT AS inter
+       |  FROM wp a JOIN wp b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  ROUND(CAST(iw AS DOUBLE) / CAST(wa.wt + wb.wt - iw AS DOUBLE), 6)
+       |    AS weighted_j,
+       |  ROUND(CAST(inter AS DOUBLE) / CAST(wa.n + wb.n - inter AS DOUBLE), 6)
+       |    AS plain_j
+       |FROM i
+       |JOIN docw wa ON doc_a = wa.doc_id
+       |JOIN docw wb ON doc_b = wb.doc_id
+       |WHERE iw * 2 >= wa.wt + wb.wt - iw
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d48_weighted_jaccard" -> (d48 _),
     "d47_dup_pagerank" -> (d47 _),
     "d46_dup_rate_drift" -> (d46 _),
     "d45_dup_locality" -> (d45 _),
@@ -2027,6 +2094,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d48_weighted_jaccard" -> d48Sql,
     "d46_dup_rate_drift" -> d46Sql,
     "d45_dup_locality" -> d45Sql,
     "d44_containment_flow" -> d44Sql,

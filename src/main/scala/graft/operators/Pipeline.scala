@@ -1236,7 +1236,71 @@ object Pipeline {
       |FROM a FULL OUTER JOIN b ON source = source_b
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p27
+  /** Two-phase anneal plan: one 0.9-weighted pass over the whole
+    * corpus, then a final 10%-of-budget phase drawn ONLY from the
+    * high-quality tier — the "midtraining anneal" schedule, as a
+    * deterministic plan artifact (p10 plans language repeats, p13
+    * epochs; this plans the quality-upweighted endgame). Tiers are
+    * fixed decimal thresholds on t02's quantized score (no ranking);
+    * planned tokens are integer `div` arithmetic; repeat factors are
+    * ONE division per ≤4-row output. */
+  def p27(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    val tiers = TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .select(when(col("quality") < 0.5d, "t1_low")
+        .when(col("quality") < 0.7d, "t2_mid")
+        .otherwise("t3_high").as("tier"), col("n_tok"))
+      .groupBy("tier").agg(sum(col("n_tok")).as("avail_tokens"))
+    val tot = tiers.agg(sum(col("avail_tokens")).as("total"))
+    val main = tiers.join(broadcast(tot))
+      .select(lit("a_main").as("phase"), col("tier"), col("avail_tokens"),
+        expr("avail_tokens * 9 div 10").as("planned_tokens"))
+    val anneal = tiers.filter(col("tier") === "t3_high")
+      .join(broadcast(tot))
+      .select(lit("b_anneal").as("phase"), col("tier"), col("avail_tokens"),
+        expr("total div 10").as("planned_tokens"))
+    main.unionByName(anneal)
+      .select(col("phase"), col("tier"), col("avail_tokens"),
+        col("planned_tokens"),
+        round(dbl(col("planned_tokens")) / col("avail_tokens"), 6)
+          .as("repeat_factor"))
+      .orderBy("phase", "tier")
+  }
+  val p27Sql: String = {
+    val m = """SELECT tier, SUM(n_tok)::BIGINT AS avail_tokens
+              |  FROM q GROUP BY 1""".stripMargin
+    s"""WITH b AS (
+       |  SELECT CAST(len(${TextAnalysis.wordsSql}) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(${TextAnalysis.wordsSql},
+       |      x -> x IN ${TextAnalysis.stopSqlIn})) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))
+       |      AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM documents WHERE len(${TextAnalysis.wordsSql}) >= 1),
+       |q AS (
+       |  SELECT n_tok,
+       |    CASE WHEN ${TextAnalysis.qualitySqlExpr} < 0.5 THEN 't1_low'
+       |         WHEN ${TextAnalysis.qualitySqlExpr} < 0.7 THEN 't2_mid'
+       |         ELSE 't3_high' END AS tier
+       |  FROM b),
+       |t AS ($m),
+       |tot AS (SELECT SUM(avail_tokens)::BIGINT AS total FROM t),
+       |plan AS (
+       |  SELECT 'a_main' AS phase, tier, avail_tokens,
+       |    avail_tokens * 9 // 10 AS planned_tokens
+       |  FROM t
+       |  UNION ALL
+       |  SELECT 'b_anneal', tier, avail_tokens, total // 10
+       |  FROM t CROSS JOIN tot WHERE tier = 't3_high')
+       |SELECT phase, tier, avail_tokens, planned_tokens,
+       |  ROUND(CAST(planned_tokens AS DOUBLE) / avail_tokens, 6)
+       |    AS repeat_factor
+       |FROM plan ORDER BY phase, tier""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p27_anneal_plan" -> (p27 _),
     "p26_snapshot_diff" -> (p26 _),
     "p25_shard_balance" -> (p25 _),
     "p24_dataset_card" -> (p24 _),
@@ -1265,6 +1329,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p27_anneal_plan" -> p27Sql,
     "p26_snapshot_diff" -> p26Sql,
     "p25_shard_balance" -> p25Sql,
     "p24_dataset_card" -> p24Sql,

@@ -120,7 +120,11 @@ object PlanAudit {
     // e85: 1-row residual-moment broadcast for the 3σ cut (e79's shape)
     "e85_adaptive_anomaly_days",
     // t52: t51's half-split max-id + 1-row totals broadcasts
-    "t52_trending_terms")
+    "t52_trending_terms",
+    // d48: 1-row corpus-count broadcast inside the idf term (t09's shape)
+    "d48_weighted_jaccard",
+    // p27: 1-row token-total broadcast sizing the anneal phase
+    "p27_anneal_plan")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
