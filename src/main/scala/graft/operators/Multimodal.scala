@@ -927,7 +927,40 @@ object Multimodal {
        |        / CAST(SUM(nb) AS DOUBLE), 6) AS reclaim_share
        |FROM d JOIN k USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- m23
+  /** Router-sensitivity audit: route each payload twice — intact, and
+    * with its first 8 header bytes dropped — and cross-tabulate. A
+    * modality that flips under truncation is identified ONLY by magic
+    * bytes (one corrupt chunk boundary misroutes it); one that holds
+    * is content-identified. This is the robustness sheet for m06's
+    * router that decides whether ingestion needs header checksums.
+    * Pure Column arithmetic twice over one scan; \|modalities\|²-
+    * bounded. */
+  def m23(spark: SparkSession, dir: String): DataFrame = {
+    val t2 = expr("substring(text, 9)")
+    Tables.documents(spark, dir)
+      .select(
+        routeModality(col("text").cast("binary"), col("text")).as("modality_full"),
+        routeModality(t2.cast("binary"), t2).as("modality_truncated"))
+      .groupBy("modality_full", "modality_truncated")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("modality_full", "modality_truncated")
+  }
+  val m23Sql: String = {
+    val caseTrunc = modalitySqlCase
+      .replace("CAST(text AS BLOB)", "CAST(substr(text, 9) AS BLOB)")
+      .replace("regexp_replace(text,", "regexp_replace(substr(text, 9),")
+      .replace("LENGTH(text)", "LENGTH(substr(text, 9))")
+    s"""WITH r AS (
+       |  SELECT $modalitySqlCase AS modality_full,
+       |    $caseTrunc AS modality_truncated
+       |  FROM documents)
+       |SELECT modality_full, modality_truncated, COUNT(*)::BIGINT AS n_docs
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "m23_router_sensitivity" -> (m23 _),
     "m22_dedup_roi" -> (m22 _),
     "m21_modality_mix_drift" -> (m21 _),
     "m20_entropy_outliers" -> (m20 _),
@@ -953,6 +986,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m23_router_sensitivity" -> m23Sql,
     "m22_dedup_roi" -> m22Sql,
     "m21_modality_mix_drift" -> m21Sql,
     "m20_entropy_outliers" -> m20Sql,

@@ -138,7 +138,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "t51_vocab_half_divergence",
       "e86_rolling_value_bands", "s28_dedup_centroid_shift",
       "q102_seasonal_decomposition", "t52_trending_terms",
-      "e87_session_handoff", "d48_weighted_jaccard", "p27_anneal_plan")
+      "e87_session_handoff", "d48_weighted_jaccard", "p27_anneal_plan",
+      "m23_router_sensitivity")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
