@@ -3557,7 +3557,64 @@ object Events {
        |FROM h WHERE next_entry_type IS NOT NULL
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- e88
+  /** Alert-threshold calibration sweep: how many (type, hour) cells
+    * would alarm at 2σ vs 3σ vs 4σ — the pager-budget table an SRE
+    * reads before picking e13's threshold (e13 hardcodes 3σ; this
+    * shows the cost of each choice). Rides e13's exact integer moment
+    * frame; each type's σ-thresholds are IEEE values from exact
+    * operands (e79's recipe) broadcast back; the sweep explodes ×3 on
+    * the \|types\|×\|hours\|-bounded cell frame, never on raw events. */
+  def e88(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .withColumn("hour_ms", col("ms") - col("ms") % 3600000L)
+      .groupBy("event_type", "hour_ms")
+      .agg(count(lit(1)).as("cnt"))
+    val st = h.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+           sum(col("cnt") * col("cnt")).as("q"))
+      .filter(col("n") >= 2)
+      .select(col("event_type"),
+        (dbl(col("s")) / col("n")).as("mean"),
+        sqrt(dbl(col("n") * col("q") - col("s") * col("s")) /
+          dbl(col("n") * (col("n") - 1))).as("sd"))
+    h.join(broadcast(st), "event_type")
+      .select(col("cnt"), col("mean"), col("sd"),
+        explode(array(lit(2), lit(3), lit(4))).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_cells"),
+           sum(when(dbl(col("cnt")) > col("mean") + col("k") * col("sd"), 1L)
+             .otherwise(0L)).as("n_alerts"))
+      .select(col("k"), col("n_cells"), col("n_alerts"),
+        round(dbl(col("n_alerts")) / col("n_cells"), 6).as("alert_rate"))
+      .orderBy("k")
+  }
+  val e88Sql: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hour_ms,
+      |    COUNT(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, COUNT(*)::BIGINT AS n, SUM(cnt)::BIGINT AS s,
+      |    SUM(cnt*cnt)::BIGINT AS q
+      |  FROM h GROUP BY 1 HAVING COUNT(*) >= 2),
+      |t AS (
+      |  SELECT event_type, CAST(s AS DOUBLE) / n AS mean,
+      |    sqrt(CAST(n*q - s*s AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) AS sd
+      |  FROM st),
+      |j AS (
+      |  SELECT cnt, mean, sd, k
+      |  FROM h JOIN t USING (event_type)
+      |  CROSS JOIN (VALUES (2), (3), (4)) ks(k))
+      |SELECT k, COUNT(*)::BIGINT AS n_cells,
+      |  SUM(CASE WHEN CAST(cnt AS DOUBLE) > mean + k * sd
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_alerts,
+      |  ROUND(CAST(SUM(CASE WHEN CAST(cnt AS DOUBLE) > mean + k * sd
+      |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS alert_rate
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e88_alert_threshold_sweep" -> (e88 _),
     "e87_session_handoff" -> (e87 _),
     "e86_rolling_value_bands" -> (e86 _),
     "e85_adaptive_anomaly_days" -> (e85 _),
@@ -3648,6 +3705,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e88_alert_threshold_sweep" -> e88Sql,
     "e87_session_handoff" -> e87Sql,
     "e86_rolling_value_bands" -> e86Sql,
     "e85_adaptive_anomaly_days" -> e85Sql,

@@ -1307,7 +1307,29 @@ object Similarity {
       |  ROUND(abs(m_kept - m_full), 6) AS shift
       |FROM a JOIN b ON a.pos = b.pos ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------- s29
+  /** SQ8 recall audit: recall@5 of the int8-quantized index (s06)
+    * against the exact float top-5 — s09 grades LSH and IVF but not
+    * the quantized path, and s13's kernel-error histogram bounds the
+    * COSINE error, not its effect on RANKINGS (the number consumers
+    * feel). s09's hit-join recipe; rows-only (SQ8 codes are not
+    * SQL-expressible) with the smoke spec asserting recall in a high
+    * floor — the documented <0.01 cosine envelope should barely
+    * reorder neighbors. */
+  def s29(spark: SparkSession, dir: String): DataFrame = {
+    val truth = s01(spark, dir).select(col("q_id"), col("n_id")).localCheckpoint()
+    val hits = truth.join(s06(spark, dir).select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"))
+      .select(count(lit(1)).as("n_hits"))
+    truth.select(countDistinct(col("q_id")).as("n_queries"))
+      .crossJoin(hits)
+      .select(lit("sq8").as("method"), lit(5L).as("k"), col("n_queries"),
+        round(col("n_hits").cast("double") / (col("n_queries") * 5), 6)
+          .as("recall_at_5"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s29_sq8_recall" -> (s29 _),
     "s28_dedup_centroid_shift" -> (s28 _),
     "s27_mutual_knn" -> (s27 _),
     "s26_embedding_drift" -> (s26 _),

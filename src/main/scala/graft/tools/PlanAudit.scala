@@ -124,7 +124,10 @@ object PlanAudit {
     // d48: 1-row corpus-count broadcast inside the idf term (t09's shape)
     "d48_weighted_jaccard",
     // p27: 1-row token-total broadcast sizing the anneal phase
-    "p27_anneal_plan")
+    "p27_anneal_plan",
+    // s29: s06's allow-listed SQ8 candidate scan + s09's 1-row×1-row
+    // recall crossJoin appear under this name
+    "s29_sq8_recall")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -139,7 +139,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e86_rolling_value_bands", "s28_dedup_centroid_shift",
       "q102_seasonal_decomposition", "t52_trending_terms",
       "e87_session_handoff", "d48_weighted_jaccard", "p27_anneal_plan",
-      "m23_router_sensitivity")
+      "m23_router_sensitivity", "e88_alert_threshold_sweep",
+      "s29_sq8_recall")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -151,7 +152,16 @@ class OperatorSmokeSpec extends SparkSpec {
         "q21_approx_stats", "d17_containment_capped", "p05_multimodal_curation",
         "e24_rolling_active_sketch", "s09_ann_recall", "s10_ivf_cell_stats",
         "s13_sq8_error_hist", "s14_recall_curve", "d29_lsh_candidate_report",
-        "d39_lsh_bucket_histogram", "d47_dup_pagerank"))
+        "d39_lsh_bucket_histogram", "d47_dup_pagerank", "s29_sq8_recall"))
+  }
+
+  test("s29 SQ8 recall: one row, recall@5 within (0.9, 1.0]") {
+    val r = SparkEntry.queries("s29_sq8_recall")(spark, sf).head()
+    val recall = r.getAs[Double]("recall_at_5")
+    // the documented SQ8 cosine-error envelope (<0.01, s13) should
+    // barely reorder neighbors — a recall below 0.9 means the
+    // quantizer regressed, not just noise
+    assert(recall > 0.9 && recall <= 1.0, s"sq8 recall@5 = $recall")
   }
 
   test("d47 dup PageRank: mass invariant, bounds, degree join total") {
