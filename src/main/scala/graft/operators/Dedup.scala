@@ -2043,7 +2043,38 @@ object Dedup {
        |WHERE iw * 2 >= wa.wt + wb.wt - iw
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- d49
+  /** Weighting-effect census: one row comparing the d03 (uniform) and
+    * d48 (idf-weighted) pair sets at the same τ=0.5 — how many pairs
+    * the weighting adds (content-similar docs diluted by unique
+    * boilerplate) and removes (boilerplate-only agreement). THE
+    * decision artifact for switching the production pair generator.
+    * Full-outer join of two pair frames on the ordered key; 1-row
+    * output. */
+  def d49(spark: SparkSession, dir: String): DataFrame = {
+    val p = d03(spark, dir).select(col("doc_a"), col("doc_b"), lit(1).as("pl"))
+    val w = d48(spark, dir).select(col("doc_a").as("wa"), col("doc_b").as("wb"),
+      lit(1).as("wt"))
+    p.join(w, col("doc_a") === col("wa") && col("doc_b") === col("wb"),
+        "full_outer")
+      .agg(sum(when(col("pl").isNotNull && col("wt").isNotNull, 1L)
+             .otherwise(0L)).as("n_both"),
+           sum(when(col("pl").isNotNull && col("wt").isNull, 1L)
+             .otherwise(0L)).as("n_plain_only"),
+           sum(when(col("pl").isNull && col("wt").isNotNull, 1L)
+             .otherwise(0L)).as("n_weighted_only"))
+  }
+  val d49Sql: String =
+    s"""WITH plainp AS (SELECT doc_a, doc_b FROM (${jaccardPairsSql(1, 2)})),
+       |wp AS (SELECT doc_a AS wa, doc_b AS wb FROM ($d48Sql))
+       |SELECT
+       |  SUM(CASE WHEN doc_a IS NOT NULL AND wa IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_both,
+       |  SUM(CASE WHEN doc_a IS NOT NULL AND wa IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_plain_only,
+       |  SUM(CASE WHEN doc_a IS NULL AND wa IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_weighted_only
+       |FROM plainp FULL OUTER JOIN wp ON doc_a = wa AND doc_b = wb""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d49_weighting_effect" -> (d49 _),
     "d48_weighted_jaccard" -> (d48 _),
     "d47_dup_pagerank" -> (d47 _),
     "d46_dup_rate_drift" -> (d46 _),
@@ -2094,6 +2125,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d49_weighting_effect" -> d49Sql,
     "d48_weighted_jaccard" -> d48Sql,
     "d46_dup_rate_drift" -> d46Sql,
     "d45_dup_locality" -> d45Sql,

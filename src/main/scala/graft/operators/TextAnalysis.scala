@@ -2078,7 +2078,43 @@ object TextAnalysis {
        |FROM wc CROSS JOIN tot
        |ORDER BY rise_z DESC, w LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- t53
+  /** Language-ID reliability by document length: per length band, the
+    * share of docs whose t03 prediction matches the label — the
+    * calibration that sets the MINIMUM doc length at which marker
+    * routing can be trusted (t03's confusion matrix says WHERE errors
+    * go; this says WHEN they happen). One scan, integer band edges,
+    * exact counts, ONE division per ≤4-row output. */
+  def t53(spark: SparkSession, dir: String): DataFrame =
+    addPredicted(Tables.documents(spark, dir))
+      .groupBy(when(col("n_chars") < 100, "a<100")
+        .when(col("n_chars") < 300, "b<300")
+        .when(col("n_chars") < 600, "c<600")
+        .otherwise("d>=600").as("length_band"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("predicted") === col("lang"), 1L).otherwise(0L))
+             .as("n_correct"))
+      .select(col("length_band"), col("n_docs"), col("n_correct"),
+        round(dbl(col("n_correct")) / col("n_docs"), 6).as("accuracy"))
+      .orderBy("length_band")
+  val t53Sql: String =
+    s"""WITH s AS (
+       |  SELECT lang, n_chars,
+       |    $predictedSqlScores
+       |  FROM documents),
+       |p AS (SELECT lang, n_chars, $predictedSqlCase AS predicted FROM s)
+       |SELECT CASE WHEN n_chars < 100 THEN 'a<100'
+       |            WHEN n_chars < 300 THEN 'b<300'
+       |            WHEN n_chars < 600 THEN 'c<600'
+       |            ELSE 'd>=600' END AS length_band,
+       |  COUNT(*)::BIGINT AS n_docs,
+       |  SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       |  ROUND(CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*), 6) AS accuracy
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t53_langid_by_length" -> (t53 _),
     "t52_trending_terms" -> (t52 _),
     "t51_vocab_half_divergence" -> (t51 _),
     "t49_ingestion_quality_drift" -> (t49 _),
@@ -2132,6 +2168,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t53_langid_by_length" -> t53Sql,
     "t52_trending_terms" -> t52Sql,
     "t51_vocab_half_divergence" -> t51Sql,
     "t49_ingestion_quality_drift" -> t49Sql,

@@ -127,7 +127,9 @@ object PlanAudit {
     "p27_anneal_plan",
     // s29: s06's allow-listed SQ8 candidate scan + s09's 1-row×1-row
     // recall crossJoin appear under this name
-    "s29_sq8_recall")
+    "s29_sq8_recall",
+    // d49: d48's 1-row corpus-count idf broadcast appears inline
+    "d49_weighting_effect")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
