@@ -17,6 +17,10 @@ class GraftSpec extends SparkSpec {
     assert(cos >= -1.0 && cos <= 1.0)
   }
 
+  test("the driver's entry smoke contract returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("run dispatches named operators and rejects unknown names") {
     assert(Graft.run(spark, sf, "q06_forecast_revenue").count() == 1L)
     val e = intercept[IllegalArgumentException](Graft.run(spark, sf, "nope"))
