@@ -62,14 +62,24 @@ object Bench {
   }
 
   def fullLine(results: Seq[(String, Double)], sfDir: String,
-               failed: Seq[String] = Nil): String = {
+               failed: Seq[String] = Nil,
+               runs: Map[String, Seq[Double]] = Map.empty): String = {
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // every raw run per query, not just the best: round 4 burned a full
+    // round on box-contention artifacts that a second sample would have
+    // exposed — a reader can now tell "slow query" from "noisy run"
+    val runsJson =
+      if (runs.isEmpty) ""
+      else ",\"n_runs\":" + runs.valuesIterator.map(_.size).max +
+        ",\"runs\":" + results.map { case (k, _) =>
+          "\"" + k + "\":" + runs.getOrElse(k, Nil).map(f3).mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
     "{\"metric\":\"total\",\"value\":" + f3(total) +
       ",\"unit\":\"sec\",\"queries\":" + qs +
-      ",\"failed\":" + failedJson + ",\"sf\":\"" + sfDir + "\"}"
+      ",\"failed\":" + failedJson + runsJson + ",\"sf\":\"" + sfDir + "\"}"
   }
 
   private def f3(d: Double): String =
@@ -82,7 +92,7 @@ object Bench {
     * crash for a fast query. */
   def run(spark: SparkSession, sfDir: String,
           queries: Seq[(String, (SparkSession, String) => DataFrame)])
-      : (Seq[(String, Double)], Seq[String]) = {
+      : (Seq[(String, Double)], Seq[String], Map[String, Seq[Double]]) = {
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -91,12 +101,14 @@ object Bench {
       finally spark.catalog.clearCache() // no cross-query cache leakage
       (System.nanoTime() - t0) / 1e9
     }
-    val results = queries.map { case (name, fn) =>
-      // best-of-2 per query: reports warm steady-state and damps the
-      // machine's run-to-run contention noise
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+    // best-of-2 per query: reports warm steady-state and damps the
+    // machine's run-to-run contention noise; BOTH samples are kept for
+    // bench_full.json so noise is auditable after the fact
+    val runs = queries.map { case (name, fn) =>
+      name -> Seq(timeOnce(name, fn), timeOnce(name, fn))
     }
-    (results, failed.toSeq.sorted)
+    val results = runs.map { case (name, rs) => name -> rs.min }
+    (results, failed.toSeq.sorted, runs.toMap)
   }
 
   def main(args: Array[String]): Unit = {
@@ -108,9 +120,10 @@ object Bench {
     // ~5s of JIT + first-stage overhead).
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    val (results, failed) = run(spark, sfDir, SparkEntry.queries.toSeq)
+    val (results, failed, runs) = run(spark, sfDir, SparkEntry.queries.toSeq)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), fullLine(results, sfDir, failed))
+      java.nio.file.Paths.get("bench_full.json"),
+      fullLine(results, sfDir, failed, runs))
     catch { case _: Throwable => () } // detail file is best-effort
     println(compactLine(results, sfDir, failed))
     spark.stop()

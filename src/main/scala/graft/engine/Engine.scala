@@ -76,6 +76,16 @@ object Engine {
       // wide aggregations (minhash: 128 min() columns) must stay inside
       // whole-stage codegen; the 100-field default silently drops them out
       .config("spark.sql.codegen.maxFields", "256")
+      // stateful streaming (sessionizer, funnel, reactivation, quota)
+      // keeps its per-key state in RocksDB, not on the executor heap:
+      // at 100x users the default HDFS-backed in-memory store, not the
+      // stage logic, is the ceiling — RocksDB moves it to local disk
+      // with incremental checkpointing (parity suites run under this
+      // same provider, so behavior is pinned, not assumed)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -168,34 +168,10 @@ object Dedup {
     * evidence once, fan the reports out). d03 itself stays direct: it IS
     * the benchmarked pair pipeline. The memo holds one persisted frame
     * per dataset path; on a cluster the persist level spills to disk. */
-  private val pairMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  /** Memo lookup that stays correct in long-lived processes: entries
-    * whose SparkSession has stopped are evicted (no pinned sessions /
-    * persisted frames leaking across jobs), and a hit whose persistence
-    * was dropped by `spark.catalog.clearCache()` (Bench runs it between
-    * queries) rebuilds instead of silently handing back an unpersisted
-    * frame that every consumer would then recompute from scratch. */
-  private def memoized(memo: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
-                       spark: SparkSession, dir: String, requirePersisted: Boolean)
-                      (build: => DataFrame): DataFrame = {
-    memo.keysIterator.foreach { k =>
-      if (k._1.sparkContext.isStopped) memo.remove(k)
-    }
-    val key = (spark, dir)
-    memo.get(key) match {
-      case Some(df) if !requirePersisted ||
-          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE => df
-      case _ =>
-        val df = build
-        memo.put(key, df)
-        df
-    }
-  }
+  private val pairMemo = Memo.table()
 
   private[operators] def sharedPairs(spark: SparkSession, dir: String): DataFrame =
-    memoized(pairMemo, spark, dir, requirePersisted = true)(
+    Memo.memoized(pairMemo, spark, dir, requirePersisted = true)(
       jaccardPairs(shingled(spark, dir).cache(), 1, 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -501,13 +477,12 @@ object Dedup {
     * the cluster-size histogram (d28). The CC loop's final generation is
     * already localCheckpoint-materialized, so the memo reuses those
     * blocks rather than re-running the iterative joins. */
-  private val ccMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val ccMemo = Memo.table()
   // requirePersisted=false: the CC result is localCheckpoint-backed
   // (RDD blocks, not CacheManager entries), so clearCache() doesn't
   // invalidate it — only session stop evicts.
   private def sharedClusters(spark: SparkSession, dir: String): DataFrame =
-    memoized(ccMemo, spark, dir, requirePersisted = false)(
+    Memo.memoized(ccMemo, spark, dir, requirePersisted = false)(
       connectedComponents(sharedPairs(spark, dir).select("doc_a", "doc_b")))
 
   /** Min-label propagation to fixpoint over an undirected (doc_a, doc_b)
@@ -1972,9 +1947,45 @@ object Dedup {
       rank.unpersist()
       rank = next
     }
-    rank.join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
+    val scored = rank
+      .join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
       .select(col("doc_id"), col("deg").as("degree"), round(col("r"), 6).as("rank"))
-      .orderBy(col("rank").desc, col("doc_id"))
+      .localCheckpoint() // cut the lineage so edges/deg can be released now
+    edges.unpersist()
+    deg.unpersist()
+    scored.orderBy(col("rank").desc, col("doc_id"))
+  }
+  /** d47's oracle: the 5 fixed iterations unrolled as 5 chained CTEs.
+    * Bit-deterministic across engines because every per-edge
+    * contribution is quantized to DECIMAL(18,9) before the sum (exact,
+    * order-independent) — the same round9 recipe the Spark side uses. */
+  val d47Sql: String = {
+    val pairSql = jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    val iters = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT n.doc_id,
+         |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+         |      COALESCE(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS r
+         |  FROM (SELECT doc_id FROM r${k - 1}) n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS doc_id,
+         |      SUM(CAST(ROUND(p.r / g.deg, 9) AS DECIMAL(18,9))) AS s
+         |    FROM edges e
+         |    JOIN deg g ON e.src = g.src
+         |    JOIN r${k - 1} p ON e.src = p.doc_id
+         |    GROUP BY 1) c ON n.doc_id = c.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($pairSql)),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT src AS doc_id, CAST(1.0 AS DOUBLE) AS r FROM deg),
+       |$iters
+       |SELECT r5.doc_id, g.deg AS degree, ROUND(r5.r, 6) AS "rank"
+       |FROM r5 JOIN deg g ON r5.doc_id = g.src
+       |ORDER BY "rank" DESC, doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- d48
@@ -1985,21 +1996,44 @@ object Dedup {
     * Jaccard. idf terms are round9-DECIMAL quantized (exact,
     * order-independent weight sums); the threshold is an exact decimal
     * cross-multiplied compare, and the plain Jaccard rides along so
-    * the boilerplate discount is visible per pair. Same inverted-index
-    * envelope as d03 (no all-pairs; the df-cap escape hatch d06
-    * documents applies to the same hot-gram postings). */
-  def d48(spark: SparkSession, dir: String): DataFrame = {
+    * the boilerplate discount is visible per pair.
+    *
+    * Scale posture (the production pair generator): the pair self-join
+    * runs on df-CAPPED postings (df <= 50, d06's recipe) while the doc
+    * weight totals (wt, n) stay on the FULL postings. A hot gram in k
+    * docs would cost O(k^2) join rows — a licence-block shingle in 1e7
+    * docs is 1e14 rows — so it never reaches the join; dropping it can
+    * only LOWER the measured intersection weight while the union weight
+    * is unchanged, so the capped pair set is provably a subset of the
+    * uncapped one and the reported weighted_j a lower bound (never an
+    * inflated match — D48CapSpec pins both bounds against the uncapped
+    * form). The bound is tight in practice: a gram hot enough to be
+    * capped carries near-zero idf weight. */
+  def d48(spark: SparkSession, dir: String): DataFrame =
+    d48Pairs(spark, dir, maxDf = Some(D48MaxDf))
+
+  /** Hot grams (df above this) are excluded from d48's pair join; their
+    * idf weight still counts toward every doc's union weight. */
+  val D48MaxDf: Long = 50L
+
+  /** d48's pair kernel with the df-cap exposed (None = exact/uncapped —
+    * the baseline D48CapSpec bounds the capped path against). */
+  private[operators] def d48Pairs(spark: SparkSession, dir: String,
+                                  maxDf: Option[Long]): DataFrame = {
     val sh = shingled(spark, dir).cache()
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val nDocs = sh.agg(count(lit(1)).as("nd"))
     val wg = posting.groupBy("g").agg(count(lit(1)).as("df"))
       .join(broadcast(nDocs))
-      .select(col("g"),
+      .select(col("g"), col("df"),
         round(log(dbl(col("nd")) / col("df")), 9).cast("decimal(18,9)").as("w"))
     val wpost = posting.join(wg, "g")
+    // doc totals over the FULL posting list: capping must not shrink the
+    // union weight, or a dropped non-shared hot gram could promote a pair
     val docw = wpost.groupBy("doc_id")
       .agg(sum(col("w")).as("wt"), count(lit(1)).as("n"))
-    val inter = wpost.as("a").join(wpost.as("b"),
+    val joinSide = maxDf.fold(wpost)(cap => wpost.filter(col("df") <= cap))
+    val inter = joinSide.as("a").join(joinSide.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(sum(col("a.w")).as("iw"), count(lit(1)).as("inter"))
@@ -2009,7 +2043,10 @@ object Dedup {
       .join(docw.select(col("doc_id").as("doc_b"), col("wt").as("wb"),
         col("n").as("nb")), "doc_b")
       .withColumn("uw", col("wa") + col("wb") - col("iw"))
-      .filter(col("iw") * 2 >= col("uw"))
+      // uw = 0 only when every gram of both docs is corpus-ubiquitous
+      // (idf exactly 0): weighted_j would be 0/0 — NaN in Spark, an
+      // engine-parity trap vs the oracle. Zero evidence is no pair.
+      .filter(col("iw") * 2 >= col("uw") && col("uw") > 0)
       .select(col("doc_a"), col("doc_b"),
         round(dbl(col("iw")) / dbl(col("uw")), 6).as("weighted_j"),
         round(dbl(col("inter")) /
@@ -2021,16 +2058,18 @@ object Dedup {
        |posting AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
        |nd AS (SELECT COUNT(*)::BIGINT AS nd FROM sh),
        |wg AS (
-       |  SELECT g, CAST(ROUND(ln(CAST(nd AS DOUBLE) / COUNT(*)), 9)
+       |  SELECT g, COUNT(*)::BIGINT AS df,
+       |    CAST(ROUND(ln(CAST(nd AS DOUBLE) / COUNT(*)), 9)
        |    AS DECIMAL(18,9)) AS w
        |  FROM posting CROSS JOIN nd GROUP BY g, nd),
-       |wp AS (SELECT doc_id, posting.g, w FROM posting JOIN wg USING (g)),
+       |wp AS (SELECT doc_id, posting.g, w, df FROM posting JOIN wg USING (g)),
        |docw AS (SELECT doc_id, SUM(w) AS wt, COUNT(*)::BIGINT AS n
        |         FROM wp GROUP BY 1),
        |i AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    SUM(a.w) AS iw, COUNT(*)::BIGINT AS inter
        |  FROM wp a JOIN wp b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  WHERE a.df <= $D48MaxDf
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |  ROUND(CAST(iw AS DOUBLE) / CAST(wa.wt + wb.wt - iw AS DOUBLE), 6)
@@ -2041,6 +2080,7 @@ object Dedup {
        |JOIN docw wa ON doc_a = wa.doc_id
        |JOIN docw wb ON doc_b = wb.doc_id
        |WHERE iw * 2 >= wa.wt + wb.wt - iw
+       |  AND wa.wt + wb.wt - iw > 0
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- d49
@@ -2127,6 +2167,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "d49_weighting_effect" -> d49Sql,
     "d48_weighted_jaccard" -> d48Sql,
+    "d47_dup_pagerank" -> d47Sql,
     "d46_dup_rate_drift" -> d46Sql,
     "d45_dup_locality" -> d45Sql,
     "d44_containment_flow" -> d44Sql,

@@ -164,8 +164,9 @@ object Pipeline {
     * count and the score cutoff per language. */
   def p03(spark: SparkSession, dir: String): DataFrame = {
     val budget = 2000L
-    // cache: feeds the budget aggregation AND the keep join (as in t14)
-    val scored = TextAnalysis.t11(spark, dir).cache() // doc_id, lang, n_tok, avg_logp
+    // the memoized LM-scored frame: feeds the budget aggregation AND the
+    // keep join, and is shared with t11/t14 across queries
+    val scored = TextAnalysis.scoredDocs(spark, dir) // doc_id, lang, n_tok, avg_logp
     val grp = scored.groupBy("lang", "avg_logp").agg(sum(col("n_tok")).as("tok"))
     val cum = grp.withColumn("cum",
       sum(col("tok")).over(Window.partitionBy("lang").orderBy(col("avg_logp").desc)))

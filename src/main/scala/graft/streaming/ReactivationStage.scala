@@ -12,6 +12,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * users) regardless of event volume, and strictly smaller state than
   * the sessionizer's. ReactivationParitySpec holds the replayed stream
   * to e78's per-user reactivation frame exactly.
+  *
+  * Out-of-order arrivals: the stored last-seen time is MONOTONE — an
+  * event at or before it is late, contributes no alert, and never
+  * regresses the state (a late old event must not make the next
+  * on-time event look like a reactivation). Within a batch events are
+  * processed in event-time order, so intra-batch disorder is repaired
+  * exactly; cross-batch late data is dropped from the dormancy clock.
   */
 object ReactivationStage {
   final case class Ev(userId: Long, tsMs: Long)
@@ -33,11 +40,13 @@ object ReactivationStage {
           var last = state.getOption
           sorted.foreach { ts =>
             last match {
-              case Some(prev) if ts - prev > dormMs =>
-                alerts += Reactivation(userId, prev, ts, ts - prev)
-              case _ => ()
+              case Some(prev) if ts <= prev => () // late: never regress state
+              case Some(prev) =>
+                if (ts - prev > dormMs)
+                  alerts += Reactivation(userId, prev, ts, ts - prev)
+                last = Some(ts)
+              case None => last = Some(ts)
             }
-            last = Some(ts)
           }
           last.foreach(state.update)
           alerts.result().iterator

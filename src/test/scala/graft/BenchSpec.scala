@@ -77,10 +77,18 @@ class BenchSpec extends SparkSpec {
       (s, _) => s.range(10).toDF("id")
     val boom: (SparkSession, String) => DataFrame =
       (s, _) => s.range(10).toDF("id").selectExpr("no_such_column + 1")
-    val (results, failed) = Bench.run(spark, sf, Seq("good" -> ok, "bad" -> boom))
+    val (results, failed, runs) = Bench.run(spark, sf, Seq("good" -> ok, "bad" -> boom))
     assert(failed == Seq("bad"))
     assert(results.map(_._1) == Seq("good", "bad"))
-    val full = mapper.readTree(Bench.fullLine(results, sf, failed))
+    // every query carries both raw samples and the reported value is
+    // their min — the noise-auditing contract bench_full.json ships
+    assert(runs.keySet == Set("good", "bad"))
+    runs.foreach { case (n, rs) =>
+      assert(rs.size == 2 && results.toMap.apply(n) == rs.min)
+    }
+    val full = mapper.readTree(Bench.fullLine(results, sf, failed, runs))
     assert(full.get("failed").get(0).asText() == "bad")
+    assert(full.get("n_runs").asInt() == 2)
+    assert(full.get("runs").get("good").size() == 2)
   }
 }

@@ -25,8 +25,12 @@ class GraftSpec extends SparkSpec {
     assert(Graft.run(spark, sf, "q06_forecast_revenue").count() == 1L)
     val e = intercept[IllegalArgumentException](Graft.run(spark, sf, "nope"))
     assert(e.getMessage.contains("unknown operator"))
-    // the exact key set is pinned by OperatorSmokeSpec; here only the
-    // dispatch behavior matters
-    assert(Graft.operators.nonEmpty && Graft.operators == Graft.operators.sorted)
+    // the exact key set is pinned by OperatorSmokeSpec; here the dispatch
+    // table itself must be total: every advertised name resolves in the
+    // registry (no name drifts between the facade and SparkEntry)
+    assert(Graft.operators.nonEmpty)
+    Graft.operators.foreach(n => assert(SparkEntry.queries.contains(n), n))
+    // and one name from a different operator family round-trips too
+    assert(Graft.run(spark, sf, "d01_exact_dedup").count() > 0L)
   }
 }

@@ -152,7 +152,7 @@ class OperatorSmokeSpec extends SparkSpec {
         "q21_approx_stats", "d17_containment_capped", "p05_multimodal_curation",
         "e24_rolling_active_sketch", "s09_ann_recall", "s10_ivf_cell_stats",
         "s13_sq8_error_hist", "s14_recall_curve", "d29_lsh_candidate_report",
-        "d39_lsh_bucket_histogram", "d47_dup_pagerank", "s29_sq8_recall"))
+        "d39_lsh_bucket_histogram", "s29_sq8_recall"))
   }
 
   test("s29 SQ8 recall: one row, recall@5 within (0.9, 1.0]") {
@@ -380,6 +380,30 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(r.getAs[Double]("containment") <= exact(k) + 1e-12,
         s"capped containment exceeded exact for $k")
     }
+  }
+
+  test("d48 df-capped pairs all appear in the uncapped set, never inflated") {
+    // a cap low enough to actually bind at sf0.001 (the production 50
+    // barely binds here): the capped production path must only ever
+    // shrink the pair set / lower the score — hot grams leave the join
+    // but stay in every doc's union weight, so a dropped non-shared
+    // gram can never promote a pair
+    val exact = Dedup.d48Pairs(spark, sf, maxDf = None).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("weighted_j")).toMap
+    val capped = Dedup.d48Pairs(spark, sf, maxDf = Some(5L)).collect()
+    assert(capped.nonEmpty)
+    capped.foreach { r =>
+      val k = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(exact.contains(k), s"capped d48 produced a pair the exact form lacks: $k")
+      val wj = r.getAs[Double]("weighted_j")
+      assert(!wj.isNaN && wj <= exact(k) + 1e-12,
+        s"capped weighted_j exceeded exact for $k")
+    }
+    // the shipped operator (cap = 50) stays populated and NaN-free
+    val prod = Dedup.d48(spark, sf).collect()
+    assert(prod.nonEmpty)
+    prod.foreach(r => assert(!r.getAs[Double]("weighted_j").isNaN))
   }
 
   test("d16 containment catches the subsumption d03's symmetric jaccard misses") {

@@ -56,4 +56,35 @@ class ReactivationParitySpec extends SparkSpec {
       assert(r.dormMs == r.tsMs - r.prevMs && r.dormMs > ReactivationStage.DormMs)
     }
   }
+
+  test("a late cross-batch arrival never regresses state into a false alert") {
+    implicit val sq = spark.sqlContext
+    val day = 86400000L
+    val input = MemoryStream[Ev]
+    val query = ReactivationStage.detect(input.toDS()).writeStream
+      .format("memory").queryName("react_ooo")
+      .outputMode(OutputMode.Append())
+      .start()
+    val streamed =
+      try {
+        // batch 1: user seen at t=10d
+        input.addData(Ev(1L, 10 * day))
+        query.processAllAvailable()
+        // batch 2: a LATE event from t=1d — must not rewind last-seen
+        input.addData(Ev(1L, 1 * day))
+        query.processAllAvailable()
+        // batch 3: on-time event at t=11d — only 1d after the true
+        // last-seen, so NO reactivation (the buggy form would measure
+        // 10d of dormancy against the late event and fire)
+        input.addData(Ev(1L, 11 * day))
+        query.processAllAvailable()
+        // batch 4: genuine 3-day gap still fires exactly once
+        input.addData(Ev(1L, 14 * day))
+        query.processAllAvailable()
+        spark.table("react_ooo").as[Reactivation].collect()
+      } finally query.stop()
+    assert(streamed.toSeq ==
+      Seq(Reactivation(1L, 11 * day, 14 * day, 3 * day)),
+      s"expected exactly the one genuine reactivation, got ${streamed.toSeq}")
+  }
 }
