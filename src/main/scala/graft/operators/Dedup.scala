@@ -2113,7 +2113,128 @@ object Dedup {
        |  SUM(CASE WHEN doc_a IS NULL AND wa IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_weighted_only
        |FROM plainp FULL OUTER JOIN wp ON doc_a = wa AND doc_b = wb""".stripMargin
 
+  // ---------------------------------------------------------------- d50
+  /** Normalization-sensitivity census for exact dedup: how many extra
+    * duplicate documents a lowercase + whitespace-collapse + trim
+    * normalization reveals over raw byte-hashing (d01). Trivial
+    * reformatting (re-wrapped lines, case drift from scrapers) defeats
+    * raw md5 but is NOT meaningful novelty — this one row decides
+    * whether the exact-dedup stage needs the normalizer in front of it
+    * before paying for near-dup machinery on what is really exact mass.
+    *
+    * Scale: two scan-parallel hash projections + two map-combinable
+    * groupBy-count-aggregates; the three 1-row summaries broadcast-join.
+    * No pair joins anywhere — this is exact-dedup priced, not near-dup
+    * priced. The whitespace class is spelled [ \t\n\r] in BOTH engines
+    * (Java \s includes \x0B, RE2's does not — the explicit class keeps
+    * the hashes bit-identical). */
+  def d50(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def census(h: Column, g: String, d: String): DataFrame =
+      docs.select(h.as("h")).groupBy("h").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as(g), sum(col("c") - 1).as(d))
+    val raw = census(md5(col("text")), "raw_groups", "raw_dup_docs")
+    val norm = census(
+      md5(trim(regexp_replace(lower(col("text")), "[ \\t\\n\\r]+", " "))),
+      "norm_groups", "norm_dup_docs")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    n.join(broadcast(raw)).join(broadcast(norm))
+      .select(col("n_docs"), col("raw_groups"), col("raw_dup_docs"),
+        col("norm_groups"), col("norm_dup_docs"),
+        (col("norm_dup_docs") - col("raw_dup_docs")).as("revealed_dup_docs"))
+  }
+  val d50Sql: String =
+    """WITH raw AS (
+      |  SELECT COUNT(*)::BIGINT AS raw_groups, SUM(c - 1)::BIGINT AS raw_dup_docs
+      |  FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1)),
+      |nrm AS (
+      |  SELECT COUNT(*)::BIGINT AS norm_groups, SUM(c - 1)::BIGINT AS norm_dup_docs
+      |  FROM (SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS h,
+      |          COUNT(*) AS c
+      |        FROM documents GROUP BY 1)),
+      |n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents)
+      |SELECT n_docs, raw_groups, raw_dup_docs, norm_groups, norm_dup_docs,
+      |  norm_dup_docs - raw_dup_docs AS revealed_dup_docs
+      |FROM n CROSS JOIN raw CROSS JOIN nrm""".stripMargin
+
+  // ---------------------------------------------------------------- d51
+  /** Shingle-width calibration sweep: the J≥0.5 pair mass at word-gram
+    * widths k ∈ {2, 3, 4} — the knob every near-dup stack fixes once and
+    * rarely audits. Narrow shingles over-pair (any shared phrase), wide
+    * ones under-pair (one edit breaks k grams); this 3-row artifact
+    * shows where the corpus sits so d03's k=3 is a measured choice, not
+    * folklore.
+    *
+    * Scale: each width's pair join runs on df-capped postings (df ≤ 50,
+    * d06's recipe — mandatory here, since k=2 grams are hot by
+    * construction and the uncapped join would be O(df²) on "of the");
+    * union sizes stay full, so each width's pair count is the same
+    * conservative lower bound d06 ships. Three bounded sweeps, no
+    * cross join, output is exactly 3 rows. */
+  def d51(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val maxDf = 50
+    val rows = Seq(2, 3, 4).map { k =>
+      val sh = Tables.documents(spark, dir)
+        .select(col("doc_id"), expr(s"word_ngrams(text, $k)").as("grams"))
+        .filter(size(col("grams")) >= 1)
+        .cache() // posting + sizes + n_docs read it; tiny per-width frame
+      val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+      val dfc = posting.groupBy("g").agg(count(lit(1)).as("df"))
+      val rare = posting.join(dfc.filter(col("df") <= maxDf).select("g"), "g")
+      val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
+      val pairs = rare.as("a").join(rare.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+        .agg(count(lit(1)).as("n_pairs"))
+      sh.agg(count(lit(1)).as("n_docs")).join(broadcast(dfc.agg(
+          count(lit(1)).as("n_grams"))))
+        .join(broadcast(pairs))
+        .select(lit(k).cast("int").as("k"), col("n_docs"), col("n_grams"),
+          col("n_pairs"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("k")
+  }
+  /** DuckDB mirror of `shingled` generalized to width k. */
+  private def shingledKSql(k: Int): String = {
+    val concat = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(w) - ${k - 2}),
+       |    i -> $concat)) AS grams
+       |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+       |WHERE len(w) >= $k""".stripMargin
+  }
+  val d51Sql: String = {
+    val per = Seq(2, 3, 4).map { k =>
+      s"""SELECT $k AS k,
+         |  (SELECT COUNT(*)::BIGINT FROM sh$k) AS n_docs,
+         |  (SELECT COUNT(DISTINCT g)::BIGINT FROM p$k) AS n_grams,
+         |  (SELECT COUNT(*)::BIGINT
+         |   FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |         FROM rp$k a JOIN rp$k b ON a.g = b.g AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2) i
+         |   JOIN sz$k na ON doc_a = na.doc_id
+         |   JOIN sz$k nb ON doc_b = nb.doc_id
+         |   WHERE inter * 2 >= na.n + nb.n - inter) AS n_pairs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val ctes = Seq(2, 3, 4).map { k =>
+      s"""sh$k AS (${shingledKSql(k)}),
+         |p$k AS (SELECT doc_id, UNNEST(grams) AS g FROM sh$k),
+         |rp$k AS (SELECT doc_id, p$k.g FROM p$k
+         |         JOIN (SELECT g FROM p$k GROUP BY g HAVING COUNT(*) <= 50) r
+         |         USING (g)),
+         |sz$k AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh$k)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $ctes\n$per\nORDER BY k".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d51_shingle_sensitivity" -> (d51 _),
+    "d50_norm_exact_dedup" -> (d50 _),
     "d49_weighting_effect" -> (d49 _),
     "d48_weighted_jaccard" -> (d48 _),
     "d47_dup_pagerank" -> (d47 _),
@@ -2165,6 +2286,8 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d51_shingle_sensitivity" -> d51Sql,
+    "d50_norm_exact_dedup" -> d50Sql,
     "d49_weighting_effect" -> d49Sql,
     "d48_weighted_jaccard" -> d48Sql,
     "d47_dup_pagerank" -> d47Sql,

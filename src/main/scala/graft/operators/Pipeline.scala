@@ -1300,7 +1300,62 @@ object Pipeline {
        |FROM plan ORDER BY phase, tier""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p28
+  /** Split-leakage audit: near-dup pairs (J ≥ 0.5, d03's exact stream)
+    * whose endpoints land in DIFFERENT splits of p07's deterministic
+    * id-hash train/val/test assignment. An id-hash split is re-ingest
+    * stable but near-dup BLIND — a doc and its lightly-edited twin hash
+    * independently, so eval contamination arrives silently through the
+    * near-dup graph. Each row is an unordered split-pair cell with its
+    * pair count, an is_leak flag (cross-split cell), and its share of
+    * all near-dup pairs; the fix this artifact motivates is assigning
+    * splits per dup-CLUSTER (d10) rather than per doc.
+    *
+    * Scale: the memoized pair stream + two uniform doc_id joins (d30's
+    * exact shape), then a ≤6-row map-combinable rollup and a 1-row
+    * broadcast denominator. */
+  def p28(spark: SparkSession, dir: String): DataFrame = {
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val split = Tables.documents(spark, dir).select(col("doc_id"),
+      when(nib < "c", "train").when(nib < "e", "val").otherwise("test")
+        .as("split"))
+    val counted = Dedup.sharedPairs(spark, dir).select("doc_a", "doc_b")
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+    counted.join(broadcast(counted.agg(sum(col("n_pairs")).as("tot"))))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        when(col("split_a") =!= col("split_b"), 1L).otherwise(0L).as("is_leak"),
+        round(col("n_pairs").cast("double") / col("tot").cast("double"), 6)
+          .as("share"))
+      .orderBy("split_a", "split_b")
+  }
+  val p28Sql: String = {
+    val pairSql = Dedup.jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS ($pairSql),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+       |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |c AS (
+       |  SELECT LEAST(a.split, b.split) AS split_a,
+       |         GREATEST(a.split, b.split) AS split_b,
+       |         COUNT(*)::BIGINT AS n_pairs
+       |  FROM pairs JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT SUM(n_pairs) AS tot FROM c)
+       |SELECT split_a, split_b, n_pairs,
+       |  (CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)::BIGINT AS is_leak,
+       |  ROUND(CAST(n_pairs AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+       |FROM c CROSS JOIN tot ORDER BY split_a, split_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p28_split_leakage" -> (p28 _),
     "p27_anneal_plan" -> (p27 _),
     "p26_snapshot_diff" -> (p26 _),
     "p25_shard_balance" -> (p25 _),
@@ -1330,6 +1385,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p28_split_leakage" -> p28Sql,
     "p27_anneal_plan" -> p27Sql,
     "p26_snapshot_diff" -> p26Sql,
     "p25_shard_balance" -> p25Sql,

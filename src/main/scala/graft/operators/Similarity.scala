@@ -1328,7 +1328,45 @@ object Similarity {
           .as("recall_at_5"))
   }
 
+  // ---------------------------------------------------------------- s30
+  /** Similarity-metric agreement: per-query overlap between the cosine
+    * top-5 (s01) and the inner-product top-5 (s07), histogrammed over
+    * overlap ∈ 0..5 — THE decision artifact for whether the ANN stack
+    * must L2-normalize. Norm-uniform embeddings make the two metrics
+    * agree (overlap ≈ 5) and normalization is a no-op; heavy-tailed
+    * norms pull dot-product retrieval toward long vectors and the mass
+    * shifts left, which is exactly when serving cosine from a
+    * dot-product index silently changes results.
+    *
+    * Scale: both inputs are the brute baselines, and the agreement join
+    * is on the uniform (q_id, n_id) key over N×5-row frames — the
+    * histogram itself is map-combinable into ≤6 rows. At massive N the
+    * same composition runs over the bucketed family's outputs
+    * (s02/s03) without changing the artifact's semantics. */
+  def s30(spark: SparkSession, dir: String): DataFrame = {
+    val cosTop = s01(spark, dir).select(col("q_id"), col("n_id"))
+    val dotTop = s07(spark, dir)
+      .select(col("q_id").as("dq"), col("n_id").as("dn"))
+    val m = cosTop.join(dotTop,
+        col("q_id") === col("dq") && col("n_id") === col("dn"))
+      .groupBy("q_id").agg(count(lit(1)).as("ov"))
+    cosTop.select("q_id").distinct()
+      .join(m, Seq("q_id"), "left")
+      .select(coalesce(col("ov"), lit(0L)).as("overlap5"))
+      .groupBy("overlap5").agg(count(lit(1)).as("n_queries"))
+      .orderBy("overlap5")
+  }
+  val s30Sql: String =
+    s"""WITH ct AS (SELECT q_id, n_id FROM ($s01Sql)),
+       |dt AS (SELECT q_id AS dq, n_id AS dn FROM ($s07Sql)),
+       |m AS (SELECT q_id, COUNT(*)::BIGINT AS ov
+       |      FROM ct JOIN dt ON q_id = dq AND n_id = dn GROUP BY 1)
+       |SELECT COALESCE(ov, 0)::BIGINT AS overlap5, COUNT(*)::BIGINT AS n_queries
+       |FROM (SELECT DISTINCT q_id FROM ct) q LEFT JOIN m USING (q_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s30_metric_agreement" -> (s30 _),
     "s29_sq8_recall" -> (s29 _),
     "s28_dedup_centroid_shift" -> (s28 _),
     "s27_mutual_knn" -> (s27 _),
@@ -1361,6 +1399,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s30_metric_agreement" -> s30Sql,
     "s28_dedup_centroid_shift" -> s28Sql,
     "s27_mutual_knn" -> s27Sql,
     "s26_embedding_drift" -> s26Sql,

@@ -129,7 +129,15 @@ object PlanAudit {
     // recall crossJoin appear under this name
     "s29_sq8_recall",
     // d49: d48's 1-row corpus-count idf broadcast appears inline
-    "d49_weighting_effect")
+    "d49_weighting_effect",
+    // d50: three 1-row census frames (n/raw/norm) broadcast-joined
+    "d50_norm_exact_dedup",
+    // d51: per-width 1-row (n_docs × n_grams × n_pairs) broadcasts
+    "d51_shingle_sensitivity",
+    // s30: s07's allow-listed brute-MIPS non-equi scan appears inline
+    "s30_metric_agreement",
+    // p28: 1-row pair-total broadcast (leak-share denominator)
+    "p28_split_leakage")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

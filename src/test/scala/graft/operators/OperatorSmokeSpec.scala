@@ -140,7 +140,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q102_seasonal_decomposition", "t52_trending_terms",
       "e87_session_handoff", "d48_weighted_jaccard", "p27_anneal_plan",
       "m23_router_sensitivity", "e88_alert_threshold_sweep",
-      "s29_sq8_recall", "t53_langid_by_length", "d49_weighting_effect")
+      "s29_sq8_recall", "t53_langid_by_length", "d49_weighting_effect",
+      "d50_norm_exact_dedup", "d51_shingle_sensitivity",
+      "s30_metric_agreement", "p28_split_leakage")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
