@@ -113,31 +113,42 @@ object Dedup {
   /** d02's banded signature table (doc_id, band, key) — the 128-perm
     * MinHash folded into 32 bands of 4. Shared by the candidate
     * self-join and the bucket-occupancy audit (d39). */
-  private[operators] def d02Bands(sh: DataFrame): DataFrame = {
-    // Carter-Wegman universal hash family mod 2^31-1: a*h fits in a long
-    // (< 2^62) and a ranges over the FULL multiplicative group, so the 128
-    // permutations are genuinely independent (a small-`a` family would be
-    // order-preserving in h and break min-wise independence).
+  /** 128-permutation MinHash signature (columns m0..m127) per doc.
+    * Carter-Wegman universal hash family mod 2^31-1: a*h fits in a long
+    * (< 2^62) and a ranges over the FULL multiplicative group, so the 128
+    * permutations are genuinely independent (a small-`a` family would be
+    * order-preserving in h and break min-wise independence). ONE
+    * aggregation (128 min() columns with map-side partial aggregation —
+    * not a doc × perm shuffle). */
+  private def minhashSig(sh: DataFrame): DataFrame = {
     val P = 2147483647L // 2^31 - 1 (Mersenne prime)
     val rnd = new scala.util.Random(42)
     val perms = Array.fill(128)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
-
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
       .select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
     val minhashCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"m$i")
     }
-    val sig = posting.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail.toIndexedSeq: _*)
-    val bandCols = (0 until 32).map { j =>
+    posting.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail.toIndexedSeq: _*)
+  }
+
+  /** Bands the 128-col signature into `nBands` keys of `rowsPerBand`
+    * signature rows each (nBands · rowsPerBand must not exceed 128). */
+  private def bandsOf(sig: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame = {
+    require(nBands * rowsPerBand <= 128, "banding exceeds the 128-perm signature")
+    val bandCols = (0 until nBands).map { j =>
       struct(lit(j).as("band"),
-        xxhash64((j * 4 until j * 4 + 4).map(i => col(s"m$i")): _*).as("key"))
+        xxhash64((j * rowsPerBand until (j + 1) * rowsPerBand)
+          .map(i => col(s"m$i")): _*).as("key"))
     }
-    // cache the (tiny) band table: consumers self-join or re-aggregate it,
-    // which would otherwise recompute the 128-column signature aggregation
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .cache()
   }
+
+  private[operators] def d02Bands(sh: DataFrame): DataFrame =
+    // cache the (tiny) band table: consumers self-join or re-aggregate it,
+    // which would otherwise recompute the 128-column signature aggregation
+    bandsOf(minhashSig(sh), 32, 4).cache()
 
   /** Exact J ≥ 0.8 verification of a candidate pair stream. */
   private def d02Verify(sh: DataFrame, candidates: DataFrame): DataFrame = {
@@ -2232,7 +2243,107 @@ object Dedup {
     s"WITH $ctes\n$per\nORDER BY k".stripMargin
   }
 
+  // ---------------------------------------------------------------- d52
+  /** LSH band/row calibration sweep: candidate volume, verified J ≥ 0.8
+    * pairs, precision and recall at three (bands × rows) splits of the
+    * SAME 128-perm signature — (16×8) strict, (32×4) shipped, (64×2)
+    * loose. d29 audits the one shipped config; this prices the knob:
+    * strict banding cuts candidate cost but starts missing true pairs
+    * (P(catch | J=0.8) = 1−(1−0.8^r)^b), loose banding buys recall with
+    * candidate volume. The exact J ≥ 0.8 pair set rides along as the
+    * common denominator.
+    *
+    * Scale: the signature aggregation runs ONCE (128 map-combinable
+    * min() columns) and is cached; each config re-bands the cached sig
+    * (nBands hashes per doc) and pays one band-key self-join — the same
+    * envelope as d02, three times. Output 3 rows. Rows-only: minhash is
+    * not SQL-expressible; the smoke spec pins verified ⊆ exact, the
+    * (32×4) no-miss guarantee, and strict ⊆-volume ordering. */
+  def d52(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val sig = minhashSig(sh).cache()
+    val exact = jaccardPairs(sh, 4, 5).select("doc_a", "doc_b").cache()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val rows = Seq((16, 8), (32, 4), (64, 2)).map { case (b, r) =>
+      val bands = bandsOf(sig, b, r)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct().cache()
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nVer = cand.join(exact, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_verified"))
+      nCand.join(broadcast(nVer)).join(broadcast(nExact))
+        .select(lit(b).cast("int").as("n_bands"),
+          lit(r).cast("int").as("rows_per_band"),
+          col("n_candidates"), col("n_verified"), col("n_exact"),
+          when(col("n_candidates") > 0,
+            round(dbl(col("n_verified")) / col("n_candidates"), 6))
+            .otherwise(lit(0.0d)).as("precision"),
+          when(col("n_exact") > 0,
+            round(dbl(col("n_verified")) / col("n_exact"), 6))
+            .otherwise(lit(0.0d)).as("recall"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("n_bands")
+  }
+
+  // ---------------------------------------------------------------- d53
+  /** MinHash estimator-error audit: over a wide candidate set (the loose
+    * 64×2 banding, which surfaces pairs well below the ship threshold),
+    * the signed error of the signature estimate ĵ = agreement/128
+    * against exact Jaccard, banded with per-band mean |error| — the
+    * calibration that justifies the 128-perm signature width (theory:
+    * σ = √(J(1−J)/128) ≤ 0.045, so mass concentrates in the ±0.05
+    * band; a corpus that violates this is telling you the hash family
+    * broke, not the math).
+    *
+    * Scale: one cached signature aggregation + one band self-join for
+    * candidates; the agreement count is a 128-term codegen'd equality
+    * sum on the joined signature rows (no per-perm explode), the exact
+    * side is d02Verify's gram-intersect WITHOUT the threshold filter.
+    * Rows-only (minhash is not SQL-expressible); the smoke spec pins
+    * mean |error| ≤ 0.1 and central-band dominance. */
+  def d53(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val sig = minhashSig(sh).cache()
+    val bands = bandsOf(sig, 64, 2)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until 128)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val ga = sh.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = sh.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("est_j", agree.cast("double") / lit(128.0d))
+      .select("doc_a", "doc_b", "est_j")
+      .join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
+      .withColumn("un", size(col("grams_a")).cast("long")
+        + size(col("grams_b")).cast("long") - col("inter"))
+      .withColumn("err", col("est_j") - dbl(col("inter")) / dbl(col("un")))
+      .groupBy(when(col("err") < -0.1d, "a_lt_-0.10")
+        .when(col("err") < -0.05d, "b_lt_-0.05")
+        .when(col("err") < 0.05d, "c_center")
+        .when(col("err") < 0.1d, "d_lt_0.10")
+        .otherwise("e_ge_0.10").as("err_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(abs(col("err")), 9).cast("decimal(18,9)")).as("s"))
+      .select(col("err_band"), col("n_pairs"),
+        round(dbl(col("s")) / col("n_pairs"), 6).as("mean_abs_err"))
+      .orderBy("err_band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d53_minhash_error" -> (d53 _),
+    "d52_band_sweep" -> (d52 _),
     "d51_shingle_sensitivity" -> (d51 _),
     "d50_norm_exact_dedup" -> (d50 _),
     "d49_weighting_effect" -> (d49 _),

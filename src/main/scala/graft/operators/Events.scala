@@ -3613,7 +3613,213 @@ object Events {
       |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS alert_rate
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e89
+  /** Funnel step-dwell profile: per transition of e03's ordered funnel
+    * (first view → first later click → first later purchase), the user
+    * count, EXACT median dwell, and max dwell — e03 says how many users
+    * survive each step and e19 prices the whole view→purchase journey;
+    * this isolates WHICH hop users stall on, the number a funnel owner
+    * tunes against.
+    *
+    * Scale: e03's chain of co-keyed min-aggregations (the fact shuffles
+    * once per step on uniform user_id), then q18's bracketing-rank
+    * median over windows partitioned by the transition label — 2 groups,
+    * so the same per-group caveat as q18's segments (heavy groups spill;
+    * at extreme scale the sketch path is a fixed-width dwell histogram).
+    * Output is exactly 2 rows. */
+  def e89(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ms")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ms").as("vms"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ms") > col("vms"))
+      .groupBy("user_id").agg(min("ms").as("cms"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c.select("user_id", "cms"), "user_id")
+      .filter(col("ms") > col("cms"))
+      .groupBy("user_id").agg(min("ms").as("pms"))
+    val lags = c.join(v, "user_id")
+      .select(lit("a_view_to_click").as("transition"), col("user_id"),
+        (col("cms") - col("vms")).as("lag"))
+      .unionByName(p.join(c, "user_id")
+        .select(lit("b_click_to_purchase").as("transition"), col("user_id"),
+          (col("pms") - col("cms")).as("lag")))
+    val w = Window.partitionBy("transition").orderBy(col("lag"), col("user_id"))
+    val wc = Window.partitionBy("transition")
+    val med = lags
+      .select(col("transition"), col("lag"),
+        row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(wc).as("cnt"))
+      .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+        col("rn") === floor((col("cnt") + 2) / 2))
+      .groupBy("transition")
+      .agg(round(sum(col("lag")).cast("double") / count(lit(1)), 6)
+        .as("median_lag_ms"))
+    lags.groupBy("transition")
+      .agg(count(lit(1)).as("n_users"), max(col("lag")).as("max_lag_ms"))
+      .join(med, "transition")
+      .select("transition", "n_users", "median_lag_ms", "max_lag_ms")
+      .orderBy("transition")
+  }
+  val e89Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (SELECT user_id, MIN(ms) AS vms FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(ms) AS cms FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND ms > vms GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(ms) AS pms FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND ms > cms GROUP BY e.user_id),
+      |l AS (
+      |  SELECT 'a_view_to_click' AS transition, c.user_id, cms - vms AS lag
+      |  FROM c JOIN v ON c.user_id = v.user_id
+      |  UNION ALL
+      |  SELECT 'b_click_to_purchase', p.user_id, pms - cms
+      |  FROM p JOIN c ON p.user_id = c.user_id),
+      |r AS (
+      |  SELECT transition, lag,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY transition ORDER BY lag, user_id) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY transition) AS cnt
+      |  FROM l),
+      |med AS (
+      |  SELECT transition, ROUND(CAST(SUM(lag) AS DOUBLE) / COUNT(*), 6) AS median_lag_ms
+      |  FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY 1),
+      |stats AS (
+      |  SELECT transition, COUNT(*)::BIGINT AS n_users, MAX(lag) AS max_lag_ms
+      |  FROM l GROUP BY 1)
+      |SELECT transition, n_users, median_lag_ms, max_lag_ms
+      |FROM stats JOIN med USING (transition) ORDER BY transition""".stripMargin
+
+  // ---------------------------------------------------------------- e90
+  /** Transition-lag matrix: EXACT median and max gap per (event_type →
+    * next_type) cell — the robust pricing of e12's Markov matrix, whose
+    * MEAN gap a single dormant user can drag by orders of magnitude
+    * (gaps are heavy-tailed by nature; the median is what "typical
+    * dwell before the next step" actually means).
+    *
+    * Scale: e12's one lead() window partitioned by user (bounded
+    * per-key state), then q18's bracketing-rank median over windows
+    * partitioned by the ≤\|types\|² cell key — the same per-group spill
+    * caveat as e89 with 25 groups. Output ≤25 rows. */
+  def e90(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val lags = Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_ms", lead(col("ms"), 1).over(w) - col("ms"))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type"), col("next_type"), col("gap_ms"), col("event_id"))
+    val wm = Window.partitionBy("event_type", "next_type")
+      .orderBy(col("gap_ms"), col("event_id"))
+    val wc = Window.partitionBy("event_type", "next_type")
+    val med = lags
+      .select(col("event_type"), col("next_type"), col("gap_ms"),
+        row_number().over(wm).cast("long").as("rn"),
+        count(lit(1)).over(wc).as("cnt"))
+      .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+        col("rn") === floor((col("cnt") + 2) / 2))
+      .groupBy("event_type", "next_type")
+      .agg(round(sum(col("gap_ms")).cast("double") / count(lit(1)), 6)
+        .as("median_gap_ms"))
+    lags.groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"), max(col("gap_ms")).as("max_gap_ms"))
+      .join(med, Seq("event_type", "next_type"))
+      .select("event_type", "next_type", "n", "median_gap_ms", "max_gap_ms")
+      .orderBy("event_type", "next_type")
+  }
+  val e90Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |l AS (
+      |  SELECT event_type, event_id,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_type,
+      |    LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms AS gap_ms
+      |  FROM e),
+      |f AS (SELECT * FROM l WHERE next_type IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, next_type, gap_ms,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type, next_type
+      |                            ORDER BY gap_ms, event_id) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type, next_type) AS cnt
+      |  FROM f),
+      |med AS (
+      |  SELECT event_type, next_type,
+      |    ROUND(CAST(SUM(gap_ms) AS DOUBLE) / COUNT(*), 6) AS median_gap_ms
+      |  FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, next_type, COUNT(*)::BIGINT AS n, MAX(gap_ms) AS max_gap_ms
+      |  FROM f GROUP BY 1, 2)
+      |SELECT st.event_type, st.next_type, n, median_gap_ms, max_gap_ms
+      |FROM st JOIN med USING (event_type, next_type)
+      |ORDER BY event_type, next_type""".stripMargin
+
+  // ---------------------------------------------------------------- e91
+  /** Event-time disorder census — the artifact that PICKS the streaming
+    * watermark instead of guessing it: per event, lateness = how far
+    * its event time sits behind the running per-user maximum in ARRIVAL
+    * order (event_id), banded into on-time / <1 min / <1 h / <1 d /
+    * ≥1 d with shares. A `withWatermark("1 hour")` keeps exactly the
+    * mass in the first three bands; whatever sits below is what the
+    * stateful stages (sessionizer, funnel, reactivation) silently drop,
+    * and ReactivationStage's monotone-state contract is sized by the
+    * same number.
+    *
+    * The band DOMAIN is fixed (all five rows always present, zeros
+    * explicit) so a perfectly ordered feed reads as the affirmative
+    * answer it is — share 1.0 on-time, tighten the watermark — rather
+    * than a collapsed histogram.
+    *
+    * Scale: ONE running-max window partitioned by user_id in arrival
+    * order (bounded per-key state — the same key the streaming state
+    * stores use, so the census measures the disorder those stores will
+    * actually see), then a ≤5-row map-combinable rollup joined onto the
+    * constant 5-row band domain and a 1-row total broadcast. */
+  def e91(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counted = Tables.events(spark, dir)
+      .withColumn("lateness", max(col("ms")).over(w) - col("ms"))
+      .groupBy(when(col("lateness") === 0L, "a_on_time")
+        .when(col("lateness") < 60000L, "b_lt_1m")
+        .when(col("lateness") < 3600000L, "c_lt_1h")
+        .when(col("lateness") < 86400000L, "d_lt_1d")
+        .otherwise("e_ge_1d").as("lateness_band"))
+      .agg(count(lit(1)).as("n"), max(col("lateness")).as("mx"))
+    import spark.implicits._
+    val domain = Seq("a_on_time", "b_lt_1m", "c_lt_1h", "d_lt_1d", "e_ge_1d")
+      .toDF("lateness_band")
+    domain.join(counted, Seq("lateness_band"), "left")
+      .join(broadcast(counted.agg(sum(col("n")).as("tot"))))
+      .select(col("lateness_band"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        round(coalesce(dbl(col("n")), lit(0.0d)) / dbl(col("tot")), 6).as("share"),
+        coalesce(col("mx"), lit(0L)).as("max_lateness_ms"))
+      .orderBy("lateness_band")
+  }
+  val e91Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |l AS (
+      |  SELECT MAX(ms) OVER (PARTITION BY user_id ORDER BY event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ms AS lateness
+      |  FROM e),
+      |g AS (
+      |  SELECT CASE WHEN lateness = 0 THEN 'a_on_time'
+      |              WHEN lateness < 60000 THEN 'b_lt_1m'
+      |              WHEN lateness < 3600000 THEN 'c_lt_1h'
+      |              WHEN lateness < 86400000 THEN 'd_lt_1d'
+      |              ELSE 'e_ge_1d' END AS lateness_band,
+      |    COUNT(*)::BIGINT AS n, MAX(lateness) AS mx
+      |  FROM l GROUP BY 1),
+      |dom AS (SELECT * FROM (VALUES ('a_on_time'), ('b_lt_1m'), ('c_lt_1h'),
+      |        ('d_lt_1d'), ('e_ge_1d')) v(lateness_band)),
+      |t AS (SELECT SUM(n) AS tot FROM g)
+      |SELECT dom.lateness_band,
+      |  COALESCE(n, 0)::BIGINT AS n_events,
+      |  ROUND(COALESCE(CAST(n AS DOUBLE), 0.0) / CAST(tot AS DOUBLE), 6) AS share,
+      |  COALESCE(mx, 0)::BIGINT AS max_lateness_ms
+      |FROM dom LEFT JOIN g ON dom.lateness_band = g.lateness_band
+      |CROSS JOIN t ORDER BY dom.lateness_band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e91_lateness_profile" -> (e91 _),
+    "e90_type_lag_matrix" -> (e90 _),
+    "e89_step_dwell" -> (e89 _),
     "e88_alert_threshold_sweep" -> (e88 _),
     "e87_session_handoff" -> (e87 _),
     "e86_rolling_value_bands" -> (e86 _),
@@ -3705,6 +3911,9 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e91_lateness_profile" -> e91Sql,
+    "e90_type_lag_matrix" -> e90Sql,
+    "e89_step_dwell" -> e89Sql,
     "e88_alert_threshold_sweep" -> e88Sql,
     "e87_session_handoff" -> e87Sql,
     "e86_rolling_value_bands" -> e86Sql,

@@ -959,7 +959,59 @@ object Multimodal {
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m24
+  /** Magic-prefix ingestion drift: per 2-byte payload prefix, first-half
+    * vs second-half counts and shares with an absolute drift scalar —
+    * m21 watches drift at MODALITY grain, but a crawl can swap PNG for
+    * WebP mid-run without the modality mix moving; the prefix grain is
+    * where that shows first. Top-20 prefixes by total count, the same
+    * head m15 censuses.
+    *
+    * Scale: one scan through the codegen'd hex(substr) key, the t51
+    * half split off a 1-row max-id broadcast, one map-combinable
+    * ≤\|prefixes\| groupBy, two 1-row half-total broadcasts for the
+    * share denominators, deterministic TakeOrdered head. */
+  def m24(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("pfx", hex(substring(col("text").cast("binary"), 1, 2)))
+    val mx = d.agg(max(col("doc_id")).as("max_id"))
+    val halved = d.join(broadcast(mx))
+      .withColumn("half", least(expr("doc_id * 2 div (max_id + 1)"), lit(1L)))
+      .groupBy("pfx")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_first"),
+           sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_second"))
+    val tot = halved.agg(sum(col("n_first")).as("ta"), sum(col("n_second")).as("tb"))
+    halved.join(broadcast(tot))
+      .select(col("pfx"), col("n_first"), col("n_second"),
+        round(dbl(col("n_first")) / col("ta"), 6).as("share_first"),
+        round(dbl(col("n_second")) / col("tb"), 6).as("share_second"),
+        round(abs(dbl(col("n_first")) / col("ta")
+          - dbl(col("n_second")) / col("tb")), 6).as("drift"))
+      .orderBy((col("n_first") + col("n_second")).desc, col("pfx"))
+      .limit(20)
+  }
+  val m24Sql: String =
+    """WITH x AS (SELECT MAX(doc_id) AS max_id FROM documents),
+      |d AS (
+      |  SELECT substr(hex(CAST(text AS BLOB)), 1, 4) AS pfx,
+      |    LEAST(doc_id * 2 // (max_id + 1), 1) AS half
+      |  FROM documents CROSS JOIN x),
+      |h AS (
+      |  SELECT pfx,
+      |    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n_first,
+      |    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n_second
+      |  FROM d GROUP BY 1),
+      |t AS (SELECT SUM(n_first) AS ta, SUM(n_second) AS tb FROM h)
+      |SELECT pfx, n_first, n_second,
+      |  ROUND(CAST(n_first AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS share_first,
+      |  ROUND(CAST(n_second AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS share_second,
+      |  ROUND(abs(CAST(n_first AS DOUBLE) / CAST(ta AS DOUBLE)
+      |    - CAST(n_second AS DOUBLE) / CAST(tb AS DOUBLE)), 6) AS drift
+      |FROM h CROSS JOIN t
+      |ORDER BY n_first + n_second DESC, pfx LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m24_prefix_drift" -> (m24 _),
     "m23_router_sensitivity" -> (m23 _),
     "m22_dedup_roi" -> (m22 _),
     "m21_modality_mix_drift" -> (m21 _),
@@ -986,6 +1038,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m24_prefix_drift" -> m24Sql,
     "m23_router_sensitivity" -> m23Sql,
     "m22_dedup_roi" -> m22Sql,
     "m21_modality_mix_drift" -> m21Sql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
@@ -1300,6 +1300,17 @@ object Pipeline {
        |FROM plan ORDER BY phase, tier""".stripMargin
   }
 
+  /** p07's deterministic id-hash split (12/16 train, 2/16 val, 2/16
+    * test), shared by the leakage suite (p28/p29/p30). */
+  private def idSplit(c: Column): Column = {
+    val nib = substring(md5(c.cast("string")), 1, 1)
+    when(nib < "c", "train").when(nib < "e", "val").otherwise("test")
+  }
+  private def idSplitSql(x: String): String =
+    s"""CASE WHEN substring(md5(CAST($x AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+       |       WHEN substring(md5(CAST($x AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+       |       ELSE 'test' END""".stripMargin
+
   // ---------------------------------------------------------------- p28
   /** Split-leakage audit: near-dup pairs (J ≥ 0.5, d03's exact stream)
     * whose endpoints land in DIFFERENT splits of p07's deterministic
@@ -1315,10 +1326,8 @@ object Pipeline {
     * exact shape), then a ≤6-row map-combinable rollup and a 1-row
     * broadcast denominator. */
   def p28(spark: SparkSession, dir: String): DataFrame = {
-    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
     val split = Tables.documents(spark, dir).select(col("doc_id"),
-      when(nib < "c", "train").when(nib < "e", "val").otherwise("test")
-        .as("split"))
+      idSplit(col("doc_id")).as("split"))
     val counted = Dedup.sharedPairs(spark, dir).select("doc_a", "doc_b")
       .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
       .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
@@ -1336,10 +1345,7 @@ object Pipeline {
     val pairSql = Dedup.jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
     s"""WITH pairs AS ($pairSql),
        |sp AS (
-       |  SELECT doc_id,
-       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
-       |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
-       |         ELSE 'test' END AS split
+       |  SELECT doc_id, ${idSplitSql("doc_id")} AS split
        |  FROM documents),
        |c AS (
        |  SELECT LEAST(a.split, b.split) AS split_a,
@@ -1354,7 +1360,118 @@ object Pipeline {
        |FROM c CROSS JOIN tot ORDER BY split_a, split_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p29
+  /** Cluster-coherent split assignment — the FIX p28 motivates: every
+    * doc in a near-dup cluster (d10's connected components over the
+    * J ≥ 0.5 graph) adopts the split of its cluster label (the min doc
+    * id), so no near-dup pair can cross a split boundary BY
+    * CONSTRUCTION; singletons keep p07's plain id-hash split. The 3-row
+    * census prices the fix: per split, doc count under doc-hash vs
+    * cluster-coherent assignment and how many docs moved in — the
+    * train/val/test ratio drift the eval owner signs off on.
+    *
+    * Scale: the memoized CC labels + one uniform doc_id left join, two
+    * map-combinable ≤3-row rollups, full-outer joined on the split
+    * label. Nothing beyond d10's own cost. */
+  def p29(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables.documents(spark, dir).select("doc_id")
+      .join(Dedup.d10(spark, dir), Seq("doc_id"), "left")
+      .select(idSplit(col("doc_id")).as("sd"),
+        idSplit(coalesce(col("cluster_id"), col("doc_id"))).as("sc"))
+    val before = tagged.groupBy(col("sd").as("split"))
+      .agg(count(lit(1)).as("n_doc_hash"))
+    val after = tagged.groupBy(col("sc").as("split"))
+      .agg(count(lit(1)).as("n_cluster_coherent"),
+        sum(when(col("sd") =!= col("sc"), 1L).otherwise(0L)).as("n_moved_in"))
+    before.join(after, Seq("split"), "full_outer")
+      .select(col("split"),
+        coalesce(col("n_doc_hash"), lit(0L)).as("n_doc_hash"),
+        coalesce(col("n_cluster_coherent"), lit(0L)).as("n_cluster_coherent"),
+        coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"))
+      .orderBy("split")
+  }
+  val p29Sql: String = {
+    val pairSql = Dedup.jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    def splitOf(x: String) = idSplitSql(x)
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($pairSql)),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |cl AS (SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
+       |       FROM reach GROUP BY s),
+       |t AS (
+       |  SELECT ${splitOf("documents.doc_id")} AS sd,
+       |         ${splitOf("COALESCE(cluster_id, documents.doc_id)")} AS sc
+       |  FROM documents LEFT JOIN cl ON documents.doc_id = cl.doc_id),
+       |b AS (SELECT sd AS split, COUNT(*)::BIGINT AS n_doc_hash FROM t GROUP BY 1),
+       |a AS (SELECT sc AS split, COUNT(*)::BIGINT AS n_cluster_coherent,
+       |        SUM(CASE WHEN sd <> sc THEN 1 ELSE 0 END)::BIGINT AS n_moved_in
+       |      FROM t GROUP BY 1)
+       |SELECT COALESCE(b.split, a.split) AS split,
+       |  COALESCE(n_doc_hash, 0)::BIGINT AS n_doc_hash,
+       |  COALESCE(n_cluster_coherent, 0)::BIGINT AS n_cluster_coherent,
+       |  COALESCE(n_moved_in, 0)::BIGINT AS n_moved_in
+       |FROM b FULL OUTER JOIN a ON b.split = a.split
+       |ORDER BY split""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- p30
+  /** Leakage regression gate — the 1-row artifact a CI pipeline asserts
+    * on: total near-dup pairs, pairs crossing splits under p07's plain
+    * doc-hash assignment (p28's finding), and pairs crossing under
+    * p29's cluster-coherent assignment. The third number is zero BY
+    * CONSTRUCTION (both endpoints of every J ≥ 0.5 pair share a d10
+    * component, hence a split) — but the gate MEASURES it rather than
+    * assuming it, so a future change to the pair stream, the CC labels,
+    * or the hash can never silently re-open the leak.
+    *
+    * Scale: the memoized pair stream + CC labels, two uniform doc_id
+    * joins, one map-combinable 1-row aggregate. */
+  def p30(spark: SparkSession, dir: String): DataFrame = {
+    val tags = Tables.documents(spark, dir).select("doc_id")
+      .join(Dedup.d10(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), idSplit(col("doc_id")).as("sd"),
+        idSplit(coalesce(col("cluster_id"), col("doc_id"))).as("sc"))
+    Dedup.sharedPairs(spark, dir).select("doc_a", "doc_b")
+      .join(tags.select(col("doc_id").as("doc_a"),
+        col("sd").as("sda"), col("sc").as("sca")), "doc_a")
+      .join(tags.select(col("doc_id").as("doc_b"),
+        col("sd").as("sdb"), col("sc").as("scb")), "doc_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sda") =!= col("sdb"), 1L).otherwise(0L))
+          .as("n_cross_doc_hash"),
+        sum(when(col("sca") =!= col("scb"), 1L).otherwise(0L))
+          .as("n_cross_cluster"))
+  }
+  val p30Sql: String = {
+    val pairSql = Dedup.jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($pairSql)),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |cl AS (SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
+       |       FROM reach GROUP BY s),
+       |t AS (
+       |  SELECT documents.doc_id, ${idSplitSql("documents.doc_id")} AS sd,
+       |         ${idSplitSql("COALESCE(cluster_id, documents.doc_id)")} AS sc
+       |  FROM documents LEFT JOIN cl ON documents.doc_id = cl.doc_id)
+       |SELECT COUNT(*)::BIGINT AS n_pairs,
+       |  SUM(CASE WHEN a.sd <> b.sd THEN 1 ELSE 0 END)::BIGINT AS n_cross_doc_hash,
+       |  SUM(CASE WHEN a.sc <> b.sc THEN 1 ELSE 0 END)::BIGINT AS n_cross_cluster
+       |FROM pairs JOIN t a ON doc_a = a.doc_id JOIN t b ON doc_b = b.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p30_split_gate" -> (p30 _),
+    "p29_cluster_split" -> (p29 _),
     "p28_split_leakage" -> (p28 _),
     "p27_anneal_plan" -> (p27 _),
     "p26_snapshot_diff" -> (p26 _),
@@ -1385,6 +1502,8 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p30_split_gate" -> p30Sql,
+    "p29_cluster_split" -> p29Sql,
     "p28_split_leakage" -> p28Sql,
     "p27_anneal_plan" -> p27Sql,
     "p26_snapshot_diff" -> p26Sql,

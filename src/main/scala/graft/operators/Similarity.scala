@@ -1365,7 +1365,38 @@ object Similarity {
        |FROM (SELECT DISTINCT q_id FROM ct) q LEFT JOIN m USING (q_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s31
+  /** Per-label IVF recall: recall@5 of the bucketed index (s03) against
+    * the exact top-5, grouped by the QUERY's label — the fairness audit
+    * of the index. s09 quotes one aggregate recall; an IVF whose coarse
+    * centroids under-cover a minority label fails exactly that label's
+    * queries while the aggregate looks healthy, and this is the artifact
+    * that catches it before an eval does.
+    *
+    * Scale: s09's truth⋈result hit join (uniform (q_id, n_id) key), one
+    * uniform q_id label join, ≤\|labels\| map-combinable rows. Rows-only
+    * (the IVF side is rows-only); the smoke spec pins full label
+    * coverage and recall bounds. */
+  def s31(spark: SparkSession, dir: String): DataFrame = {
+    val truth = s01(spark, dir).select(col("q_id"), col("n_id")).localCheckpoint()
+    val hits = truth.join(s03(spark, dir).select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("h"))
+    truth.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("q_id"), col("label")), "q_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(coalesce(col("h"), lit(0L))).as("n_hits"))
+      .select(col("label"), col("n_queries"),
+        round(col("n_hits").cast("double") / (col("n_queries") * 5), 6)
+          .as("recall_at_5"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s31_label_recall" -> (s31 _),
     "s30_metric_agreement" -> (s30 _),
     "s29_sq8_recall" -> (s29 _),
     "s28_dedup_centroid_shift" -> (s28 _),

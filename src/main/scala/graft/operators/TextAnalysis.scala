@@ -2126,7 +2126,130 @@ object TextAnalysis {
        |        / COUNT(*), 6) AS accuracy
        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t54
+  /** Language-ID confidence calibration: accuracy per MARGIN band, where
+    * margin = best marker score − runner-up score. t53 says how length
+    * gates trust; this says how the router's own confidence does — the
+    * margin is the signal a production router thresholds on ("route
+    * low-margin docs to the expensive model"), and this artifact is the
+    * calibration curve that picks that threshold. Margin 0 is a tie or
+    * an all-zero score vector (the 'und' route).
+    *
+    * Scale: one scan through the marker-count kernel (exact integer
+    * occurrence counts), a sort of a 5-element array per row, integer
+    * bands, map-combinable counts, ONE division per ≤4-row output. */
+  def t54(spark: SparkSession, dir: String): DataFrame = {
+    val scores = array(markers.map { case (l, _) => col(s"s_$l") }: _*)
+    addPredicted(Tables.documents(spark, dir))
+      .withColumn("margin",
+        (element_at(array_sort(scores), -1) - element_at(array_sort(scores), -2))
+          .cast("long"))
+      .groupBy(when(col("margin") >= 3, "d_3plus")
+        .when(col("margin") === 2, "c_2")
+        .when(col("margin") === 1, "b_1")
+        .otherwise("a_0").as("margin_band"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("predicted") === col("lang"), 1L).otherwise(0L))
+             .as("n_correct"))
+      .select(col("margin_band"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 6).as("accuracy"))
+      .orderBy("margin_band")
+  }
+  val t54Sql: String = {
+    val arr = markers.map { case (l, _) => s"s_$l + 0.0" }.mkString("[", ", ", "]")
+    s"""WITH s AS (
+       |  SELECT lang,
+       |    $predictedSqlScores
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang, $predictedSqlCase AS predicted,
+       |    CAST(list_sort($arr)[-1] - list_sort($arr)[-2] AS BIGINT) AS margin
+       |  FROM s)
+       |SELECT CASE WHEN margin >= 3 THEN 'd_3plus'
+       |            WHEN margin = 2 THEN 'c_2'
+       |            WHEN margin = 1 THEN 'b_1'
+       |            ELSE 'a_0' END AS margin_band,
+       |  COUNT(*)::BIGINT AS n_docs,
+       |  SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       |  ROUND(CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*), 6) AS accuracy
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t55
+  /** Quality-gate attribution: per gate outcome (accepted/rejected at
+    * 0.5), which of t02's three components binds — i.e. carries the
+    * largest shortfall from its weight budget (punct 0.3·punct_ratio,
+    * stop 0.3·stop_ratio, length 0.4·(1−len_sat); the three sum to
+    * 1−quality). t39 shows the score distribution; this says WHICH
+    * filter knob to tune to recover mass — "rejected mostly on length"
+    * asks for a different fix than "rejected on punctuation" — and the
+    * accepted side shows each kept doc's weakest aspect (the margin the
+    * gate would eat first if tightened).
+    *
+    * Scale: one scan through addQuality's exact counters, identical
+    * double arithmetic for the three shortfalls on both engines (exact
+    * integer counters → one division each, fixed tie order), round9
+    * DECIMAL quantization before the order-independent mean sum, ≤3
+    * rows. */
+  def t55(spark: SparkSession, dir: String): DataFrame = {
+    val q = addQuality(Tables.documents(spark, dir))
+      .withColumn("sp", lit(0.3d) * dbl(col("n_punct")) / dbl(length(col("text"))))
+      .withColumn("ss", lit(0.3d) * dbl(col("n_stop")) / dbl(col("n_tok")))
+      .withColumn("sl",
+        lit(0.4d) * (lit(1.0d) - dbl(least(col("n_tok"), lit(100L))) / lit(100.0d)))
+    q.withColumn("gate",
+        when(col("quality") < 0.5d, "rejected").otherwise("accepted"))
+      .withColumn("binding",
+        when(col("sp") >= col("ss") && col("sp") >= col("sl"), "a_punct")
+          .when(col("ss") >= col("sl"), "b_stop")
+          .otherwise("c_len"))
+      .withColumn("shortfall",
+        when(col("binding") === "a_punct", col("sp"))
+          .when(col("binding") === "b_stop", col("ss"))
+          .otherwise(col("sl")))
+      .groupBy("gate", "binding")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round(col("shortfall"), 9).cast("decimal(18,9)")).as("s"))
+      .select(col("gate"), col("binding").as("binding_component"), col("n_docs"),
+        round(dbl(col("s")) / col("n_docs"), 6).as("mean_binding_shortfall"))
+      .orderBy("gate", "binding_component")
+  }
+  val t55Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |s AS (
+       |  SELECT doc_id,
+       |    ROUND(0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_char AS DOUBLE))
+       |        + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+       |        + 0.4 * (CAST(LEAST(n_tok, 100) AS DOUBLE) / 100.0), 6) AS quality,
+       |    0.3 * CAST(n_punct AS DOUBLE) / CAST(n_char AS DOUBLE) AS sp,
+       |    0.3 * CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ss,
+       |    0.4 * (1.0 - CAST(LEAST(n_tok, 100) AS DOUBLE) / 100.0) AS sl
+       |  FROM m),
+       |r AS (
+       |  SELECT CASE WHEN quality < 0.5 THEN 'rejected' ELSE 'accepted' END AS gate,
+       |    CASE WHEN sp >= ss AND sp >= sl THEN 'a_punct'
+       |         WHEN ss >= sl THEN 'b_stop'
+       |         ELSE 'c_len' END AS binding_component,
+       |    CASE WHEN sp >= ss AND sp >= sl THEN sp
+       |         WHEN ss >= sl THEN ss ELSE sl END AS shortfall
+       |  FROM s)
+       |SELECT gate, binding_component, COUNT(*)::BIGINT AS n_docs,
+       |  ROUND(CAST(SUM(CAST(ROUND(shortfall, 9) AS DECIMAL(18,9))) AS DOUBLE)
+       |        / COUNT(*), 6) AS mean_binding_shortfall
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t55_quality_attribution" -> (t55 _),
+    "t54_langid_margin" -> (t54 _),
     "t53_langid_by_length" -> (t53 _),
     "t52_trending_terms" -> (t52 _),
     "t51_vocab_half_divergence" -> (t51 _),
@@ -2181,6 +2304,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t55_quality_attribution" -> t55Sql,
+    "t54_langid_margin" -> t54Sql,
     "t53_langid_by_length" -> t53Sql,
     "t52_trending_terms" -> t52Sql,
     "t51_vocab_half_divergence" -> t51Sql,

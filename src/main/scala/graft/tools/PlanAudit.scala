@@ -137,7 +137,15 @@ object PlanAudit {
     // s30: s07's allow-listed brute-MIPS non-equi scan appears inline
     "s30_metric_agreement",
     // p28: 1-row pair-total broadcast (leak-share denominator)
-    "p28_split_leakage")
+    "p28_split_leakage",
+    // m24: t51's 1-row max-id half-split broadcast + 1-row half totals
+    "m24_prefix_drift",
+    // d52: per-config 1-row (candidates × verified × exact) broadcasts
+    "d52_band_sweep",
+    // s31: s03's allow-listed IVF shapes appear inline + 1-row joins
+    "s31_label_recall",
+    // e91: 1-row event-total broadcast (band-share denominator)
+    "e91_lateness_profile")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

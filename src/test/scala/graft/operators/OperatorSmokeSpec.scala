@@ -142,7 +142,11 @@ class OperatorSmokeSpec extends SparkSpec {
       "m23_router_sensitivity", "e88_alert_threshold_sweep",
       "s29_sq8_recall", "t53_langid_by_length", "d49_weighting_effect",
       "d50_norm_exact_dedup", "d51_shingle_sensitivity",
-      "s30_metric_agreement", "p28_split_leakage")
+      "s30_metric_agreement", "p28_split_leakage",
+      "e89_step_dwell", "t54_langid_margin", "p29_cluster_split",
+      "e90_type_lag_matrix", "m24_prefix_drift", "p30_split_gate",
+      "d52_band_sweep", "t55_quality_attribution", "s31_label_recall",
+      "e91_lateness_profile", "d53_minhash_error")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -154,7 +158,54 @@ class OperatorSmokeSpec extends SparkSpec {
         "q21_approx_stats", "d17_containment_capped", "p05_multimodal_curation",
         "e24_rolling_active_sketch", "s09_ann_recall", "s10_ivf_cell_stats",
         "s13_sq8_error_hist", "s14_recall_curve", "d29_lsh_candidate_report",
-        "d39_lsh_bucket_histogram", "s29_sq8_recall"))
+        "d39_lsh_bucket_histogram", "s29_sq8_recall",
+        "d52_band_sweep", "s31_label_recall", "d53_minhash_error"))
+  }
+
+  test("d53 minhash estimator error: mean |err| within theory, center band dominates") {
+    val rows = Dedup.d53(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byBand = rows.map(r => r.getAs[String]("err_band") ->
+      ((r.getAs[Long]("n_pairs"), r.getAs[Double]("mean_abs_err")))).toMap
+    val total = byBand.values.map(_._1).sum
+    assert(byBand.contains("c_center"), "no pairs within ±0.05 of exact J")
+    assert(byBand("c_center")._1 * 2 > total,
+      s"center band holds ${byBand("c_center")._1} of $total pairs — estimator off")
+    // weighted mean |error| across all candidate pairs stays ≤ 0.1
+    // (theory bound for 128 perms is σ ≤ 0.045)
+    val meanAbs = byBand.values.map { case (n, m) => n * m }.sum / total
+    assert(meanAbs <= 0.1, s"mean |error| $meanAbs exceeds 0.1")
+  }
+
+  test("d52 band sweep: verified subset of candidates and of exact, shipped config misses nothing") {
+    val rows = Dedup.d52(spark, sf).collect()
+      .map(r => (r.getAs[Int]("n_bands"), r.getAs[Int]("rows_per_band")) ->
+        ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_verified"),
+          r.getAs[Long]("n_exact")))).toMap
+    assert(rows.keySet == Set((16, 8), (32, 4), (64, 2)))
+    val nExact = rows.values.head._3
+    rows.foreach { case (cfg, (cand, ver, ex)) =>
+      assert(ex == nExact, s"$cfg reports a different exact denominator")
+      assert(ver <= cand, s"$cfg verified pairs exceed candidates")
+      assert(ver <= ex, s"$cfg verified pairs exceed the exact J>=0.8 set")
+    }
+    // the shipped (32x4) config keeps d02's no-miss guarantee
+    assert(rows((32, 4))._2 == nExact, "(32,4) banding missed an exact pair")
+    // 8-row keys are strictly harder to collide on than 2-row keys
+    assert(rows((16, 8))._1 <= rows((64, 2))._1)
+  }
+
+  test("s31 per-label recall: every label covered, recalls within (0,1]") {
+    import spark.implicits._
+    val rows = Similarity.s31(spark, sf).collect()
+    val allLabels = graft.engine.Tables.embeddings(spark, sf)
+      .select("label").distinct().as[Int].collect().toSet
+    assert(rows.map(_.getAs[Int]("label")).toSet == allLabels)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_5")
+      assert(rec > 0.0 && rec <= 1.0,
+        s"label ${r.getAs[Int]("label")} recall $rec out of (0,1]")
+    }
   }
 
   test("s29 SQ8 recall: one row, recall@5 within (0.9, 1.0]") {
@@ -406,6 +457,18 @@ class OperatorSmokeSpec extends SparkSpec {
     val prod = Dedup.d48(spark, sf).collect()
     assert(prod.nonEmpty)
     prod.foreach(r => assert(!r.getAs[Double]("weighted_j").isNaN))
+  }
+
+  test("p30 split gate: cluster-coherent assignment closes every cross-split pair") {
+    val r = Pipeline.p30(spark, sf).head()
+    val (nPairs, crossDoc, crossCluster) =
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_cross_doc_hash"),
+        r.getAs[Long]("n_cross_cluster"))
+    assert(nPairs > 0L, "gate must run on a non-empty pair stream")
+    assert(crossDoc > 0L,
+      "doc-hash leakage should exist at sf0.001 (else the gate proves nothing)")
+    assert(crossCluster == 0L,
+      s"cluster-coherent split leaked $crossCluster of $nPairs pairs")
   }
 
   test("d16 containment catches the subsumption d03's symmetric jaccard misses") {
