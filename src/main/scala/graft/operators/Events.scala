@@ -3816,7 +3816,59 @@ object Events {
       |FROM dom LEFT JOIN g ON dom.lateness_band = g.lateness_band
       |CROSS JOIN t ORDER BY dom.lateness_band""".stripMargin
 
+  // ---------------------------------------------------------------- e92
+  /** Week-1 retention by ENTRY type: for each user's first-ever event
+    * type (e53's deterministic struct-argmin), the share of users active
+    * on any of days 1–7 after day 0 — e04 says the base retains X%,
+    * e53 says where users enter; this joins them into "which acquisition
+    * flow retains", the number that reprioritizes onboarding work.
+    *
+    * Scale: one map-combinable struct-argmin per user (no window), the
+    * distinct active-day frame e04 uses, one uniform user_id join, a
+    * ≤\|types\|-row rollup with ONE division per row. */
+  def e92(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val first = e.groupBy("user_id")
+      .agg(min(struct(col("ms"), col("event_id"), col("event_type"))).as("f"))
+      .select(col("user_id"), col("f.event_type").as("entry_type"),
+        floor(col("f.ms") / lit(86400000.0d)).cast("long").as("day0"))
+    val days = e.select(col("user_id"),
+      floor(col("ms") / lit(86400000.0d)).cast("long").as("day")).distinct()
+    val retained = days.join(first.select("user_id", "day0"), "user_id")
+      .filter((col("day") - col("day0")).between(1L, 7L))
+      .select("user_id").distinct()
+      .withColumn("retained", lit(1L))
+    first.join(retained, Seq("user_id"), "left")
+      .groupBy("entry_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("retained"), lit(0L))).as("n_retained"))
+      .select(col("entry_type"), col("n_users"), col("n_retained"),
+        round(col("n_retained").cast("double") / col("n_users"), 6)
+          .as("week1_retention"))
+      .orderBy("entry_type")
+  }
+  val e92Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |f AS (
+      |  SELECT user_id, event_type AS entry_type,
+      |    CAST(FLOOR(ms / 86400000.0) AS BIGINT) AS day0
+      |  FROM (SELECT user_id, event_type, ms,
+      |          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS rn
+      |        FROM e)
+      |  WHERE rn = 1),
+      |d AS (SELECT DISTINCT user_id, CAST(FLOOR(ms / 86400000.0) AS BIGINT) AS day FROM e),
+      |r AS (
+      |  SELECT DISTINCT d.user_id FROM d JOIN f ON d.user_id = f.user_id
+      |  WHERE d.day - f.day0 BETWEEN 1 AND 7)
+      |SELECT entry_type, COUNT(*)::BIGINT AS n_users,
+      |  SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+      |  ROUND(CAST(SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS week1_retention
+      |FROM f LEFT JOIN r ON f.user_id = r.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e92_entry_retention" -> (e92 _),
     "e91_lateness_profile" -> (e91 _),
     "e90_type_lag_matrix" -> (e90 _),
     "e89_step_dwell" -> (e89 _),
@@ -3911,6 +3963,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e92_entry_retention" -> e92Sql,
     "e91_lateness_profile" -> e91Sql,
     "e90_type_lag_matrix" -> e90Sql,
     "e89_step_dwell" -> e89Sql,

@@ -145,7 +145,9 @@ object PlanAudit {
     // s31: s03's allow-listed IVF shapes appear inline + 1-row joins
     "s31_label_recall",
     // e91: 1-row event-total broadcast (band-share denominator)
-    "e91_lateness_profile")
+    "e91_lateness_profile",
+    // s32: s03's allow-listed IVF shapes inline + 1-row×1-row recall rows
+    "s32_recall_at_k")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -146,7 +146,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e89_step_dwell", "t54_langid_margin", "p29_cluster_split",
       "e90_type_lag_matrix", "m24_prefix_drift", "p30_split_gate",
       "d52_band_sweep", "t55_quality_attribution", "s31_label_recall",
-      "e91_lateness_profile", "d53_minhash_error")
+      "e91_lateness_profile", "d53_minhash_error",
+      "e92_entry_retention", "s32_recall_at_k")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -159,7 +160,18 @@ class OperatorSmokeSpec extends SparkSpec {
         "e24_rolling_active_sketch", "s09_ann_recall", "s10_ivf_cell_stats",
         "s13_sq8_error_hist", "s14_recall_curve", "d29_lsh_candidate_report",
         "d39_lsh_bucket_histogram", "s29_sq8_recall",
-        "d52_band_sweep", "s31_label_recall", "d53_minhash_error"))
+        "d52_band_sweep", "s31_label_recall", "d53_minhash_error",
+        "s32_recall_at_k"))
+  }
+
+  test("s32 recall@k: shared query denominator, all recalls within (0,1]") {
+    val rows = Similarity.s32(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 3L, 5L))
+    assert(rows.map(_.getAs[Long]("n_queries")).distinct.size == 1)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec > 0.0 && rec <= 1.0, s"k=${r.getAs[Long]("k")} recall $rec")
+    }
   }
 
   test("d53 minhash estimator error: mean |err| within theory, center band dominates") {
