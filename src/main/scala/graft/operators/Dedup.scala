@@ -2341,7 +2341,77 @@ object Dedup {
       .orderBy("err_band")
   }
 
+  // ---------------------------------------------------------------- d54
+  /** df-cap calibration sweep — the last knob of the calibration suite
+    * (d51 fixes the shingle width, d52 the banding, d53 the signature
+    * size; this prices the cap): J ≥ 0.5 pair counts under postings
+    * capped at df ≤ 25 / 50 / 100 against the uncapped exact baseline,
+    * with pairs lost per cap. The cap trades pair-join cost (O(df²) per
+    * hot gram) against missed borderline pairs (capping only LOWERS
+    * measured J — d06's conservative bound), and d06/d48 ship cap=50 on
+    * folklore until this row says otherwise.
+    *
+    * Scale: the shingle fan-out and df counts compute once (cached
+    * postings + per-gram df joined in); each cap's pair join runs on
+    * its filtered postings — the exact row is d03-priced, the capped
+    * rows strictly cheaper. Output 4 rows. */
+  def d54(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val wdf = posting.join(
+      posting.groupBy("g").agg(count(lit(1)).as("df")), "g").cache()
+    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
+    def pairCount(maxDf: Option[Long]): DataFrame = {
+      val p = maxDf.fold(wdf)(c => wdf.filter(col("df") <= c))
+      p.as("a").join(p.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }
+    val exact = pairCount(None).select(col("n_pairs").as("n_exact"))
+    val rows = Seq(("a_exact", None: Option[Long]), ("b_cap100", Some(100L)),
+      ("c_cap50", Some(50L)), ("d_cap25", Some(25L))).map { case (label, cap) =>
+      pairCount(cap).join(broadcast(exact))
+        .select(lit(label).as("cap"), col("n_pairs"),
+          (col("n_exact") - col("n_pairs")).as("pairs_lost"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("cap")
+  }
+  val d54Sql: String = {
+    def pairSql(cap: Option[Long]): String = {
+      val capFilter = cap.fold("")(c => s"WHERE df <= $c")
+      s"""SELECT COUNT(*)::BIGINT AS n_pairs FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM (SELECT * FROM wdf $capFilter) a
+         |  JOIN (SELECT * FROM wdf $capFilter) b
+         |    ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2) i
+         |JOIN sizes na ON doc_a = na.doc_id
+         |JOIN sizes nb ON doc_b = nb.doc_id
+         |WHERE inter * 2 >= na.n + nb.n - inter""".stripMargin
+    }
+    val rows = Seq(("a_exact", None: Option[Long]), ("b_cap100", Some(100L)),
+      ("c_cap50", Some(50L)), ("d_cap25", Some(25L))).map { case (label, cap) =>
+      s"""SELECT '$label' AS cap, n_pairs, (SELECT n_pairs FROM (${pairSql(None)})) - n_pairs AS pairs_lost
+         |FROM (${pairSql(cap)})""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sh AS ($shingledSql),
+       |posting AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+       |wdf AS (
+       |  SELECT doc_id, posting.g, df FROM posting
+       |  JOIN (SELECT g, COUNT(*)::BIGINT AS df FROM posting GROUP BY 1) d
+       |  USING (g)),
+       |sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh)
+       |$rows
+       |ORDER BY cap""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d54_cap_sweep" -> (d54 _),
     "d53_minhash_error" -> (d53 _),
     "d52_band_sweep" -> (d52 _),
     "d51_shingle_sensitivity" -> (d51 _),
@@ -2397,6 +2467,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d54_cap_sweep" -> d54Sql,
     "d51_shingle_sensitivity" -> d51Sql,
     "d50_norm_exact_dedup" -> d50Sql,
     "d49_weighting_effect" -> d49Sql,

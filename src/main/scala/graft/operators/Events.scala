@@ -3867,7 +3867,60 @@ object Events {
       |FROM f LEFT JOIN r ON f.user_id = r.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e93
+  /** Session-gap calibration sweep: session count and mean
+    * events-per-session at gap thresholds 15/30/60 min — the number
+    * that makes e01's (and the streaming sessionizer's) 30-minute gap a
+    * measured choice. The sweep needs NO per-threshold sessionization:
+    * n_sessions(g) = n_users + #\{inter-event gaps > g\}, so ONE lag
+    * window pass (user-partitioned, bounded state) and three
+    * conditional sums answer every threshold; a flat count across
+    * thresholds means sessions are robust to the knob, a steep slope
+    * means the corpus has no natural session boundary.
+    *
+    * Scale: one window + one map-combinable 1-row aggregate, unpivoted
+    * to 3 rows. */
+  def e93(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val g = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"))
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+    val a = g.agg(count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"),
+      sum(when(col("gap") > 15L * 60000L, 1L).otherwise(0L)).as("c15"),
+      sum(when(col("gap") > 30L * 60000L, 1L).otherwise(0L)).as("c30"),
+      sum(when(col("gap") > 60L * 60000L, 1L).otherwise(0L)).as("c60"))
+    Seq((15L, "c15"), (30L, "c30"), (60L, "c60")).map { case (m, c) =>
+      a.select(lit(m).as("gap_min"),
+        (col("n_users") + col(c)).as("n_sessions"),
+        round(col("n_events").cast("double") / (col("n_users") + col(c)), 6)
+          .as("mean_events_per_session"))
+    }.reduce(_.unionByName(_)).orderBy("gap_min")
+  }
+  val e93Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+      |  FROM e),
+      |a AS (
+      |  SELECT COUNT(*)::BIGINT AS n_events,
+      |    COUNT(DISTINCT user_id)::BIGINT AS n_users,
+      |    SUM(CASE WHEN gap > 900000 THEN 1 ELSE 0 END)::BIGINT AS c15,
+      |    SUM(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END)::BIGINT AS c30,
+      |    SUM(CASE WHEN gap > 3600000 THEN 1 ELSE 0 END)::BIGINT AS c60
+      |  FROM g)
+      |SELECT 15::BIGINT AS gap_min, n_users + c15 AS n_sessions,
+      |  ROUND(CAST(n_events AS DOUBLE) / (n_users + c15), 6) AS mean_events_per_session
+      |FROM a
+      |UNION ALL SELECT 30, n_users + c30,
+      |  ROUND(CAST(n_events AS DOUBLE) / (n_users + c30), 6) FROM a
+      |UNION ALL SELECT 60, n_users + c60,
+      |  ROUND(CAST(n_events AS DOUBLE) / (n_users + c60), 6) FROM a
+      |ORDER BY gap_min""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e93_gap_sweep" -> (e93 _),
     "e92_entry_retention" -> (e92 _),
     "e91_lateness_profile" -> (e91 _),
     "e90_type_lag_matrix" -> (e90 _),
@@ -3963,6 +4016,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e93_gap_sweep" -> e93Sql,
     "e92_entry_retention" -> e92Sql,
     "e91_lateness_profile" -> e91Sql,
     "e90_type_lag_matrix" -> e90Sql,

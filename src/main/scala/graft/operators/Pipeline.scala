@@ -1469,7 +1469,95 @@ object Pipeline {
        |FROM pairs JOIN t a ON doc_a = a.doc_id JOIN t b ON doc_b = b.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p31
+  /** Split-STABILITY audit — the honest cost of p29's fix: an id-hash
+    * split is re-ingest stable but leaks (p28); a cluster-coherent
+    * split closes the leak (p30) but cluster LABELS move as new
+    * ingestion merges clusters, silently migrating docs across splits.
+    * This measures it: restrict the pair graph to the first ingestion
+    * half (t51's half convention), label its components, and count
+    * first-half docs whose cluster-coherent split differs under
+    * first-half-only labels vs full-corpus labels. One row:
+    * (n_first_docs, n_moved, move_rate) — the eval owner trades this
+    * churn against p28's leak when picking a policy (the production
+    * answer is usually: cluster-coherent + pin splits at first
+    * assignment).
+    *
+    * Scale: the full CC labels are memoized (d10); the first-half CC
+    * runs the same min-label loop on a SUBSET of the memoized pair
+    * stream — strictly cheaper than d10 itself. Everything else is
+    * uniform doc_id joins and a 1-row aggregate. */
+  def p31(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val mx = docs.agg(max(col("doc_id")).as("max_id"))
+    val half = docs.join(broadcast(mx))
+      .select(col("doc_id"),
+        least(expr("doc_id * 2 div (max_id + 1)"), lit(1L)).as("half"))
+    val firstDocs = half.filter(col("half") === 0L).select("doc_id")
+    val pairs = Dedup.sharedPairs(spark, dir).select("doc_a", "doc_b")
+    val firstPairs = pairs
+      .join(firstDocs.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(firstDocs.select(col("doc_id").as("doc_b")), "doc_b")
+    val clFirst = Dedup.connectedComponents(firstPairs)
+      .select(col("doc_id"), col("cluster_id").as("cl_first"))
+    val clFull = Dedup.d10(spark, dir)
+      .select(col("doc_id"), col("cluster_id").as("cl_full"))
+    firstDocs
+      .join(clFirst, Seq("doc_id"), "left")
+      .join(clFull, Seq("doc_id"), "left")
+      .select(
+        idSplit(coalesce(col("cl_first"), col("doc_id"))).as("s_first"),
+        idSplit(coalesce(col("cl_full"), col("doc_id"))).as("s_full"))
+      .agg(count(lit(1)).as("n_first_docs"),
+        sum(when(col("s_first") =!= col("s_full"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(col("n_first_docs"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_first_docs"), 6)
+          .as("move_rate"))
+  }
+  val p31Sql: String = {
+    val pairSql = Dedup.jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE x AS (SELECT MAX(doc_id) AS max_id FROM documents),
+       |fd AS (
+       |  SELECT doc_id FROM documents CROSS JOIN x
+       |  WHERE LEAST(doc_id * 2 // (max_id + 1), 1) = 0),
+       |pairs AS (SELECT doc_a, doc_b FROM ($pairSql)),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |clfull AS (SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cl_full
+       |           FROM reach GROUP BY s),
+       |fedges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  WHERE doc_a IN (SELECT doc_id FROM fd) AND doc_b IN (SELECT doc_id FROM fd)
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |  WHERE doc_a IN (SELECT doc_id FROM fd) AND doc_b IN (SELECT doc_id FROM fd)),
+       |freach(s, d) AS (
+       |  SELECT s, d FROM fedges
+       |  UNION
+       |  SELECT r.s, e.d FROM freach r JOIN fedges e ON r.d = e.s),
+       |clfirst AS (SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cl_first
+       |            FROM freach GROUP BY s),
+       |t AS (
+       |  SELECT ${idSplitSql("COALESCE(cl_first, fd.doc_id)")} AS s_first,
+       |         ${idSplitSql("COALESCE(cl_full, fd.doc_id)")} AS s_full
+       |  FROM fd
+       |  LEFT JOIN clfirst ON fd.doc_id = clfirst.doc_id
+       |  LEFT JOIN clfull ON fd.doc_id = clfull.doc_id)
+       |SELECT COUNT(*)::BIGINT AS n_first_docs,
+       |  SUM(CASE WHEN s_first <> s_full THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+       |  ROUND(CAST(SUM(CASE WHEN s_first <> s_full THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*), 6) AS move_rate
+       |FROM t""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p31_split_stability" -> (p31 _),
     "p30_split_gate" -> (p30 _),
     "p29_cluster_split" -> (p29 _),
     "p28_split_leakage" -> (p28 _),
@@ -1502,6 +1590,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p31_split_stability" -> p31Sql,
     "p30_split_gate" -> p30Sql,
     "p29_cluster_split" -> p29Sql,
     "p28_split_leakage" -> p28Sql,

@@ -2247,7 +2247,48 @@ object TextAnalysis {
        |        / COUNT(*), 6) AS mean_binding_shortfall
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- t56
+  /** Template syndication matrix: for the top-20 boilerplate shingles
+    * (d43's head — highest document frequency), how many each SOURCE
+    * PAIR shares — d43 names the offending n-grams and their spread;
+    * this shows which feeds carry the SAME boilerplate (syndicated
+    * headers, shared scrapers, mirrored sites), which is where
+    * cross-source near-dup mass (d20) comes from before it costs a
+    * pair join to find.
+    *
+    * Scale: one shingle fan-out + map-combinable df counts,
+    * TakeOrdered top-20 with pinned (df desc, gram) tiebreak, then a
+    * distinct (gram, source) projection whose self-join is bounded by
+    * 20·\|sources\|² — constants, not data. */
+  def t56(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val posting = Tables.documents(spark, dir)
+      .select(col("source"), explode(expr("word_ngrams(text, 3)")).as("g"))
+    val hot = posting.groupBy("g").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("g")).limit(20).select("g")
+    val ps = posting.join(hot, "g").select("g", "source").distinct()
+    ps.as("a").join(ps.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_templates"))
+      .orderBy("source_a", "source_b")
+  }
+  val t56Sql: String = {
+    import graft.operators.Dedup
+    s"""WITH sh AS (${Dedup.shingledSql}),
+       |p AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+       |hot AS (SELECT g FROM p GROUP BY g ORDER BY COUNT(*) DESC, g LIMIT 20),
+       |ps AS (
+       |  SELECT DISTINCT p.g, d.source
+       |  FROM p JOIN hot USING (g) JOIN documents d USING (doc_id))
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  COUNT(*)::BIGINT AS n_shared_templates
+       |FROM ps a JOIN ps b ON a.g = b.g AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t56_template_flow" -> (t56 _),
     "t55_quality_attribution" -> (t55 _),
     "t54_langid_margin" -> (t54 _),
     "t53_langid_by_length" -> (t53 _),
@@ -2304,6 +2345,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t56_template_flow" -> t56Sql,
     "t55_quality_attribution" -> t55Sql,
     "t54_langid_margin" -> t54Sql,
     "t53_langid_by_length" -> t53Sql,

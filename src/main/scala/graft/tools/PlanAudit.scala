@@ -147,7 +147,11 @@ object PlanAudit {
     // e91: 1-row event-total broadcast (band-share denominator)
     "e91_lateness_profile",
     // s32: s03's allow-listed IVF shapes inline + 1-row×1-row recall rows
-    "s32_recall_at_k")
+    "s32_recall_at_k",
+    // p31: t51's 1-row max-id half-split broadcast
+    "p31_split_stability",
+    // d54: per-cap 1-row exact-baseline broadcasts (pairs_lost join)
+    "d54_cap_sweep")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

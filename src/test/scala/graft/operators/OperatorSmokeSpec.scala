@@ -147,7 +147,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "e90_type_lag_matrix", "m24_prefix_drift", "p30_split_gate",
       "d52_band_sweep", "t55_quality_attribution", "s31_label_recall",
       "e91_lateness_profile", "d53_minhash_error",
-      "e92_entry_retention", "s32_recall_at_k")
+      "e92_entry_retention", "s32_recall_at_k",
+      "t56_template_flow", "p31_split_stability",
+      "e93_gap_sweep", "d54_cap_sweep")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
