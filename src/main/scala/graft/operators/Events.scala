@@ -3919,7 +3919,57 @@ object Events {
       |  ROUND(CAST(n_events AS DOUBLE) / (n_users + c60), 6) FROM a
       |ORDER BY gap_min""".stripMargin
 
+  // ---------------------------------------------------------------- e94
+  /** Anomaly-method agreement: over the daily volume series, the days
+    * flagged by a STATIC two-sided 3σ test (e13's exact integer
+    * cross-multiplication, day grain) vs e85's ADAPTIVE EWMA-residual
+    * screen, and their overlap — the artifact that decides which alarm
+    * a team pages on: high static-only counts mean trend is being
+    * mistaken for anomaly (ramps permanently trip a static mean),
+    * high adaptive-only counts mean level shifts the static σ absorbs.
+    *
+    * Scale: both methods reduce the day-grain frame (≤ a few thousand
+    * rows at ANY event volume — e84's aggregation is the only
+    * data-sized pass, shared between them), so the agreement join is
+    * constant-sized. 1-row output, exact integer flag arithmetic. */
+  def e94(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val v = e84(spark, dir).select(col("day"), col("n_events")).cache()
+    val st = v.agg(count(lit(1)).as("n"), sum(col("n_events")).as("s"),
+      sum(col("n_events") * col("n_events")).as("q"))
+    val nD = col("n").cast(d38)
+    val dev = nD * col("n_events").cast(d38) - col("s").cast(d38)
+    val varNum = nD * col("q").cast(d38) - col("s").cast(d38) * col("s").cast(d38)
+    val sFlag = v.join(broadcast(st))
+      .filter(col("n") >= 2 && dev * dev * (nD - 1) > lit(9).cast(d38) * nD * varNum)
+      .select(col("day"))
+    val aFlag = e85(spark, dir).select(col("day"))
+    val both = sFlag.join(aFlag, "day")
+    v.agg(count(lit(1)).as("n_days"))
+      .join(broadcast(sFlag.agg(count(lit(1)).as("flagged_static"))))
+      .join(broadcast(aFlag.agg(count(lit(1)).as("flagged_adaptive"))))
+      .join(broadcast(both.agg(count(lit(1)).as("flagged_both"))))
+  }
+  val e94Sql: String =
+    s"""WITH v AS (SELECT day, n_events FROM (${e84Sql.replace("ORDER BY day", "")})),
+       |st AS (
+       |  SELECT COUNT(*)::BIGINT AS n, SUM(n_events)::BIGINT AS s,
+       |    SUM(n_events * n_events)::BIGINT AS q
+       |  FROM v),
+       |sflag AS (
+       |  SELECT day FROM v CROSS JOIN st
+       |  WHERE n >= 2 AND
+       |    (CAST(n AS HUGEINT) * n_events - s) * (CAST(n AS HUGEINT) * n_events - s)
+       |      * (n - 1)
+       |    > 9 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)),
+       |aflag AS (SELECT day FROM ($e85Sql))
+       |SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_days,
+       |  (SELECT COUNT(*) FROM sflag)::BIGINT AS flagged_static,
+       |  (SELECT COUNT(*) FROM aflag)::BIGINT AS flagged_adaptive,
+       |  (SELECT COUNT(*) FROM sflag JOIN aflag USING (day))::BIGINT AS flagged_both""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e94_anomaly_agreement" -> (e94 _),
     "e93_gap_sweep" -> (e93 _),
     "e92_entry_retention" -> (e92 _),
     "e91_lateness_profile" -> (e91 _),
@@ -4016,6 +4066,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e94_anomaly_agreement" -> e94Sql,
     "e93_gap_sweep" -> e93Sql,
     "e92_entry_retention" -> e92Sql,
     "e91_lateness_profile" -> e91Sql,

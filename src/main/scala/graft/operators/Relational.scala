@@ -3411,7 +3411,58 @@ object Relational {
       |  CAST(rev AS DOUBLE) - trend - seasonal AS residual
       |FROM d JOIN s ON mo = smo ORDER BY yr, mo""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** Quantity-WEIGHTED median retail price per brand: each part counts
+    * by how much it actually SELLS (Σ l_quantity), so the median
+    * reflects the price customers pay, not the price list — a
+    * catalog-median (q18's recipe) calls a brand cheap when its unsold
+    * long tail is cheap. The weighted lower median is the smallest
+    * price whose cumulative sold-quantity reaches half the brand total;
+    * the crossing test is an exact decimal cross-multiplication
+    * (2·cumw ≥ totw — no float boundary), ties broken by partkey.
+    *
+    * Scale: one map-combinable quantity rollup on uniform l_partkey,
+    * one part-side join, brand-partitioned cumulative windows (bounded
+    * per brand), and a min-per-brand rollup — no global sort. */
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    val sold = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(sum(dec(col("l_quantity"))).as("wq"))
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .join(sold, col("p_partkey") === col("l_partkey"))
+    val wOrd = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("p_brand")
+    parts
+      .withColumn("cumw", sum(col("wq")).over(wOrd))
+      .withColumn("totw", sum(col("wq")).over(wAll))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy("p_brand")
+      .agg(min(col("p_retailprice")).as("weighted_median_price"),
+        dbl(max(col("totw"))).as("total_qty"))
+      .orderBy("p_brand")
+  }
+  val q103Sql: String =
+    """WITH sold AS (
+      |  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS wq
+      |  FROM lineitem GROUP BY 1),
+      |p AS (
+      |  SELECT p_brand, p_partkey, p_retailprice, wq
+      |  FROM part JOIN sold ON p_partkey = l_partkey),
+      |c AS (
+      |  SELECT p_brand, p_partkey, p_retailprice, wq,
+      |    SUM(wq) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    SUM(wq) OVER (PARTITION BY p_brand) AS totw
+      |  FROM p)
+      |SELECT p_brand, MIN(p_retailprice) AS weighted_median_price,
+      |  CAST(MAX(totw) AS DOUBLE) AS total_qty
+      |FROM c WHERE cumw * 2 >= totw
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q103_weighted_median" -> (q103 _),
     "q102_seasonal_decomposition" -> (q102 _),
     "q101_spend_trend_census" -> (q101 _),
     "q100_brand_price_premium" -> (q100 _),
@@ -3517,6 +3568,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q103_weighted_median" -> q103Sql,
     "q102_seasonal_decomposition" -> q102Sql,
     "q101_spend_trend_census" -> q101Sql,
     "q100_brand_price_premium" -> q100Sql,

@@ -1447,7 +1447,41 @@ object Similarity {
     }.reduce(_.unionByName(_)).orderBy("k")
   }
 
+  // ---------------------------------------------------------------- s33
+  /** IVF recall by query-NORM band (s18's floor(4·‖q‖) bands): the
+    * geometric sibling of s31's label fairness — IVF assigns cells by
+    * cosine to coarse centroids, and short vectors sit near the origin
+    * where cell boundaries crowd, so their true neighbors spill into
+    * unprobed cells first. A recall cliff in the low bands says "raise
+    * nprobe for short queries" (or normalize at ingest), which no
+    * aggregate recall number reveals.
+    *
+    * Scale: rides the memoized sharedTruth/sharedIvf frames — one
+    * (q_id, n_id) hit join, one norm projection, ≤\|bands\| rows.
+    * Rows-only; the smoke spec pins band coverage and bounds. */
+  def s33(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val truth = sharedTruth(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = truth.join(sharedIvf(spark, dir).select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("h"))
+    val bands = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("q_id"),
+        floor(expr("vec_norm(embedding)") * 4).cast("long").as("norm_band"))
+    truth.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .join(bands, "q_id")
+      .groupBy("norm_band")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(coalesce(col("h"), lit(0L))).as("n_hits"))
+      .select(col("norm_band"), col("n_queries"),
+        round(col("n_hits").cast("double") / (col("n_queries") * 5), 6)
+          .as("recall_at_5"))
+      .orderBy("norm_band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s33_norm_recall" -> (s33 _),
     "s32_recall_at_k" -> (s32 _),
     "s31_label_recall" -> (s31 _),
     "s30_metric_agreement" -> (s30 _),

@@ -2287,7 +2287,61 @@ object TextAnalysis {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t57
+  /** Corpus n-gram redundancy curve: at n ∈ {1, 2, 4, 8}, total gram
+    * occurrences vs distinct grams and redundancy = 1 − distinct/total
+    * — the compression-style scalar for "how much of the training
+    * token stream is repeated material". Unigram redundancy is just
+    * Zipf (always high); the 8-gram number is the one that predicts
+    * memorization risk and dedup payoff, and the SLOPE between them
+    * says whether repetition is vocabulary-level or passage-level
+    * (t30 measures within-doc repetition per doc; this is the
+    * corpus-level cross-doc curve).
+    *
+    * Scale: per n one fan-out + one count + one approx-free distinct
+    * count via groupBy (map-combinable partial aggregation — the same
+    * shuffle any dedup pays), ≤4 rows out. Occurrence grams (not
+    * per-doc distinct): word_ngrams dedups within doc, so totals come
+    * from sliding counts len−n+1. */
+  def t57(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val rows = Seq(1, 2, 4, 8).map { n =>
+      // per-doc distinct grams under-count occurrences; rebuild the
+      // sliding stream: explode positions via the tokens array
+      val toks = Tables.documents(spark, dir)
+        .select(expr("word_tokens(text)").as("w"))
+        .select(col("w"), size(col("w")).as("len"))
+        .filter(col("len") >= n)
+      val grams = toks.select(explode(
+        expr(s"transform(sequence(0, len - $n), i -> " +
+          s"array_join(slice(w, i + 1, $n), ' '))")).as("g"))
+      grams.agg(count(lit(1)).as("total_grams"))
+        .join(broadcast(grams.distinct().agg(count(lit(1)).as("distinct_grams"))))
+        .select(lit(n).cast("int").as("n"), col("total_grams"),
+          col("distinct_grams"),
+          round(lit(1.0d) - col("distinct_grams").cast("double")
+            / col("total_grams"), 6).as("redundancy"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("n")
+  }
+  val t57Sql: String = {
+    val per = Seq(1, 2, 4, 8).map { n =>
+      s"""SELECT $n AS n, COUNT(*)::BIGINT AS total_grams,
+         |  COUNT(DISTINCT g)::BIGINT AS distinct_grams,
+         |  ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+         |    AS redundancy
+         |FROM (
+         |  SELECT UNNEST(list_transform(range(1, len(w) - $n + 2),
+         |    i -> array_to_string(w[i:i+${n - 1}], ' '))) AS g
+         |  FROM toks WHERE len(w) >= $n)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT $wordsSql AS w FROM documents)
+       |$per
+       |ORDER BY n""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t57_gram_redundancy" -> (t57 _),
     "t56_template_flow" -> (t56 _),
     "t55_quality_attribution" -> (t55 _),
     "t54_langid_margin" -> (t54 _),
@@ -2345,6 +2399,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t57_gram_redundancy" -> t57Sql,
     "t56_template_flow" -> t56Sql,
     "t55_quality_attribution" -> t55Sql,
     "t54_langid_margin" -> t54Sql,

@@ -151,7 +151,12 @@ object PlanAudit {
     // p31: t51's 1-row max-id half-split broadcast
     "p31_split_stability",
     // d54: per-cap 1-row exact-baseline broadcasts (pairs_lost join)
-    "d54_cap_sweep")
+    "d54_cap_sweep",
+    // e94: 1-row×1-row joins of the day/flag-count aggregates (plus
+    // e85's 1-row moment broadcasts inline)
+    "e94_anomaly_agreement",
+    // t57: per-n 1-row (total × distinct) count broadcasts
+    "t57_gram_redundancy")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

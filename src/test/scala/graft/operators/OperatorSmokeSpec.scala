@@ -149,7 +149,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "e91_lateness_profile", "d53_minhash_error",
       "e92_entry_retention", "s32_recall_at_k",
       "t56_template_flow", "p31_split_stability",
-      "e93_gap_sweep", "d54_cap_sweep")
+      "e93_gap_sweep", "d54_cap_sweep",
+      "e94_anomaly_agreement", "q103_weighted_median", "s33_norm_recall",
+      "t57_gram_redundancy")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -163,7 +165,20 @@ class OperatorSmokeSpec extends SparkSpec {
         "s13_sq8_error_hist", "s14_recall_curve", "d29_lsh_candidate_report",
         "d39_lsh_bucket_histogram", "s29_sq8_recall",
         "d52_band_sweep", "s31_label_recall", "d53_minhash_error",
-        "s32_recall_at_k"))
+        "s32_recall_at_k", "s33_norm_recall"))
+  }
+
+  test("s33 norm-band recall: every populated band covered, recalls within (0,1]") {
+    val rows = Similarity.s33(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_queries")).sum
+    assert(total == graft.engine.Tables.embeddings(spark, sf).count(),
+      "every query must land in exactly one norm band")
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_5")
+      assert(rec > 0.0 && rec <= 1.0,
+        s"band ${r.getAs[Long]("norm_band")} recall $rec out of (0,1]")
+    }
   }
 
   test("s32 recall@k: shared query denominator, all recalls within (0,1]") {
