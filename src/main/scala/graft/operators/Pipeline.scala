@@ -1556,7 +1556,80 @@ object Pipeline {
        |FROM t""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p32
+  /** Corpus health scorecard — the one-row front page a curation run
+    * publishes before anyone reads the per-family reports: doc count,
+    * exact-dup docs (d01's hash census), near-dup pair count (the
+    * J ≥ 0.5 stream), mean t02 quality (round9-quantized,
+    * order-independent), and 8-gram redundancy (t57's memorization-risk
+    * scalar). Every number is defined by an operator elsewhere in the
+    * library — this row is the contract that they were all computed on
+    * the SAME snapshot.
+    *
+    * Scale: one hash census + the memoized pair stream + one quality
+    * scan + one 8-gram distinct count; five 1-row frames
+    * broadcast-joined. */
+  def p32(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val dup = docs.select(md5(col("text")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1).as("n_exact_dup_docs"))
+    val pairs = Dedup.sharedPairs(spark, dir)
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+    val q = TextAnalysis.addQuality(docs)
+      .agg(count(lit(1)).as("nq"),
+        sum(round(col("quality"), 9).cast("decimal(18,9)")).as("sq"))
+      .select(round(col("sq").cast("double") / col("nq"), 6).as("mean_quality"))
+    val g8 = docs.select(expr("word_tokens(text)").as("w"))
+      .select(col("w"), size(col("w")).as("len")).filter(col("len") >= 8)
+      .select(explode(expr("transform(sequence(0, len - 8), i -> " +
+        "array_join(slice(w, i + 1, 8), ' '))")).as("g"))
+    val red8 = g8.agg(count(lit(1)).as("tot"))
+      .join(broadcast(g8.distinct().agg(count(lit(1)).as("dst"))))
+      .select(round(lit(1.0d) - col("dst").cast("double") / col("tot"), 6)
+        .as("redundancy_8gram"))
+    nd.join(broadcast(dup)).join(broadcast(pairs))
+      .join(broadcast(q)).join(broadcast(red8))
+  }
+  val p32Sql: String = {
+    val pairSql = Dedup.jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    import TextAnalysis.{wordsSql, stopSqlIn}
+    s"""WITH nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+       |dup AS (
+       |  SELECT SUM(c - 1)::BIGINT AS n_exact_dup_docs
+       |  FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1)),
+       |prs AS (SELECT COUNT(*)::BIGINT AS n_neardup_pairs FROM ($pairSql)),
+       |m AS (
+       |  SELECT CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM (SELECT text, $wordsSql AS w FROM documents)
+       |  WHERE len(w) >= 1),
+       |q AS (
+       |  SELECT ROUND(CAST(SUM(CAST(ROUND(
+       |      0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_char AS DOUBLE))
+       |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+       |    + 0.4 * (CAST(LEAST(n_tok, 100) AS DOUBLE) / 100.0), 6)
+       |      AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_quality
+       |  FROM m),
+       |g8 AS (
+       |  SELECT UNNEST(list_transform(range(1, len(w) - 6),
+       |    i -> array_to_string(w[i:i+7], ' '))) AS g
+       |  FROM (SELECT $wordsSql AS w FROM documents) WHERE len(w) >= 8),
+       |red AS (
+       |  SELECT ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+       |    AS redundancy_8gram
+       |  FROM g8)
+       |SELECT n_docs, n_exact_dup_docs, n_neardup_pairs, mean_quality,
+       |  redundancy_8gram
+       |FROM nd CROSS JOIN dup CROSS JOIN prs CROSS JOIN q CROSS JOIN red""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p32_corpus_scorecard" -> (p32 _),
     "p31_split_stability" -> (p31 _),
     "p30_split_gate" -> (p30 _),
     "p29_cluster_split" -> (p29 _),
@@ -1590,6 +1663,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p32_corpus_scorecard" -> p32Sql,
     "p31_split_stability" -> p31Sql,
     "p30_split_gate" -> p30Sql,
     "p29_cluster_split" -> p29Sql,

@@ -156,7 +156,9 @@ object PlanAudit {
     // e85's 1-row moment broadcasts inline)
     "e94_anomaly_agreement",
     // t57: per-n 1-row (total × distinct) count broadcasts
-    "t57_gram_redundancy")
+    "t57_gram_redundancy",
+    // p32: five 1-row metric frames broadcast onto the 1-row doc count
+    "p32_corpus_scorecard")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

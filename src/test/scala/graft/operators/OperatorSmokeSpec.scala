@@ -151,7 +151,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "t56_template_flow", "p31_split_stability",
       "e93_gap_sweep", "d54_cap_sweep",
       "e94_anomaly_agreement", "q103_weighted_median", "s33_norm_recall",
-      "t57_gram_redundancy")
+      "t57_gram_redundancy", "p32_corpus_scorecard")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
