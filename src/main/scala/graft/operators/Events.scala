@@ -3968,7 +3968,52 @@ object Events {
        |  (SELECT COUNT(*) FROM aflag)::BIGINT AS flagged_adaptive,
        |  (SELECT COUNT(*) FROM sflag JOIN aflag USING (day))::BIGINT AS flagged_both""".stripMargin
 
+  // ---------------------------------------------------------------- e95
+  /** Payload-property lift screen: conversion and spend by decile band
+    * of the event payload's `k` property — the first question asked of
+    * any instrumented attribute ("does k predict purchase?"). Per
+    * band: event count, purchase count, purchase rate, and mean
+    * purchase value (cent-exact integer sum, ONE division, NULL for a
+    * purchase-free band in both engines).
+    *
+    * Scale: one map-combinable pass over the fact scan (JSON extract is
+    * codegen'd `get_json_object`); output bounded at 10 bands. */
+  def e95(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("least(cast(get_json_object(props, '$.k') as bigint) div 10, 9L)")
+          .as("k_band"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("k_band")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("pc"))
+      .select(col("k_band"), col("n_events"), col("n_purchases"),
+        round(dbl(col("n_purchases")) / col("n_events"), 6).as("purchase_rate"),
+        round(when(col("n_purchases") > 0,
+          dbl(col("pc")) / col("n_purchases") / 100.0d), 6)
+          .as("mean_purchase_value"))
+      .orderBy("k_band")
+  val e95Sql: String =
+    """WITH e AS (
+      |  SELECT LEAST(CAST(props->>'$.k' AS BIGINT) // 10, 9) AS k_band,
+      |    event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |a AS (
+      |  SELECT k_band, COUNT(*)::BIGINT AS n_events,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)::BIGINT AS pc
+      |  FROM e GROUP BY 1)
+      |SELECT k_band, n_events, n_purchases,
+      |  ROUND(CAST(n_purchases AS DOUBLE) / n_events, 6) AS purchase_rate,
+      |  ROUND(CASE WHEN n_purchases > 0
+      |    THEN CAST(pc AS DOUBLE) / n_purchases / 100.0 END, 6) AS mean_purchase_value
+      |FROM a ORDER BY k_band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e95_prop_band_lift" -> (e95 _),
     "e94_anomaly_agreement" -> (e94 _),
     "e93_gap_sweep" -> (e93 _),
     "e92_entry_retention" -> (e92 _),
@@ -4066,6 +4111,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e95_prop_band_lift" -> e95Sql,
     "e94_anomaly_agreement" -> e94Sql,
     "e93_gap_sweep" -> e93Sql,
     "e92_entry_retention" -> e92Sql,

@@ -1010,7 +1010,64 @@ object Multimodal {
       |FROM h CROSS JOIN t
       |ORDER BY n_first + n_second DESC, pfx LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- m25
+  /** Per-modality payload-size ingestion drift: mean payload bytes in
+    * the first vs second ingestion half (by doc_id against a 1-row
+    * corpus-max broadcast) and the relative change — m21 answers "did
+    * the modality MIX move mid-crawl", this answers "did the payloads
+    * themselves get bigger": a +40% image-size drift mid-run usually
+    * means a thumbnail pipeline silently switched to originals.
+    *
+    * Scale: one map-combinable pass (integer byte sums, ONE division
+    * per half at the end); output bounded by |modalities|. */
+  def m25(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        routeModality(col("payload"), col("text")).as("modality"),
+        octet_length(col("payload")).cast("long").as("nb"))
+    val mx = r.agg(max(col("doc_id")).as("max_id"))
+    val mf = dbl(col("b_first")) / col("n_first")
+    val ms = dbl(col("b_second")) / col("n_second")
+    r.join(broadcast(mx))
+      .withColumn("half", least(expr("doc_id * 2 div (max_id + 1)"), lit(1L)))
+      .groupBy("modality")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_first"),
+           sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_second"),
+           sum(when(col("half") === 0, col("nb")).otherwise(0L)).as("b_first"),
+           sum(when(col("half") === 1, col("nb")).otherwise(0L)).as("b_second"))
+      .select(col("modality"), col("n_first"), col("n_second"),
+        round(when(col("n_first") > 0, mf), 6).as("mean_bytes_first"),
+        round(when(col("n_second") > 0, ms), 6).as("mean_bytes_second"),
+        round(when(col("n_first") > 0 && col("n_second") > 0, ms / mf - 1.0d), 6)
+          .as("rel_change"))
+      .orderBy("modality")
+  }
+  val m25Sql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, $modalitySqlCase AS modality,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+       |  FROM documents),
+       |mx AS (SELECT MAX(doc_id) AS max_id FROM r),
+       |a AS (
+       |  SELECT modality,
+       |    SUM(CASE WHEN LEAST(doc_id * 2 // (max_id + 1), 1) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_first,
+       |    SUM(CASE WHEN LEAST(doc_id * 2 // (max_id + 1), 1) = 1 THEN 1 ELSE 0 END)::BIGINT AS n_second,
+       |    SUM(CASE WHEN LEAST(doc_id * 2 // (max_id + 1), 1) = 0 THEN nb ELSE 0 END)::BIGINT AS b_first,
+       |    SUM(CASE WHEN LEAST(doc_id * 2 // (max_id + 1), 1) = 1 THEN nb ELSE 0 END)::BIGINT AS b_second
+       |  FROM r CROSS JOIN mx GROUP BY 1)
+       |SELECT modality, n_first, n_second,
+       |  ROUND(CASE WHEN n_first > 0
+       |    THEN CAST(b_first AS DOUBLE) / n_first END, 6) AS mean_bytes_first,
+       |  ROUND(CASE WHEN n_second > 0
+       |    THEN CAST(b_second AS DOUBLE) / n_second END, 6) AS mean_bytes_second,
+       |  ROUND(CASE WHEN n_first > 0 AND n_second > 0
+       |    THEN (CAST(b_second AS DOUBLE) / n_second)
+       |       / (CAST(b_first AS DOUBLE) / n_first) - 1.0 END, 6) AS rel_change
+       |FROM a ORDER BY modality""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m25_size_drift" -> (m25 _),
     "m24_prefix_drift" -> (m24 _),
     "m23_router_sensitivity" -> (m23 _),
     "m22_dedup_roi" -> (m22 _),
@@ -1038,6 +1095,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m25_size_drift" -> m25Sql,
     "m24_prefix_drift" -> m24Sql,
     "m23_router_sensitivity" -> m23Sql,
     "m22_dedup_roi" -> m22Sql,

@@ -1628,7 +1628,70 @@ object Pipeline {
        |FROM nd CROSS JOIN dup CROSS JOIN prs CROSS JOIN q CROSS JOIN red""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p33
+  /** Sampling-temperature sweep for the source mixture: per sampling
+    * exponent α ∈ {0.3, 0.5, 0.7, 1.0}, each source's share under
+    * tokens^α weighting (the multilingual/LLM upsampling recipe —
+    * α = 1 is natural proportions, α → 0 flattens toward uniform) and
+    * the boost factor vs natural share. This is the table a pretraining
+    * run reads to pick how hard to upsample low-resource sources
+    * before p10/p13 turn shares into epoch plans.
+    *
+    * Scale: ONE token rollup over the corpus (map-combinable, cached
+    * |sources|-frame), then per-α arithmetic on the bounded frame —
+    * pow results are round6-quantized to decimals so the Σ tokens^α
+    * denominator is order-independent; shares are single double
+    * divisions. Output |α|×|sources|. */
+  def p33(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    VectorFunctions.register(spark)
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), size(expr("word_tokens(text)")).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("tokens"))
+      .cache()
+    val tot = tok.agg(sum(col("tokens")).as("tot_tokens"))
+    Seq(0.3d, 0.5d, 0.7d, 1.0d).map { a =>
+      val t = tok.withColumn("w",
+        round(pow(dbl(col("tokens")), lit(a)), 6).cast("decimal(28,6)"))
+      val tw = t.agg(sum(col("w")).as("tot_w"))
+      val natShare = dbl(col("tokens")) / dbl(col("tot_tokens"))
+      val tempShare = dbl(col("w")) / dbl(col("tot_w"))
+      t.join(broadcast(tw)).join(broadcast(tot))
+        .select(lit(a).as("alpha"), col("source"), col("tokens"),
+          round(natShare, 6).as("nat_share"),
+          round(tempShare, 6).as("temp_share"),
+          round(tempShare / natShare, 6).as("boost"))
+    }.reduce(_.unionByName(_)).orderBy("alpha", "source")
+  }
+  val p33Sql: String = {
+    import TextAnalysis.wordsSql
+    val per = Seq("0.3", "0.5", "0.7", "1.0").map { a =>
+      s"""SELECT CAST($a AS DOUBLE) AS alpha, source, tokens,
+         |  ROUND(CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6) AS nat_share,
+         |  ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS temp_share,
+         |  ROUND((CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
+         |      / (CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6) AS boost
+         |FROM (
+         |  SELECT source, tokens,
+         |    CAST(ROUND(pow(CAST(tokens AS DOUBLE), CAST($a AS DOUBLE)), 6)
+         |      AS DECIMAL(28,6)) AS w
+         |  FROM tok) t
+         |CROSS JOIN (
+         |  SELECT SUM(CAST(ROUND(pow(CAST(tokens AS DOUBLE), CAST($a AS DOUBLE)), 6)
+         |    AS DECIMAL(28,6))) AS tw
+         |  FROM tok) s
+         |CROSS JOIN tot""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT)) AS tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT SUM(tokens)::BIGINT AS tot_tokens FROM tok)
+       |$per
+       |ORDER BY alpha, source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p33_temperature_sweep" -> (p33 _),
     "p32_corpus_scorecard" -> (p32 _),
     "p31_split_stability" -> (p31 _),
     "p30_split_gate" -> (p30 _),
@@ -1663,6 +1726,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p33_temperature_sweep" -> p33Sql,
     "p32_corpus_scorecard" -> p32Sql,
     "p31_split_stability" -> p31Sql,
     "p30_split_gate" -> p30Sql,

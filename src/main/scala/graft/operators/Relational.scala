@@ -3461,7 +3461,52 @@ object Relational {
       |FROM c WHERE cumw * 2 >= totw
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** Discount elasticity per brand: the per-brand OLS line of quantity
+    * on discount (slope + intercept), the number q73's correlation only
+    * hints at — "one more point of discount buys `slope` more units".
+    * All five moments are DECIMAL-exact sums (order-independent under
+    * map-side combine); slope/intercept are each ONE double division,
+    * guarded against a zero-variance brand (all lines at one discount
+    * ⇒ NULL slope in both engines, never a div-by-zero).
+    *
+    * Scale: broadcast part dim onto the fact scan, |brand|-bounded
+    * moment frame, no shuffle beyond the groupBy. */
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_discount"))
+    val y = dec(col("l_quantity"))
+    val m = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+           dbl(sum(x)).as("sx"), dbl(sum(y)).as("sy"),
+           dbl(sum(x * y)).as("sxy"), dbl(sum(x * x)).as("sx2"))
+    val varx = col("n") * col("sx2") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / varx
+    m.select(col("p_brand"), col("n"),
+        round(when(varx > 0, slope), 6).as("slope_qty_per_disc"),
+        round(when(varx > 0,
+          (col("sy") - slope * col("sx")) / col("n")), 6).as("intercept_qty"))
+      .orderBy("p_brand")
+  }
+  val q104Sql: String =
+    """WITH m AS (
+      |  SELECT p_brand, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sx2
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+      |SELECT p_brand, n,
+      |  ROUND(CASE WHEN n * sx2 - sx * sx > 0
+      |    THEN (n * sxy - sx * sy) / (n * sx2 - sx * sx) END, 6) AS slope_qty_per_disc,
+      |  ROUND(CASE WHEN n * sx2 - sx * sx > 0
+      |    THEN (sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n END, 6) AS intercept_qty
+      |FROM m ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q104_discount_elasticity" -> (q104 _),
     "q103_weighted_median" -> (q103 _),
     "q102_seasonal_decomposition" -> (q102 _),
     "q101_spend_trend_census" -> (q101 _),
@@ -3568,6 +3613,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q104_discount_elasticity" -> q104Sql,
     "q103_weighted_median" -> q103Sql,
     "q102_seasonal_decomposition" -> q102Sql,
     "q101_spend_trend_census" -> q101Sql,

@@ -1480,7 +1480,37 @@ object Similarity {
       .orderBy("norm_band")
   }
 
+  // ---------------------------------------------------------------- s34
+  /** kNN label confusion matrix: s05's majority-vote prediction rolled
+    * up to (true label, predicted label, count, row share) — the
+    * artifact that turns the per-vector weak-label audit into a
+    * per-CLASS one: an off-diagonal heavy row is a class whose
+    * embedding neighborhood is contaminated (mislabeled cluster or
+    * genuinely overlapping concepts), and is where label-propagation
+    * labeling should NOT be trusted.
+    *
+    * Scale: rides s05 (memoized CosineTopK ground truth + bounded
+    * vote window); the rollup is |labels|²-bounded, row shares from a
+    * per-label window over that bounded frame. */
+  def s34(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("label")
+    s05(spark, dir).select(col("label"), col("pred_label"))
+      .groupBy("label", "pred_label").agg(count(lit(1)).as("n"))
+      .withColumn("row_share", round(dbl(col("n")) / sum(col("n")).over(w), 6))
+      .orderBy("label", "pred_label")
+  }
+  val s34Sql: String =
+    s"""WITH m AS (
+       |  SELECT label, pred_label, COUNT(*)::BIGINT AS n
+       |  FROM (${s05Sql.replace("ORDER BY vec_id", "")})
+       |  GROUP BY 1, 2)
+       |SELECT label, pred_label, n,
+       |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY label), 6)
+       |    AS row_share
+       |FROM m ORDER BY label, pred_label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s34_knn_confusion" -> (s34 _),
     "s33_norm_recall" -> (s33 _),
     "s32_recall_at_k" -> (s32 _),
     "s31_label_recall" -> (s31 _),
@@ -1517,6 +1547,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s34_knn_confusion" -> s34Sql,
     "s30_metric_agreement" -> s30Sql,
     "s28_dedup_centroid_shift" -> s28Sql,
     "s27_mutual_knn" -> s27Sql,

@@ -2340,7 +2340,56 @@ object TextAnalysis {
        |ORDER BY n""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t58
+  /** Cross-language vocabulary confusability: for every unordered
+    * language pair, the two vocabulary sizes, the shared-type count,
+    * and the vocabulary Jaccard — the matrix that predicts where an
+    * n-gram language-ID (t03) will confuse languages: pairs whose
+    * vocabularies overlap heavily are exactly the pairs whose docs
+    * misroute, so this is the confusion-PRIOR the langid calibration
+    * suite reads before trusting per-language splits.
+    *
+    * Scale: one (lang, word) distinct (shuffle on the pair key), a
+    * word-keyed self-join bounded at |langs|² rows per word, and a
+    * |langs|-row size frame broadcast twice. Output is |langs|²/2. */
+  def t58(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val v = Tables.documents(spark, dir)
+      .select(col("lang"), explode(expr("word_tokens(text)")).as("w"))
+      .distinct()
+    val sz = v.groupBy("lang").agg(count(lit(1)).as("nv"))
+    val inter = v.as("a")
+      .join(v.as("b"),
+        col("a.w") === col("b.w") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("shared_types"))
+    inter
+      .join(broadcast(sz.select(col("lang").as("lang_a"), col("nv").as("vocab_a"))), "lang_a")
+      .join(broadcast(sz.select(col("lang").as("lang_b"), col("nv").as("vocab_b"))), "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("vocab_a"), col("vocab_b"),
+        col("shared_types"),
+        round(dbl(col("shared_types")) /
+          (col("vocab_a") + col("vocab_b") - col("shared_types")), 6)
+          .as("vocab_jaccard"))
+      .orderBy("lang_a", "lang_b")
+  }
+  val t58Sql: String =
+    s"""WITH v AS (
+       |  SELECT DISTINCT lang, w
+       |  FROM (SELECT lang, UNNEST($wordsSql) AS w FROM documents)),
+       |s AS (SELECT lang, COUNT(*)::BIGINT AS nv FROM v GROUP BY 1),
+       |i AS (
+       |  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*)::BIGINT AS shared_types
+       |  FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+       |  GROUP BY 1, 2)
+       |SELECT lang_a, lang_b, sa.nv AS vocab_a, sb.nv AS vocab_b, shared_types,
+       |  ROUND(CAST(shared_types AS DOUBLE) / (sa.nv + sb.nv - shared_types), 6)
+       |    AS vocab_jaccard
+       |FROM i JOIN s sa ON lang_a = sa.lang JOIN s sb ON lang_b = sb.lang
+       |ORDER BY lang_a, lang_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t58_lang_confusability" -> (t58 _),
     "t57_gram_redundancy" -> (t57 _),
     "t56_template_flow" -> (t56 _),
     "t55_quality_attribution" -> (t55 _),
@@ -2399,6 +2448,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t58_lang_confusability" -> t58Sql,
     "t57_gram_redundancy" -> t57Sql,
     "t56_template_flow" -> t56Sql,
     "t55_quality_attribution" -> t55Sql,

@@ -158,7 +158,12 @@ object PlanAudit {
     // t57: per-n 1-row (total × distinct) count broadcasts
     "t57_gram_redundancy",
     // p32: five 1-row metric frames broadcast onto the 1-row doc count
-    "p32_corpus_scorecard")
+    "p32_corpus_scorecard",
+    // m25: m21's 1-row corpus-max broadcast (ingestion-half split)
+    "m25_size_drift",
+    // p33: per-α 1-row Σtokens^α denominator broadcasts onto the
+    // |sources|-bounded token frame
+    "p33_temperature_sweep")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -151,7 +151,10 @@ class OperatorSmokeSpec extends SparkSpec {
       "t56_template_flow", "p31_split_stability",
       "e93_gap_sweep", "d54_cap_sweep",
       "e94_anomaly_agreement", "q103_weighted_median", "s33_norm_recall",
-      "t57_gram_redundancy", "p32_corpus_scorecard")
+      "t57_gram_redundancy", "p32_corpus_scorecard",
+      "q104_discount_elasticity", "e95_prop_band_lift",
+      "t58_lang_confusability", "s34_knn_confusion",
+      "m25_size_drift", "p33_temperature_sweep")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
