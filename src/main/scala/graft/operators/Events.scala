@@ -4012,7 +4012,56 @@ object Events {
       |    THEN CAST(pc AS DOUBLE) / n_purchases / 100.0 END, 6) AS mean_purchase_value
       |FROM a ORDER BY k_band""".stripMargin
 
+  // ---------------------------------------------------------------- e96
+  /** Peak session concurrency per day: sessions (e01's 30-min gap) are
+    * expanded to the minutes they cover; concurrency at a minute is the
+    * number of covering sessions, and each day reports its peak, the
+    * earliest minute achieving it, and the count of minutes with any
+    * load — the capacity-planning curve ("size for the peak, not the
+    * mean") that DAU-style counts (e14/e49) structurally understate.
+    * Days are epoch days (ms div 86 400 000), e04's convention.
+    *
+    * Scale: the explode is bounded by Σ session-minutes (a 30-min-gap
+    * session covers its own duration, so total fan-out ≈ active user-
+    * minutes — the quantity being measured); concurrency shuffles once
+    * on the minute key and the day rollup rides a day-partitioned
+    * window over the |minutes|-bounded frame. */
+  def e96(spark: SparkSession, dir: String): DataFrame = {
+    val wd = Window.partitionBy("day")
+    sessionize(Tables.events(spark, dir))
+      .select(explode(expr("sequence(start_ms div 60000, end_ms div 60000)"))
+        .as("minute"))
+      .groupBy("minute").agg(count(lit(1)).as("conc"))
+      .withColumn("day", expr("minute div 1440"))
+      .withColumn("peak_concurrency", max(col("conc")).over(wd))
+      .withColumn("active_minutes", count(lit(1)).over(wd))
+      .filter(col("conc") === col("peak_concurrency"))
+      .groupBy("day", "peak_concurrency", "active_minutes")
+      .agg(min(col("minute")).as("peak_minute"))
+      .select("day", "peak_concurrency", "peak_minute", "active_minutes")
+      .orderBy("day")
+  }
+  val e96Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+       |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_sess FROM l),
+       |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f),
+       |sess AS (SELECT user_id, sess_idx, MIN(ms) AS start_ms, MAX(ms) AS end_ms
+       |  FROM s GROUP BY 1, 2),
+       |mins AS (SELECT UNNEST(generate_series(start_ms // 60000, end_ms // 60000)) AS minute
+       |  FROM sess),
+       |c AS (SELECT minute, COUNT(*)::BIGINT AS conc FROM mins GROUP BY 1),
+       |d AS (SELECT minute, conc, minute // 1440 AS day FROM c),
+       |r AS (SELECT *, MAX(conc) OVER (PARTITION BY day) AS peak_concurrency,
+       |        COUNT(*) OVER (PARTITION BY day)::BIGINT AS active_minutes FROM d)
+       |SELECT day, peak_concurrency, MIN(minute) AS peak_minute, active_minutes
+       |FROM r WHERE conc = peak_concurrency
+       |GROUP BY day, peak_concurrency, active_minutes
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e96_peak_concurrency" -> (e96 _),
     "e95_prop_band_lift" -> (e95 _),
     "e94_anomaly_agreement" -> (e94 _),
     "e93_gap_sweep" -> (e93 _),
@@ -4111,6 +4160,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e96_peak_concurrency" -> e96Sql,
     "e95_prop_band_lift" -> e95Sql,
     "e94_anomaly_agreement" -> e94Sql,
     "e93_gap_sweep" -> e93Sql,

@@ -1066,7 +1066,59 @@ object Multimodal {
        |       / (CAST(b_first AS DOUBLE) / n_first) - 1.0 END, 6) AS rel_change
        |FROM a ORDER BY modality""".stripMargin
 
+  // ---------------------------------------------------------------- m26
+  /** Truncation screen: payloads whose size is under a quarter of their
+    * OWN modality's mean — a valid magic-byte header on a far-too-small
+    * body is the signature of a cut-off download/transcode, and a
+    * modality-relative cut is the only sane one (a 2 KB jpeg is
+    * suspicious, a 2 KB text is normal). The flag predicate is kept in
+    * exact integers (4·nb·n < Σnb) so both engines cut identically —
+    * no mean is ever materialized as a double before the compare.
+    *
+    * Scale: one pass for the |modalities|-bounded (n, Σnb) frame,
+    * broadcast back onto the scan by the modality key; per-modality
+    * flagged stats are map-combinable. Output |modalities| rows. */
+  def m26(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(routeModality(col("payload"), col("text")).as("modality"),
+        octet_length(col("payload")).cast("long").as("nb"))
+    val stats = r.groupBy("modality")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("tot_b"))
+    r.join(broadcast(stats), "modality")
+      .withColumn("flagged",
+        when(col("nb") * 4L * col("n_docs") < col("tot_b"), 1L).otherwise(0L))
+      .groupBy("modality")
+      .agg(first(col("n_docs")).as("n_docs"),
+           sum(col("flagged")).as("n_flagged"),
+           sum(when(col("flagged") === 1L, col("nb")).otherwise(0L)).as("fb"))
+      .select(col("modality"), col("n_docs"), col("n_flagged"),
+        round(dbl(col("n_flagged")) / col("n_docs"), 6).as("flagged_share"),
+        round(when(col("n_flagged") > 0, dbl(col("fb")) / col("n_flagged")), 6)
+          .as("mean_flagged_bytes"))
+      .orderBy("modality")
+  }
+  val m26Sql: String =
+    s"""WITH r AS (
+       |  SELECT $modalitySqlCase AS modality,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+       |  FROM documents),
+       |st AS (SELECT modality, COUNT(*)::BIGINT AS n_docs, SUM(nb)::BIGINT AS tot_b
+       |  FROM r GROUP BY 1),
+       |f AS (
+       |  SELECT r.modality, n_docs,
+       |    CASE WHEN nb * 4 * n_docs < tot_b THEN 1 ELSE 0 END AS flagged, nb
+       |  FROM r JOIN st ON r.modality = st.modality)
+       |SELECT modality, ANY_VALUE(n_docs) AS n_docs,
+       |  SUM(flagged)::BIGINT AS n_flagged,
+       |  ROUND(CAST(SUM(flagged) AS DOUBLE) / ANY_VALUE(n_docs), 6) AS flagged_share,
+       |  ROUND(CASE WHEN SUM(flagged) > 0
+       |    THEN CAST(SUM(CASE WHEN flagged = 1 THEN nb ELSE 0 END) AS DOUBLE)
+       |       / SUM(flagged) END, 6) AS mean_flagged_bytes
+       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m26_truncation_screen" -> (m26 _),
     "m25_size_drift" -> (m25 _),
     "m24_prefix_drift" -> (m24 _),
     "m23_router_sensitivity" -> (m23 _),
@@ -1095,6 +1147,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m26_truncation_screen" -> m26Sql,
     "m25_size_drift" -> m25Sql,
     "m24_prefix_drift" -> m24Sql,
     "m23_router_sensitivity" -> m23Sql,

@@ -1690,7 +1690,78 @@ object Pipeline {
        |ORDER BY alpha, source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p34
+  /** Quality-curriculum plan: sources ordered by mean quality (t02's
+    * score, DECIMAL-exact mean) and cut into three training phases by
+    * CUMULATIVE token share — phase 1 trains on the lowest-quality
+    * first third of tokens, phase 3 ends on the best (the anneal
+    * ordering p27 prices for one source, planned across all of them).
+    * Phase cuts are exact-integer compares (3·cum ≤ tot etc.), so both
+    * engines cut identically.
+    *
+    * Scale: one token+quality rollup over the corpus (map-combinable),
+    * then a non-equi cumulative self-join on the |sources|-bounded
+    * frame (broadcast, constant cost) — never a global window. */
+  def p34(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    VectorFunctions.register(spark)
+    val src = TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .select(col("source"), size(expr("word_tokens(text)")).cast("long").as("nt"),
+        col("quality").cast("decimal(18,6)").as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"),
+        round(dbl(sum(col("q"))) / count(lit(1)), 6).as("mean_quality"))
+      .cache()
+    val tot = src.agg(sum(col("tokens")).as("tot_tokens"))
+    val cum = src.as("a").join(broadcast(src.as("b")),
+        col("b.mean_quality") < col("a.mean_quality") ||
+          (col("b.mean_quality") === col("a.mean_quality") &&
+            col("b.source") <= col("a.source")))
+      .groupBy(col("a.source").as("source"), col("a.n_docs").as("n_docs"),
+        col("a.tokens").as("tokens"), col("a.mean_quality").as("mean_quality"))
+      .agg(sum(col("b.tokens")).as("cum_tokens"))
+    cum.join(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"), col("mean_quality"),
+        col("cum_tokens"),
+        when(col("cum_tokens") * 3 <= col("tot_tokens"), 1)
+          .when(col("cum_tokens") * 3 <= col("tot_tokens") * 2, 2)
+          .otherwise(3).as("phase"))
+      .orderBy("mean_quality", "source")
+  }
+  val p34Sql: String = {
+    import TextAnalysis.{wordsSql, stopSqlIn, qualitySqlExpr}
+    s"""WITH base AS (
+       |  SELECT source, text, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT source, CAST(len(w) AS BIGINT) AS nt,
+       |    CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |src AS (
+       |  SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS tokens,
+       |    ROUND(CAST(SUM(CAST($qualitySqlExpr AS DECIMAL(18,6))) AS DOUBLE)
+       |      / COUNT(*), 6) AS mean_quality
+       |  FROM m GROUP BY 1),
+       |tot AS (SELECT SUM(tokens)::BIGINT AS tot_tokens FROM src),
+       |c AS (
+       |  SELECT a.source, a.n_docs, a.tokens, a.mean_quality,
+       |    SUM(b.tokens)::BIGINT AS cum_tokens
+       |  FROM src a JOIN src b
+       |    ON b.mean_quality < a.mean_quality
+       |    OR (b.mean_quality = a.mean_quality AND b.source <= a.source)
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT source, n_docs, tokens, mean_quality, cum_tokens,
+       |  CASE WHEN cum_tokens * 3 <= tot_tokens THEN 1
+       |       WHEN cum_tokens * 3 <= tot_tokens * 2 THEN 2
+       |       ELSE 3 END AS phase
+       |FROM c CROSS JOIN tot
+       |ORDER BY mean_quality, source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p34_curriculum_plan" -> (p34 _),
     "p33_temperature_sweep" -> (p33 _),
     "p32_corpus_scorecard" -> (p32 _),
     "p31_split_stability" -> (p31 _),
@@ -1726,6 +1797,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p34_curriculum_plan" -> p34Sql,
     "p33_temperature_sweep" -> p33Sql,
     "p32_corpus_scorecard" -> p32Sql,
     "p31_split_stability" -> p31Sql,

@@ -3505,7 +3505,69 @@ object Relational {
       |    THEN (sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n END, 6) AS intercept_qty
       |FROM m ORDER BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** Return-abuse screen: customers whose lineitem return rate runs at
+    * ≥1.5× their nation's baseline on a ≥5-line history — the classic
+    * fraud-ops shortlist where the NATION baseline (not the global one)
+    * absorbs regional returns-policy differences before a customer is
+    * flagged. Rates are single divisions of exact counts; lift is one
+    * further division, NULL-guarded for a returns-free nation.
+    *
+    * Scale: orders⋈lineitem shuffles once on the order key, customer
+    * joins on its own key (AQE picks BHJ while it fits), the |nation|-
+    * bounded baseline frame broadcasts. Output is the flagged tail. */
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+    val perCust = lines.groupBy("c_custkey", "c_nationkey")
+      .agg(count(lit(1)).as("n_lines"), sum(col("ret")).as("n_returned"))
+    val perNation = perCust.groupBy("c_nationkey")
+      .agg(sum(col("n_lines")).as("nat_lines"),
+           sum(col("n_returned")).as("nat_returned"))
+    val rate = dbl(col("n_returned")) / col("n_lines")
+    val base = dbl(col("nat_returned")) / col("nat_lines")
+    perCust.filter(col("n_lines") >= 5)
+      .join(broadcast(perNation), "c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))), "c_nationkey")
+      .withColumn("return_rate", round(rate, 6))
+      .withColumn("nation_rate", round(base, 6))
+      .filter(col("nat_returned") > 0 && rate >= base * 1.5d)
+      .select(col("c_custkey"), col("n_name"), col("n_lines"), col("n_returned"),
+        col("return_rate"), col("nation_rate"),
+        round(rate / base, 6).as("lift"))
+      .orderBy("c_custkey")
+  }
+  val q105Sql: String =
+    """WITH pc AS (
+      |  SELECT c_custkey, c_nationkey, COUNT(*)::BIGINT AS n_lines,
+      |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_returned
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |pn AS (
+      |  SELECT c_nationkey, SUM(n_lines)::BIGINT AS nat_lines,
+      |    SUM(n_returned)::BIGINT AS nat_returned
+      |  FROM pc GROUP BY 1)
+      |SELECT c_custkey, n_name, n_lines, n_returned,
+      |  ROUND(CAST(n_returned AS DOUBLE) / n_lines, 6) AS return_rate,
+      |  ROUND(CAST(nat_returned AS DOUBLE) / nat_lines, 6) AS nation_rate,
+      |  ROUND((CAST(n_returned AS DOUBLE) / n_lines)
+      |      / (CAST(nat_returned AS DOUBLE) / nat_lines), 6) AS lift
+      |FROM pc
+      |JOIN pn USING (c_nationkey)
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_lines >= 5 AND nat_returned > 0
+      |  AND CAST(n_returned AS DOUBLE) / n_lines
+      |      >= (CAST(nat_returned AS DOUBLE) / nat_lines) * 1.5
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q105_return_abuse" -> (q105 _),
     "q104_discount_elasticity" -> (q104 _),
     "q103_weighted_median" -> (q103 _),
     "q102_seasonal_decomposition" -> (q102 _),
@@ -3613,6 +3675,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q105_return_abuse" -> q105Sql,
     "q104_discount_elasticity" -> q104Sql,
     "q103_weighted_median" -> q103Sql,
     "q102_seasonal_decomposition" -> q102Sql,

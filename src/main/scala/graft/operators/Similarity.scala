@@ -1509,7 +1509,46 @@ object Similarity {
        |    AS row_share
        |FROM m ORDER BY label, pred_label""".stripMargin
 
+  // ---------------------------------------------------------------- s35
+  /** Neighborhood label-diversity histogram: per query vector, the
+    * number of DISTINCT labels among its exact top-5 neighbors, rolled
+    * up to (distinct-label count → #queries, share). The complement of
+    * s16's homophily mean: homophily says how often the top label
+    * agrees, this says how mixed the neighborhood is — a heavy tail at
+    * 4–5 distinct labels marks embedding regions where any kNN-derived
+    * weak label is a coin flip and semantic dedup (d13) over-merges.
+    *
+    * Scale: rides the memoized exact ground truth; the label attach is
+    * a keyed equi-join on the embeddings table, the rollup is bounded
+    * at 5 rows, and the share denominator is a 1-row broadcast. */
+  def s35(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("n_id"), col("label"))
+    val perQ = sharedTruth(spark, dir)
+      .join(lbl, "n_id")
+      .groupBy("q_id")
+      .agg(countDistinct(col("label")).as("n_labels"))
+    val tot = perQ.agg(count(lit(1)).as("n_queries"))
+    perQ.groupBy("n_labels").agg(count(lit(1)).as("n_queries_band"))
+      .join(broadcast(tot))
+      .select(col("n_labels"), col("n_queries_band"),
+        round(dbl(col("n_queries_band")) / col("n_queries"), 6).as("share"))
+      .orderBy("n_labels")
+  }
+  val s35Sql: String = knnCte +
+    """,
+      |perq AS (
+      |  SELECT q_id, COUNT(DISTINCT e2.label)::BIGINT AS n_labels
+      |  FROM r JOIN embeddings e2 ON r.n_id = e2.vec_id
+      |  WHERE rnk <= 5 GROUP BY 1),
+      |tot AS (SELECT COUNT(*)::BIGINT AS n_queries FROM perq)
+      |SELECT n_labels, COUNT(*)::BIGINT AS n_queries_band,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_queries, 6) AS share
+      |FROM perq CROSS JOIN tot
+      |GROUP BY n_labels, n_queries ORDER BY n_labels""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s35_neighbor_diversity" -> (s35 _),
     "s34_knn_confusion" -> (s34 _),
     "s33_norm_recall" -> (s33 _),
     "s32_recall_at_k" -> (s32 _),
@@ -1547,6 +1586,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s35_neighbor_diversity" -> s35Sql,
     "s34_knn_confusion" -> s34Sql,
     "s30_metric_agreement" -> s30Sql,
     "s28_dedup_centroid_shift" -> s28Sql,

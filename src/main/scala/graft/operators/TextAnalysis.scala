@@ -2388,7 +2388,60 @@ object TextAnalysis {
        |FROM i JOIN s sa ON lang_a = sa.lang JOIN s sb ON lang_b = sb.lang
        |ORDER BY lang_a, lang_b""".stripMargin
 
+  // ---------------------------------------------------------------- t59
+  /** Readability profile per source: words/sentence (t26's [.!?]+ split),
+    * syllables/word via the vowel-group proxy ([aeiouy]+ runs in the
+    * lowercased text — the standard cheap syllable estimate), and the
+    * Flesch reading-ease composite 206.835 − 1.015·wps − 84.6·spw.
+    * Docs need ≥1 sentence and ≥1 token to contribute. A source whose
+    * ease collapses is boilerplate/code leaking into prose — the
+    * quality screens (t02) don't see sentence structure at all.
+    *
+    * Scale: one map-combinable pass; every per-doc count is codegen'd
+    * regex/length arithmetic, totals are exact integers, and the three
+    * ratios are ONE division each on the |sources|-bounded frame. */
+  def t59(spark: SparkSession, dir: String): DataFrame = {
+    val sentences = expr("filter(split(text, '[.!?]+'), x -> trim(x) != '')")
+    val syllables = expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+    val wps = dbl(col("tw")) / col("ts")
+    val spw = dbl(col("ty")) / col("tw")
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(wordsCol).cast("long").as("n_tok"),
+        size(sentences).cast("long").as("n_sent"),
+        syllables.cast("long").as("n_syl"))
+      .filter(col("n_sent") >= 1 && col("n_tok") >= 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tw"),
+           sum(col("n_sent")).as("ts"), sum(col("n_syl")).as("ty"))
+      .select(col("source"), col("n_docs"),
+        round(wps, 6).as("words_per_sentence"),
+        round(spw, 6).as("syllables_per_word"),
+        round(lit(206.835d) - lit(1.015d) * wps - lit(84.6d) * spw, 6)
+          .as("flesch_ease"))
+      .orderBy("source")
+  }
+  val t59Sql: String =
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CAST(len($wordsSql) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+       |      x -> trim(x) <> '')) AS BIGINT) AS n_sent,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syl
+       |  FROM documents),
+       |a AS (
+       |  SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS tw,
+       |    SUM(n_sent)::BIGINT AS ts, SUM(n_syl)::BIGINT AS ty
+       |  FROM m WHERE n_sent >= 1 AND n_tok >= 1 GROUP BY 1)
+       |SELECT source, n_docs,
+       |  ROUND(CAST(tw AS DOUBLE) / ts, 6) AS words_per_sentence,
+       |  ROUND(CAST(ty AS DOUBLE) / tw, 6) AS syllables_per_word,
+       |  ROUND(206.835 - 1.015 * (CAST(tw AS DOUBLE) / ts)
+       |      - 84.6 * (CAST(ty AS DOUBLE) / tw), 6) AS flesch_ease
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t59_readability" -> (t59 _),
     "t58_lang_confusability" -> (t58 _),
     "t57_gram_redundancy" -> (t57 _),
     "t56_template_flow" -> (t56 _),
@@ -2448,6 +2501,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t59_readability" -> t59Sql,
     "t58_lang_confusability" -> t58Sql,
     "t57_gram_redundancy" -> t57Sql,
     "t56_template_flow" -> t56Sql,

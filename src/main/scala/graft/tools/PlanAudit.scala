@@ -163,7 +163,12 @@ object PlanAudit {
     "m25_size_drift",
     // p33: per-α 1-row Σtokens^α denominator broadcasts onto the
     // |sources|-bounded token frame
-    "p33_temperature_sweep")
+    "p33_temperature_sweep",
+    // s35: 1-row query-count broadcast (share denominator)
+    "s35_neighbor_diversity",
+    // p34: non-equi cumulative self-join on the |sources|-bounded frame
+    // + 1-row token-total broadcast (p13's bounded-build shape)
+    "p34_curriculum_plan")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -154,7 +154,10 @@ class OperatorSmokeSpec extends SparkSpec {
       "t57_gram_redundancy", "p32_corpus_scorecard",
       "q104_discount_elasticity", "e95_prop_band_lift",
       "t58_lang_confusability", "s34_knn_confusion",
-      "m25_size_drift", "p33_temperature_sweep")
+      "m25_size_drift", "p33_temperature_sweep",
+      "q105_return_abuse", "e96_peak_concurrency",
+      "s35_neighbor_diversity", "t59_readability",
+      "m26_truncation_screen", "p34_curriculum_plan")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
