@@ -2410,7 +2410,54 @@ object Dedup {
        |ORDER BY cap""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d55
+  /** Analytic pair-join cost model: the gram df histogram priced as
+    * Σ df·(df−1)/2 candidate pairs per df band — the closed-form
+    * companion to d54's empirical cap sweep. The e_gt_100 band's pair
+    * share IS the cost the df-cap deletes (a single gram in k docs
+    * costs k²/2 join rows), so this one cheap scan predicts whether the
+    * capped path is worth running BEFORE any pair join is attempted —
+    * on a fresh 100 TB corpus this runs first and sizes everything.
+    *
+    * Scale: shingle fan-out + one groupBy(gram) for df, a 5-row banded
+    * rollup, a 1-row total broadcast for shares. No pair join at all. */
+  def d55(spark: SparkSession, dir: String): DataFrame = {
+    val dfc = shingled(spark, dir)
+      .select(explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .withColumn("pairs", expr("df * (df - 1) div 2"))
+    val tot = dfc.agg(sum(col("pairs")).as("tot_pairs"))
+    dfc.groupBy(
+        when(col("df") === 1L, "a_unique")
+          .when(col("df") <= 5L, "b_2_5")
+          .when(col("df") <= 25L, "c_6_25")
+          .when(col("df") <= 100L, "d_26_100")
+          .otherwise("e_gt_100").as("df_band"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("pairs")).as("n_pairs"))
+      .join(broadcast(tot))
+      .select(col("df_band"), col("n_grams"), col("n_pairs"),
+        round(when(col("tot_pairs") > 0,
+          dbl(col("n_pairs")) / col("tot_pairs")), 6).as("pair_share"))
+      .orderBy("df_band")
+  }
+  val d55Sql: String =
+    s"""WITH sh AS ($shingledSql),
+       |dfc AS (
+       |  SELECT g, COUNT(*)::BIGINT AS df,
+       |    COUNT(*)::BIGINT * (COUNT(*)::BIGINT - 1) // 2 AS pairs
+       |  FROM (SELECT doc_id, UNNEST(grams) AS g FROM sh) GROUP BY g),
+       |t AS (SELECT SUM(pairs)::BIGINT AS tot_pairs FROM dfc)
+       |SELECT CASE WHEN df = 1 THEN 'a_unique' WHEN df <= 5 THEN 'b_2_5'
+       |            WHEN df <= 25 THEN 'c_6_25' WHEN df <= 100 THEN 'd_26_100'
+       |            ELSE 'e_gt_100' END AS df_band,
+       |  COUNT(*)::BIGINT AS n_grams, SUM(pairs)::BIGINT AS n_pairs,
+       |  ROUND(CASE WHEN tot_pairs > 0
+       |    THEN CAST(SUM(pairs) AS DOUBLE) / tot_pairs END, 6) AS pair_share
+       |FROM dfc CROSS JOIN t
+       |GROUP BY df_band, tot_pairs ORDER BY df_band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d55_pair_cost_model" -> (d55 _),
     "d54_cap_sweep" -> (d54 _),
     "d53_minhash_error" -> (d53 _),
     "d52_band_sweep" -> (d52 _),
@@ -2467,6 +2514,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d55_pair_cost_model" -> d55Sql,
     "d54_cap_sweep" -> d54Sql,
     "d51_shingle_sensitivity" -> d51Sql,
     "d50_norm_exact_dedup" -> d50Sql,

@@ -4060,7 +4060,48 @@ object Events {
        |GROUP BY day, peak_concurrency, active_minutes
        |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- e97
+  /** Error-burst screen: per user, the LARGEST number of error events
+    * inside any trailing 5-minute window (a RANGE frame over event-time
+    * ms), histogrammed by burst size (capped at 10+) with the share of
+    * error-having users per band — ≥3 errors in 5 minutes is a stuck
+    * client or a rage loop, and the burst histogram separates "errors
+    * are diffuse background" from "errors concentrate on broken users".
+    *
+    * Scale: one filtered scan, a user-partitioned range window (never
+    * global), a |user|-bounded max rollup, a ≤10-row histogram; the
+    * share denominator is a 1-row broadcast. */
+  def e97(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"))
+      .rangeBetween(-300000L, 0L)
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("ms"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy("user_id").agg(max(col("burst")).as("max_burst"))
+    val tot = perUser.agg(count(lit(1)).as("n_users_total"))
+    perUser.groupBy(least(col("max_burst"), lit(10L)).as("burst_band"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(tot))
+      .select(col("burst_band"), col("n_users"),
+        round(dbl(col("n_users")) / col("n_users_total"), 6).as("share"))
+      .orderBy("burst_band")
+  }
+  val e97Sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'error'),
+      |b AS (SELECT user_id,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY ms
+      |      RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS burst
+      |  FROM e),
+      |u AS (SELECT user_id, CAST(MAX(burst) AS BIGINT) AS max_burst FROM b GROUP BY 1),
+      |t AS (SELECT COUNT(*)::BIGINT AS n_users_total FROM u)
+      |SELECT LEAST(max_burst, 10) AS burst_band, COUNT(*)::BIGINT AS n_users,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_users_total, 6) AS share
+      |FROM u CROSS JOIN t
+      |GROUP BY burst_band, n_users_total ORDER BY burst_band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e97_error_bursts" -> (e97 _),
     "e96_peak_concurrency" -> (e96 _),
     "e95_prop_band_lift" -> (e95 _),
     "e94_anomaly_agreement" -> (e94 _),
@@ -4160,6 +4201,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e97_error_bursts" -> e97Sql,
     "e96_peak_concurrency" -> e96Sql,
     "e95_prop_band_lift" -> e95Sql,
     "e94_anomaly_agreement" -> e94Sql,

@@ -1760,7 +1760,47 @@ object Pipeline {
        |ORDER BY mean_quality, source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p35
+  /** Language budget-gap ledger: against a uniform per-language token
+    * target (⌊total/|langs|⌋ — the "equal representation" strawman every
+    * multilingual mix negotiation starts from), each language's
+    * available tokens, shortfall/surplus, and fill ratio. The shortfall
+    * column is the upsampling bill p33's temperature sweep then prices;
+    * integer targets keep both engines cut-identical.
+    *
+    * Scale: ONE token rollup (map-combinable) to a |langs|-bounded
+    * frame; the (total, nlangs) denominator is a 1-row broadcast. */
+  def p35(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    VectorFunctions.register(spark)
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"), size(expr("word_tokens(text)")).cast("long").as("nt"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+    val tot = tok.agg(sum(col("tokens")).as("tot"), count(lit(1)).as("nl"))
+    tok.join(broadcast(tot))
+      .withColumn("target_tokens", expr("tot div nl"))
+      .select(col("lang"), col("n_docs"), col("tokens"), col("target_tokens"),
+        greatest(col("target_tokens") - col("tokens"), lit(0L)).as("shortfall"),
+        greatest(col("tokens") - col("target_tokens"), lit(0L)).as("surplus"),
+        round(dbl(col("tokens")) / col("target_tokens"), 6).as("fill_ratio"))
+      .orderBy("lang")
+  }
+  val p35Sql: String = {
+    import TextAnalysis.wordsSql
+    s"""WITH tok AS (
+       |  SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       |    SUM(CAST(len($wordsSql) AS BIGINT))::BIGINT AS tokens
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT SUM(tokens)::BIGINT AS tot, COUNT(*)::BIGINT AS nl FROM tok)
+       |SELECT lang, n_docs, tokens, tot // nl AS target_tokens,
+       |  GREATEST(tot // nl - tokens, 0) AS shortfall,
+       |  GREATEST(tokens - tot // nl, 0) AS surplus,
+       |  ROUND(CAST(tokens AS DOUBLE) / (tot // nl), 6) AS fill_ratio
+       |FROM tok CROSS JOIN t ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p35_budget_gap" -> (p35 _),
     "p34_curriculum_plan" -> (p34 _),
     "p33_temperature_sweep" -> (p33 _),
     "p32_corpus_scorecard" -> (p32 _),
@@ -1797,6 +1837,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p35_budget_gap" -> p35Sql,
     "p34_curriculum_plan" -> p34Sql,
     "p33_temperature_sweep" -> p33Sql,
     "p32_corpus_scorecard" -> p32Sql,

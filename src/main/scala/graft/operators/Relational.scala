@@ -3566,7 +3566,60 @@ object Relational {
       |      >= (CAST(nat_returned AS DOUBLE) / nat_lines) * 1.5
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** Intra-part price dispersion rolled up to brand: for every part sold
+    * on ≥3 lines, the relative spread between its cheapest and dearest
+    * unit price (vs its exact volume-weighted mean unit price —
+    * Σprice/Σqty, both DECIMAL), then per brand the count, mean and max
+    * of those spreads. High dispersion = inconsistent pricing or data
+    * entry drift; the per-row unit division is identical IEEE in both
+    * engines and min/max/decimal-sums are order-independent.
+    *
+    * Scale: one groupBy on the part key (the fact table's natural
+    * secondary key), brand attach via broadcast part dim, |brand|-
+    * bounded final rollup over round6-quantized decimal spreads. */
+  def q106(spark: SparkSession, dir: String): DataFrame = {
+    val unit = col("l_extendedprice") / col("l_quantity")
+    val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), unit.as("u"),
+        dec(col("l_extendedprice")).as("ep"), dec(col("l_quantity")).as("qt"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"), min(col("u")).as("mn"),
+        max(col("u")).as("mx"), sum(col("ep")).as("sep"), sum(col("qt")).as("sqt"))
+      .filter(col("n_lines") >= 3)
+      .withColumn("spread",
+        round((col("mx") - col("mn")) / (dbl(col("sep")) / dbl(col("sqt"))), 6))
+    perPart
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        round(dbl(sum(col("spread").cast("decimal(18,6)"))) / count(lit(1)), 6)
+          .as("mean_spread"),
+        round(max(col("spread")), 6).as("max_spread"))
+      .orderBy("p_brand")
+  }
+  val q106Sql: String =
+    """WITH pp AS (
+      |  SELECT l_partkey, COUNT(*)::BIGINT AS n_lines,
+      |    MIN(l_extendedprice / l_quantity) AS mn,
+      |    MAX(l_extendedprice / l_quantity) AS mx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sep,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sqt
+      |  FROM lineitem GROUP BY 1),
+      |sp AS (
+      |  SELECT l_partkey,
+      |    ROUND((mx - mn) / (CAST(sep AS DOUBLE) / CAST(sqt AS DOUBLE)), 6) AS spread
+      |  FROM pp WHERE n_lines >= 3)
+      |SELECT p_brand, COUNT(*)::BIGINT AS n_parts,
+      |  ROUND(CAST(SUM(CAST(spread AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS mean_spread,
+      |  ROUND(MAX(spread), 6) AS max_spread
+      |FROM sp JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q106_price_dispersion" -> (q106 _),
     "q105_return_abuse" -> (q105 _),
     "q104_discount_elasticity" -> (q104 _),
     "q103_weighted_median" -> (q103 _),
@@ -3675,6 +3728,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q106_price_dispersion" -> q106Sql,
     "q105_return_abuse" -> q105Sql,
     "q104_discount_elasticity" -> q104Sql,
     "q103_weighted_median" -> q103Sql,

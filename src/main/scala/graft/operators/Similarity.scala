@@ -1547,7 +1547,43 @@ object Similarity {
       |FROM perq CROSS JOIN tot
       |GROUP BY n_labels, n_queries ORDER BY n_labels""".stripMargin
 
+  // ---------------------------------------------------------------- s36
+  /** Norm profile per label: vector count, mean/min/max L2 norm per
+    * class. Labels that separate by NORM alone mean the embedding model
+    * leaks class into magnitude — cosine and dot-product retrieval then
+    * disagree systematically (s30's histogram, attributed to classes),
+    * and norm-bucketed ANN (s18/s33) inherits a label skew. Mean norm
+    * is a round6-quantized DECIMAL sum with ONE division; min/max are
+    * order-independent.
+    *
+    * Scale: one map-combinable pass over the embeddings scan with the
+    * codegen'd vec_norm kernel; output bounded by |labels|. */
+  def s36(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("label"), round(expr("vec_norm(embedding)"), 6).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(dbl(sum(col("nrm").cast("decimal(18,6)"))) / count(lit(1)), 6)
+          .as("mean_norm"),
+        min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"))
+      .orderBy("label")
+  }
+  val s36Sql: String =
+    """WITH n AS (
+      |  SELECT label,
+      |    ROUND(sqrt(list_reduce(list_transform(
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x),
+      |      (x, y) -> x + y)), 6) AS nrm
+      |  FROM embeddings)
+      |SELECT label, COUNT(*)::BIGINT AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS mean_norm,
+      |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s36_norm_by_label" -> (s36 _),
     "s35_neighbor_diversity" -> (s35 _),
     "s34_knn_confusion" -> (s34 _),
     "s33_norm_recall" -> (s33 _),
@@ -1586,6 +1622,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s36_norm_by_label" -> s36Sql,
     "s35_neighbor_diversity" -> s35Sql,
     "s34_knn_confusion" -> s34Sql,
     "s30_metric_agreement" -> s30Sql,

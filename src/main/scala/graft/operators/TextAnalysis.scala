@@ -2440,7 +2440,51 @@ object TextAnalysis {
        |      - 84.6 * (CAST(ty AS DOUBLE) / tw), 6) AS flesch_ease
        |FROM a ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t60
+  /** Code-contamination screen per source: marker density (share of
+    * {}();=[]<> characters) per doc, a doc is flagged `code` at ≥5%
+    * density (exact-integer predicate markers·20 ≥ chars), and each
+    * source reports its flagged share and mean density. Code in a prose
+    * corpus is a ROUTING decision (keep for a code mix, drop for a
+    * prose one) — the quality screens score it mid-range, which is the
+    * worst outcome: this flag makes the routing explicit.
+    *
+    * Scale: one map-combinable pass, all counts codegen'd length
+    * arithmetic, densities round6-quantized decimals summed exactly;
+    * output |sources|. */
+  def t60(spark: SparkSession, dir: String): DataFrame = {
+    val markers =
+      (length(col("text")) - length(regexp_replace(col("text"), "[{}();=\\[\\]<>]", "")))
+        .cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"), length(col("text")).cast("long").as("nc"),
+        markers.as("nm"))
+      .filter(col("nc") >= 1)
+      .withColumn("is_code", when(col("nm") * 20L >= col("nc"), 1L).otherwise(0L))
+      .withColumn("density", round(dbl(col("nm")) / col("nc"), 6).cast("decimal(18,6)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_code")).as("n_code"),
+        round(dbl(sum(col("is_code"))) / count(lit(1)), 6).as("code_share"),
+        round(dbl(sum(col("density"))) / count(lit(1)), 6).as("mean_marker_density"))
+      .orderBy("source")
+  }
+  val t60Sql: String =
+    """WITH m AS (
+      |  SELECT source, CAST(LENGTH(text) AS BIGINT) AS nc,
+      |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[{}();=\[\]<>]', '', 'g'))
+      |      AS BIGINT) AS nm
+      |  FROM documents WHERE LENGTH(text) >= 1),
+      |f AS (
+      |  SELECT source, CASE WHEN nm * 20 >= nc THEN 1 ELSE 0 END AS is_code,
+      |    CAST(ROUND(CAST(nm AS DOUBLE) / nc, 6) AS DECIMAL(18,6)) AS density
+      |  FROM m)
+      |SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(is_code)::BIGINT AS n_code,
+      |  ROUND(CAST(SUM(is_code) AS DOUBLE) / COUNT(*), 6) AS code_share,
+      |  ROUND(CAST(SUM(density) AS DOUBLE) / COUNT(*), 6) AS mean_marker_density
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t60_code_screen" -> (t60 _),
     "t59_readability" -> (t59 _),
     "t58_lang_confusability" -> (t58 _),
     "t57_gram_redundancy" -> (t57 _),
@@ -2501,6 +2545,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t60_code_screen" -> t60Sql,
     "t59_readability" -> t59Sql,
     "t58_lang_confusability" -> t58Sql,
     "t57_gram_redundancy" -> t57Sql,

@@ -168,7 +168,13 @@ object PlanAudit {
     "s35_neighbor_diversity",
     // p34: non-equi cumulative self-join on the |sources|-bounded frame
     // + 1-row token-total broadcast (p13's bounded-build shape)
-    "p34_curriculum_plan")
+    "p34_curriculum_plan",
+    // e97: 1-row error-user-count broadcast (share denominator)
+    "e97_error_bursts",
+    // d55: 1-row pair-total broadcast (cost-share denominator)
+    "d55_pair_cost_model",
+    // p35: 1-row (total, |langs|) broadcast (uniform-target denominator)
+    "p35_budget_gap")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

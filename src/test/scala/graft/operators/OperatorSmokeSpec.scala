@@ -157,7 +157,10 @@ class OperatorSmokeSpec extends SparkSpec {
       "m25_size_drift", "p33_temperature_sweep",
       "q105_return_abuse", "e96_peak_concurrency",
       "s35_neighbor_diversity", "t59_readability",
-      "m26_truncation_screen", "p34_curriculum_plan")
+      "m26_truncation_screen", "p34_curriculum_plan",
+      "q106_price_dispersion", "e97_error_bursts",
+      "d55_pair_cost_model", "s36_norm_by_label",
+      "t60_code_screen", "p35_budget_gap")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
