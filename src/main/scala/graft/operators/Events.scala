@@ -4071,14 +4071,20 @@ object Events {
     * Scale: one filtered scan, a user-partitioned range window (never
     * global), a |user|-bounded max rollup, a ≤10-row histogram; the
     * share denominator is a 1-row broadcast. */
-  def e97(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user max trailing-5-min error-burst size (e97's inner frame;
+    * ErrorBurstParitySpec holds the streaming stage to it exactly). */
+  private[graft] def errorBurstFrame(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ms"))
       .rangeBetween(-300000L, 0L)
-    val perUser = Tables.events(spark, dir)
+    events
       .filter(col("event_type") === "error")
       .select(col("user_id"), col("ms"))
       .withColumn("burst", count(lit(1)).over(w))
       .groupBy("user_id").agg(max(col("burst")).as("max_burst"))
+  }
+
+  def e97(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = errorBurstFrame(Tables.events(spark, dir))
     val tot = perUser.agg(count(lit(1)).as("n_users_total"))
     perUser.groupBy(least(col("max_burst"), lit(10L)).as("burst_band"))
       .agg(count(lit(1)).as("n_users"))
