@@ -2353,16 +2353,19 @@ object Dedup {
     *
     * Scale: the shingle fan-out and df counts compute once (cached
     * postings + per-gram df joined in); each cap's pair join runs on
-    * its filtered postings — the exact row is d03-priced, the capped
-    * rows strictly cheaper. Output 4 rows. */
+    * its filtered postings. The exact baseline is BY DEFINITION the
+    * memoized J≥0.5 pair stream (jaccardPairs(sh,1,2) — the same
+    * inter·2 ≥ union filter), so the a_exact row costs one count over
+    * [[sharedPairs]] instead of a fourth (and uncapped) pair join.
+    * Output 4 rows. */
   def d54(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).cache()
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val wdf = posting.join(
       posting.groupBy("g").agg(count(lit(1)).as("df")), "g").cache()
     val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
-    def pairCount(maxDf: Option[Long]): DataFrame = {
-      val p = maxDf.fold(wdf)(c => wdf.filter(col("df") <= c))
+    def pairCount(maxDf: Long): DataFrame = {
+      val p = wdf.filter(col("df") <= maxDf)
       p.as("a").join(p.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -2372,12 +2375,15 @@ object Dedup {
         .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
         .agg(count(lit(1)).as("n_pairs"))
     }
-    val exact = pairCount(None).select(col("n_pairs").as("n_exact"))
+    val exact = sharedPairs(spark, dir).agg(count(lit(1)).as("n_exact"))
     val rows = Seq(("a_exact", None: Option[Long]), ("b_cap100", Some(100L)),
       ("c_cap50", Some(50L)), ("d_cap25", Some(25L))).map { case (label, cap) =>
-      pairCount(cap).join(broadcast(exact))
-        .select(lit(label).as("cap"), col("n_pairs"),
-          (col("n_exact") - col("n_pairs")).as("pairs_lost"))
+      cap.fold(exact.select(lit(label).as("cap"),
+          col("n_exact").as("n_pairs"), lit(0L).as("pairs_lost"))) { c =>
+        pairCount(c).join(broadcast(exact))
+          .select(lit(label).as("cap"), col("n_pairs"),
+            (col("n_exact") - col("n_pairs")).as("pairs_lost"))
+      }
     }
     rows.reduce(_.unionByName(_)).orderBy("cap")
   }

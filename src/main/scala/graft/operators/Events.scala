@@ -4106,7 +4106,52 @@ object Events {
       |FROM u CROSS JOIN t
       |GROUP BY burst_band, n_users_total ORDER BY burst_band""".stripMargin
 
+  // ---------------------------------------------------------------- e98
+  /** Behavioral run-length profile: consecutive same-type event runs
+    * per user (ordered by ms, event_id), rolled up per event type to
+    * run count, mean run length (exact-integer division), and max run.
+    * Long view/click runs are scripted scraping or a stuck client; a
+    * purchase run >1 is usually double-submit — the census that says
+    * which before anyone writes the filter.
+    *
+    * Scale: one user-partitioned lag/cumsum window pass (e01's shape),
+    * a (user, run) rollup sharing the same partitioning, and a
+    * |types|-bounded final frame. */
+  def e98(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ms"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("new_run",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_idx", sum(col("new_run")).over(wr))
+      .groupBy("user_id", "run_idx", "event_type")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_runs"), sum(col("run_len")).as("n_events"),
+        round(dbl(sum(col("run_len"))) / count(lit(1)), 6).as("mean_run_len"),
+        max(col("run_len")).as("max_run_len"))
+      .orderBy("event_type")
+  }
+  val e98Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |l AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+      |        AS prev_type FROM e),
+      |f AS (SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+      |        THEN 1 ELSE 0 END AS new_run FROM l),
+      |r AS (SELECT *, SUM(new_run) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_idx FROM f),
+      |runs AS (SELECT user_id, run_idx, event_type, COUNT(*)::BIGINT AS run_len
+      |  FROM r GROUP BY 1, 2, 3)
+      |SELECT event_type, COUNT(*)::BIGINT AS n_runs, SUM(run_len)::BIGINT AS n_events,
+      |  ROUND(CAST(SUM(run_len) AS DOUBLE) / COUNT(*), 6) AS mean_run_len,
+      |  MAX(run_len) AS max_run_len
+      |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e98_type_run_lengths" -> (e98 _),
     "e97_error_bursts" -> (e97 _),
     "e96_peak_concurrency" -> (e96 _),
     "e95_prop_band_lift" -> (e95 _),
@@ -4207,6 +4252,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e98_type_run_lengths" -> e98Sql,
     "e97_error_bursts" -> e97Sql,
     "e96_peak_concurrency" -> e96Sql,
     "e95_prop_band_lift" -> e95Sql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.engine.Qf.dbl
@@ -1117,7 +1118,50 @@ object Multimodal {
        |       / SUM(flagged) END, 6) AS mean_flagged_bytes
        |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
+  // ---------------------------------------------------------------- m27
+  /** Modality × size-band matrix: payload counts and total bytes in
+    * fixed power-of-4 byte bands (≤1 KiB, ≤4 KiB, ≤16 KiB, ≤64 KiB,
+    * larger) per modality, with the row share inside each modality —
+    * the storage-layout dashboard (m12's exact quartiles answer "what
+    * is typical", this answers "where do the BYTES live", which is what
+    * sizes shard files and picks inline-vs-pointer storage).
+    *
+    * Scale: one map-combinable pass; the per-modality share rides a
+    * modality-partitioned window over the ≤|modalities|×5 frame. */
+  def m27(spark: SparkSession, dir: String): DataFrame = {
+    val wm = Window.partitionBy("modality")
+    Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(routeModality(col("payload"), col("text")).as("modality"),
+        octet_length(col("payload")).cast("long").as("nb"))
+      .groupBy(col("modality"),
+        when(col("nb") <= 1024L, "a<=1k").when(col("nb") <= 4096L, "b<=4k")
+          .when(col("nb") <= 16384L, "c<=16k").when(col("nb") <= 65536L, "d<=64k")
+          .otherwise("e>64k").as("size_band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("total_bytes"))
+      .withColumn("share_in_modality",
+        round(dbl(col("n_docs")) / sum(col("n_docs")).over(wm), 6))
+      .orderBy("modality", "size_band")
+  }
+  val m27Sql: String =
+    s"""WITH r AS (
+       |  SELECT $modalitySqlCase AS modality,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+       |  FROM documents),
+       |b AS (
+       |  SELECT modality,
+       |    CASE WHEN nb <= 1024 THEN 'a<=1k' WHEN nb <= 4096 THEN 'b<=4k'
+       |         WHEN nb <= 16384 THEN 'c<=16k' WHEN nb <= 65536 THEN 'd<=64k'
+       |         ELSE 'e>64k' END AS size_band,
+       |    COUNT(*)::BIGINT AS n_docs, SUM(nb)::BIGINT AS total_bytes
+       |  FROM r GROUP BY 1, 2)
+       |SELECT modality, size_band, n_docs, total_bytes,
+       |  ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY modality), 6)
+       |    AS share_in_modality
+       |FROM b ORDER BY modality, size_band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m27_size_band_matrix" -> (m27 _),
     "m26_truncation_screen" -> (m26 _),
     "m25_size_drift" -> (m25 _),
     "m24_prefix_drift" -> (m24 _),
@@ -1147,6 +1191,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m27_size_band_matrix" -> m27Sql,
     "m26_truncation_screen" -> m26Sql,
     "m25_size_drift" -> m25Sql,
     "m24_prefix_drift" -> m24Sql,

@@ -1799,7 +1799,60 @@ object Pipeline {
        |FROM tok CROSS JOIN t ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p36
+  /** Shard-skew forecast: for shard counts 16 / 256 / 4096 (1, 2, 3
+    * md5 nibbles — p12's content-hash scheme extended), the used-shard
+    * count, the heaviest shard's tokens, and the straggler factor
+    * max·n/total — the number that says how much slower the slowest
+    * writer/reader task runs than the ideal at each fan-out, BEFORE
+    * any shards are written. A factor that explodes at 4096 says the
+    * corpus is too small (or too skewed) for that fan-out.
+    *
+    * Scale: ONE tokenize+hash pass (map-combinable) cached at the
+    * finest grain, the coarser grains roll up from it by prefix;
+    * output 3 rows, the totals are 1-row broadcasts. */
+  def p36(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    VectorFunctions.register(spark)
+    val fine = Tables.documents(spark, dir)
+      .select(substring(md5(col("text")), 1, 3).as("shard3"),
+        expr("size(word_tokens(text))").cast("long").as("nt"))
+      .groupBy("shard3").agg(sum(col("nt")).as("tokens"))
+      .cache()
+    val tot = fine.agg(sum(col("tokens")).as("tot"))
+    val rows = Seq((16, 1), (256, 2), (4096, 3)).map { case (n, nib) =>
+      fine.groupBy(substring(col("shard3"), 1, nib).as("shard"))
+        .agg(sum(col("tokens")).as("stok"))
+        .agg(count(lit(1)).as("shards_used"), max(col("stok")).as("max_tokens"))
+        .join(broadcast(tot))
+        .select(lit(n).as("n_shards"), col("shards_used"), col("max_tokens"),
+          round(dbl(col("tot")) / lit(n), 6).as("ideal_tokens"),
+          round(dbl(col("max_tokens")) * n / col("tot"), 6).as("straggler_factor"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("n_shards")
+  }
+  val p36Sql: String = {
+    import TextAnalysis.wordsSql
+    val per = Seq((16, 1), (256, 2), (4096, 3)).map { case (n, nib) =>
+      s"""SELECT $n AS n_shards, COUNT(*)::BIGINT AS shards_used,
+         |  MAX(stok) AS max_tokens,
+         |  ROUND(CAST((SELECT tot FROM t) AS DOUBLE) / $n, 6) AS ideal_tokens,
+         |  ROUND(CAST(MAX(stok) AS DOUBLE) * $n / (SELECT tot FROM t), 6)
+         |    AS straggler_factor
+         |FROM (SELECT substr(shard3, 1, $nib) AS shard, SUM(tokens)::BIGINT AS stok
+         |      FROM fine GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH fine AS (
+       |  SELECT substr(md5(text), 1, 3) AS shard3,
+       |    SUM(CAST(len($wordsSql) AS BIGINT))::BIGINT AS tokens
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT SUM(tokens)::BIGINT AS tot FROM fine)
+       |$per
+       |ORDER BY n_shards""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p36_shard_skew" -> (p36 _),
     "p35_budget_gap" -> (p35 _),
     "p34_curriculum_plan" -> (p34 _),
     "p33_temperature_sweep" -> (p33 _),
@@ -1837,6 +1890,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p36_shard_skew" -> p36Sql,
     "p35_budget_gap" -> p35Sql,
     "p34_curriculum_plan" -> p34Sql,
     "p33_temperature_sweep" -> p33Sql,

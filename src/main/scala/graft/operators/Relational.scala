@@ -3618,7 +3618,54 @@ object Relational {
       |FROM sp JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** Order-flow backlog series: per calendar month, orders placed and
+    * order-lines shipped, plus the CUMULATIVE totals of both — the
+    * intake-vs-fulfillment ledger where a persistently widening gap
+    * between the two cumulative curves means shipping is falling
+    * behind order intake.
+    *
+    * Scale: two map-combinable month rollups (one per fact scan), a
+    * bounded |months| merge, and the cumulative columns via q23's
+    * month-frame non-equi broadcast self-join — never a global window. */
+  def q107(spark: SparkSession, dir: String): DataFrame = {
+    val placed = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_placed"))
+    val shipped = Tables.lineitem(spark, dir)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_shipped_lines"))
+    val m = placed.join(shipped, Seq("month"), "full_outer")
+      .select(col("month"),
+        coalesce(col("n_placed"), lit(0L)).as("n_placed"),
+        coalesce(col("n_shipped_lines"), lit(0L)).as("n_shipped_lines"))
+    m.as("a").join(broadcast(m.as("b")), col("b.month") <= col("a.month"))
+      .groupBy(col("a.month").as("month"), col("a.n_placed").as("n_placed"),
+        col("a.n_shipped_lines").as("n_shipped_lines"))
+      .agg(sum(col("b.n_placed")).as("cum_placed"),
+           sum(col("b.n_shipped_lines")).as("cum_shipped_lines"))
+      .orderBy("month")
+  }
+  val q107Sql: String =
+    """WITH p AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*)::BIGINT AS n_placed
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS month, COUNT(*)::BIGINT AS n_shipped_lines
+      |  FROM lineitem GROUP BY 1),
+      |m AS (
+      |  SELECT COALESCE(p.month, s.month) AS month,
+      |    COALESCE(n_placed, 0)::BIGINT AS n_placed,
+      |    COALESCE(n_shipped_lines, 0)::BIGINT AS n_shipped_lines
+      |  FROM p FULL OUTER JOIN s ON p.month = s.month)
+      |SELECT a.month, a.n_placed, a.n_shipped_lines,
+      |  SUM(b.n_placed)::BIGINT AS cum_placed,
+      |  SUM(b.n_shipped_lines)::BIGINT AS cum_shipped_lines
+      |FROM m a JOIN m b ON b.month <= a.month
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q107_order_backlog" -> (q107 _),
     "q106_price_dispersion" -> (q106 _),
     "q105_return_abuse" -> (q105 _),
     "q104_discount_elasticity" -> (q104 _),
@@ -3728,6 +3775,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q107_order_backlog" -> q107Sql,
     "q106_price_dispersion" -> q106Sql,
     "q105_return_abuse" -> q105Sql,
     "q104_discount_elasticity" -> q104Sql,

@@ -2483,7 +2483,53 @@ object TextAnalysis {
       |  ROUND(CAST(SUM(density) AS DOUBLE) / COUNT(*), 6) AS mean_marker_density
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t61
+  /** Link/contact density census per source: URL and email mention
+    * counts (identical regexes in both engines), share of docs carrying
+    * at least one of each, and mentions per doc — linkspam and
+    * contact-scrape feeds light up here long before a quality score
+    * moves, and the email column doubles as the PII exposure ranking
+    * that decides where t05's redaction must run first.
+    *
+    * Scale: one map-combinable pass, counts are codegen'd
+    * regexp_extract_all lengths, ratios are ONE division each on the
+    * |sources|-bounded frame. */
+  def t61(spark: SparkSession, dir: String): DataFrame = {
+    val urls = expr("size(regexp_extract_all(text, 'https?://[^ ]+', 0))").cast("long")
+    val mails = expr(
+      "size(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0))").cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"), urls.as("nu"), mails.as("ne"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nu") > 0, 1L).otherwise(0L)).as("docs_with_url"),
+        sum(col("nu")).as("n_urls"),
+        sum(when(col("ne") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(col("ne")).as("n_emails"))
+      .select(col("source"), col("n_docs"),
+        col("docs_with_url"), col("n_urls"),
+        round(dbl(col("n_urls")) / col("n_docs"), 6).as("urls_per_doc"),
+        col("docs_with_email"), col("n_emails"),
+        round(dbl(col("n_emails")) / col("n_docs"), 6).as("emails_per_doc"))
+      .orderBy("source")
+  }
+  val t61Sql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS nu,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS BIGINT) AS ne
+      |  FROM documents)
+      |SELECT source, COUNT(*)::BIGINT AS n_docs,
+      |  SUM(CASE WHEN nu > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_url,
+      |  SUM(nu)::BIGINT AS n_urls,
+      |  ROUND(CAST(SUM(nu) AS DOUBLE) / COUNT(*), 6) AS urls_per_doc,
+      |  SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_email,
+      |  SUM(ne)::BIGINT AS n_emails,
+      |  ROUND(CAST(SUM(ne) AS DOUBLE) / COUNT(*), 6) AS emails_per_doc
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t61_link_density" -> (t61 _),
     "t60_code_screen" -> (t60 _),
     "t59_readability" -> (t59 _),
     "t58_lang_confusability" -> (t58 _),
@@ -2545,6 +2591,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t61_link_density" -> t61Sql,
     "t60_code_screen" -> t60Sql,
     "t59_readability" -> t59Sql,
     "t58_lang_confusability" -> t58Sql,

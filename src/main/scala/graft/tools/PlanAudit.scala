@@ -174,7 +174,12 @@ object PlanAudit {
     // d55: 1-row pair-total broadcast (cost-share denominator)
     "d55_pair_cost_model",
     // p35: 1-row (total, |langs|) broadcast (uniform-target denominator)
-    "p35_budget_gap")
+    "p35_budget_gap",
+    // q107: q23's bounded month-frame non-equi self-join (cumulative
+    // backlog columns) — one row per calendar month
+    "q107_order_backlog",
+    // p36: per-fan-out 1-row corpus-token-total broadcasts
+    "p36_shard_skew")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

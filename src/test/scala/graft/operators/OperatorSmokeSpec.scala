@@ -160,7 +160,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "m26_truncation_screen", "p34_curriculum_plan",
       "q106_price_dispersion", "e97_error_bursts",
       "d55_pair_cost_model", "s36_norm_by_label",
-      "t60_code_screen", "p35_budget_gap")
+      "t60_code_screen", "p35_budget_gap",
+      "q107_order_backlog", "e98_type_run_lengths",
+      "t61_link_density", "m27_size_band_matrix", "p36_shard_skew")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
