@@ -3664,7 +3664,41 @@ object Relational {
       |FROM m a JOIN m b ON b.month <= a.month
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** Quantile-sketch audit: approx_percentile (the mergeable sketch a
+    * 1000-executor rollup actually ships — accuracy parameter 10⁴ ⇒
+    * rank error ≤ 1/10⁴) against the exact p50/p95/p99 of extended
+    * price, with the exact ±0.01-quantile envelope the rank guarantee
+    * promises. The audit row is the evidence that the sketch path may
+    * replace the exact global sort at 100 TB — exact percentiles do
+    * not scale (single-partition sort), sketches do (map-side merge).
+    * Rows-only: approx_percentile is Spark's sketch, not SQL-mirrorable;
+    * the smoke spec pins in_bounds = true on every row.
+    *
+    * Scale: ONE pass builds all three sketches and the exact envelope
+    * percentiles come from one percentile() aggregate (the test-scale
+    * oracle side); output 3 rows. */
+  def q108(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val qs = Seq(0.5d, 0.95d, 0.99d)
+    val exact = li.agg(
+      expr(s"percentile(l_extendedprice, array(${(qs.flatMap(q => Seq(q - 0.01, q, q + 0.01))).mkString(",")}))")
+        .as("ex"),
+      expr(s"approx_percentile(l_extendedprice, array(${qs.mkString(",")}), 10000)")
+        .as("ap"))
+    qs.zipWithIndex.map { case (q, i) =>
+      exact.select(lit(q).as("quantile"),
+        round(col("ex").getItem(3 * i + 1), 6).as("exact"),
+        round(col("ap").getItem(i), 6).as("approx"),
+        round(col("ex").getItem(3 * i), 6).as("lo_envelope"),
+        round(col("ex").getItem(3 * i + 2), 6).as("hi_envelope"),
+        (col("ap").getItem(i) >= col("ex").getItem(3 * i) &&
+          col("ap").getItem(i) <= col("ex").getItem(3 * i + 2)).as("in_bounds"))
+    }.reduce(_.unionByName(_)).orderBy("quantile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q108_approx_quantiles" -> (q108 _),
     "q107_order_backlog" -> (q107 _),
     "q106_price_dispersion" -> (q106 _),
     "q105_return_abuse" -> (q105 _),

@@ -1582,7 +1582,74 @@ object Similarity {
       |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- s37
+  /** Dimension-truncation recall: exact cosine top-5 computed on only
+    * the first 16 / 32 / 64 dims, scored against the full-dim ground
+    * truth (recall@5 over a 10% query sample) — the audit that prices
+    * cutting the index dimensionality in half BEFORE anyone re-embeds:
+    * embeddings with energy concentrated in early dims truncate nearly
+    * free, and the 64-dim row is a built-in 1.0 self-check.
+    *
+    * Scale: each dim budget is one CosineTopK pass with the QUERY side
+    * sampled 10% (the production posture for recall estimation); the
+    * truth side rides the memoized full-dim top-5. */
+  def s37(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.CosineTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.CosineTopKStrategy
+    val truth = sharedTruth(spark, dir).filter(col("q_id") % 10 === 0)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val rows = Seq(16, 32, 64).map { d =>
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), expr(s"slice(embedding, 1, $d)").as("v"))
+        .withColumn("nrm", expr("vec_norm(v)"))
+      val q = spread(e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na")))
+      val n = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
+      graft.plans.CosineTopK(spark, q, n, k = 5)
+        .join(truth, Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .join(broadcast(nTruth))
+        .select(lit(d).as("n_dims"), col("n_hits"), col("n_truth"),
+          round(dbl(col("n_hits")) / col("n_truth"), 6).as("recall_at_5"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("n_dims")
+  }
+  val s37Sql: String = {
+    def sliceKnn(d: Int): String =
+      s"""SELECT q_id, n_id FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |      ROUND(list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+         |            / (a.nrm * b.nrm), 6) DESC, b.vec_id) AS BIGINT) AS rnk
+         |  FROM sl$d a JOIN sl$d b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 10 = 0) WHERE rnk <= 5""".stripMargin
+    val slices = Seq(16, 32, 64).map { d =>
+      s"""sl$d AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding[1:$d], x -> CAST(x AS DOUBLE)) AS v,
+         |    sqrt(list_reduce(list_transform(list_transform(embedding[1:$d],
+         |      x -> CAST(x AS DOUBLE)), x -> x * x), (x, y) -> x + y)) AS nrm
+         |  FROM embeddings)""".stripMargin
+    }.mkString(",\n")
+    val rows = Seq(16, 32, 64).map { d =>
+      s"""SELECT $d AS n_dims,
+         |  (SELECT COUNT(*) FROM (${sliceKnn(d)}) k JOIN truth USING (q_id, n_id))::BIGINT AS n_hits,
+         |  (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
+         |  ROUND(CAST((SELECT COUNT(*) FROM (${sliceKnn(d)}) k JOIN truth USING (q_id, n_id)) AS DOUBLE)
+         |      / (SELECT COUNT(*) FROM truth), 6) AS recall_at_5""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    knnCte +
+      s""",
+         |truth AS (SELECT q_id, n_id FROM r WHERE rnk <= 5 AND q_id % 10 = 0),
+         |$slices
+         |$rows
+         |ORDER BY n_dims""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s37_dim_truncation_recall" -> (s37 _),
     "s36_norm_by_label" -> (s36 _),
     "s35_neighbor_diversity" -> (s35 _),
     "s34_knn_confusion" -> (s34 _),
@@ -1622,6 +1689,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s37_dim_truncation_recall" -> s37Sql,
     "s36_norm_by_label" -> s36Sql,
     "s35_neighbor_diversity" -> s35Sql,
     "s34_knn_confusion" -> s34Sql,

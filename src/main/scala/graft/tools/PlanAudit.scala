@@ -179,7 +179,9 @@ object PlanAudit {
     // backlog columns) — one row per calendar month
     "q107_order_backlog",
     // p36: per-fan-out 1-row corpus-token-total broadcasts
-    "p36_shard_skew")
+    "p36_shard_skew",
+    // s37: 1-row truth-count broadcast (recall denominator)
+    "s37_dim_truncation_recall")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -162,7 +162,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "d55_pair_cost_model", "s36_norm_by_label",
       "t60_code_screen", "p35_budget_gap",
       "q107_order_backlog", "e98_type_run_lengths",
-      "t61_link_density", "m27_size_band_matrix", "p36_shard_skew")
+      "t61_link_density", "m27_size_band_matrix", "p36_shard_skew",
+      "q108_approx_quantiles", "s37_dim_truncation_recall")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -176,7 +177,27 @@ class OperatorSmokeSpec extends SparkSpec {
         "s13_sq8_error_hist", "s14_recall_curve", "d29_lsh_candidate_report",
         "d39_lsh_bucket_histogram", "s29_sq8_recall",
         "d52_band_sweep", "s31_label_recall", "d53_minhash_error",
-        "s32_recall_at_k", "s33_norm_recall"))
+        "s32_recall_at_k", "s33_norm_recall", "q108_approx_quantiles"))
+  }
+
+  test("q108 approx quantiles: sketch lands inside the ±0.01-quantile envelope") {
+    val rows = SparkEntry.queries("q108_approx_quantiles")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("in_bounds"),
+        s"quantile ${r.getAs[Double]("quantile")}: approx ${r.getAs[Double]("approx")} " +
+          s"outside [${r.getAs[Double]("lo_envelope")}, ${r.getAs[Double]("hi_envelope")}]")
+      assert(r.getAs[Double]("lo_envelope") <= r.getAs[Double]("exact") &&
+        r.getAs[Double]("exact") <= r.getAs[Double]("hi_envelope"))
+    }
+  }
+
+  test("s37 dim-truncation recall: monotone in dims, full-dim row is exactly 1.0") {
+    val rows = Similarity.s37(spark, sf).collect().sortBy(_.getAs[Int]("n_dims"))
+    assert(rows.map(_.getAs[Int]("n_dims")).toSeq == Seq(16, 32, 64))
+    val recalls = rows.map(_.getAs[Double]("recall_at_5"))
+    assert(recalls.last == 1.0, s"64-dim self-check recall = ${recalls.last}")
+    recalls.foreach(r => assert(r > 0.0 && r <= 1.0))
   }
 
   test("s33 norm-band recall: every populated band covered, recalls within (0,1]") {
