@@ -4117,10 +4117,12 @@ object Events {
     * Scale: one user-partitioned lag/cumsum window pass (e01's shape),
     * a (user, run) rollup sharing the same partitioning, and a
     * |types|-bounded final frame. */
-  def e98(spark: SparkSession, dir: String): DataFrame = {
+  /** The (user_id, run_idx, event_type, run_len) frame under e98's run
+    * definition (RunLengthParitySpec holds the streaming stage to it). */
+  private[graft] def typeRunFrame(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
     val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), col("event_type"), col("ms"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .withColumn("new_run",
@@ -4129,6 +4131,10 @@ object Events {
       .withColumn("run_idx", sum(col("new_run")).over(wr))
       .groupBy("user_id", "run_idx", "event_type")
       .agg(count(lit(1)).as("run_len"))
+  }
+
+  def e98(spark: SparkSession, dir: String): DataFrame = {
+    typeRunFrame(Tables.events(spark, dir))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_runs"), sum(col("run_len")).as("n_events"),
         round(dbl(sum(col("run_len"))) / count(lit(1)), 6).as("mean_run_len"),
