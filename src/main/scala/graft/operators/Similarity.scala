@@ -1648,7 +1648,62 @@ object Similarity {
          |ORDER BY n_dims""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s38
+  /** Two-round label propagation: s05's kNN majority vote (round 1)
+    * re-voted over the NEIGHBORS' round-1 predictions (round 2), rolled
+    * up per final class to the flip count and flip share — labels that
+    * keep flipping under propagation sit on class boundaries, and a
+    * class with a high flip share is one semi-supervised labeling will
+    * churn rather than clean. Both rounds use s05's exact tie order
+    * (votes desc, label asc), so the result is bit-deterministic.
+    *
+    * Scale: the kNN graph is the memoized exact truth (built once);
+    * each round is one uniform-key join + a ≤k-row-per-query vote
+    * window. Output bounded by |labels|. */
+  def s38(spark: SparkSession, dir: String): DataFrame = {
+    val truth = sharedTruth(spark, dir)
+    def vote(pred: DataFrame): DataFrame = {
+      val w = Window.partitionBy("q_id").orderBy(col("votes").desc, col("p"))
+      truth
+        .join(pred.select(col("vec_id").as("n_id"), col("p")), "n_id")
+        .groupBy("q_id", "p").agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("q_id").as("vec_id"), col("p"))
+    }
+    val r1 = vote(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").as("p")))
+    val r2 = vote(r1)
+    r1.select(col("vec_id"), col("p").as("p1"))
+      .join(r2.select(col("vec_id"), col("p").as("p2")), "vec_id")
+      .groupBy(col("p2").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L)).as("n_flipped"),
+        round(dbl(sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L)))
+          / count(lit(1)), 6).as("flip_share"))
+      .orderBy("label")
+  }
+  val s38Sql: String = knnCte +
+    """,
+      |top5 AS (SELECT q_id, n_id FROM r WHERE rnk <= 5),
+      |v1 AS (SELECT t.q_id, l.label AS p, COUNT(*)::BIGINT AS votes
+      |       FROM top5 t JOIN embeddings l ON t.n_id = l.vec_id GROUP BY 1, 2),
+      |r1 AS (SELECT q_id AS vec_id, p FROM (
+      |       SELECT q_id, p, ROW_NUMBER() OVER (PARTITION BY q_id
+      |         ORDER BY votes DESC, p) AS rn FROM v1) WHERE rn = 1),
+      |v2 AS (SELECT t.q_id, r1.p, COUNT(*)::BIGINT AS votes
+      |       FROM top5 t JOIN r1 ON t.n_id = r1.vec_id GROUP BY 1, 2),
+      |r2 AS (SELECT q_id AS vec_id, p FROM (
+      |       SELECT q_id, p, ROW_NUMBER() OVER (PARTITION BY q_id
+      |         ORDER BY votes DESC, p) AS rn FROM v2) WHERE rn = 1)
+      |SELECT r2.p AS label, COUNT(*)::BIGINT AS n_vecs,
+      |  SUM(CASE WHEN r1.p <> r2.p THEN 1 ELSE 0 END)::BIGINT AS n_flipped,
+      |  ROUND(CAST(SUM(CASE WHEN r1.p <> r2.p THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / COUNT(*), 6) AS flip_share
+      |FROM r1 JOIN r2 USING (vec_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s38_label_propagation" -> (s38 _),
     "s37_dim_truncation_recall" -> (s37 _),
     "s36_norm_by_label" -> (s36 _),
     "s35_neighbor_diversity" -> (s35 _),
@@ -1689,6 +1744,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s38_label_propagation" -> s38Sql,
     "s37_dim_truncation_recall" -> s37Sql,
     "s36_norm_by_label" -> s36Sql,
     "s35_neighbor_diversity" -> s35Sql,

@@ -2528,7 +2528,35 @@ object TextAnalysis {
       |  ROUND(CAST(SUM(ne) AS DOUBLE) / COUNT(*), 6) AS emails_per_doc
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t62
+  /** Deterministic k-per-group exemplar sample: the 3 docs with the
+    * smallest content hash per language — the distributed "show me a
+    * few examples of each slice" primitive. Hash-ranking makes the
+    * sample content-addressed (re-ingest stable, order-independent,
+    * identical in both engines), unlike any RNG-based sample; ties on
+    * identical text break by doc_id.
+    *
+    * Scale: one scan + a lang-partitioned top-k window (WindowGroupLimit
+    * prunes to k per partition map-side); output |langs|·k rows. */
+  def t62(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"), md5(col("text")).as("h"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("lang"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+        col("n_chars"), col("h"))
+      .orderBy("lang", "rnk")
+  }
+  val t62Sql: String =
+    """SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, h FROM (
+      |  SELECT lang, doc_id, n_chars, md5(text) AS h,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rnk
+      |  FROM documents)
+      |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t62_group_sample" -> (t62 _),
     "t61_link_density" -> (t61 _),
     "t60_code_screen" -> (t60 _),
     "t59_readability" -> (t59 _),
@@ -2591,6 +2619,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t62_group_sample" -> t62Sql,
     "t61_link_density" -> t61Sql,
     "t60_code_screen" -> t60Sql,
     "t59_readability" -> t59Sql,

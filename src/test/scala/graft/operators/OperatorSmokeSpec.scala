@@ -163,7 +163,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "t60_code_screen", "p35_budget_gap",
       "q107_order_backlog", "e98_type_run_lengths",
       "t61_link_density", "m27_size_band_matrix", "p36_shard_skew",
-      "q108_approx_quantiles", "s37_dim_truncation_recall")
+      "q108_approx_quantiles", "s37_dim_truncation_recall",
+      "s38_label_propagation", "t62_group_sample")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
