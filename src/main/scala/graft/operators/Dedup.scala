@@ -2472,7 +2472,118 @@ object Dedup {
        |FROM dfc CROSS JOIN t
        |GROUP BY df_band, tot_pairs ORDER BY df_band""".stripMargin
 
+  // ---------------------------------------------------------------- d56
+  /** Empirical LSH S-curve: among EXACT J ≥ 0.5 pairs (the memoized
+    * [[sharedPairs]] stream), the fraction actually surfaced as
+    * candidates by d02's 32-band × 4-row MinHash LSH, per 0.05-wide
+    * Jaccard band, next to the textbook expectation 1 − (1 − J^r)^b at
+    * the band midpoint — the table that justifies (or indicts) a chosen
+    * (b, r) before a 100 TB run. Detection uses a left join against the
+    * DISTINCT candidate stream (both sides memoized; the join key is the
+    * pair itself, uniform by construction).
+    *
+    * Rows-only: the detected flag depends on the 128-perm signature
+    * (seeded JVM-side), not SQL-expressible — the spec pins full
+    * exact-pair coverage across bands, detected ⊆ pairs, and ≥ 0.95
+    * detection in the top populated band (where escape probability is
+    * astronomically small at 32 × 4).
+    *
+    * Scale: |pairs over J ≥ 0.5| is the dedup evidence stream itself
+    * (bounded by the inverted-index join); candidates are band-bucketed;
+    * the rollup is ≤ 10 rows. */
+  def d56(spark: SparkSession, dir: String): DataFrame = {
+    val exact = sharedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cand = d02Candidates(spark, dir).withColumn("det", lit(1L))
+    val b = 32d; val r = 4d
+    exact.join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("band", least(floor((col("jaccard") - 0.5) / 0.05), lit(9L)).cast("long"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("det"), lit(0L))).as("n_detected"))
+      .select(col("band"),
+        round(lit(0.5) + col("band") * 0.05, 6).as("band_lo"),
+        col("n_pairs"), col("n_detected"),
+        round(dbl(col("n_detected")) / col("n_pairs"), 6).as("detect_rate"),
+        round(lit(1d) - pow(lit(1d) - pow(lit(0.5) + (col("band") + 0.5) * 0.05, lit(r)), lit(b)), 6)
+          .as("expected_rate"))
+      .orderBy("band")
+  }
+
+  // ---------------------------------------------------------------- d57
+  /** Rarest-gram seed bucketing — the cheapest candidate generator there
+    * is (ONE bucket per doc: its minimum-df shingle, ties by gram text),
+    * audited for precision/recall against the exact J ≥ 0.5 stream.
+    * Near-identical docs share their rarest gram almost surely, so
+    * recall stays high while candidate volume collapses: each doc joins
+    * exactly one bucket, and a bucket for gram g can never exceed df(g)
+    * docs — seeds PREFER low df, so hot grams are structurally starved
+    * (a gram is only a seed for docs that contain nothing rarer). The
+    * one-row report prices this generator against d02's LSH and d06's
+    * df-cap for the 100 TB candidate-generation budget.
+    *
+    * Scale: df is a map-combinable gram count; the seed pick is a
+    * map-combinable min(struct(df, gram)) per doc — never a window over
+    * postings; the bucket self-join is df-bounded per bucket as argued
+    * above; the exact stream is the memoized [[sharedPairs]]. */
+  def d57(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val dft = posting.groupBy("g").agg(count(lit(1)).as("df"))
+    val seed = posting.join(dft, "g")
+      .groupBy("doc_id").agg(min(struct(col("df"), col("g"))).as("m"))
+      .select(col("doc_id"), col("m").getField("g").as("g"))
+    val cand = seed.as("a").join(seed.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val ex = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val det = cand.join(ex, Seq("doc_a", "doc_b"))
+    sh.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(seed.agg(count_distinct(col("g")).as("n_buckets"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(ex.agg(count(lit(1)).as("n_exact"))))
+      .crossJoin(broadcast(det.agg(count(lit(1)).as("n_detected"))))
+      .select(col("n_docs"), col("n_buckets"), col("n_candidates"),
+        col("n_exact"), col("n_detected"),
+        round(when(col("n_candidates") > 0,
+          dbl(col("n_detected")) / col("n_candidates")).otherwise(0d), 6)
+          .as("seed_precision"),
+        round(when(col("n_exact") > 0,
+          dbl(col("n_detected")) / col("n_exact")).otherwise(0d), 6)
+          .as("seed_recall"))
+  }
+  val d57Sql: String = {
+    val pairSql = jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH shd AS ($shingledSql),
+       |post AS (SELECT doc_id, UNNEST(grams) AS g FROM shd),
+       |dft AS (SELECT g, COUNT(*)::BIGINT AS df FROM post GROUP BY 1),
+       |seed AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT p.doc_id, p.g,
+       |      ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.g) AS rn
+       |    FROM post p JOIN dft d USING (g))
+       |  WHERE rn = 1),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM seed a JOIN seed b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |ex AS (SELECT doc_a, doc_b FROM ($pairSql)),
+       |det AS (SELECT COUNT(*)::BIGINT AS n_detected
+       |        FROM cand JOIN ex USING (doc_a, doc_b)),
+       |s1 AS (SELECT COUNT(*)::BIGINT AS n_docs FROM shd),
+       |s2 AS (SELECT COUNT(DISTINCT g)::BIGINT AS n_buckets FROM seed),
+       |s3 AS (SELECT COUNT(*)::BIGINT AS n_candidates FROM cand),
+       |s4 AS (SELECT COUNT(*)::BIGINT AS n_exact FROM ex)
+       |SELECT n_docs, n_buckets, n_candidates, n_exact, n_detected,
+       |  ROUND(CASE WHEN n_candidates > 0
+       |    THEN CAST(n_detected AS DOUBLE) / n_candidates ELSE 0.0 END, 6) AS seed_precision,
+       |  ROUND(CASE WHEN n_exact > 0
+       |    THEN CAST(n_detected AS DOUBLE) / n_exact ELSE 0.0 END, 6) AS seed_recall
+       |FROM s1 CROSS JOIN s2 CROSS JOIN s3 CROSS JOIN s4 CROSS JOIN det""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d57_seed_buckets" -> (d57 _),
+    "d56_lsh_s_curve" -> (d56 _),
     "d55_pair_cost_model" -> (d55 _),
     "d54_cap_sweep" -> (d54 _),
     "d53_minhash_error" -> (d53 _),
@@ -2530,6 +2641,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d57_seed_buckets" -> d57Sql,
     "d55_pair_cost_model" -> d55Sql,
     "d54_cap_sweep" -> d54Sql,
     "d51_shingle_sensitivity" -> d51Sql,

@@ -4156,7 +4156,124 @@ object Events {
       |  MAX(run_len) AS max_run_len
       |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e99
+  /** User rhythm-regularity census: each user's modal-hour share (events
+    * in their single busiest hour-of-day / total events, users ≥ 20
+    * events), binned into ten share bands — bots and schedulers live in
+    * the 0.9–1.0 band, diffuse human activity near 1/24. Share is one
+    * IEEE division of exact integer counts; band = floor(share·10)
+    * capped at 9; per-band share averages use round6-quantized decimal
+    * sums so the rollup is order-independent.
+    *
+    * Scale: two map-combinable groupBys — (user, hr) then user (≤24 rows
+    * folded via a max over the per-hour counts, never a window) — then a
+    * 10-row band rollup. No window, no skew hazard. */
+  def e99(spark: SparkSession, dir: String): DataFrame = {
+    val uh = Tables.events(spark, dir)
+      .select(col("user_id"), (floor(col("ms") / 3600000L) % 24).cast("long").as("hr"))
+      .groupBy("user_id", "hr").agg(count(lit(1)).as("n"))
+    val per = uh.groupBy("user_id")
+      .agg(sum(col("n")).as("total"), max(col("n")).as("modal"))
+      .filter(col("total") >= 20)
+      .withColumn("share", dbl(col("modal")) / col("total"))
+      .withColumn("band", least(floor(col("share") * 10), lit(9L)).cast("long"))
+    per.groupBy("band")
+      .agg(count(lit(1)).as("n_users"),
+        round(dbl(sum(col("total"))) / count(lit(1)), 6).as("avg_events"),
+        round(dbl(sum(round(col("share"), 6).cast("decimal(18,6)"))) / count(lit(1)), 6).as("avg_share"))
+      .orderBy("band")
+  }
+  val e99Sql: String =
+    """WITH uh AS (
+      |  SELECT user_id, (epoch_ms(ts) // 3600000) % 24 AS hr, COUNT(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT user_id, SUM(n)::BIGINT AS total, MAX(n)::BIGINT AS modal
+      |  FROM uh GROUP BY 1 HAVING SUM(n) >= 20),
+      |s AS (
+      |  SELECT user_id, total,
+      |    CAST(modal AS DOUBLE) / total AS share
+      |  FROM p),
+      |b AS (
+      |  SELECT total, share,
+      |    CAST(least(floor(share * 10), 9) AS BIGINT) AS band
+      |  FROM s)
+      |SELECT band, COUNT(*)::BIGINT AS n_users,
+      |  ROUND(CAST(SUM(total) AS DOUBLE) / COUNT(*), 6) AS avg_events,
+      |  ROUND(CAST(SUM(CAST(ROUND(share, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_share
+      |FROM b GROUP BY band ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------- e100
+  /** Behavioral-stability census: for each user with ≥ 20 events, the
+    * cosine similarity between their FIRST-half and SECOND-half
+    * event-type count vectors (timeline split at the per-user median
+    * event index), banded into deciles — drifting users (new feature
+    * adoption, account takeover, bot replacement) fall out of the top
+    * band. All vector sums are exact BIGINT (counts and count products);
+    * the cosine is one IEEE sqrt + one division of exact operands, so
+    * both engines compute identical bits. Both halves are non-empty by
+    * the ≥ 20-event gate, so no 0/0 corner exists.
+    *
+    * Scale: one user-partitioned window pass (count + row_number share
+    * the shuffle), then two map-combinable groupBys — (user, type)
+    * folding halves side by side (no self-join of half frames), then
+    * user — and a 10-row band rollup. */
+  def e100(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id")
+    val wo = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ms"))
+      .withColumn("n", count(lit(1)).over(wu))
+      .filter(col("n") >= 20)
+      .withColumn("h1", when(row_number().over(wo) * 2 <= col("n"), 1L).otherwise(0L))
+      .groupBy("user_id", "event_type")
+      .agg(sum(col("h1")).as("c1"), sum(lit(1L) - col("h1")).as("c2"))
+      .groupBy("user_id")
+      .agg(sum(col("c1") * col("c2")).as("s12"),
+        sum(col("c1") * col("c1")).as("s11"),
+        sum(col("c2") * col("c2")).as("s22"),
+        sum(col("c1") + col("c2")).as("total"))
+      .withColumn("cos", dbl(col("s12")) / sqrt(dbl(col("s11") * col("s22"))))
+      .withColumn("band", least(floor(col("cos") * 10), lit(9L)).cast("long"))
+    per.groupBy("band")
+      .agg(count(lit(1)).as("n_users"),
+        round(dbl(sum(round(col("cos"), 6).cast("decimal(18,6)"))) / count(lit(1)), 6)
+          .as("avg_cos"),
+        round(dbl(sum(col("total"))) / count(lit(1)), 6).as("avg_events"))
+      .orderBy("band")
+  }
+  val e100Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+      |  FROM events),
+      |ut AS (
+      |  SELECT user_id, event_type,
+      |    SUM(CASE WHEN rn * 2 <= n THEN 1 ELSE 0 END)::BIGINT AS c1,
+      |    SUM(CASE WHEN rn * 2 <= n THEN 0 ELSE 1 END)::BIGINT AS c2
+      |  FROM e WHERE n >= 20 GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id,
+      |    SUM(c1 * c2)::BIGINT AS s12, SUM(c1 * c1)::BIGINT AS s11,
+      |    SUM(c2 * c2)::BIGINT AS s22, SUM(c1 + c2)::BIGINT AS total
+      |  FROM ut GROUP BY 1),
+      |c AS (
+      |  SELECT user_id, total,
+      |    CAST(s12 AS DOUBLE) / sqrt(CAST(s11 * s22 AS DOUBLE)) AS cos
+      |  FROM u),
+      |b AS (
+      |  SELECT total, cos,
+      |    CAST(least(floor(cos * 10), 9) AS BIGINT) AS band
+      |  FROM c)
+      |SELECT band, COUNT(*)::BIGINT AS n_users,
+      |  ROUND(CAST(SUM(CAST(ROUND(cos, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_cos,
+      |  ROUND(CAST(SUM(total) AS DOUBLE) / COUNT(*), 6) AS avg_events
+      |FROM b GROUP BY band ORDER BY band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e100_behavior_stability" -> (e100 _),
+    "e99_hour_regularity" -> (e99 _),
     "e98_type_run_lengths" -> (e98 _),
     "e97_error_bursts" -> (e97 _),
     "e96_peak_concurrency" -> (e96 _),
@@ -4258,6 +4375,8 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e100_behavior_stability" -> e100Sql,
+    "e99_hour_regularity" -> e99Sql,
     "e98_type_run_lengths" -> e98Sql,
     "e97_error_bursts" -> e97Sql,
     "e96_peak_concurrency" -> e96Sql,

@@ -1168,7 +1168,46 @@ object Multimodal {
        |    AS share_in_modality
        |FROM b ORDER BY modality, size_band""".stripMargin
 
+  // ---------------------------------------------------------------- m28
+  /** Content-addressed store shard balance: payloads bucketed by the
+    * first hex nibble of their content hash (16 shards — the md5-keyed
+    * layout a blob store uses), per-shard payload count and byte share
+    * vs the uniform 1/16 expectation. Content hashing balances COUNTS by
+    * construction; this measures whether byte SIZE skew survives —
+    * the thing that actually hot-spots a storage node at 100 TB.
+    *
+    * Scale: one scan, one 16-key map-combinable groupBy; the totals
+    * frame is one broadcast row. */
+  def m28(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.documents(spark, dir)
+      .select(substring(md5(col("text")), 1, 1).as("shard"),
+        octet_length(col("text").cast("binary")).cast("long").as("nb"))
+    val per = b.groupBy("shard")
+      .agg(count(lit(1)).as("n_payloads"), sum(col("nb")).as("n_bytes"))
+    val tot = per.agg(sum(col("n_payloads")).as("tp"), sum(col("n_bytes")).as("tb"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_payloads"), col("n_bytes"),
+        round(dbl(col("n_payloads")) / col("tp"), 6).as("count_share"),
+        round(dbl(col("n_bytes")) / col("tb"), 6).as("byte_share"),
+        round(dbl(col("n_bytes")) / col("tb") - 1d / 16d, 6).as("byte_share_dev"))
+      .orderBy("shard")
+  }
+  val m28Sql: String =
+    """WITH b AS (
+      |  SELECT substring(md5(text), 1, 1) AS shard,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+      |  FROM documents),
+      |p AS (SELECT shard, COUNT(*)::BIGINT AS n_payloads, SUM(nb)::BIGINT AS n_bytes
+      |      FROM b GROUP BY 1),
+      |t AS (SELECT SUM(n_payloads)::BIGINT AS tp, SUM(n_bytes)::BIGINT AS tb FROM p)
+      |SELECT shard, n_payloads, n_bytes,
+      |  ROUND(CAST(n_payloads AS DOUBLE) / tp, 6) AS count_share,
+      |  ROUND(CAST(n_bytes AS DOUBLE) / tb, 6) AS byte_share,
+      |  ROUND(CAST(n_bytes AS DOUBLE) / tb - 1.0 / 16.0, 6) AS byte_share_dev
+      |FROM p CROSS JOIN t ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m28_store_shard_balance" -> (m28 _),
     "m27_size_band_matrix" -> (m27 _),
     "m26_truncation_screen" -> (m26 _),
     "m25_size_drift" -> (m25 _),
@@ -1199,6 +1238,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m28_store_shard_balance" -> m28Sql,
     "m27_size_band_matrix" -> m27Sql,
     "m26_truncation_screen" -> m26Sql,
     "m25_size_drift" -> m25Sql,

@@ -1851,7 +1851,75 @@ object Pipeline {
        |ORDER BY n_shards""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p37
+  /** Holdout-carve drift through the curation funnel: a 1/16
+    * content-hash holdout (first md5 nibble = '0' — t06's hex-compare
+    * recipe) is carved on the RAW corpus, then each curation stage is
+    * audited for how far its holdout share drifts from the raw share.
+    * Content-keyed carves survive re-ingest and exact dedup untouched,
+    * but downstream stages are NOT hash-blind: the final sampling stage
+    * keeps nibbles below '8'/'4' — the SAME hash the carve uses — so the
+    * sample over-retains holdout (every '0' survives sampling). The
+    * drift column makes that correlation a measured artifact; the
+    * production fix it motivates is salting the carve and the sampler
+    * with independent hash keys.
+    *
+    * Scale: rides the cached p01 stage frames; per stage one uniform
+    * doc_id join against the carve flags + a 1-row aggregate; the raw
+    * share is a 1-row broadcast denominator. */
+  def p37(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, scored, keep, surv, sampled) = p01Stages(spark, dir)
+    val hold = Tables.documents(spark, dir).select(col("doc_id"),
+      (substring(md5(col("text")), 1, 1) === "0").as("held"))
+    def lvl(label: String, df: DataFrame): DataFrame =
+      df.select("doc_id").join(hold, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("held"), 1L).otherwise(0L)).as("n_holdout"))
+        .withColumn("stage", lit(label))
+    val per = lvl("a_raw", docs)
+      .unionByName(lvl("b_quality_lang", scored))
+      .unionByName(lvl("c_exact_dedup", keep))
+      .unionByName(lvl("d_near_dedup", surv))
+      .unionByName(lvl("e_sampled", sampled))
+    val raw = per.filter(col("stage") === "a_raw")
+      .select((col("n_holdout").cast("double") / col("n_docs")).as("raw_share"))
+    per.crossJoin(broadcast(raw))
+      .select(col("stage"), col("n_docs"), col("n_holdout"),
+        round(col("n_holdout").cast("double") / col("n_docs"), 6).as("hold_share"),
+        round(col("n_holdout").cast("double") / col("n_docs") - col("raw_share"), 6).as("drift"))
+      .orderBy("stage")
+  }
+  val p37Sql: String = {
+    val idx = p01Sql.indexOf("SELECT doc_id, pred_lang, quality FROM keep")
+    require(idx > 0, "p01Sql shape changed under p37")
+    val ctes = p01Sql.substring(0, idx).trim
+    s"""$ctes,
+       |surv AS (
+       |  SELECT * FROM keep WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |stages AS (
+       |  SELECT 'a_raw' AS stage, doc_id FROM documents
+       |  UNION ALL SELECT 'b_quality_lang', doc_id FROM pl
+       |  UNION ALL SELECT 'c_exact_dedup', doc_id FROM keep
+       |  UNION ALL SELECT 'd_near_dedup', doc_id FROM surv
+       |  UNION ALL SELECT 'e_sampled', doc_id FROM surv
+       |    WHERE (CASE WHEN pred_lang = 'en' THEN substr(md5(text), 1, 1) < '8'
+       |                ELSE substr(md5(text), 1, 1) < '4' END)),
+       |h AS (SELECT doc_id, (substr(md5(text), 1, 1) = '0') AS held FROM documents),
+       |per AS (
+       |  SELECT s.stage, COUNT(*)::BIGINT AS n_docs,
+       |    SUM(CASE WHEN h.held THEN 1 ELSE 0 END)::BIGINT AS n_holdout
+       |  FROM stages s JOIN h USING (doc_id) GROUP BY 1),
+       |raw AS (
+       |  SELECT CAST(n_holdout AS DOUBLE) / n_docs AS raw_share
+       |  FROM per WHERE stage = 'a_raw')
+       |SELECT stage, n_docs, n_holdout,
+       |  ROUND(CAST(n_holdout AS DOUBLE) / n_docs, 6) AS hold_share,
+       |  ROUND(CAST(n_holdout AS DOUBLE) / n_docs - raw_share, 6) AS drift
+       |FROM per CROSS JOIN raw ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p37_holdout_drift" -> (p37 _),
     "p36_shard_skew" -> (p36 _),
     "p35_budget_gap" -> (p35 _),
     "p34_curriculum_plan" -> (p34 _),
@@ -1890,6 +1958,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p37_holdout_drift" -> p37Sql,
     "p36_shard_skew" -> p36Sql,
     "p35_budget_gap" -> p35Sql,
     "p34_curriculum_plan" -> p34Sql,

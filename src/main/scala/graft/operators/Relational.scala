@@ -3697,7 +3697,115 @@ object Relational {
     }.reduce(_.unionByName(_)).orderBy("quantile")
   }
 
+  // ---------------------------------------------------------------- q109
+  /** Customer order-cadence regularity: inter-order day gaps per customer
+    * (lag window over o_orderdate, ≥3 orders so ≥2 gaps), mean and
+    * coefficient of variation from EXACT integer moments (gaps are whole
+    * days: n·Σg² − (Σg)² is exact BIGINT arithmetic, so both engines
+    * perform the identical two IEEE ops), rolled to market segment with
+    * round6-quantized decimal sums (order-independent).
+    *
+    * Scale: the window partitions by o_custkey (no global sort); the
+    * per-customer frame is |customers|-bounded; the segment rollup
+    * joins customer on the already-shuffled custkey. */
+  def q109(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap", datediff(col("o_orderdate"), lag("o_orderdate", 1).over(w)).cast("long"))
+      .filter(col("gap").isNotNull)
+    val per = gaps.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("s"), sum(col("gap") * col("gap")).as("ss"))
+      .filter(col("n") >= 2)
+      .select(col("o_custkey"), col("n"),
+        (dbl(col("s")) / col("n")).as("mean_gap"),
+        sqrt(dbl(col("n") * col("ss") - col("s") * col("s")) / dbl(col("n") * col("n"))).as("sd_gap"))
+      .withColumn("cv", when(col("mean_gap") > 0, col("sd_gap") / col("mean_gap")).otherwise(lit(0d)))
+    per.join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (dbl(sum(round(col("mean_gap"), 6).cast("decimal(18,6)"))) / count(lit(1))).as("avg_mean_gap"),
+        (dbl(sum(round(col("cv"), 6).cast("decimal(18,6)"))) / count(lit(1))).as("avg_cv"),
+        round(max(col("mean_gap")), 6).as("max_mean_gap"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        round(col("avg_mean_gap"), 6).as("avg_mean_gap"),
+        round(col("avg_cv"), 6).as("avg_cv"), col("max_mean_gap"))
+      .orderBy("c_mktsegment")
+  }
+  val q109Sql: String =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS BIGINT) AS gap
+      |  FROM orders),
+      |p AS (
+      |  SELECT o_custkey, COUNT(*)::BIGINT AS n, SUM(gap)::BIGINT AS s, SUM(gap * gap)::BIGINT AS ss
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2),
+      |c AS (
+      |  SELECT o_custkey, n,
+      |    CAST(s AS DOUBLE) / n AS mean_gap,
+      |    sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) AS sd_gap
+      |  FROM p),
+      |v AS (
+      |  SELECT o_custkey, n, mean_gap,
+      |    CASE WHEN mean_gap > 0 THEN sd_gap / mean_gap ELSE 0.0 END AS cv
+      |  FROM c)
+      |SELECT c_mktsegment, COUNT(*)::BIGINT AS n_customers,
+      |  ROUND(CAST(SUM(CAST(ROUND(mean_gap, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_mean_gap,
+      |  ROUND(CAST(SUM(CAST(ROUND(cv, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_cv,
+      |  ROUND(MAX(mean_gap), 6) AS max_mean_gap
+      |FROM v JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q110
+  /** Two-sample account-balance census: customers WITH at least one order
+    * vs customers with NONE (Q22's silent-customer shape made explicit),
+    * per 1000-unit balance band — whether dormant accounts sit in a
+    * different wealth band than active ones, the signal behind win-back
+    * targeting. Per-group averages are decimal-exact sums with ONE IEEE
+    * division; empty cells surface as NULL identically in both engines
+    * (a SUM over no rows is NULL, never 0).
+    *
+    * Scale: orders collapses to DISTINCT custkeys (map-combinable),
+    * joins customer on the co-keyed custkey shuffle, then a ≤12-key
+    * band rollup — no window, no skew hazard. */
+  def q110(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.orders(spark, dir).select(col("o_custkey")).distinct()
+    Tables.customer(spark, dir)
+      .join(active, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_acctbal"), col("o_custkey").isNotNull.as("act"),
+        floor(col("c_acctbal") / 1000d).cast("long").as("band"))
+      .groupBy("band")
+      .agg(sum(when(col("act"), 1L).otherwise(0L)).as("n_active"),
+        sum(when(!col("act"), 1L).otherwise(0L)).as("n_inactive"),
+        round(dbl(sum(when(!col("act"), 1L).otherwise(0L))) / count(lit(1)), 6)
+          .as("inactive_share"),
+        round(dbl(sum(when(col("act"), dec(col("c_acctbal"))))) /
+          sum(when(col("act"), 1L)), 6).as("avg_bal_active"),
+        round(dbl(sum(when(!col("act"), dec(col("c_acctbal"))))) /
+          sum(when(!col("act"), 1L)), 6).as("avg_bal_inactive"))
+      .orderBy("band")
+  }
+  val q110Sql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders),
+      |j AS (
+      |  SELECT c_acctbal, (o_custkey IS NOT NULL) AS act,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+      |  FROM customer LEFT JOIN a ON c_custkey = o_custkey)
+      |SELECT band,
+      |  SUM(CASE WHEN act THEN 1 ELSE 0 END)::BIGINT AS n_active,
+      |  SUM(CASE WHEN NOT act THEN 1 ELSE 0 END)::BIGINT AS n_inactive,
+      |  ROUND(CAST(SUM(CASE WHEN NOT act THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+      |    AS inactive_share,
+      |  ROUND(CAST(SUM(CASE WHEN act THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+      |    / SUM(CASE WHEN act THEN 1 END), 6) AS avg_bal_active,
+      |  ROUND(CAST(SUM(CASE WHEN NOT act THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+      |    / SUM(CASE WHEN NOT act THEN 1 END), 6) AS avg_bal_inactive
+      |FROM j GROUP BY band ORDER BY band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q110_balance_activity" -> (q110 _),
+    "q109_order_cadence" -> (q109 _),
     "q108_approx_quantiles" -> (q108 _),
     "q107_order_backlog" -> (q107 _),
     "q106_price_dispersion" -> (q106 _),
@@ -3809,6 +3917,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q110_balance_activity" -> q110Sql,
+    "q109_order_cadence" -> q109Sql,
     "q107_order_backlog" -> q107Sql,
     "q106_price_dispersion" -> q106Sql,
     "q105_return_abuse" -> q105Sql,

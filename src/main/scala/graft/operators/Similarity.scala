@@ -1702,7 +1702,123 @@ object Similarity {
       |FROM r1 JOIN r2 USING (vec_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s39
+  /** Pairwise dimension correlation over the leading 8 dims: exact
+    * Pearson r per (dim_a, dim_b) from DECIMAL-quantized five-moment
+    * frames — redundant (|r| → 1) dimension pairs are dead weight a PQ
+    * subspace split or dim-truncation (s37) should fold together, and
+    * rotation-sensitive indexes assume they don't exist. Moment products
+    * are round9-quantized before the decimal sum (order-independent);
+    * the final r is a fixed expression over exact operands, identical in
+    * both engines.
+    *
+    * Scale: the element frame is filtered to pos < 8 BEFORE the vec_id
+    * self-join, so the join fans out 28 pair rows per vector (bounded by
+    * the chosen dim window, not |dims|²); one map-combinable groupBy on
+    * the 28-key pair domain. */
+  def s39(spark: SparkSession, dir: String): DataFrame = {
+    val u = quantized(spark, dir).filter(col("pos") < 8)
+      .select(col("vec_id"), col("pos"), col("vq"))
+    val p = u.as("a").join(u.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.pos") < col("b.pos"))
+      .select((col("a.pos") + 1).cast("long").as("dim_a"),
+        (col("b.pos") + 1).cast("long").as("dim_b"),
+        col("a.vq").as("x"), col("b.vq").as("y"))
+      .withColumn("xy", round(dbl(col("x")) * dbl(col("y")), 9).cast("decimal(18,9)"))
+      .withColumn("xx", round(dbl(col("x")) * dbl(col("x")), 9).cast("decimal(18,9)"))
+      .withColumn("yy", round(dbl(col("y")) * dbl(col("y")), 9).cast("decimal(18,9)"))
+    p.groupBy("dim_a", "dim_b")
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(col("x"))).as("sx"), dbl(sum(col("y"))).as("sy"),
+        dbl(sum(col("xy"))).as("sxy"), dbl(sum(col("xx"))).as("sxx"),
+        dbl(sum(col("yy"))).as("syy"))
+      .select(col("dim_a"), col("dim_b"), col("n"),
+        round((dbl(col("n")) * col("sxy") - col("sx") * col("sy")) /
+          sqrt((dbl(col("n")) * col("sxx") - col("sx") * col("sx")) *
+               (dbl(col("n")) * col("syy") - col("sy") * col("sy"))), 6).as("corr"))
+      .orderBy("dim_a", "dim_b")
+  }
+  val s39Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+      |    CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE), 9) AS DECIMAL(18,9)) AS vq
+      |  FROM embeddings),
+      |f AS (SELECT vec_id, pos, vq FROM u WHERE pos <= 8),
+      |p AS (
+      |  SELECT a.pos AS dim_a, b.pos AS dim_b,
+      |    a.vq AS x, b.vq AS y,
+      |    CAST(ROUND(CAST(a.vq AS DOUBLE) * CAST(b.vq AS DOUBLE), 9) AS DECIMAL(18,9)) AS xy,
+      |    CAST(ROUND(CAST(a.vq AS DOUBLE) * CAST(a.vq AS DOUBLE), 9) AS DECIMAL(18,9)) AS xx,
+      |    CAST(ROUND(CAST(b.vq AS DOUBLE) * CAST(b.vq AS DOUBLE), 9) AS DECIMAL(18,9)) AS yy
+      |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.pos < b.pos),
+      |m AS (
+      |  SELECT dim_a, dim_b, COUNT(*)::BIGINT AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx,
+      |    CAST(SUM(yy) AS DOUBLE) AS syy
+      |  FROM p GROUP BY 1, 2)
+      |SELECT dim_a, dim_b, n,
+      |  ROUND((n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+      |FROM m ORDER BY dim_a, dim_b""".stripMargin
+
+  // ---------------------------------------------------------------- s40
+  /** TwoNN intrinsic-dimension estimate per label (Facco et al. 2017,
+    * arXiv:1706.10351): with d₁, d₂ the cosine distances to a point's
+    * two nearest neighbors, μ = d₂/d₁ is Pareto(ID)-distributed, and the
+    * MLE is ID = n / Σ ln μ. A 128-dim embedding whose ID is ~10 says
+    * the index (IVF cells, PQ subspaces, s37's truncation) can be far
+    * more aggressive than ambient dimensionality suggests — the
+    * measurement that prices all of them. Exact-duplicate anchors
+    * (d₁ = 0) are excluded; μ comes from round6 cosines so both engines
+    * divide identical bits, and each ln μ is round9-quantized before the
+    * decimal sum (e20's ln recipe: order-independent under map-side
+    * combine, one final IEEE division).
+    *
+    * Scale: rides s01's brute top-k (the CosineTopK operator — at 10⁹
+    * vectors the same audit runs on the ANN top-k instead); everything
+    * after is a |labels|-bounded map-combinable rollup. */
+  def s40(spark: SparkSession, dir: String): DataFrame = {
+    val t = s01(spark, dir).filter(col("rnk") <= 2)
+    val per = t.groupBy("q_id")
+      .agg(max(when(col("rnk") === 1, col("cos"))).as("c1"),
+        max(when(col("rnk") === 2, col("cos"))).as("c2"))
+      .filter(col("c1") < 1.0)
+      .withColumn("mu", (lit(1d) - col("c2")) / (lit(1d) - col("c1")))
+      .withColumn("lmu", round(log(col("mu")), 9).cast("decimal(18,9)"))
+    per.join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("q_id"), col("label")), "q_id")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_pts"),
+        round(dbl(count(lit(1))) / dbl(sum(col("lmu"))), 6).as("id_hat"),
+        round(dbl(sum(round(col("mu"), 6).cast("decimal(18,6)"))) / count(lit(1)), 6)
+          .as("avg_mu"))
+      .orderBy("label")
+  }
+  val s40Sql: String = knnCte +
+    """,
+      |nn AS (
+      |  SELECT q_id,
+      |    MAX(CASE WHEN rnk = 1 THEN cos END) AS c1,
+      |    MAX(CASE WHEN rnk = 2 THEN cos END) AS c2
+      |  FROM r WHERE rnk <= 2 GROUP BY 1),
+      |mu AS (
+      |  SELECT q_id, (1.0 - c2) / (1.0 - c1) AS mu
+      |  FROM nn WHERE c1 < 1.0),
+      |lm AS (
+      |  SELECT q_id, mu, CAST(ROUND(ln(mu), 9) AS DECIMAL(18,9)) AS lmu FROM mu),
+      |j AS (
+      |  SELECT CAST(e.label AS BIGINT) AS label, lm.mu, lm.lmu
+      |  FROM lm JOIN embeddings e ON lm.q_id = e.vec_id)
+      |SELECT label, COUNT(*)::BIGINT AS n_pts,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(lmu) AS DOUBLE), 6) AS id_hat,
+      |  ROUND(CAST(SUM(CAST(ROUND(mu, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_mu
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s40_intrinsic_dim" -> (s40 _),
+    "s39_dim_pair_corr" -> (s39 _),
     "s38_label_propagation" -> (s38 _),
     "s37_dim_truncation_recall" -> (s37 _),
     "s36_norm_by_label" -> (s36 _),
@@ -1744,6 +1860,8 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s40_intrinsic_dim" -> s40Sql,
+    "s39_dim_pair_corr" -> s39Sql,
     "s38_label_propagation" -> s38Sql,
     "s37_dim_truncation_recall" -> s37Sql,
     "s36_norm_by_label" -> s36Sql,

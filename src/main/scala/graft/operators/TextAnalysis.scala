@@ -2555,7 +2555,112 @@ object TextAnalysis {
       |  FROM documents)
       |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- t63
+  /** Language-anchor terms: the 5 terms most distinctive of each
+    * language by document-frequency concentration (df in lang / df
+    * corpus-wide, df_lang ≥ 5) — the data-derived lexicon a langID
+    * heuristic (t03) should be seeded from, and the audit for terms
+    * that leak across languages. Per-doc term sets are distinct-ed
+    * BEFORE counting (df, not term frequency), score is one IEEE
+    * division of exact counts, ties break (df desc, term asc).
+    *
+    * Scale: (lang, term) df frame is map-combinable and bounded by
+    * |langs| × vocab; the corpus df join is term-keyed; top-k per lang
+    * via a lang-partitioned row_number (WindowGroupLimit prunes to k
+    * map-side). */
+  def t63(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"), explode(array_distinct(wordsCol)).as("term"))
+    val dfLang = tok.groupBy("lang", "term").agg(count(lit(1)).as("df_lang"))
+    val dfAll = dfLang.groupBy("term").agg(sum(col("df_lang")).as("df_total"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("df_lang").desc, col("term"))
+    dfLang.filter(col("df_lang") >= 5)
+      .join(dfAll, "term")
+      .withColumn("score", dbl(col("df_lang")) / col("df_total"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("df_lang"), col("df_total"), round(col("score"), 6).as("score"))
+      .orderBy("lang", "rnk")
+  }
+  val t63Sql: String =
+    s"""WITH tok AS (
+       |  SELECT lang, UNNEST(list_distinct($wordsSql)) AS term FROM documents),
+       |dl AS (SELECT lang, term, COUNT(*)::BIGINT AS df_lang FROM tok GROUP BY 1, 2),
+       |da AS (SELECT term, SUM(df_lang)::BIGINT AS df_total FROM dl GROUP BY 1),
+       |s AS (
+       |  SELECT dl.lang, dl.term, dl.df_lang, da.df_total,
+       |    CAST(dl.df_lang AS DOUBLE) / da.df_total AS score
+       |  FROM dl JOIN da USING (term) WHERE dl.df_lang >= 5),
+       |r AS (
+       |  SELECT lang, term, df_lang, df_total, score,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, df_lang DESC, term) AS rnk
+       |  FROM s)
+       |SELECT lang, CAST(rnk AS BIGINT) AS rnk, term, df_lang, df_total,
+       |  ROUND(score, 6) AS score
+       |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- t64
+  /** OCR/extraction-noise screen per source: the two token shapes clean
+    * born-digital text rarely produces — tokens mixing letters AND
+    * digits ("l0rem", "1ine") and stray single-character tokens (the
+    * shrapnel of broken hyphenation and column misreads). A doc is
+    * flagged when mixed tokens reach 5% or singletons reach 20% of its
+    * tokens — both EXACT integer cross-multiplications (20·mixed ≥ n,
+    * 5·single ≥ n), no float thresholds. Per-source averages are round6
+    * decimal-quantized means of per-doc IEEE shares.
+    *
+    * Scale: pure scan-parallel per-doc token filters (codegen'd lambda
+    * over the split array, no UDF), then one |sources|-key
+    * map-combinable rollup. */
+  def t64(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(wordsCol).cast("long").as("n_tok"),
+        size(expr("filter(filter(split(text, ' '), x -> x != ''), " +
+          "x -> x rlike '[0-9]' and x rlike '[A-Za-z]')")).cast("long").as("mixed"),
+        size(expr("filter(filter(split(text, ' '), x -> x != ''), " +
+          "x -> length(x) = 1)")).cast("long").as("single"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("flagged",
+        col("mixed") * 20 >= col("n_tok") || col("single") * 5 >= col("n_tok"))
+    per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        round(dbl(sum(when(col("flagged"), 1L).otherwise(0L))) / count(lit(1)), 6)
+          .as("flag_rate"),
+        round(dbl(sum(round(dbl(col("mixed")) / col("n_tok"), 6)
+          .cast("decimal(18,6)"))) / count(lit(1)), 6).as("avg_mixed_share"),
+        round(dbl(sum(round(dbl(col("single")) / col("n_tok"), 6)
+          .cast("decimal(18,6)"))) / count(lit(1)), 6).as("avg_single_share"))
+      .orderBy("source")
+  }
+  val t64Sql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len($wordsSql) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter($wordsSql,
+       |      x -> regexp_matches(x, '[0-9]') AND regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS mixed,
+       |    CAST(len(list_filter($wordsSql, x -> length(x) = 1)) AS BIGINT) AS single
+       |  FROM documents),
+       |f AS (
+       |  SELECT source, n_tok, mixed, single,
+       |    (mixed * 20 >= n_tok OR single * 5 >= n_tok) AS flagged
+       |  FROM d WHERE n_tok >= 1)
+       |SELECT source, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(CASE WHEN flagged THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       |  ROUND(CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+       |    AS flag_rate,
+       |  ROUND(CAST(SUM(CAST(ROUND(CAST(mixed AS DOUBLE) / n_tok, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS avg_mixed_share,
+       |  ROUND(CAST(SUM(CAST(ROUND(CAST(single AS DOUBLE) / n_tok, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS avg_single_share
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t64_ocr_noise" -> (t64 _),
+    "t63_anchor_terms" -> (t63 _),
     "t62_group_sample" -> (t62 _),
     "t61_link_density" -> (t61 _),
     "t60_code_screen" -> (t60 _),
@@ -2619,6 +2724,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t64_ocr_noise" -> t64Sql,
+    "t63_anchor_terms" -> t63Sql,
     "t62_group_sample" -> t62Sql,
     "t61_link_density" -> t61Sql,
     "t60_code_screen" -> t60Sql,

@@ -181,7 +181,15 @@ object PlanAudit {
     // p36: per-fan-out 1-row corpus-token-total broadcasts
     "p36_shard_skew",
     // s37: 1-row truth-count broadcast (recall denominator)
-    "s37_dim_truncation_recall")
+    "s37_dim_truncation_recall",
+    // m28: 1-row (payload, byte) totals broadcast onto the 16-shard
+    // frame (m15's prefix-share shape)
+    "m28_store_shard_balance",
+    // d57: four 1-row count frames (buckets/candidates/exact/detected)
+    // broadcast onto the 1-row doc count — the whole report is one row
+    "d57_seed_buckets",
+    // p37: 1-row raw-holdout-share broadcast (drift denominator)
+    "p37_holdout_drift")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

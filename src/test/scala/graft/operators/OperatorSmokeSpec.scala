@@ -164,7 +164,11 @@ class OperatorSmokeSpec extends SparkSpec {
       "q107_order_backlog", "e98_type_run_lengths",
       "t61_link_density", "m27_size_band_matrix", "p36_shard_skew",
       "q108_approx_quantiles", "s37_dim_truncation_recall",
-      "s38_label_propagation", "t62_group_sample")
+      "s38_label_propagation", "t62_group_sample",
+      "q109_order_cadence", "e99_hour_regularity", "d56_lsh_s_curve",
+      "s39_dim_pair_corr", "t63_anchor_terms", "m28_store_shard_balance",
+      "q110_balance_activity", "e100_behavior_stability", "d57_seed_buckets",
+      "s40_intrinsic_dim", "t64_ocr_noise", "p37_holdout_drift")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -178,7 +182,28 @@ class OperatorSmokeSpec extends SparkSpec {
         "s13_sq8_error_hist", "s14_recall_curve", "d29_lsh_candidate_report",
         "d39_lsh_bucket_histogram", "s29_sq8_recall",
         "d52_band_sweep", "s31_label_recall", "d53_minhash_error",
-        "s32_recall_at_k", "s33_norm_recall", "q108_approx_quantiles"))
+        "s32_recall_at_k", "s33_norm_recall", "q108_approx_quantiles",
+        "d56_lsh_s_curve"))
+  }
+
+  test("d56 LSH S-curve: full exact-pair coverage, near-total detection at the top band") {
+    val rows = Dedup.d56(spark, sf).collect().sortBy(_.getAs[Long]("band"))
+    assert(rows.nonEmpty)
+    val nPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(nPairs == SparkEntry.queries("d03_ngram_jaccard")(spark, sf).count(),
+      "every exact J >= 0.5 pair must land in exactly one band")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("detect_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_detected") <= r.getAs[Long]("n_pairs"))
+      val exp = r.getAs[Double]("expected_rate")
+      assert(exp > 0.0 && exp <= 1.0)
+    }
+    // the top populated band must be detected essentially always
+    // (J >= 0.95 pairs escape 32x4 LSH with probability < 1e-20)
+    val top = rows.last
+    assert(top.getAs[Double]("detect_rate") >= 0.95,
+      s"top band detect rate ${top.getAs[Double]("detect_rate")}")
   }
 
   test("q108 approx quantiles: sketch lands inside the ±0.01-quantile envelope") {
