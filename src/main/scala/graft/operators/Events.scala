@@ -4271,7 +4271,31 @@ object Events {
       |  ROUND(CAST(SUM(total) AS DOUBLE) / COUNT(*), 6) AS avg_events
       |FROM b GROUP BY band ORDER BY band""".stripMargin
 
+  // --------------------------------------------------------------- e101
+  /** HyperLogLog cardinality-sketch audit: per-day exact distinct users
+    * vs Spark's approx_count_distinct (HLL++, rsd 0.05) with the signed
+    * relative error — q108's sketch-vs-exact evidence pattern applied to
+    * the OTHER sketch a 100 TB pipeline leans on. At target scale the
+    * exact DISTINCT is the expensive side (a full user-day shuffle); the
+    * sketch is one map-combinable pass with a few-KB state per day, and
+    * this audit is the artifact that licenses replacing one with the
+    * other. No DuckDB oracle (HLL++ is engine-specific) — rows-only, with
+    * an EventsHllAuditSpec bound: every |rel_err| ≤ 3×rsd and the day
+    * domain equals the exact day census. */
+  def e101(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(expr("ms div 86400000").as("day"), col("user_id"))
+    base.groupBy("day")
+      .agg(countDistinct(col("user_id")).as("exact_dau"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx_dau"))
+      .select(col("day"), col("exact_dau"), col("approx_dau"),
+        round((dbl(col("approx_dau")) - dbl(col("exact_dau"))) / dbl(col("exact_dau")), 6)
+          .as("rel_err"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e101_hll_audit" -> (e101 _),
     "e100_behavior_stability" -> (e100 _),
     "e99_hour_regularity" -> (e99 _),
     "e98_type_run_lengths" -> (e98 _),

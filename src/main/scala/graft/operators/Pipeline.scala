@@ -1918,7 +1918,62 @@ object Pipeline {
        |FROM per CROSS JOIN raw ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p38
+  /** Context-length fill sweep: padding and truncation bill at L ∈
+    * {32, 64, 128, 256} under the naive one-doc-per-sequence packing
+    * (pad to L, truncate past L), next to the head-to-tail packed lower
+    * bound p09 implements (whose waste is ~0 by construction). Per L:
+    * sequences, kept/pad/truncated token totals, and the fill ratio
+    * Σmin(n,L) / (L·n_docs) — the artifact that picks the training
+    * context length (and decides whether packing is worth its shuffle)
+    * BEFORE anyone burns a 100 TB tokenization run on the wrong L.
+    * All-integer arithmetic until the single fill-ratio division.
+    *
+    * Scale: ONE tokenize pass; the 4-way L fan-out is an explode of a
+    * 4-element literal array (map-side, no join), then a 4-key
+    * map-combinable rollup. */
+  def p38(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    VectorFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(expr("size(word_tokens(text))").cast("long").as("n_tok"))
+      .select(col("n_tok"), explode(lit(Array(32L, 64L, 128L, 256L))).as("ctx_len"))
+      .select(col("ctx_len"),
+        least(col("n_tok"), col("ctx_len")).as("kept"),
+        (col("ctx_len") - least(col("n_tok"), col("ctx_len"))).as("pad"),
+        greatest(col("n_tok") - col("ctx_len"), lit(0L)).as("trunc"))
+      .groupBy("ctx_len")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("kept")).as("kept_tokens"),
+        sum(col("pad")).as("pad_tokens"),
+        sum(col("trunc")).as("truncated_tokens"),
+        round(dbl(sum(col("kept"))) / dbl(sum(col("kept")) + sum(col("pad"))), 6)
+          .as("fill_ratio"))
+      .orderBy("ctx_len")
+  }
+  val p38Sql: String = {
+    import TextAnalysis.wordsSql
+    s"""WITH d AS (
+       |  SELECT CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents),
+       |f AS (
+       |  SELECT n_tok, UNNEST([32, 64, 128, 256]) AS ctx_len FROM d),
+       |s AS (
+       |  SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+       |    least(n_tok, ctx_len) AS kept,
+       |    ctx_len - least(n_tok, ctx_len) AS pad,
+       |    greatest(n_tok - ctx_len, 0) AS trunc
+       |  FROM f)
+       |SELECT ctx_len, COUNT(*)::BIGINT AS n_seqs,
+       |  CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+       |  CAST(SUM(pad) AS BIGINT) AS pad_tokens,
+       |  CAST(SUM(trunc) AS BIGINT) AS truncated_tokens,
+       |  ROUND(CAST(SUM(kept) AS DOUBLE) / CAST(SUM(kept) + SUM(pad) AS DOUBLE), 6)
+       |    AS fill_ratio
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p38_context_fill" -> (p38 _),
     "p37_holdout_drift" -> (p37 _),
     "p36_shard_skew" -> (p36 _),
     "p35_budget_gap" -> (p35 _),
@@ -1958,6 +2013,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p38_context_fill" -> p38Sql,
     "p37_holdout_drift" -> p37Sql,
     "p36_shard_skew" -> p36Sql,
     "p35_budget_gap" -> p35Sql,

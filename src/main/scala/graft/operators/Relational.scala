@@ -3803,7 +3803,62 @@ object Relational {
       |    / SUM(CASE WHEN NOT act THEN 1 END), 6) AS avg_bal_inactive
       |FROM j GROUP BY band ORDER BY band""".stripMargin
 
+  // ---------------------------------------------------------------- q111
+  /** Benford first-digit audit of order totals: observed leading-digit
+    * census of o_totalprice vs the Benford expectation log10(1 + 1/d),
+    * with the per-digit chi-square contribution (O − E)²/E — the classic
+    * fabricated-/synthetic-amount forensic screen an ingest pipeline runs
+    * on any money column it did not generate itself. The digit is taken
+    * from the DECIMAL(12,2) string (exact, no double-formatting drift);
+    * the nine Benford constants are Scala doubles serialized into the
+    * oracle SQL at 17 significant digits, so both engines fold the
+    * IDENTICAL literal — expected/chi² are the same few IEEE ops on
+    * exact operands.
+    *
+    * Scale: one map-combinable 9-key groupBy over the scan; the 1-row
+    * order-count total broadcasts back onto the 9-row frame. */
+  def q111(spark: SparkSession, dir: String): DataFrame = {
+    val expCol = (2 to 9).foldLeft(when(col("digit") === 1, lit(q111Benford(1)))) {
+      (acc, d) => acc.when(col("digit") === d, lit(q111Benford(d)))
+    }.otherwise(lit(0d))
+    val obs = Tables.orders(spark, dir)
+      .select(regexp_extract(dec(col("o_totalprice")).cast("string"), "[1-9]", 0)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = Tables.orders(spark, dir).agg(count(lit(1)).as("n_total"))
+    obs.join(broadcast(tot))
+      .withColumn("e", expCol * dbl(col("n_total")))
+      .select(col("digit"), col("n"),
+        round(dbl(col("n")) / dbl(col("n_total")), 6).as("share"),
+        round(expCol, 6).as("benford_share"),
+        round((dbl(col("n")) - col("e")) * (dbl(col("n")) - col("e")) / col("e"), 6)
+          .as("chi2_term"))
+      .orderBy("digit")
+  }
+  /** Benford shares for digits 1..9 (index 0 unused) — single source of
+    * truth for both engines. */
+  private val q111Benford: Array[Double] =
+    Array(0d) ++ (1 to 9).map(d => math.log10(1d + 1d / d))
+  val q111Sql: String = {
+    val lits = (1 to 9).map(d => f"WHEN $d THEN ${q111Benford(d)}%.17g").mkString(" ")
+    s"""WITH o AS (
+       |  SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+       |    '[1-9]') AS BIGINT) AS digit FROM orders),
+       |c AS (SELECT digit, COUNT(*)::BIGINT AS n FROM o GROUP BY 1),
+       |t AS (SELECT COUNT(*)::BIGINT AS n_total FROM orders),
+       |b AS (SELECT digit, n, n_total,
+       |  (CASE digit $lits ELSE 0.0 END) AS bs,
+       |  (CASE digit $lits ELSE 0.0 END) * CAST(n_total AS DOUBLE) AS e
+       |  FROM c CROSS JOIN t)
+       |SELECT digit, n,
+       |  ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share,
+       |  ROUND(bs, 6) AS benford_share,
+       |  ROUND((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e, 6) AS chi2_term
+       |FROM b ORDER BY digit""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q111_benford_audit" -> (q111 _),
     "q110_balance_activity" -> (q110 _),
     "q109_order_cadence" -> (q109 _),
     "q108_approx_quantiles" -> (q108 _),
@@ -3917,6 +3972,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q111_benford_audit" -> q111Sql,
     "q110_balance_activity" -> q110Sql,
     "q109_order_cadence" -> q109Sql,
     "q107_order_backlog" -> q107Sql,

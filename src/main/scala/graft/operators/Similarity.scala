@@ -1816,7 +1816,89 @@ object Similarity {
       |  ROUND(CAST(SUM(CAST(ROUND(mu, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_mu
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s41
+  /** Centroid-margin (simplified-silhouette) profile per label: every
+    * vector's cosine to its OWN label centroid minus its best cosine to
+    * any OTHER centroid, rolled to per-label mean margin and misassigned
+    * share (margin < 0 — the vector sits closer to a foreign class).
+    * s22 measures cohesion and s23 centroid-pair confusability; this is
+    * the per-VECTOR decision margin a centroid router (IVF cell per
+    * label, nearest-class labeler) actually acts on.
+    *
+    * Scale: centroids are a |labels|×|dims| frame broadcast onto the
+    * element stream; the per-(vec, candidate) fold shuffles once on
+    * (vec_id, cand); everything downstream is map-combinable. Products
+    * re-quantize to DECIMAL(18,9) before every cross-row sum, margins to
+    * DECIMAL(18,6) before the per-label mean — order-independent. */
+  def s41(spark: SparkSession, dir: String): DataFrame = {
+    val u = quantized(spark, dir)
+    val cent = labelCentroids(spark, dir)
+      .select(col("label").as("cand"), col("pos"), col("c"))
+    val per = u.join(broadcast(cent), Seq("pos"))
+      .select(col("label"), col("vec_id"), col("cand"),
+        round(dbl(col("vq")) * col("c"), 9).cast("decimal(18,9)").as("xc"),
+        round(dbl(col("vq")) * dbl(col("vq")), 9).cast("decimal(18,9)").as("xx"),
+        round(col("c") * col("c"), 9).cast("decimal(18,9)").as("cc"))
+      .groupBy("label", "vec_id", "cand")
+      .agg(dbl(sum(col("xc"))).as("dot"), dbl(sum(col("xx"))).as("nx"),
+           dbl(sum(col("cc"))).as("nc"))
+      .withColumn("cos", when(col("nx") > 0 && col("nc") > 0,
+        col("dot") / sqrt(col("nx") * col("nc"))).otherwise(lit(0.0d)))
+    val m = per.groupBy("label", "vec_id")
+      .agg(max(when(col("cand") === col("label"), col("cos"))).as("own"),
+           max(when(col("cand") =!= col("label"), col("cos"))).as("best_other"))
+      .withColumn("margin", col("own") - col("best_other"))
+    m.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(dbl(sum(round(col("margin"), 6).cast("decimal(18,6)"))) / count(lit(1)), 6)
+          .as("avg_margin"),
+        (round(min(col("margin")), 6) + lit(0.0d)).as("min_margin"),
+        sum(when(col("margin") < 0, 1L).otherwise(0L)).as("n_misassigned"),
+        round(dbl(sum(when(col("margin") < 0, 1L).otherwise(0L))) / count(lit(1)), 6)
+          .as("misassigned_share"))
+      .orderBy("label")
+  }
+  val s41Sql: String =
+    """WITH u AS (
+      |  SELECT label, vec_id,
+      |    CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE), 9) AS DECIMAL(18,9)) AS vq,
+      |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label AS cand, pos, CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS c
+      |  FROM u GROUP BY 1, 2),
+      |t AS (
+      |  SELECT u.label, u.vec_id, cent.cand,
+      |    CAST(ROUND(CAST(vq AS DOUBLE) * c, 9) AS DECIMAL(18,9)) AS xc,
+      |    CAST(ROUND(CAST(vq AS DOUBLE) * CAST(vq AS DOUBLE), 9) AS DECIMAL(18,9)) AS xx,
+      |    CAST(ROUND(c * c, 9) AS DECIMAL(18,9)) AS cc
+      |  FROM u JOIN cent ON u.pos = cent.pos),
+      |p AS (
+      |  SELECT label, vec_id, cand,
+      |    CAST(SUM(xc) AS DOUBLE) AS dot, CAST(SUM(xx) AS DOUBLE) AS nx,
+      |    CAST(SUM(cc) AS DOUBLE) AS nc
+      |  FROM t GROUP BY 1, 2, 3),
+      |c2 AS (
+      |  SELECT label, vec_id, cand,
+      |    CASE WHEN nx > 0 AND nc > 0 THEN dot / sqrt(nx * nc) ELSE 0.0 END AS cos
+      |  FROM p),
+      |m AS (
+      |  SELECT label, vec_id,
+      |    MAX(CASE WHEN cand = label THEN cos END) AS own,
+      |    MAX(CASE WHEN cand <> label THEN cos END) AS best_other
+      |  FROM c2 GROUP BY 1, 2),
+      |g AS (SELECT label, vec_id, own - best_other AS margin FROM m)
+      |SELECT CAST(label AS BIGINT) AS label, COUNT(*)::BIGINT AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(ROUND(margin, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_margin,
+      |  ROUND(MIN(margin), 6) + 0.0 AS min_margin,
+      |  SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END)::BIGINT AS n_misassigned,
+      |  ROUND(CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+      |    AS misassigned_share
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s41_centroid_margin" -> (s41 _),
     "s40_intrinsic_dim" -> (s40 _),
     "s39_dim_pair_corr" -> (s39 _),
     "s38_label_propagation" -> (s38 _),
@@ -1860,6 +1942,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s41_centroid_margin" -> s41Sql,
     "s40_intrinsic_dim" -> s40Sql,
     "s39_dim_pair_corr" -> s39Sql,
     "s38_label_propagation" -> s38Sql,

@@ -2658,7 +2658,74 @@ object TextAnalysis {
        |    / COUNT(*), 6) AS avg_single_share
        |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t65
+  /** Cross-language vocabulary rank correlation: Spearman's ρ between
+    * every language pair over the shared top-100 vocabulary (terms are
+    * ranked per language by count with the term string as the
+    * deterministic tie-break, re-ranked inside each pair over the common
+    * terms, ρ = 1 − 6Σd²/(n(n²−1)) on exact integers). High ρ between
+    * two "languages" means the split is cosmetic (same underlying
+    * distribution — a synthetic-corpus or mislabeled-langID tell); low ρ
+    * licenses per-language LM/quality models (t11/t47) instead of one
+    * global one.
+    *
+    * Scale: the vocab census is one map-combinable groupBy; the top-100
+    * cut is a lang-partitioned WindowGroupLimit window, so the pair
+    * domain is ≤ |langs|²·100 rows no matter how large the corpus —
+    * everything after the census is driver-scale arithmetic run
+    * distributed. */
+  def t65(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val wRank = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))
+    val vocab = Tables.documents(spark, dir)
+      .select(col("lang"), explode(expr("word_tokens(text)")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(wRank))
+      .filter(col("r") <= 100)
+    val a = vocab.select(col("lang").as("lang_a"), col("term"),
+      col("cnt").as("ca"))
+    val b = vocab.select(col("lang").as("lang_b"), col("term"),
+      col("cnt").as("cb"))
+    val wA = Window.partitionBy("lang_a", "lang_b")
+      .orderBy(col("ca").desc, col("term"))
+    val wB = Window.partitionBy("lang_a", "lang_b")
+      .orderBy(col("cb").desc, col("term"))
+    val pairs = a.join(b, Seq("term")).filter(col("lang_a") < col("lang_b"))
+      .withColumn("ra", row_number().over(wA).cast("long"))
+      .withColumn("rb", row_number().over(wB).cast("long"))
+      .withColumn("d2", (col("ra") - col("rb")) * (col("ra") - col("rb")))
+    pairs.groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_common"), sum(col("d2")).as("sum_d2"))
+      .select(col("lang_a"), col("lang_b"), col("n_common"),
+        round(lit(1d) - dbl(lit(6L) * col("sum_d2")) /
+          dbl(col("n_common") * (col("n_common") * col("n_common") - 1L)), 6)
+          .as("spearman_rho"))
+      .orderBy("lang_a", "lang_b")
+  }
+  val t65Sql: String =
+    s"""WITH w AS (
+       |  SELECT lang, UNNEST($wordsSql) AS term FROM documents),
+       |v AS (
+       |  SELECT lang, term, COUNT(*)::BIGINT AS cnt FROM w GROUP BY 1, 2
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) <= 100),
+       |p AS (
+       |  SELECT a.lang AS lang_a, b.lang AS lang_b, a.term AS term,
+       |    a.cnt AS ca, b.cnt AS cb
+       |  FROM v a JOIN v b ON a.term = b.term AND a.lang < b.lang),
+       |r AS (
+       |  SELECT lang_a, lang_b,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang_a, lang_b ORDER BY ca DESC, term) AS BIGINT) AS ra,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang_a, lang_b ORDER BY cb DESC, term) AS BIGINT) AS rb
+       |  FROM p),
+       |d AS (
+       |  SELECT lang_a, lang_b, (ra - rb) * (ra - rb) AS d2 FROM r)
+       |SELECT lang_a, lang_b, COUNT(*)::BIGINT AS n_common,
+       |  ROUND(1.0 - CAST(6 * SUM(d2) AS DOUBLE) /
+       |    CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE), 6) AS spearman_rho
+       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t65_rank_correlation" -> (t65 _),
     "t64_ocr_noise" -> (t64 _),
     "t63_anchor_terms" -> (t63 _),
     "t62_group_sample" -> (t62 _),
@@ -2724,6 +2791,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t65_rank_correlation" -> t65Sql,
     "t64_ocr_noise" -> t64Sql,
     "t63_anchor_terms" -> t63Sql,
     "t62_group_sample" -> t62Sql,

@@ -189,7 +189,9 @@ object PlanAudit {
     // broadcast onto the 1-row doc count — the whole report is one row
     "d57_seed_buckets",
     // p37: 1-row raw-holdout-share broadcast (drift denominator)
-    "p37_holdout_drift")
+    "p37_holdout_drift",
+    // q111: 1-row order-count total broadcast onto the 9-digit frame
+    "q111_benford_audit")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -168,7 +168,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q109_order_cadence", "e99_hour_regularity", "d56_lsh_s_curve",
       "s39_dim_pair_corr", "t63_anchor_terms", "m28_store_shard_balance",
       "q110_balance_activity", "e100_behavior_stability", "d57_seed_buckets",
-      "s40_intrinsic_dim", "t64_ocr_noise", "p37_holdout_drift")
+      "s40_intrinsic_dim", "t64_ocr_noise", "p37_holdout_drift",
+      "q111_benford_audit", "e101_hll_audit", "s41_centroid_margin",
+      "t65_rank_correlation", "p38_context_fill")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -183,7 +185,21 @@ class OperatorSmokeSpec extends SparkSpec {
         "d39_lsh_bucket_histogram", "s29_sq8_recall",
         "d52_band_sweep", "s31_label_recall", "d53_minhash_error",
         "s32_recall_at_k", "s33_norm_recall", "q108_approx_quantiles",
-        "d56_lsh_s_curve"))
+        "d56_lsh_s_curve", "e101_hll_audit"))
+  }
+
+  test("e101 HLL audit: day domain matches exact census, every rel_err within 3x rsd") {
+    import org.apache.spark.sql.functions.expr
+    val rows = Events.e101(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val exactDays = graft.engine.Tables.events(spark, sf)
+      .select(expr("ms div 86400000")).distinct().count()
+    assert(rows.length.toLong == exactDays, "one row per active day")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("approx_dau") > 0)
+      assert(math.abs(r.getAs[Double]("rel_err")) <= 0.15,
+        s"day ${r.getAs[Long]("day")}: |rel_err| > 3x rsd")
+    }
   }
 
   test("d56 LSH S-curve: full exact-pair coverage, near-total detection at the top band") {
