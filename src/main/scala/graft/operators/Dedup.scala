@@ -2581,7 +2581,64 @@ object Dedup {
        |FROM s1 CROSS JOIN s2 CROSS JOIN s3 CROSS JOIN s4 CROSS JOIN det""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d58
+  /** Signature-width sweep: MinHash estimator MAE and RMSE at k ∈
+    * {32, 64, 128} permutations — the k-prefixes of the SAME memoized
+    * 128-perm signature are themselves valid k-perm signatures (any
+    * subset of the Carter–Wegman family is), so the sweep prices the
+    * storage-vs-accuracy knob (signature bytes/doc scale linearly in k;
+    * σ theory says error shrinks as 1/√k) without a second signature
+    * pass. Completes the calibration suite: d51 fixes the shingle width,
+    * d52 the banding, d53 audits k=128, this prices k itself.
+    *
+    * Scale: rides the memoized signature + d53's loose-band candidate
+    * set; per-pair work is three codegen'd equality-sum folds (no
+    * per-perm explode) and a 3-way literal-array fan-out. Rows-only
+    * (minhash is not SQL-expressible); the smoke spec pins the 1/√k
+    * error ordering with slack and d53's ≤0.1 MAE at k=128. */
+  def d58(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val sig = sharedSig(spark, dir)
+    val bands = bandsOf(sig, 64, 2)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    def est(k: Int) = ((0 until k)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)).cast("double") / lit(k.toDouble)
+    val ga = sh.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = sh.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        est(32).as("e32"), est(64).as("e64"), est(128).as("e128"))
+      .join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
+      .withColumn("j", dbl(col("inter")) /
+        dbl(size(col("grams_a")).cast("long") + size(col("grams_b")).cast("long")
+          - col("inter")))
+      .select(explode(array(
+          struct(lit(32L).as("k"), col("e32").as("est")),
+          struct(lit(64L).as("k"), col("e64").as("est")),
+          struct(lit(128L).as("k"), col("e128").as("est")))).as("s"),
+        col("j"))
+      .select(col("s.k").as("n_perms"), (col("s.est") - col("j")).as("err"))
+      .groupBy("n_perms")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(abs(col("err")), 9).cast("decimal(18,9)")).as("sa"),
+        sum(round(col("err") * col("err"), 9).cast("decimal(18,9)")).as("sq"))
+      .select(col("n_perms"), col("n_pairs"),
+        round(dbl(col("sa")) / col("n_pairs"), 6).as("mean_abs_err"),
+        round(sqrt(dbl(col("sq")) / col("n_pairs")), 6).as("rmse"))
+      .orderBy("n_perms")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d58_perm_sweep" -> (d58 _),
     "d57_seed_buckets" -> (d57 _),
     "d56_lsh_s_curve" -> (d56 _),
     "d55_pair_cost_model" -> (d55 _),

@@ -4294,7 +4294,95 @@ object Events {
       .orderBy("day")
   }
 
+  // --------------------------------------------------------------- e102
+  /** Markov stationary mix of the event-type chain: e12's row-normalized
+    * transition matrix powered through 8 fixed iterations from the
+    * uniform start, next to the OBSERVED event-type share — if the
+    * chain's long-run mix diverges from the observed mix the process is
+    * non-stationary (mix drifting over the capture window) and any
+    * "steady state" capacity model built on the observed shares is
+    * wrong. Each iteration re-quantizes the v·P products to
+    * DECIMAL(18,9) before the per-type sum (order-independent), so all
+    * 8 rounds are bit-deterministic in both engines (d47's PageRank
+    * recipe on the type chain).
+    *
+    * Scale: ONE user-partitioned lag pass builds the |types|²-bounded
+    * count matrix; the 8 iterations are joins on a ≤|types|² frame —
+    * constant work regardless of corpus size. */
+  def e102(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+    // |types|²-bounded: materialize once so the 8 iterations join a tiny
+    // checkpointed frame instead of re-running the lag pass per round
+    val p = trans
+      .withColumn("row_n", sum(col("n")).over(Window.partitionBy("event_type")))
+      .select(col("event_type").as("i"), col("next_type").as("j"),
+        (dbl(col("n")) / dbl(col("row_n"))).as("p"))
+      .localCheckpoint()
+    val nTypes = Tables.events(spark, dir).select("event_type").distinct()
+    val v0 = nTypes.crossJoin(broadcast(
+        nTypes.agg(count(lit(1)).as("k"))))
+      .select(col("event_type").as("t"), (lit(1.0d) / dbl(col("k"))).as("v"))
+    val vFinal = (1 to 8).foldLeft(v0) { (v, _) =>
+      v.join(p, col("t") === col("i"))
+        .select(col("j"),
+          round(col("v") * col("p"), 9).cast("decimal(18,9)").as("vp"))
+        .groupBy(col("j").as("t_next"))
+        .agg(dbl(sum(col("vp"))).as("v"))
+        .select(col("t_next").as("t"), col("v"))
+    }
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    val observed = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_events")).as("tot"))))
+      .select(col("event_type"), col("n_events"),
+        (dbl(col("n_events")) / dbl(col("tot"))).as("observed_share"))
+    vFinal.join(observed, col("t") === col("event_type"))
+      .select(col("event_type"), col("n_events"),
+        round(col("observed_share"), 6).as("observed_share"),
+        round(col("v"), 6).as("stationary_prob"),
+        round(col("v") - col("observed_share"), 6).as("mix_gap"))
+      .orderBy("event_type")
+  }
+  val e102Sql: String = {
+    val iters = (1 to 8).map { k =>
+      s"""v$k AS (
+         |  SELECT j AS t,
+         |    CAST(SUM(CAST(ROUND(v * p, 9) AS DECIMAL(18,9))) AS DOUBLE) AS v
+         |  FROM v${k - 1} JOIN p ON t = i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+       |tr AS (
+       |  SELECT event_type AS i,
+       |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS j
+       |  FROM e),
+       |c AS (SELECT i, j, COUNT(*)::BIGINT AS n FROM tr WHERE j IS NOT NULL GROUP BY 1, 2),
+       |p AS (
+       |  SELECT i, j,
+       |    CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY i) AS DOUBLE) AS p
+       |  FROM c),
+       |k AS (SELECT COUNT(DISTINCT event_type)::BIGINT AS k FROM events),
+       |v0 AS (
+       |  SELECT DISTINCT event_type AS t, 1.0::DOUBLE / CAST(k AS DOUBLE) AS v
+       |  FROM events CROSS JOIN k),
+       |$iters,
+       |o AS (
+       |  SELECT event_type, COUNT(*)::BIGINT AS n_events,
+       |    CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS observed_share
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n_events,
+       |  ROUND(observed_share, 6) AS observed_share,
+       |  ROUND(v, 6) AS stationary_prob,
+       |  ROUND(v - observed_share, 6) AS mix_gap
+       |FROM v8 JOIN o ON t = event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "e102_markov_stationary" -> (e102 _),
     "e101_hll_audit" -> (e101 _),
     "e100_behavior_stability" -> (e100 _),
     "e99_hour_regularity" -> (e99 _),
@@ -4399,6 +4487,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e102_markov_stationary" -> e102Sql,
     "e100_behavior_stability" -> e100Sql,
     "e99_hour_regularity" -> e99Sql,
     "e98_type_run_lengths" -> e98Sql,

@@ -3857,7 +3857,81 @@ object Relational {
        |FROM b ORDER BY digit""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q112
+  /** Theil-T inequality decomposition of customer spend by nation: the
+    * total Theil index splits ADDITIVELY into a between-nation term
+    * Σ s_g·ln(μ_g/μ) and spend-weighted within-nation terms s_g·T_g —
+    * the census that says whether spend concentration is a geography
+    * story or an individual-whale story (Gini, q72, can't decompose).
+    * Per-customer ln terms are round9-quantized before the decimal sums
+    * (order-independent); every mean is one IEEE division of exact
+    * operands; the ln inputs are bit-identical doubles in both engines.
+    *
+    * Scale: one custkey groupBy (co-keyed with the customer join), a
+    * ≤25-row nation frame and a 1-row global frame broadcast back onto
+    * the per-customer stream; no window, no skew hazard. */
+  def q112(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dbl(sum(dec(col("o_totalprice")))).as("x"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nationkey"), col("x"),
+        round(col("x"), 2).cast("decimal(18,2)").as("xd"))
+    val perNation = spend.groupBy("nationkey")
+      .agg(count(lit(1)).as("n_g"), sum(col("xd")).as("xg"))
+      .withColumn("mu_g", dbl(col("xg")) / col("n_g"))
+    val global = spend.agg(count(lit(1)).as("n"), sum(col("xd")).as("xt"))
+      .withColumn("mu", dbl(col("xt")) / col("n"))
+    val terms = spend.join(broadcast(perNation), Seq("nationkey"))
+      .select(col("nationkey"),
+        round((col("x") / col("mu_g")) * log(col("x") / col("mu_g")), 9)
+          .cast("decimal(18,9)").as("term"))
+      .groupBy("nationkey")
+      .agg(dbl(sum(col("term"))).as("term_sum"))
+    perNation.join(terms, Seq("nationkey")).join(broadcast(global))
+      .select(col("nationkey"), col("n_g").as("n_cust"),
+        round(dbl(col("xg")) / dbl(col("xt")), 6).as("spend_share"),
+        round(col("term_sum") / col("n_g"), 6).as("theil_within"),
+        round((dbl(col("xg")) / dbl(col("xt"))) * (col("term_sum") / col("n_g")), 6)
+          .as("weighted_within"),
+        round((dbl(col("xg")) / dbl(col("xt"))) * log(col("mu_g") / col("mu")), 6)
+          .as("between_term"))
+      .orderBy("nationkey")
+  }
+  val q112Sql: String =
+    """WITH s AS (
+      |  SELECT c_nationkey AS nationkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS x,
+      |    CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+      |      AS DECIMAL(18,2)) AS xd
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY o_custkey, c_nationkey),
+      |png AS (
+      |  SELECT nationkey, COUNT(*)::BIGINT AS n_g, SUM(xd) AS xg,
+      |    CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS mu_g
+      |  FROM s GROUP BY 1),
+      |g AS (
+      |  SELECT COUNT(*)::BIGINT AS n, SUM(xd) AS xt,
+      |    CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS mu
+      |  FROM s),
+      |t AS (
+      |  SELECT s.nationkey,
+      |    CAST(SUM(CAST(ROUND((x / mu_g) * ln(x / mu_g), 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |      AS term_sum
+      |  FROM s JOIN png ON s.nationkey = png.nationkey
+      |  GROUP BY 1)
+      |SELECT png.nationkey, n_g AS n_cust,
+      |  ROUND(CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE), 6) AS spend_share,
+      |  ROUND(term_sum / n_g, 6) AS theil_within,
+      |  ROUND((CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE)) * (term_sum / n_g), 6)
+      |    AS weighted_within,
+      |  ROUND((CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE)) * ln(mu_g / mu), 6) AS between_term
+      |FROM png JOIN t ON png.nationkey = t.nationkey CROSS JOIN g
+      |ORDER BY png.nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q112_theil_decomposition" -> (q112 _),
     "q111_benford_audit" -> (q111 _),
     "q110_balance_activity" -> (q110 _),
     "q109_order_cadence" -> (q109 _),
@@ -3972,6 +4046,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q112_theil_decomposition" -> q112Sql,
     "q111_benford_audit" -> q111Sql,
     "q110_balance_activity" -> q110Sql,
     "q109_order_cadence" -> q109Sql,

@@ -191,7 +191,12 @@ object PlanAudit {
     // p37: 1-row raw-holdout-share broadcast (drift denominator)
     "p37_holdout_drift",
     // q111: 1-row order-count total broadcast onto the 9-digit frame
-    "q111_benford_audit")
+    "q111_benford_audit",
+    // q112: 1-row global (N, X, mu) broadcast onto the ≤25-nation frame
+    "q112_theil_decomposition",
+    // e102: 1-row type-count and event-total broadcasts onto the
+    // |types|-bounded stationary/observed frames
+    "e102_markov_stationary")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

@@ -170,7 +170,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "q110_balance_activity", "e100_behavior_stability", "d57_seed_buckets",
       "s40_intrinsic_dim", "t64_ocr_noise", "p37_holdout_drift",
       "q111_benford_audit", "e101_hll_audit", "s41_centroid_margin",
-      "t65_rank_correlation", "p38_context_fill")
+      "t65_rank_correlation", "p38_context_fill",
+      "q112_theil_decomposition", "e102_markov_stationary", "d58_perm_sweep")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -185,7 +186,22 @@ class OperatorSmokeSpec extends SparkSpec {
         "d39_lsh_bucket_histogram", "s29_sq8_recall",
         "d52_band_sweep", "s31_label_recall", "d53_minhash_error",
         "s32_recall_at_k", "s33_norm_recall", "q108_approx_quantiles",
-        "d56_lsh_s_curve", "e101_hll_audit"))
+        "d56_lsh_s_curve", "e101_hll_audit", "d58_perm_sweep"))
+  }
+
+  test("d58 perm sweep: full k ladder, 1/sqrt(k) error ordering with slack, k=128 within d53's bound") {
+    val rows = Dedup.d58(spark, sf).collect().sortBy(_.getAs[Long]("n_perms"))
+    assert(rows.map(_.getAs[Long]("n_perms")).toSeq == Seq(32L, 64L, 128L))
+    val n = rows.map(_.getAs[Long]("n_pairs")).distinct
+    assert(n.length == 1 && n.head > 0, "same candidate set at every k")
+    val mae = rows.map(_.getAs[Double]("mean_abs_err"))
+    val rmse = rows.map(_.getAs[Double]("rmse"))
+    assert(mae(2) <= 0.1, "k=128 must hold d53's MAE bound")
+    // wider signatures may not dominate pair-by-pair, but the sweep must
+    // show the 1/sqrt(k) trend within a generous slack
+    assert(mae(2) <= mae(0) + 0.01, s"MAE(128) ${mae(2)} vs MAE(32) ${mae(0)}")
+    assert(rmse(2) <= rmse(0) + 0.01, s"RMSE(128) ${rmse(2)} vs RMSE(32) ${rmse(0)}")
+    rows.foreach(r => assert(r.getAs[Double]("rmse") >= r.getAs[Double]("mean_abs_err") - 1e-6))
   }
 
   test("e101 HLL audit: day domain matches exact census, every rel_err within 3x rsd") {
