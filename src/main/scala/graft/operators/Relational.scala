@@ -3930,7 +3930,81 @@ object Relational {
       |FROM png JOIN t ON png.nationkey = t.nationkey CROSS JOIN g
       |ORDER BY png.nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** Monthly-revenue autocorrelation at lags 1–3: exact Pearson r between
+    * the month series and its lagged self — the one-number momentum /
+    * short-cycle tell that says whether q06's forecast can lean on last
+    * month (high lag-1) and whether a quarterly cycle exists (lag-3
+    * spike), where q102's decomposition assumes the period instead of
+    * measuring it. Revenue is scaled to millions by ONE identical IEEE
+    * division then round6-quantized, products round9-quantized before
+    * the per-lag decimal sums; r is a fixed expression over exact
+    * operands.
+    *
+    * Scale: the month rollup is map-combinable to a ≤few-hundred-row
+    * series; the lag join is an equi-join on the shifted month key over
+    * that bounded frame fanned out ×3 by a literal lag array — constant
+    * post-rollup work at any corpus size. */
+  def q113(spark: SparkSession, dir: String): DataFrame = {
+    val series = Tables.orders(spark, dir)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mkey"),
+        dec(col("o_totalprice")).as("rev"))
+      .groupBy("mkey")
+      .agg(round(dbl(sum(col("rev"))) / lit(1000000.0d), 6)
+        .cast("decimal(18,6)").as("xm"))
+    val lagged = series
+      .select(col("mkey"), col("xm"),
+        explode(lit(Array(1L, 2L, 3L))).as("lag"))
+      .select((col("mkey") + col("lag")).as("tkey"), col("lag"),
+        col("xm").as("x"))
+    val pairs = lagged.join(
+        series.select(col("mkey").as("tkey"), col("xm").as("y")), Seq("tkey"))
+      .select(col("lag"), col("x"), col("y"),
+        round(dbl(col("x")) * dbl(col("y")), 9).cast("decimal(18,9)").as("xy"),
+        round(dbl(col("x")) * dbl(col("x")), 9).cast("decimal(18,9)").as("xx"),
+        round(dbl(col("y")) * dbl(col("y")), 9).cast("decimal(18,9)").as("yy"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        dbl(sum(col("x"))).as("sx"), dbl(sum(col("y"))).as("sy"),
+        dbl(sum(col("xy"))).as("sxy"), dbl(sum(col("xx"))).as("sxx"),
+        dbl(sum(col("yy"))).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        round((dbl(col("n_pairs")) * col("sxy") - col("sx") * col("sy")) /
+          sqrt((dbl(col("n_pairs")) * col("sxx") - col("sx") * col("sx")) *
+               (dbl(col("n_pairs")) * col("syy") - col("sy") * col("sy"))), 6)
+          .as("autocorr"))
+      .orderBy("lag")
+  }
+  val q113Sql: String =
+    """WITH s AS (
+      |  SELECT (CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate)) AS mkey,
+      |    CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / 1000000.0, 6)
+      |      AS DECIMAL(18,6)) AS xm
+      |  FROM orders GROUP BY 1),
+      |l AS (
+      |  SELECT mkey + lag AS tkey, CAST(lag AS BIGINT) AS lag, xm AS x
+      |  FROM s CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS lag)),
+      |p AS (
+      |  SELECT lag, x, s.xm AS y,
+      |    CAST(ROUND(CAST(x AS DOUBLE) * CAST(s.xm AS DOUBLE), 9) AS DECIMAL(18,9)) AS xy,
+      |    CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9) AS DECIMAL(18,9)) AS xx,
+      |    CAST(ROUND(CAST(s.xm AS DOUBLE) * CAST(s.xm AS DOUBLE), 9) AS DECIMAL(18,9)) AS yy
+      |  FROM l JOIN s ON l.tkey = s.mkey),
+      |m AS (
+      |  SELECT lag, COUNT(*)::BIGINT AS n_pairs,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx,
+      |    CAST(SUM(yy) AS DOUBLE) AS syy
+      |  FROM p GROUP BY 1)
+      |SELECT lag, n_pairs,
+      |  ROUND((CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+      |    sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+      |         (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 6) AS autocorr
+      |FROM m ORDER BY lag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q113_revenue_autocorr" -> (q113 _),
     "q112_theil_decomposition" -> (q112 _),
     "q111_benford_audit" -> (q111 _),
     "q110_balance_activity" -> (q110 _),
@@ -4046,6 +4120,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q113_revenue_autocorr" -> q113Sql,
     "q112_theil_decomposition" -> q112Sql,
     "q111_benford_audit" -> q111Sql,
     "q110_balance_activity" -> q110Sql,

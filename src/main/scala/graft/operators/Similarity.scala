@@ -1897,7 +1897,80 @@ object Similarity {
       |    AS misassigned_share
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s42
+  /** Local clustering coefficient over the symmetrized exact kNN graph,
+    * rolled per label: C(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)) for
+    * deg ≥ 2 — how clumpy the embedding manifold is. High mean C means
+    * neighborhoods are locally dense (IVF cells and graph-dedup
+    * components will be coherent); low C with high mutuality (s27)
+    * means a thin mesh where graph clustering fragments.
+    *
+    * Scale: edges ride the memoized exact truth (|N|·k directed rows).
+    * The wedge join fans out Σ deg(v)² rows — bounded by
+    * (k + max in-degree)·2|E|, so hubness (s12 measures it) is the
+    * cost driver; a hub-capped variant (top-D neighbors per node)
+    * bounds it to D·2|E| with the same downstream arithmetic. Triangle
+    * closure is one equi-join of wedges against the undirected edge
+    * set; every count is exact integer, one division per node, round6
+    * decimal mean per label. */
+  def s42(spark: SparkSession, dir: String): DataFrame = {
+    val e = sharedTruth(spark, dir).select(col("q_id"), col("n_id"))
+    val und = e.select(least(col("q_id"), col("n_id")).as("a"),
+        greatest(col("q_id"), col("n_id")).as("b"))
+      .distinct()
+    val nb = und.select(col("a").as("v"), col("b").as("w"))
+      .union(und.select(col("b").as("v"), col("a").as("w")))
+    val deg = nb.groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedges = nb.as("x").join(nb.as("y"),
+        col("x.v") === col("y.v") && col("x.w") < col("y.w"))
+      .select(col("x.v").as("v"), col("x.w").as("a"), col("y.w").as("b"))
+    val tri = wedges.join(und, Seq("a", "b"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    val perNode = deg.filter(col("deg") >= 2)
+      .join(tri, Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("c", dbl(lit(2L) * col("n_tri")) /
+        dbl(col("deg") * (col("deg") - 1L)))
+    perNode.join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label")), col("v") === col("vec_id"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        round(dbl(sum(round(col("c"), 6).cast("decimal(18,6)"))) / count(lit(1)), 6)
+          .as("avg_clustering"),
+        round(dbl(sum(col("deg"))) / count(lit(1)), 6).as("avg_degree"),
+        sum(col("n_tri")).as("total_triangles"))
+      .orderBy("label")
+  }
+  val s42Sql: String = knnCte +
+    """,
+      |k AS (SELECT q_id, n_id FROM r WHERE rnk <= 5),
+      |und AS (
+      |  SELECT DISTINCT least(q_id, n_id) AS a, greatest(q_id, n_id) AS b FROM k),
+      |nb AS (
+      |  SELECT a AS v, b AS w FROM und UNION ALL SELECT b AS v, a AS w FROM und),
+      |deg AS (SELECT v, COUNT(*)::BIGINT AS deg FROM nb GROUP BY 1),
+      |wed AS (
+      |  SELECT x.v AS v, x.w AS a, y.w AS b
+      |  FROM nb x JOIN nb y ON x.v = y.v AND x.w < y.w),
+      |tri AS (
+      |  SELECT v, COUNT(*)::BIGINT AS n_tri
+      |  FROM wed JOIN und ON wed.a = und.a AND wed.b = und.b GROUP BY 1),
+      |pn AS (
+      |  SELECT deg.v, deg.deg, COALESCE(tri.n_tri, 0) AS n_tri,
+      |    CAST(2 * COALESCE(tri.n_tri, 0) AS DOUBLE)
+      |      / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS c
+      |  FROM deg LEFT JOIN tri ON deg.v = tri.v WHERE deg.deg >= 2)
+      |SELECT CAST(label AS BIGINT) AS label, COUNT(*)::BIGINT AS n_nodes,
+      |  ROUND(CAST(SUM(CAST(ROUND(c, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_clustering,
+      |  ROUND(CAST(SUM(deg) AS DOUBLE) / COUNT(*), 6) AS avg_degree,
+      |  CAST(SUM(n_tri) AS BIGINT) AS total_triangles
+      |FROM pn JOIN embeddings ON v = vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s42_clustering_coeff" -> (s42 _),
     "s41_centroid_margin" -> (s41 _),
     "s40_intrinsic_dim" -> (s40 _),
     "s39_dim_pair_corr" -> (s39 _),
@@ -1942,6 +2015,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s42_clustering_coeff" -> s42Sql,
     "s41_centroid_margin" -> s41Sql,
     "s40_intrinsic_dim" -> s40Sql,
     "s39_dim_pair_corr" -> s39Sql,
