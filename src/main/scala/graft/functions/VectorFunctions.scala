@@ -54,6 +54,10 @@ object VectorFunctions {
     ensure("bloom_contains")(exprs => BloomFilterMightContain(exprs.head, exprs(1)))
     ensure("sq8_encode")(exprs => Sq8Encode(exprs.head))
     ensure("sq8_cos")(exprs => Sq8Cos(exprs.head, exprs(1)))
+    // KMV distinct sketch (TypedImperativeAggregate; the analyzer wraps
+    // AggregateFunctions from the registry, same as bloom_agg above)
+    ensure("kmv_distinct")(exprs => KmvDistinct(exprs.head,
+      exprs(1).eval().asInstanceOf[Int]))
   }
 
   private[functions] def elemGetter(et: DataType, arr: String, i: String): String = et match {

@@ -4381,7 +4381,65 @@ object Events {
        |ORDER BY event_type""".stripMargin
   }
 
+  // --------------------------------------------------------------- e103
+  /** KMV distinct sketch audit: per-day distinct users estimated by the
+    * library's own kmv_distinct TypedImperativeAggregate (k = 64
+    * minimum hash values; functions/SketchAggregates.scala) next to the
+    * exact count — unlike e101's HLL++ row, this sketch's lattice-join
+    * merge is order/partitioning-independent and its Carter–Wegman hash
+    * is plain BIGINT arithmetic, so the estimate is reproduced
+    * BIT-EXACTLY by the DuckDB oracle: a custom Catalyst aggregate with
+    * a full hash-match correctness gate, not a rows-only pass. Days
+    * under k are exact by construction (n_kept < k ⇒ est = n_kept);
+    * above k the (k−1)·p/h_k estimator applies.
+    *
+    * Scale: state is 64 longs per open group regardless of user
+    * cardinality; partial aggregation is map-side, so a 10⁹-user day
+    * shuffles 64 values — the exact countDistinct alongside is the
+    * expensive side and exists only as the audit's truth column. */
+  def e103(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    Tables.events(spark, dir)
+      .select(expr("ms div 86400000").as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("exact_dau"),
+        expr("kmv_distinct(user_id, 64)").as("s"))
+      .select(col("day"), col("exact_dau"),
+        col("s.n_kept").as("n_kept"),
+        col("s.kth_hash").as("kth_hash"),
+        round(col("s.est_distinct"), 6).as("est_distinct"),
+        round((col("s.est_distinct") - dbl(col("exact_dau"))) / dbl(col("exact_dau")), 6)
+          .as("rel_err"))
+      .orderBy("day")
+  }
+  val e103Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT epoch_ms(ts) // 86400000 AS day,
+      |    (1327217885 * (user_id % 2147483647) + 12345) % 2147483647 AS h,
+      |    user_id
+      |  FROM events),
+      |x AS (SELECT day, COUNT(DISTINCT user_id)::BIGINT AS exact_dau FROM e GROUP BY 1),
+      |hs AS (SELECT DISTINCT day, h FROM e),
+      |r AS (
+      |  SELECT day, h,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS BIGINT) AS rn
+      |  FROM hs),
+      |k AS (
+      |  SELECT day, COUNT(*)::BIGINT AS n_kept,
+      |    CAST(MAX(h) AS BIGINT) AS kth_hash
+      |  FROM r WHERE rn <= 64 GROUP BY day)
+      |SELECT k.day, exact_dau, n_kept, kth_hash,
+      |  ROUND(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+      |    ELSE CAST(63 AS DOUBLE) * CAST(2147483647 AS DOUBLE) / CAST(kth_hash AS DOUBLE)
+      |  END, 6) AS est_distinct,
+      |  ROUND((CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+      |    ELSE CAST(63 AS DOUBLE) * CAST(2147483647 AS DOUBLE) / CAST(kth_hash AS DOUBLE)
+      |  END - CAST(exact_dau AS DOUBLE)) / CAST(exact_dau AS DOUBLE), 6) AS rel_err
+      |FROM k JOIN x ON k.day = x.day
+      |ORDER BY k.day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e103_kmv_audit" -> (e103 _),
     "e102_markov_stationary" -> (e102 _),
     "e101_hll_audit" -> (e101 _),
     "e100_behavior_stability" -> (e100 _),
@@ -4487,6 +4545,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e103_kmv_audit" -> e103Sql,
     "e102_markov_stationary" -> e102Sql,
     "e100_behavior_stability" -> e100Sql,
     "e99_hour_regularity" -> e99Sql,
