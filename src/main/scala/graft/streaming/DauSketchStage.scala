@@ -32,4 +32,23 @@ object DauSketchStage {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_dau"))
       .select(expr("unix_timestamp(window.start) div 86400").as("day"),
               col("approx_dau"))
+
+  /** Daily DAU via the library's own kmv_distinct TypedImperativeAggregate
+    * (functions/SketchAggregates.scala): the KMV buffer serializes into
+    * the state store between micro-batches, and its lattice-join merge is
+    * order-independent, so a replay reproduces the batch e103 estimate
+    * bit-exactly — the custom-aggregate-in-streaming path the HLL variant
+    * above can't give an oracle for. */
+  def dailyDauKmv(events: DataFrame,
+                  watermark: String = "1 hour",
+                  k: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ets", watermark)
+      .groupBy(window(col("ets"), "1 day"))
+      .agg(expr(s"kmv_distinct(user_id, $k)").as("s"))
+      .select(expr("unix_timestamp(window.start) div 86400").as("day"),
+              col("s.n_kept").as("n_kept"),
+              col("s.est_distinct").as("est_distinct"))
+  }
 }

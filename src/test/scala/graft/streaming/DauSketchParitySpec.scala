@@ -54,4 +54,43 @@ class DauSketchParitySpec extends SparkSpec {
       s"day count: streaming ${streamed.size} vs batch ${batch.size}")
     assert(streamed == batch, "streaming/batch DAU sketch values differ")
   }
+
+  test("streaming KMV DAU (custom TypedImperativeAggregate in streaming state) equals batch e103") {
+    implicit val sq = spark.sqlContext
+
+    val batch = graft.operators.Events.e103(spark, sf)
+      .select("day", "n_kept", "est_distinct").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSeq.sorted
+
+    val evs = graft.engine.Tables.events(spark, sf)
+      .select("user_id", "ms").collect()
+      .map(r => UEv(r.getLong(0), r.getLong(1)))
+    val (first, second) = evs.zipWithIndex.partition(_._2 % 3 == 0)
+
+    val input = MemoryStream[UEv]
+    val stream = DauSketchStage.dailyDauKmv(
+      input.toDS()
+        .select(col("userId").as("user_id"),
+                timestamp_millis(col("tsMs")).as("ets")))
+    val query = stream.writeStream
+      .format("memory").queryName("parity_kmv")
+      .outputMode(OutputMode.Complete())
+      .start()
+    val streamed =
+      try {
+        input.addData(first.map(_._1).toIndexedSeq)
+        query.processAllAvailable()
+        input.addData(second.map(_._1).toIndexedSeq)
+        query.processAllAvailable()
+        spark.table("parity_kmv").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            math.rint(r.getDouble(2) * 1e6) / 1e6)).toSeq.sorted
+      } finally query.stop()
+
+    assert(streamed.size == batch.size,
+      s"day count: streaming ${streamed.size} vs batch ${batch.size}")
+    assert(streamed == batch,
+      "streaming KMV buffer did not survive state-store round-trips bit-exactly")
+  }
 }
