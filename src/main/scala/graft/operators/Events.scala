@@ -4438,7 +4438,69 @@ object Events {
       |FROM k JOIN x ON k.day = x.day
       |ORDER BY k.day""".stripMargin
 
+  // --------------------------------------------------------------- e104
+  /** Exponential goodness-of-fit for same-type interarrivals: per event
+    * type, the empirical CDF of per-user same-type gaps at four fixed
+    * horizons (1 m / 5 m / 30 m / 2 h) against the exponential CDF
+    * 1 − e^(−t/mean) implied by the type's own mean gap — where the
+    * empirical mass at short horizons EXCEEDS the exponential, arrivals
+    * are bursty/self-exciting (retry loops, double-submits) and any
+    * Poisson-based alert threshold (e13/e85's baselines) under-alarms.
+    * Counts and gap sums are exact integers; the mean is one IEEE
+    * division; exp() runs on bit-identical doubles in both engines.
+    *
+    * Scale: one (user, type)-partitioned lag pass (user-bounded,
+    * skew-free — never partitioned by type alone), then a
+    * |types|×4-key map-combinable rollup via a literal-array explode. */
+  def e104(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ms"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select(col("event_type"), col("gap"))
+    gaps
+      .select(col("event_type"), col("gap"),
+        explode(lit(Array(60000L, 300000L, 1800000L, 7200000L))).as("t_ms"))
+      .groupBy("event_type", "t_ms")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("gap_sum"),
+        sum(when(col("gap") <= col("t_ms"), 1L).otherwise(0L)).as("n_le"))
+      .select(col("event_type"), col("t_ms"), col("n_gaps"),
+        round(dbl(col("n_le")) / col("n_gaps"), 6).as("emp_cdf"),
+        round(lit(1.0d) - exp(-dbl(col("t_ms")) /
+          (dbl(col("gap_sum")) / col("n_gaps"))), 6).as("exp_cdf"),
+        round(dbl(col("n_le")) / col("n_gaps") -
+          (lit(1.0d) - exp(-dbl(col("t_ms")) /
+            (dbl(col("gap_sum")) / col("n_gaps")))), 6).as("burst_excess"))
+      .orderBy("event_type", "t_ms")
+  }
+  val e104Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    ms - LAG(ms) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS gap
+      |  FROM e),
+      |f AS (
+      |  SELECT event_type, gap, CAST(t_ms AS BIGINT) AS t_ms
+      |  FROM g CROSS JOIN (SELECT UNNEST([60000, 300000, 1800000, 7200000]) AS t_ms)
+      |  WHERE gap IS NOT NULL),
+      |a AS (
+      |  SELECT event_type, t_ms, COUNT(*)::BIGINT AS n_gaps,
+      |    CAST(SUM(gap) AS BIGINT) AS gap_sum,
+      |    SUM(CASE WHEN gap <= t_ms THEN 1 ELSE 0 END)::BIGINT AS n_le
+      |  FROM f GROUP BY 1, 2)
+      |SELECT event_type, t_ms, n_gaps,
+      |  ROUND(CAST(n_le AS DOUBLE) / n_gaps, 6) AS emp_cdf,
+      |  ROUND(1.0 - exp(-CAST(t_ms AS DOUBLE) / (CAST(gap_sum AS DOUBLE) / n_gaps)), 6)
+      |    AS exp_cdf,
+      |  ROUND(CAST(n_le AS DOUBLE) / n_gaps -
+      |    (1.0 - exp(-CAST(t_ms AS DOUBLE) / (CAST(gap_sum AS DOUBLE) / n_gaps))), 6)
+      |    AS burst_excess
+      |FROM a ORDER BY event_type, t_ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e104_exponential_fit" -> (e104 _),
     "e103_kmv_audit" -> (e103 _),
     "e102_markov_stationary" -> (e102 _),
     "e101_hll_audit" -> (e101 _),
@@ -4545,6 +4607,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e104_exponential_fit" -> e104Sql,
     "e103_kmv_audit" -> e103Sql,
     "e102_markov_stationary" -> e102Sql,
     "e100_behavior_stability" -> e100Sql,
