@@ -1969,7 +1969,136 @@ object Similarity {
       |FROM pn JOIN embeddings ON v = vec_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s43
+  /** Top principal eigenpair of the embedding covariance by 8 fixed
+    * power iterations (d47/e102's quantize-per-round recipe on the
+    * |dims|²-bounded covariance matrix): per-dimension loading of the
+    * dominant direction, its eigenvalue, and the variance share
+    * λ₁/trace(Σ) — the one-number answer to "is there a dominant axis a
+    * PCA rotation should remove before PQ/IVF indexing" (anisotropic
+    * embeddings break product quantizers; s24 sees per-dim variance,
+    * this sees the cross-dim direction). Start vector is the exact
+    * all-ones; every matrix-vector product quantizes to 1e-9 FIXED-POINT
+    * BIGINTs via floor before its exact integer sum, and the per-round
+    * normalizer is the infinity norm (an exact MAX), so all 8 rounds are
+    * bit-identical in both engines — see the in-code notes on why
+    * neither ROUND-to-decimal nor an L2 normalizer survives the
+    * cross-engine feedback loop.
+    *
+    * Scale: covariance needs one vec_id self-join fanning |dims|² rows
+    * per vector (64² = 4096 here); at extreme dims the standard moves
+    * are subspace blocks or a row sample — the iteration cost after the
+    * one |dims|²-row checkpoint is corpus-size-independent. */
+  def s43(spark: SparkSession, dir: String): DataFrame = {
+    // Quantization here is FIXED-POINT: floor(x·1e9) into BIGINT. The
+    // usual ROUND(double, 9) recipe is NOT engine-stable when its output
+    // feeds back into arithmetic — Spark rounds via the shortest decimal
+    // repr (BigDecimal HALF_UP), DuckDB via binary scaling, and the two
+    // disagree by 1e-9 often enough that 8 feedback rounds over a 64²
+    // matrix amplify to ~1e-6 in the loadings (measured). floor of an
+    // identical double is bit-deterministic in both engines, and the
+    // BIGINT sums are exact and order-independent.
+    val u = quantized(spark, dir).select(col("vec_id"), col("pos"), col("vq"))
+    val n1 = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n"))
+    val mu = u.groupBy("pos").agg((dbl(sum(col("vq"))) / count(lit(1))).as("mu"))
+    // materialize once: both sides of the self-join read cen, and without
+    // truncation each side re-runs the explode + centering chain
+    val cen = u.join(broadcast(mu), Seq("pos"))
+      .select(col("vec_id"), col("pos"), (dbl(col("vq")) - col("mu")).as("x"))
+      .localCheckpoint()
+    // c in real units: exact BIGINT sum of floor(x_p·x_q·1e9), one
+    // double division by n, one 1e-9 descale — identical IEEE ops
+    val cov = cen.as("a").join(cen.as("b"), Seq("vec_id"))
+      .select(col("a.pos").as("p"), col("b.pos").as("q"),
+        floor(col("a.x") * col("b.x") * lit(1.0e9d)).as("xy"))
+      .groupBy("p", "q")
+      .agg(sum(col("xy")).as("s"))
+      .crossJoin(broadcast(n1))
+      .select(col("p"), col("q"),
+        (dbl(col("s")) / dbl(col("n")) * lit(1.0e-9d)).as("c"))
+      .localCheckpoint()
+    // Infinity-norm power iteration: normalizing by max|w| (exact MAX of
+    // BIGINTs — no sum, no rounding) keeps v in [−1e9, 1e9] fixed-point.
+    // The scale factor converges to λ₁·1e9.
+    val v0 = cov.select(col("p").as("pos")).distinct()
+      .withColumn("vi", lit(1000000000L))
+    val vFinal = (1 to 8).foldLeft(v0.withColumn("lam", lit(0L))) { (v, _) =>
+      // localCheckpoint per round (d47's recipe): w is referenced twice
+      // (the max agg and the output) and each round builds on the last —
+      // without truncation the doubly-referenced lineage re-executes
+      // 2^rounds times (measured 35 s at sf0.1; 2 s with the checkpoint)
+      // coalesce(1): the round frame is |dims| rows — 32 shuffle tasks of
+      // 2 rows each cost more scheduler time than the arithmetic
+      val w = cov.join(v.select(col("pos").as("q"), col("vi")), Seq("q"))
+        .select(col("p"), floor(col("c") * dbl(col("vi"))).as("cv"))
+        .groupBy(col("p")).agg(sum(col("cv")).as("w"))
+        .coalesce(1)
+        .localCheckpoint()
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      w.crossJoin(broadcast(mx))
+        .select(col("p").as("pos"),
+          floor(dbl(col("w")) / dbl(col("mx")) * lit(1.0e9d)).as("vi"),
+          col("mx").as("lam"))
+    }
+    val trace = cov.filter(col("p") === col("q"))
+      .agg((dbl(sum(floor(col("c") * lit(1.0e9d)))) * lit(1.0e-9d)).as("tr"))
+    val l2 = vFinal.agg(sqrt(dbl(sum(floor(
+        (dbl(col("vi")) * lit(1.0e-9d)) * (dbl(col("vi")) * lit(1.0e-9d)) * lit(1.0e9d))))
+      * lit(1.0e-9d)).as("l2")) // sqrt AFTER the 1e-9 descale
+    vFinal.crossJoin(broadcast(l2)).crossJoin(broadcast(trace))
+      .select((col("pos") + 1).as("dim"),
+        round(dbl(col("vi")) * lit(1.0e-9d) / col("l2"), 6).as("loading"),
+        round(dbl(col("lam")) * lit(1.0e-9d), 6).as("eigenvalue"),
+        round(dbl(col("lam")) * lit(1.0e-9d) / col("tr"), 6).as("var_share"))
+      .orderBy("dim")
+  }
+  val s43Sql: String = {
+    val iters = (1 to 8).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT p, CAST(SUM(CAST(FLOOR(c * CAST(vi AS DOUBLE)) AS BIGINT)) AS BIGINT) AS w
+         |  FROM cov JOIN v${k - 1} ON cov.q = v${k - 1}.pos GROUP BY 1),
+         |n$k AS (SELECT MAX(ABS(w)) AS mx FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT p AS pos,
+         |    CAST(FLOOR(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE) * 1e9) AS BIGINT) AS vi,
+         |    mx AS lam
+         |  FROM w$k CROSS JOIN n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u AS (
+       |  SELECT vec_id,
+       |    CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS pos,
+       |    CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE), 9) AS DECIMAL(18,9)) AS vq
+       |  FROM embeddings),
+       |nn AS (SELECT COUNT(*)::BIGINT AS n FROM embeddings),
+       |mu AS (SELECT pos, CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS mu FROM u GROUP BY 1),
+       |cen AS (
+       |  SELECT vec_id, u.pos, CAST(vq AS DOUBLE) - mu AS x
+       |  FROM u JOIN mu ON u.pos = mu.pos),
+       |cov AS MATERIALIZED (
+       |  SELECT a.pos AS p, b.pos AS q,
+       |    CAST(SUM(CAST(FLOOR(a.x * b.x * 1e9) AS BIGINT)) AS DOUBLE)
+       |      / CAST((SELECT n FROM nn) AS DOUBLE) * 1e-9 AS c
+       |  FROM cen a JOIN cen b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT p AS pos, CAST(1000000000 AS BIGINT) AS vi FROM cov),
+       |$iters,
+       |tr AS (
+       |  SELECT CAST(SUM(CAST(FLOOR(c * 1e9) AS BIGINT)) AS DOUBLE) * 1e-9 AS tr
+       |  FROM cov WHERE p = q),
+       |l2 AS (
+       |  SELECT sqrt(CAST(SUM(CAST(FLOOR(
+       |      (CAST(vi AS DOUBLE) * 1e-9) * (CAST(vi AS DOUBLE) * 1e-9) * 1e9)
+       |    AS BIGINT)) AS DOUBLE) * 1e-9) AS l2
+       |  FROM v8)
+       |SELECT pos + 1 AS dim,
+       |  ROUND(CAST(vi AS DOUBLE) * 1e-9 / l2, 6) AS loading,
+       |  ROUND(CAST(lam AS DOUBLE) * 1e-9, 6) AS eigenvalue,
+       |  ROUND(CAST(lam AS DOUBLE) * 1e-9 / tr, 6) AS var_share
+       |FROM v8 CROSS JOIN l2 CROSS JOIN tr ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s43_power_iteration" -> (s43 _),
     "s42_clustering_coeff" -> (s42 _),
     "s41_centroid_margin" -> (s41 _),
     "s40_intrinsic_dim" -> (s40 _),
@@ -2015,6 +2144,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s43_power_iteration" -> s43Sql,
     "s42_clustering_coeff" -> s42Sql,
     "s41_centroid_margin" -> s41Sql,
     "s40_intrinsic_dim" -> s40Sql,

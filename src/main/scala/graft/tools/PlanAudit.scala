@@ -196,7 +196,10 @@ object PlanAudit {
     "q112_theil_decomposition",
     // e102: 1-row type-count and event-total broadcasts onto the
     // |types|-bounded stationary/observed frames
-    "e102_markov_stationary")
+    "e102_markov_stationary",
+    // s43: per-round 1-row norm broadcasts + 1-row n/trace broadcasts
+    // onto |dims|-bounded frames
+    "s43_power_iteration")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
