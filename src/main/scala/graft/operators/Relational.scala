@@ -4003,7 +4003,95 @@ object Relational {
       |         (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 6) AS autocorr
       |FROM m ORDER BY lag""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  /** Seasonality and trend strength of monthly revenue (the FPP
+    * STL-strength statistics on q102's additive decomposition):
+    * F_seasonal = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_trend = max(0, 1 − Var(R)/Var(T+R)) — the one-row summary that
+    * says whether q102's components carry signal or the series is noise
+    * (both near 0) before anyone forecasts with them (q06) or reads the
+    * seasonal index (q77). Components scale to millions by one IEEE
+    * division, then round6/round9-quantized decimal moments; each
+    * variance ratio is a fixed expression over exact operands.
+    *
+    * Scale: rides q102's month-bounded frame (map-combinable rollup +
+    * ≤12-row broadcasts); the strength math is a 1-row aggregate. */
+  def q114(spark: SparkSession, dir: String): DataFrame = {
+    val d = q102(spark, dir)
+      .select(
+        round(col("residual") / lit(1.0e6d), 6).cast("decimal(18,6)").as("r"),
+        round((col("seasonal") + col("residual")) / lit(1.0e6d), 6)
+          .cast("decimal(18,6)").as("y"),
+        round((col("trend") + col("residual")) / lit(1.0e6d), 6)
+          .cast("decimal(18,6)").as("z"))
+      .select(col("r"), col("y"), col("z"),
+        round(dbl(col("r")) * dbl(col("r")), 9).cast("decimal(18,9)").as("rr"),
+        round(dbl(col("y")) * dbl(col("y")), 9).cast("decimal(18,9)").as("yy"),
+        round(dbl(col("z")) * dbl(col("z")), 9).cast("decimal(18,9)").as("zz"))
+    def varOf(s: Column, q: Column, n: Column): Column =
+      (dbl(n) * q - s * s) / (dbl(n) * dbl(n))
+    d.agg(count(lit(1)).as("n"),
+        dbl(sum(col("r"))).as("sr"), dbl(sum(col("rr"))).as("qr"),
+        dbl(sum(col("y"))).as("sy"), dbl(sum(col("yy"))).as("qy"),
+        dbl(sum(col("z"))).as("sz"), dbl(sum(col("zz"))).as("qz"))
+      .select(col("n").as("n_months"),
+        round(greatest(lit(0.0d), lit(1.0d) -
+          varOf(col("sr"), col("qr"), col("n")) /
+          varOf(col("sy"), col("qy"), col("n"))), 6).as("strength_seasonal"),
+        round(greatest(lit(0.0d), lit(1.0d) -
+          varOf(col("sr"), col("qr"), col("n")) /
+          varOf(col("sz"), col("qz"), col("n"))), 6).as("strength_trend"))
+  }
+  val q114Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |t AS (SELECT yr AS tyr, CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS trend
+      |      FROM m GROUP BY 1),
+      |d0 AS (
+      |  SELECT yr, mo, rev, trend, CAST(rev AS DOUBLE) - trend AS dev
+      |  FROM m JOIN t ON yr = tyr),
+      |s AS (SELECT mo AS smo,
+      |        CAST(SUM(CAST(ROUND(dev, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |          / COUNT(*) AS seasonal
+      |      FROM d0 GROUP BY 1),
+      |c AS (
+      |  SELECT trend, seasonal,
+      |    CAST(rev AS DOUBLE) - trend - seasonal AS residual
+      |  FROM d0 JOIN s ON mo = smo),
+      |e AS (
+      |  SELECT
+      |    CAST(ROUND(residual / 1e6, 6) AS DECIMAL(18,6)) AS r,
+      |    CAST(ROUND((seasonal + residual) / 1e6, 6) AS DECIMAL(18,6)) AS y,
+      |    CAST(ROUND((trend + residual) / 1e6, 6) AS DECIMAL(18,6)) AS z
+      |  FROM c),
+      |f AS (
+      |  SELECT r, y, z,
+      |    CAST(ROUND(CAST(r AS DOUBLE) * CAST(r AS DOUBLE), 9) AS DECIMAL(18,9)) AS rr,
+      |    CAST(ROUND(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 9) AS DECIMAL(18,9)) AS yy,
+      |    CAST(ROUND(CAST(z AS DOUBLE) * CAST(z AS DOUBLE), 9) AS DECIMAL(18,9)) AS zz
+      |  FROM e),
+      |a AS (
+      |  SELECT COUNT(*)::BIGINT AS n,
+      |    CAST(SUM(r) AS DOUBLE) AS sr, CAST(SUM(rr) AS DOUBLE) AS qr,
+      |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(yy) AS DOUBLE) AS qy,
+      |    CAST(SUM(z) AS DOUBLE) AS sz, CAST(SUM(zz) AS DOUBLE) AS qz
+      |  FROM f)
+      |SELECT n AS n_months,
+      |  ROUND(greatest(0.0, 1.0 -
+      |    ((CAST(n AS DOUBLE) * qr - sr * sr) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+      |    ((CAST(n AS DOUBLE) * qy - sy * sy) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6)
+      |    AS strength_seasonal,
+      |  ROUND(greatest(0.0, 1.0 -
+      |    ((CAST(n AS DOUBLE) * qr - sr * sr) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+      |    ((CAST(n AS DOUBLE) * qz - sz * sz) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6)
+      |    AS strength_trend
+      |FROM a""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q114_seasonality_strength" -> (q114 _),
     "q113_revenue_autocorr" -> (q113 _),
     "q112_theil_decomposition" -> (q112 _),
     "q111_benford_audit" -> (q111 _),
@@ -4120,6 +4208,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q114_seasonality_strength" -> q114Sql,
     "q113_revenue_autocorr" -> q113Sql,
     "q112_theil_decomposition" -> q112Sql,
     "q111_benford_audit" -> q111Sql,

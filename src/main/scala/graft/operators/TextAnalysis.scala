@@ -2724,7 +2724,50 @@ object TextAnalysis {
        |    CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE), 6) AS spearman_rho
        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- t66
+  /** Tokenizer-fertility profile per language: chars per token, tokens
+    * per doc, and corpus token share — the conversion rates that turn a
+    * char-budgeted crawl into a token-budgeted training mix (a
+    * high-fertility language eats p03/p35's token budget faster than its
+    * char volume suggests; CJK-vs-Latin fertility is THE classic
+    * surprise). Sums are exact integers; each rate is one IEEE division.
+    *
+    * Scale: one tokenize pass, |langs|-key map-combinable rollup, 1-row
+    * corpus-total broadcast for the share. */
+  def t66(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val per = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars").cast("long").as("nc"),
+        expr("size(word_tokens(text))").cast("long").as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("total_chars"), sum(col("nt")).as("total_tokens"))
+    per.crossJoin(broadcast(per.agg(sum(col("total_tokens")).as("tot"))))
+      .select(col("lang"), col("n_docs"), col("total_chars"), col("total_tokens"),
+        round(dbl(col("total_chars")) / dbl(col("total_tokens")), 6)
+          .as("chars_per_token"),
+        round(dbl(col("total_tokens")) / dbl(col("n_docs")), 6)
+          .as("tokens_per_doc"),
+        round(dbl(col("total_tokens")) / dbl(col("tot")), 6).as("token_share"))
+      .orderBy("lang")
+  }
+  val t66Sql: String =
+    s"""WITH p AS (
+       |  SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |    CAST(SUM(len($wordsSql)) AS BIGINT) AS total_tokens
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS tot FROM p)
+       |SELECT lang, n_docs, total_chars, total_tokens,
+       |  ROUND(CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+       |    AS chars_per_token,
+       |  ROUND(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    AS tokens_per_doc,
+       |  ROUND(CAST(total_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS token_share
+       |FROM p CROSS JOIN t ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t66_fertility" -> (t66 _),
     "t65_rank_correlation" -> (t65 _),
     "t64_ocr_noise" -> (t64 _),
     "t63_anchor_terms" -> (t63 _),
@@ -2791,6 +2834,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t66_fertility" -> t66Sql,
     "t65_rank_correlation" -> t65Sql,
     "t64_ocr_noise" -> t64Sql,
     "t63_anchor_terms" -> t63Sql,

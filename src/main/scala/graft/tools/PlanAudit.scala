@@ -199,7 +199,9 @@ object PlanAudit {
     "e102_markov_stationary",
     // s43: per-round 1-row norm broadcasts + 1-row n/trace broadcasts
     // onto |dims|-bounded frames
-    "s43_power_iteration")
+    "s43_power_iteration",
+    // t66: 1-row corpus-token-total broadcast onto the |langs| frame
+    "t66_fertility")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
