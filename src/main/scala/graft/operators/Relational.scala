@@ -4090,7 +4090,82 @@ object Relational {
       |    AS strength_trend
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** RFM octant census of the customer base: recency (days since last
+    * order, vs the corpus max date), frequency (order count), monetary
+    * (lifetime spend), each split HIGH/LOW at its corpus mean → 8 cells
+    * with population and per-cell averages — the classic
+    * win-back / loyalty targeting grid (e29 builds the event-side RFM;
+    * this is the orders-side one a marketer actually pulls). Mean splits
+    * keep the shape scale-honest: true quartile cutoffs would ride
+    * e16's two-level prefix-sum recipe, never a global ntile; the three
+    * 1-row means broadcast, all sums are exact (days/counts integer,
+    * spend decimal), each average is one IEEE division.
+    *
+    * Scale: one custkey groupBy (map-combinable) + a 1-row broadcast;
+    * the 8-key rollup is trivially map-combinable. */
+  def q115(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_dt"),
+        count(lit(1)).as("freq"),
+        sum(dec(col("o_totalprice"))).as("spend"))
+    val glob = per.agg(max(col("last_dt")).as("max_dt"),
+      sum(col("freq")).as("sum_f"), count(lit(1)).as("n"),
+      sum(col("spend")).as("sum_m"))
+    val scored = per.crossJoin(broadcast(glob))
+      .select(
+        datediff(col("max_dt"), col("last_dt")).cast("long").as("rec"),
+        col("freq"), col("spend"),
+        (dbl(col("sum_f")) / dbl(col("n"))).as("mean_f"),
+        (dbl(col("sum_m")) / dbl(col("n"))).as("mean_m"))
+    val withMeanR = scored.crossJoin(broadcast(
+        scored.agg(sum(col("rec")).as("sum_r"), count(lit(1)).as("n2"))))
+      .select(col("rec"), col("freq"), col("spend"),
+        col("mean_f"), col("mean_m"),
+        (dbl(col("sum_r")) / dbl(col("n2"))).as("mean_r"))
+    withMeanR
+      .select(
+        (dbl(col("rec")) < col("mean_r")).as("recent"),
+        (dbl(col("freq")) > col("mean_f")).as("frequent"),
+        (dbl(col("spend")) > col("mean_m")).as("big_spender"),
+        col("rec"), col("freq"), col("spend"))
+      .groupBy("recent", "frequent", "big_spender")
+      .agg(count(lit(1)).as("n_customers"),
+        round(dbl(sum(col("rec"))) / count(lit(1)), 6).as("avg_recency_days"),
+        round(dbl(sum(col("freq"))) / count(lit(1)), 6).as("avg_orders"),
+        round(dbl(sum(col("spend"))) / count(lit(1)), 6).as("avg_spend"))
+      .orderBy("recent", "frequent", "big_spender")
+  }
+  val q115Sql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, MAX(o_orderdate) AS last_dt, COUNT(*)::BIGINT AS freq,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+      |  FROM orders GROUP BY 1),
+      |g AS (
+      |  SELECT MAX(last_dt) AS max_dt,
+      |    CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS mean_f,
+      |    CAST(SUM(spend) AS DOUBLE) / COUNT(*) AS mean_m
+      |  FROM per),
+      |s AS (
+      |  SELECT CAST(datediff('day', last_dt, max_dt) AS BIGINT) AS rec,
+      |    freq, spend, mean_f, mean_m
+      |  FROM per CROSS JOIN g),
+      |r AS (SELECT CAST(SUM(rec) AS DOUBLE) / COUNT(*) AS mean_r FROM s),
+      |f AS (
+      |  SELECT (CAST(rec AS DOUBLE) < mean_r) AS recent,
+      |    (CAST(freq AS DOUBLE) > mean_f) AS frequent,
+      |    (CAST(spend AS DOUBLE) > mean_m) AS big_spender,
+      |    rec, freq, spend
+      |  FROM s CROSS JOIN r)
+      |SELECT recent, frequent, big_spender, COUNT(*)::BIGINT AS n_customers,
+      |  ROUND(CAST(SUM(rec) AS DOUBLE) / COUNT(*), 6) AS avg_recency_days,
+      |  ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS avg_orders,
+      |  ROUND(CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_spend
+      |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q115_rfm_octants" -> (q115 _),
     "q114_seasonality_strength" -> (q114 _),
     "q113_revenue_autocorr" -> (q113 _),
     "q112_theil_decomposition" -> (q112 _),
@@ -4208,6 +4283,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q115_rfm_octants" -> q115Sql,
     "q114_seasonality_strength" -> q114Sql,
     "q113_revenue_autocorr" -> q113Sql,
     "q112_theil_decomposition" -> q112Sql,

@@ -201,7 +201,9 @@ object PlanAudit {
     // onto |dims|-bounded frames
     "s43_power_iteration",
     // t66: 1-row corpus-token-total broadcast onto the |langs| frame
-    "t66_fertility")
+    "t66_fertility",
+    // q115: 1-row global-mean broadcasts (max date, mean F/M, mean R)
+    "q115_rfm_octants")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

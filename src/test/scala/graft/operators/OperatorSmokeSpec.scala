@@ -174,7 +174,7 @@ class OperatorSmokeSpec extends SparkSpec {
       "q112_theil_decomposition", "e102_markov_stationary", "d58_perm_sweep",
       "q113_revenue_autocorr", "s42_clustering_coeff", "e103_kmv_audit",
       "e104_exponential_fit", "s43_power_iteration",
-      "q114_seasonality_strength", "t66_fertility")
+      "q114_seasonality_strength", "t66_fertility", "q115_rfm_octants")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
