@@ -2637,7 +2637,58 @@ object Dedup {
       .orderBy("n_perms")
   }
 
+  // ---------------------------------------------------------------- d59
+  /** Cross-sketch agreement census: the exact J ≥ 0.5 pair stream
+    * classified by which candidate generator surfaces it — d02's
+    * 32×4 MinHash LSH, d04's 16-bit-banded SimHash (Hamming ≤ 8),
+    * both, or neither — plus each method's extra (non-exact)
+    * candidate volume. The two sketch families fail differently
+    * (MinHash mirrors set Jaccard; SimHash weights repeated tokens
+    * and misses small-overlap pairs a permutation can still catch),
+    * so the disagreement cells are the evidence for running one, the
+    * other, or both at 100 TB — d56 prices LSH recall alone; this
+    * prices the ENSEMBLE.
+    *
+    * Scale: all three pair streams are memoized/banded (no new pair
+    * join shapes); the classification is two doc-pair-keyed left
+    * joins plus two anti-join counts. Rows-only (both sketches are
+    * hash kernels with no portable SQL form); the smoke spec pins the
+    * partition identity and both recalls. */
+  def d59(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val exact = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val bands = d02Bands(spark, dir)
+    val lsh = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sig = Tables.documents(spark, dir)
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), expr("simhash64(word_tokens(text))").as("simhash"))
+      .cache()
+    val sim = hammingBandPairs(sig, "simhash", maxHamming = 8)
+      .select(col("doc_a"), col("doc_b"))
+    val census = exact
+      .join(lsh.withColumn("in_lsh", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .join(sim.withColumn("in_sim", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .select(when(col("in_lsh").isNotNull && col("in_sim").isNotNull, "exact_both")
+        .when(col("in_lsh").isNotNull, "exact_lsh_only")
+        .when(col("in_sim").isNotNull, "exact_sim_only")
+        .otherwise("exact_missed").as("category"))
+      .groupBy("category").agg(count(lit(1)).as("n_pairs"))
+    val extras = Seq(
+      ("lsh_extra", lsh.join(exact, Seq("doc_a", "doc_b"), "left_anti")),
+      ("sim_extra", sim.join(exact, Seq("doc_a", "doc_b"), "left_anti")))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_pairs"))
+          .select(lit(name).as("category"), col("n_pairs"))
+      }.reduce(_ union _)
+    census.union(extras).orderBy("category")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d59_sketch_agreement" -> (d59 _),
     "d58_perm_sweep" -> (d58 _),
     "d57_seed_buckets" -> (d57 _),
     "d56_lsh_s_curve" -> (d56 _),

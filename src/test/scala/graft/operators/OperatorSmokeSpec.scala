@@ -174,7 +174,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "q112_theil_decomposition", "e102_markov_stationary", "d58_perm_sweep",
       "q113_revenue_autocorr", "s42_clustering_coeff", "e103_kmv_audit",
       "e104_exponential_fit", "s43_power_iteration",
-      "q114_seasonality_strength", "t66_fertility", "q115_rfm_octants")
+      "q114_seasonality_strength", "t66_fertility", "q115_rfm_octants",
+      "d59_sketch_agreement")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -189,7 +190,22 @@ class OperatorSmokeSpec extends SparkSpec {
         "d39_lsh_bucket_histogram", "s29_sq8_recall",
         "d52_band_sweep", "s31_label_recall", "d53_minhash_error",
         "s32_recall_at_k", "s33_norm_recall", "q108_approx_quantiles",
-        "d56_lsh_s_curve", "e101_hll_audit", "d58_perm_sweep"))
+        "d56_lsh_s_curve", "e101_hll_audit", "d58_perm_sweep",
+        "d59_sketch_agreement"))
+  }
+
+  test("d59 sketch agreement: exact partition identity, LSH recall holds d56's posture") {
+    val rows = Dedup.d59(spark, sf).collect()
+      .map(r => r.getAs[String]("category") -> r.getAs[Long]("n_pairs")).toMap
+    val allowed = Set("exact_both", "exact_lsh_only", "exact_sim_only",
+      "exact_missed", "lsh_extra", "sim_extra")
+    assert(rows.keySet.subsetOf(allowed), s"unknown categories: ${rows.keySet -- allowed}")
+    val nExact = SparkEntry.queries("d03_ngram_jaccard")(spark, sf).count()
+    val exactCells = rows.filter(_._1.startsWith("exact_")).values.sum
+    assert(exactCells == nExact, "exact pairs must partition across the four cells")
+    val lshHit = rows.getOrElse("exact_both", 0L) + rows.getOrElse("exact_lsh_only", 0L)
+    assert(lshHit.toDouble >= 0.9 * nExact, s"LSH recall ${lshHit}/$nExact below 0.9")
+    rows.values.foreach(v => assert(v >= 0))
   }
 
   test("d58 perm sweep: full k ladder, 1/sqrt(k) error ordering with slack, k=128 within d53's bound") {
