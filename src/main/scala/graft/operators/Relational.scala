@@ -4164,7 +4164,59 @@ object Relational {
       |  ROUND(CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_spend
       |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** Two-sample balance-distribution compare: customer vs supplier
+    * account-balance empirical CDFs evaluated on a FIXED 21-point grid
+    * (−1000 … 10000 step 550), with the per-point gap — the KS-style
+    * "do these two populations share one generating process" check,
+    * done e104's way: fixed evaluation points instead of a global sort,
+    * so the statistic is exact integer counts + one division per point
+    * and never ranks the corpus. max(|gap|) read off the frame is the
+    * KS distance on the grid.
+    *
+    * Scale: each side is one map-combinable ≤21-key rollup after a
+    * literal-array explode; the two 21-row frames join on the grid
+    * point. */
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    val grid = (0 to 20).map(i => -1000L + 550L * i).toArray
+    def cdf(df: DataFrame, bal: String, out: String): DataFrame = {
+      val n1 = df.agg(count(lit(1)).as(s"n_$out"))
+      df.select(col(bal).as("bal"), explode(lit(grid)).as("t"))
+        .groupBy("t")
+        .agg(sum(when(col("bal") <= dbl(col("t")), 1L).otherwise(0L)).as("le"))
+        .crossJoin(broadcast(n1))
+        .select(col("t"), (dbl(col("le")) / dbl(col(s"n_$out"))).as(out))
+    }
+    val c = cdf(Tables.customer(spark, dir).select(col("c_acctbal")),
+      "c_acctbal", "cdf_customer")
+    val s = cdf(Tables.supplier(spark, dir).select(col("s_acctbal")),
+      "s_acctbal", "cdf_supplier")
+    c.join(s, Seq("t"))
+      .select(col("t"), round(col("cdf_customer"), 6).as("cdf_customer"),
+        round(col("cdf_supplier"), 6).as("cdf_supplier"),
+        round(abs(col("cdf_customer") - col("cdf_supplier")), 6).as("gap"))
+      .orderBy("t")
+  }
+  val q116Sql: String =
+    """WITH g AS (SELECT UNNEST(range(0, 21)) AS i),
+      |grid AS (SELECT CAST(-1000 + 550 * i AS BIGINT) AS t FROM g),
+      |c AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN c_acctbal <= CAST(t AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE) AS cdf_customer
+      |  FROM customer CROSS JOIN grid GROUP BY t),
+      |s AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN s_acctbal <= CAST(t AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST((SELECT COUNT(*) FROM supplier) AS DOUBLE) AS cdf_supplier
+      |  FROM supplier CROSS JOIN grid GROUP BY t)
+      |SELECT c.t, ROUND(cdf_customer, 6) AS cdf_customer,
+      |  ROUND(cdf_supplier, 6) AS cdf_supplier,
+      |  ROUND(ABS(cdf_customer - cdf_supplier), 6) AS gap
+      |FROM c JOIN s ON c.t = s.t ORDER BY c.t""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q116_balance_two_sample" -> (q116 _),
     "q115_rfm_octants" -> (q115 _),
     "q114_seasonality_strength" -> (q114 _),
     "q113_revenue_autocorr" -> (q113 _),
@@ -4283,6 +4335,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q116_balance_two_sample" -> q116Sql,
     "q115_rfm_octants" -> q115Sql,
     "q114_seasonality_strength" -> q114Sql,
     "q113_revenue_autocorr" -> q113Sql,

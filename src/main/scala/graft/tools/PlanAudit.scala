@@ -203,7 +203,9 @@ object PlanAudit {
     // t66: 1-row corpus-token-total broadcast onto the |langs| frame
     "t66_fertility",
     // q115: 1-row global-mean broadcasts (max date, mean F/M, mean R)
-    "q115_rfm_octants")
+    "q115_rfm_octants",
+    // q116: 1-row population-count broadcasts (CDF denominators)
+    "q116_balance_two_sample")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
