@@ -4499,7 +4499,70 @@ object Events {
       |    AS burst_excess
       |FROM a ORDER BY event_type, t_ms""".stripMargin
 
+  // --------------------------------------------------------------- e105
+  /** Hourly-load autocorrelation at the rhythm lags: exact Pearson r of
+    * the events-per-hour series against itself at lag 1 (momentum),
+    * 24 (daily rhythm), and 168 (weekly rhythm) — the quantitative form
+    * of e46/e54's visual profiles, and the statistic that says whether
+    * load forecasting can key on hour-of-day/day-of-week at all. The
+    * series values are exact BIGINT counts; every moment accumulates in
+    * DECIMAL(38,0) (exact at any count magnitude), so r is a fixed
+    * IEEE expression over exact operands — no rounding anywhere before
+    * the output.
+    *
+    * Scale: the hour rollup is map-combinable; the lag join is an
+    * equi-join on the shifted hour key over the bounded series frame
+    * fanned ×3 by a literal lag array (q113's month recipe on the
+    * hour domain). */
+  def e105(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val series = Tables.events(spark, dir)
+      .select(expr("ms div 3600000").as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("x"))
+    val lagged = series
+      .select(col("hr"), col("x"), explode(lit(Array(1L, 24L, 168L))).as("lag"))
+      .select((col("hr") + col("lag")).as("thr"), col("lag"), col("x"))
+    val pairs = lagged.join(
+        series.select(col("hr").as("thr"), col("x").as("y")), Seq("thr"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        round((dbl(col("n_pairs")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+          sqrt((dbl(col("n_pairs")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+               (dbl(col("n_pairs")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))), 6)
+          .as("autocorr"))
+      .orderBy("lag")
+  }
+  val e105Sql: String =
+    """WITH s AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hr, COUNT(*)::BIGINT AS x
+      |  FROM events GROUP BY 1),
+      |l AS (
+      |  SELECT hr + lag AS thr, CAST(lag AS BIGINT) AS lag, x
+      |  FROM s CROSS JOIN (SELECT UNNEST([1, 24, 168]) AS lag)),
+      |p AS (SELECT lag, l.x AS x, s.x AS y FROM l JOIN s ON l.thr = s.hr),
+      |m AS (
+      |  SELECT lag, COUNT(*)::BIGINT AS n_pairs,
+      |    SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+      |  FROM p GROUP BY 1)
+      |SELECT lag, n_pairs,
+      |  ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |      (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS autocorr
+      |FROM m ORDER BY lag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e105_hourly_autocorr" -> (e105 _),
     "e104_exponential_fit" -> (e104 _),
     "e103_kmv_audit" -> (e103 _),
     "e102_markov_stationary" -> (e102 _),
@@ -4607,6 +4670,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e105_hourly_autocorr" -> e105Sql,
     "e104_exponential_fit" -> e104Sql,
     "e103_kmv_audit" -> e103Sql,
     "e102_markov_stationary" -> e102Sql,

@@ -175,7 +175,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "q113_revenue_autocorr", "s42_clustering_coeff", "e103_kmv_audit",
       "e104_exponential_fit", "s43_power_iteration",
       "q114_seasonality_strength", "t66_fertility", "q115_rfm_octants",
-      "d59_sketch_agreement", "q116_balance_two_sample")
+      "d59_sketch_agreement", "q116_balance_two_sample",
+      "e105_hourly_autocorr")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
