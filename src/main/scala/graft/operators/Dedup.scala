@@ -2495,7 +2495,14 @@ object Dedup {
     val exact = sharedPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val cand = d02Candidates(spark, dir).withColumn("det", lit(1L))
-    val b = 32d; val r = 4d
+    // S-curve 1-(1-p^r)^b at d02's (b=32, r=4), as exact multiply chains
+    // (p^4 = (p²)²; q^32 = five squarings) — never libm pow, which is not
+    // correctly rounded and burned p33's oracle parity in round 6.
+    val p = lit(0.5) + (col("band") + 0.5) * 0.05
+    val p2 = p * p
+    val q = lit(1d) - p2 * p2
+    val q2 = q * q; val q4 = q2 * q2; val q8 = q4 * q4
+    val q16 = q8 * q8; val q32 = q16 * q16
     exact.join(cand, Seq("doc_a", "doc_b"), "left")
       .withColumn("band", least(floor((col("jaccard") - 0.5) / 0.05), lit(9L)).cast("long"))
       .groupBy("band")
@@ -2505,8 +2512,7 @@ object Dedup {
         round(lit(0.5) + col("band") * 0.05, 6).as("band_lo"),
         col("n_pairs"), col("n_detected"),
         round(dbl(col("n_detected")) / col("n_pairs"), 6).as("detect_rate"),
-        round(lit(1d) - pow(lit(1d) - pow(lit(0.5) + (col("band") + 0.5) * 0.05, lit(r)), lit(b)), 6)
-          .as("expected_rate"))
+        round(lit(1d) - q32, 6).as("expected_rate"))
       .orderBy("band")
   }
 

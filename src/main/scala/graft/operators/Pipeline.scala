@@ -1630,18 +1630,26 @@ object Pipeline {
 
   // ---------------------------------------------------------------- p33
   /** Sampling-temperature sweep for the source mixture: per sampling
-    * exponent α ∈ {0.3, 0.5, 0.7, 1.0}, each source's share under
+    * exponent α ∈ {0.25, 0.5, 0.75, 1.0}, each source's share under
     * tokens^α weighting (the multilingual/LLM upsampling recipe —
     * α = 1 is natural proportions, α → 0 flattens toward uniform) and
     * the boost factor vs natural share. This is the table a pretraining
     * run reads to pick how hard to upsample low-resource sources
     * before p10/p13 turn shares into epoch plans.
     *
+    * Parity: tokens^α is computed as a sqrt CHAIN (x^0.25 =
+    * √√x, x^0.75 = √x·√√x) — sqrt/×/÷ are correctly rounded per
+    * IEEE-754 in every engine, so the doubles are bit-identical
+    * cross-engine; libm `pow` is NOT (the round-6 failure of this
+    * operator in round 6 was environment-dependent: the same data
+    * passed against a local DuckDB and failed the driver's build).
+    * Weights are floor-quantized to BIGINT micro-units BEFORE the Σw
+    * sum (exact + order-independent), and the output shares use the
+    * same fixed-point floor — no ROUND(double) boundary anywhere.
+    *
     * Scale: ONE token rollup over the corpus (map-combinable, cached
-    * |sources|-frame), then per-α arithmetic on the bounded frame —
-    * pow results are round6-quantized to decimals so the Σ tokens^α
-    * denominator is order-independent; shares are single double
-    * divisions. Output |α|×|sources|. */
+    * |sources|-frame), then per-α arithmetic on the bounded frame.
+    * Output |α|×|sources|. */
   def p33(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.Qf.dbl
     VectorFunctions.register(spark)
@@ -1650,35 +1658,43 @@ object Pipeline {
       .groupBy("source").agg(sum(col("nt")).as("tokens"))
       .cache()
     val tot = tok.agg(sum(col("tokens")).as("tot_tokens"))
-    Seq(0.3d, 0.5d, 0.7d, 1.0d).map { a =>
-      val t = tok.withColumn("w",
-        round(pow(dbl(col("tokens")), lit(a)), 6).cast("decimal(28,6)"))
+    val td = dbl(col("tokens"))
+    val grid: Seq[(Double, Column)] = Seq(
+      0.25 -> sqrt(sqrt(td)),
+      0.5 -> sqrt(td),
+      0.75 -> sqrt(td) * sqrt(sqrt(td)),
+      1.0 -> td)
+    def q6(c: Column): Column = floor(c * lit(1e6d)) / lit(1e6d)
+    grid.map { case (a, wRaw) =>
+      val t = tok.withColumn("w", floor(wRaw * lit(1e6d)).cast("long"))
       val tw = t.agg(sum(col("w")).as("tot_w"))
       val natShare = dbl(col("tokens")) / dbl(col("tot_tokens"))
       val tempShare = dbl(col("w")) / dbl(col("tot_w"))
       t.join(broadcast(tw)).join(broadcast(tot))
         .select(lit(a).as("alpha"), col("source"), col("tokens"),
-          round(natShare, 6).as("nat_share"),
-          round(tempShare, 6).as("temp_share"),
-          round(tempShare / natShare, 6).as("boost"))
+          q6(natShare).as("nat_share"),
+          q6(tempShare).as("temp_share"),
+          q6(tempShare / natShare).as("boost"))
     }.reduce(_.unionByName(_)).orderBy("alpha", "source")
   }
   val p33Sql: String = {
     import TextAnalysis.wordsSql
-    val per = Seq("0.3", "0.5", "0.7", "1.0").map { a =>
+    val chains = Seq(
+      "0.25" -> "sqrt(sqrt(CAST(tokens AS DOUBLE)))",
+      "0.5" -> "sqrt(CAST(tokens AS DOUBLE))",
+      "0.75" -> "sqrt(CAST(tokens AS DOUBLE)) * sqrt(sqrt(CAST(tokens AS DOUBLE)))",
+      "1.0" -> "CAST(tokens AS DOUBLE)")
+    val per = chains.map { case (a, chain) =>
       s"""SELECT CAST($a AS DOUBLE) AS alpha, source, tokens,
-         |  ROUND(CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6) AS nat_share,
-         |  ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS temp_share,
-         |  ROUND((CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
-         |      / (CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6) AS boost
+         |  FLOOR((CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) * 1e6) / 1e6 AS nat_share,
+         |  FLOOR((CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) * 1e6) / 1e6 AS temp_share,
+         |  FLOOR(((CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
+         |      / (CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))) * 1e6) / 1e6 AS boost
          |FROM (
-         |  SELECT source, tokens,
-         |    CAST(ROUND(pow(CAST(tokens AS DOUBLE), CAST($a AS DOUBLE)), 6)
-         |      AS DECIMAL(28,6)) AS w
+         |  SELECT source, tokens, CAST(FLOOR(($chain) * 1e6) AS BIGINT) AS w
          |  FROM tok) t
          |CROSS JOIN (
-         |  SELECT SUM(CAST(ROUND(pow(CAST(tokens AS DOUBLE), CAST($a AS DOUBLE)), 6)
-         |    AS DECIMAL(28,6))) AS tw
+         |  SELECT CAST(SUM(CAST(FLOOR(($chain) * 1e6) AS BIGINT)) AS BIGINT) AS tw
          |  FROM tok) s
          |CROSS JOIN tot""".stripMargin
     }.mkString("\nUNION ALL\n")
