@@ -39,4 +39,12 @@ object Graft {
     SparkEntry.queries.getOrElse(name,
       throw new IllegalArgumentException(
         s"unknown operator '$name'; known: ${operators.mkString(", ")}"))(spark, dir)
+
+  /** Return this session's operator-pinned storage (memoized pair
+    * streams, scored frames, shingle caches) to baseline — call between
+    * report batches in a long-lived session. Frames returned by earlier
+    * `run` calls must not be reused afterwards; re-running the operator
+    * rebuilds them. */
+  def release(spark: SparkSession): Unit =
+    graft.operators.Lifecycle.release(spark)
 }

@@ -26,6 +26,28 @@ object VectorFunctions {
     * Guarded PER FUNCTION (a single-function guard would silently skip
     * functions added later; unconditional createOrReplace spams replace
     * warnings on every operator call). */
+  /** Resolve argument `pos` of `fn` as a foldable INT-range integer
+    * literal, with an analysis-time error naming the expected shape —
+    * `exprs(i).eval().asInstanceOf[Int]` would instead throw a bare
+    * ClassCastException/NPE on `kmv_distinct(u, 64L)` or a column arg. */
+  private def intArg(fn: String, pos: Int, exprs: Seq[Expression]): Int = {
+    def fail(got: String): Nothing = throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a foldable INT-range integer " +
+        s"literal, got $got")
+    if (exprs.length <= pos) fail("no argument")
+    val e = exprs(pos)
+    if (!e.foldable) fail(s"non-foldable expression ${e.sql}")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long
+          if l >= Int.MinValue && l <= Int.MaxValue => l.intValue()
+      case s: java.lang.Short => s.intValue()
+      case b: java.lang.Byte => b.intValue()
+      case null => fail("NULL")
+      case other => fail(s"${other.getClass.getSimpleName} (${e.sql})")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
@@ -35,14 +57,14 @@ object VectorFunctions {
     ensure("vec_norm")(exprs => VecNorm(exprs.head))
     ensure("word_tokens")(exprs => WordTokens(exprs.head))
     ensure("word_ngrams")(exprs => WordNGrams(exprs.head,
-      exprs(1).eval().asInstanceOf[Int]))
+      intArg("word_ngrams", 1, exprs)))
     ensure("vec_sign_bits")(exprs => VecSignBits(exprs.head,
-      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+      intArg("vec_sign_bits", 1, exprs), intArg("vec_sign_bits", 2, exprs)))
     ensure("vec_lsh_keys")(exprs => VecLshKeys(exprs.head,
-      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
-      exprs(3).eval().asInstanceOf[Int], exprs(4).eval().asInstanceOf[Int]))
+      intArg("vec_lsh_keys", 1, exprs), intArg("vec_lsh_keys", 2, exprs),
+      intArg("vec_lsh_keys", 3, exprs), intArg("vec_lsh_keys", 4, exprs)))
     ensure("winnow_fps")(exprs => WinnowFingerprints(exprs.head,
-      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+      intArg("winnow_fps", 1, exprs), intArg("winnow_fps", 2, exprs)))
     ensure("simhash64")(exprs => SimHash64(exprs.head))
     ensure("char_class_counts")(exprs => CharClassCounts(exprs.head))
     // Spark's own runtime-filter machinery, exposed as callable functions:
@@ -57,7 +79,10 @@ object VectorFunctions {
     // KMV distinct sketch (TypedImperativeAggregate; the analyzer wraps
     // AggregateFunctions from the registry, same as bloom_agg above)
     ensure("kmv_distinct")(exprs => KmvDistinct(exprs.head,
-      exprs(1).eval().asInstanceOf[Int]))
+      intArg("kmv_distinct", 1, exprs)))
+    // corpus-scale 64-bit-domain variant (rows-only — see its scaladoc)
+    ensure("kmv_distinct64")(exprs => KmvDistinct64(exprs.head,
+      intArg("kmv_distinct64", 1, exprs)))
   }
 
   private[functions] def elemGetter(et: DataType, arr: String, i: String): String = et match {

@@ -94,7 +94,7 @@ object Dedup {
     * equals the exact all-pairs oracle on any realistic dataset.
     */
   def d02(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     d02Verify(sh, d02Candidates(spark, dir))
   }
 
@@ -158,7 +158,7 @@ object Dedup {
   private val sigMemo = Memo.table()
   private def sharedSig(spark: SparkSession, dir: String): DataFrame =
     Memo.memoized(sigMemo, spark, dir, requirePersisted = false)(
-      minhashSig(shingled(spark, dir).cache()).localCheckpoint())
+      minhashSig(Memo.tracked(spark, shingled(spark, dir).cache())).localCheckpoint())
 
   /** Exact J ≥ 0.8 verification of a candidate pair stream. */
   private def d02Verify(sh: DataFrame, candidates: DataFrame): DataFrame = {
@@ -179,7 +179,7 @@ object Dedup {
   def d03(spark: SparkSession, dir: String): DataFrame =
     // cache: the shingle frame feeds both posting sides and both size
     // joins — without it the doc scan + n-gram kernel runs 4x
-    jaccardPairs(shingled(spark, dir).cache(), 1, 2)
+    jaccardPairs(Memo.tracked(spark, shingled(spark, dir).cache()), 1, 2)
   val d03Sql: String = jaccardPairsSql(1, 2) // J >= 0.5
 
   /** The J ≥ 0.5 pair stream, materialized ONCE per (session, dir) and
@@ -193,7 +193,7 @@ object Dedup {
 
   private[operators] def sharedPairs(spark: SparkSession, dir: String): DataFrame =
     Memo.memoized(pairMemo, spark, dir, requirePersisted = true)(
-      jaccardPairs(shingled(spark, dir).cache(), 1, 2)
+      jaccardPairs(Memo.tracked(spark, shingled(spark, dir).cache()), 1, 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   // ---------------------------------------------------------------- d06
@@ -207,7 +207,7 @@ object Dedup {
     * (rows-only check — d03 remains the exact baseline). */
   def d06(spark: SparkSession, dir: String): DataFrame = {
     val maxDf = 50
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val rare = posting.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -439,7 +439,7 @@ object Dedup {
     val exactSurvivors = delta.withColumn("h", md5(col("text")))
       .join(corpusHashes, Seq("h"), "left_anti")
 
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val shD = sh.filter(isDelta)
     val shC = sh.filter(!isDelta)
     val pd = shD.select(col("doc_id").as("d_id"), explode(col("grams")).as("g"))
@@ -546,7 +546,7 @@ object Dedup {
                 (col("x.chg") + (col("y.ll") < col("x.label")).cast("long")).as("chg"))
         .localCheckpoint() // materializes next, drops lineage
       changed = next.agg(sum(col("chg"))).head().getLong(0)
-      labels.unpersist() // superseded generation
+      Memo.hardUnpersist(labels) // superseded generation (checkpoint blocks too)
       labels = next.select("doc_id", "label")
     }
     labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
@@ -632,7 +632,7 @@ object Dedup {
     val P = 2147483647L // 2^31 - 1 (Mersenne prime), as d02
     val rnd = new scala.util.Random(42)
     val perms = Array.fill(128)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
       .select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
     val minhashCols = perms.zipWithIndex.map { case ((a, b), i) =>
@@ -825,7 +825,7 @@ object Dedup {
     * Same inverted-index machinery as d03 — no cross join; the integer
     * cross-multiplied threshold is exact at any scale. */
   def d16(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
     posting.as("a").join(posting.as("b"),
@@ -868,7 +868,7 @@ object Dedup {
     * containment). */
   def d17(spark: SparkSession, dir: String): DataFrame = {
     val maxDf = 50
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val rare = posting.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -1249,7 +1249,7 @@ object Dedup {
     * not SQL-expressible); the spec pins verified == the exact J ≥ 0.8
     * pair count (recall evidence) and precision ∈ (0, 1]. */
   def d29(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val cand = d02Candidates(spark, dir).cache() // counted AND verified below
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
     val nVer = d02Verify(sh, cand).agg(count(lit(1)).as("n_verified"))
@@ -1295,7 +1295,7 @@ object Dedup {
     * map-combinable aggregation, 5-row struct-array unpack; threshold
     * compares are exact integer cross multiplications. */
   def d31(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
     val pairs = posting.as("a").join(posting.as("b"),
@@ -1653,7 +1653,7 @@ object Dedup {
     * Near-peer-heavy containment means drop-the-smaller is really
     * near-dup dedup; subset-heavy means quote/excerpt removal. */
   def d40(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
     posting.as("a").join(posting.as("b"),
@@ -1811,7 +1811,7 @@ object Dedup {
     * Same inverted-index pair stream + two bounded source joins;
     * \|sources\|²-bounded output. */
   def d44(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
     val src = Tables.documents(spark, dir).select("doc_id", "source")
@@ -1950,8 +1950,9 @@ object Dedup {
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
       .cache()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
-    var rank = deg.select(col("src").as("doc_id"), lit(1.0d).as("r"))
-      .localCheckpoint()
+    var rank = Memo.tracked(spark,
+      deg.select(col("src").as("doc_id"), lit(1.0d).as("r"))
+        .localCheckpoint())
     (1 to 5).foreach { _ =>
       val contrib = edges
         .join(deg, "src")
@@ -1964,14 +1965,15 @@ object Dedup {
         .select(col("doc_id"),
           (lit(0.15d) + lit(0.85d) *
             coalesce(dbl(col("s")), lit(0.0d))).as("r"))
-        .localCheckpoint()
-      rank.unpersist()
+        .transform(d => Memo.tracked(spark, d.localCheckpoint()))
+      Memo.hardUnpersist(rank) // superseded generation (checkpoint blocks too)
       rank = next
     }
     val scored = rank
       .join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
       .select(col("doc_id"), col("deg").as("degree"), round(col("r"), 6).as("rank"))
-      .localCheckpoint() // cut the lineage so edges/deg can be released now
+      .transform(d => Memo.tracked(spark, d.localCheckpoint()))
+      // ^ lineage cut so edges/deg can be released now; tracked for Lifecycle
     edges.unpersist()
     deg.unpersist()
     scored.orderBy(col("rank").desc, col("doc_id"))
@@ -2041,7 +2043,7 @@ object Dedup {
     * the baseline D48CapSpec bounds the capped path against). */
   private[operators] def d48Pairs(spark: SparkSession, dir: String,
                                   maxDf: Option[Long]): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val nDocs = sh.agg(count(lit(1)).as("nd"))
     val wg = posting.groupBy("g").agg(count(lit(1)).as("df"))
@@ -2270,7 +2272,7 @@ object Dedup {
     * not SQL-expressible; the smoke spec pins verified ⊆ exact, the
     * (32×4) no-miss guarantee, and strict ⊆-volume ordering. */
   def d52(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val sig = sharedSig(spark, dir)
     val exact = jaccardPairs(sh, 4, 5).select("doc_a", "doc_b").cache()
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
@@ -2315,7 +2317,7 @@ object Dedup {
     * Rows-only (minhash is not SQL-expressible); the smoke spec pins
     * mean |error| ≤ 0.1 and central-band dominance. */
   def d53(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val sig = sharedSig(spark, dir)
     val bands = bandsOf(sig, 64, 2)
     val cand = bands.as("x").join(bands.as("y"),
@@ -2369,7 +2371,7 @@ object Dedup {
     * [[sharedPairs]] instead of a fourth (and uncapped) pair join.
     * Output 4 rows. */
   def d54(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val wdf = posting.join(
       posting.groupBy("g").agg(count(lit(1)).as("df")), "g").cache()
@@ -2603,7 +2605,7 @@ object Dedup {
     * (minhash is not SQL-expressible); the smoke spec pins the 1/√k
     * error ordering with slack and d53's ≤0.1 MAE at k=128. */
   def d58(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val sig = sharedSig(spark, dir)
     val bands = bandsOf(sig, 64, 2)
     val cand = bands.as("x").join(bands.as("y"),
@@ -2693,7 +2695,91 @@ object Dedup {
     census.union(extras).orderBy("category")
   }
 
+
+  // ---------------------------------------------------------------- d60
+  /** Posting-list skew census — THE cost driver of every inverted-index
+    * pair join in this library: shingles banded by document frequency,
+    * with each band's gram count, total postings, and its share of the
+    * pair-join cost Σ df·(df−1)/2 (the number of candidate pairs a gram
+    * generates). The d06/d48 df-cap (50) was picked by exactly this
+    * math; the table makes the budget auditable per corpus — if the
+    * >50 band carries most of the pair cost, the cap is load-bearing;
+    * if not, it is free insurance.
+    *
+    * Scale: one gram-count rollup (map-combinable) + a ≤ 6-row census;
+    * the pair-cost sum is exact integer arithmetic. */
+  def d60(spark: SparkSession, dir: String): DataFrame = {
+    val dft = shingled(spark, dir)
+      .select(explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val band = when(col("df") === 1, "a_df1")
+      .when(col("df") === 2, "b_df2")
+      .when(col("df") <= 5, "c_df3_5")
+      .when(col("df") <= 10, "d_df6_10")
+      .when(col("df") <= 50, "e_df11_50")
+      .otherwise("f_df_gt50")
+    val cell = dft.groupBy(band.as("df_band"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("df")).as("n_postings"),
+        sum(col("df") * (col("df") - 1) / 2).as("pair_cost"))
+    val tot = cell.agg(sum(col("pair_cost")).as("tot_cost"))
+    cell.crossJoin(broadcast(tot))
+      .select(col("df_band"), col("n_grams"), col("n_postings"), col("pair_cost"),
+        round(dbl(col("pair_cost")) / dbl(col("tot_cost")), 6).as("cost_share"))
+      .orderBy("df_band")
+  }
+  val d60Sql: String =
+    s"""WITH sh AS ($shingledSql),
+       |dft AS (
+       |  SELECT g, COUNT(*)::BIGINT AS df
+       |  FROM (SELECT UNNEST(grams) AS g FROM sh) GROUP BY 1),
+       |cell AS (
+       |  SELECT CASE WHEN df = 1 THEN 'a_df1' WHEN df = 2 THEN 'b_df2'
+       |      WHEN df <= 5 THEN 'c_df3_5' WHEN df <= 10 THEN 'd_df6_10'
+       |      WHEN df <= 50 THEN 'e_df11_50' ELSE 'f_df_gt50' END AS df_band,
+       |    COUNT(*)::BIGINT AS n_grams, SUM(df)::BIGINT AS n_postings,
+       |    SUM(df * (df - 1) / 2)::BIGINT AS pair_cost
+       |  FROM dft GROUP BY 1),
+       |tot AS (SELECT SUM(pair_cost)::BIGINT AS tot_cost FROM cell)
+       |SELECT df_band, n_grams, n_postings, pair_cost,
+       |  ROUND(CAST(pair_cost AS DOUBLE) / CAST(tot_cost AS DOUBLE), 6) AS cost_share
+       |FROM cell CROSS JOIN tot ORDER BY df_band""".stripMargin
+
+  // ---------------------------------------------------------------- d61
+  /** Corpus-distinct-shingle sketch audit — the kmv_distinct64 showcase:
+    * the 64-bit-domain KMV estimate of the corpus's distinct 3-gram
+    * count at k ∈ {256, 1024} next to the exact count (test-scale truth
+    * column). THIS is the sketch the 100 TB vocabulary/dedup sizing
+    * pass runs — distinct shingles at corpus scale exceed the 2³¹−1
+    * arithmetic-hash domain that keeps e103's kmv_distinct
+    * oracle-checkable, so the 64-bit variant trades the DuckDB hash for
+    * headroom (SCALE.md round-7 notes) and is audited here rows-only
+    * with a spec-pinned error bound instead.
+    *
+    * Scale: the sketch side shuffles k longs total regardless of corpus
+    * size; the exact side is ONE count_distinct kept as the audit's
+    * truth column at test scale. */
+  def d61(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val posting = shingled(spark, dir).select(explode(col("grams")).as("g"))
+    val sk = posting.agg(
+      expr("kmv_distinct64(g, 256)").as("s256"),
+      expr("kmv_distinct64(g, 1024)").as("s1024"),
+      count_distinct(col("g")).as("n_exact"))
+    sk.select(explode(array(
+        struct(lit(256L).as("k"), col("s256.est_distinct").as("est"), col("n_exact")),
+        struct(lit(1024L).as("k"), col("s1024.est_distinct").as("est"), col("n_exact"))))
+        .as("r"))
+      .select(col("r.k").as("k"), col("r.n_exact").as("n_exact"),
+        round(col("r.est"), 3).as("est_distinct"),
+        round(abs(col("r.est") - dbl(col("r.n_exact"))) / dbl(col("r.n_exact")), 6)
+          .as("rel_err"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d61_distinct_shingle_sketch" -> (d61 _),
+    "d60_posting_skew" -> (d60 _),
     "d59_sketch_agreement" -> (d59 _),
     "d58_perm_sweep" -> (d58 _),
     "d57_seed_buckets" -> (d57 _),
@@ -2755,6 +2841,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d60_posting_skew" -> d60Sql,
     "d57_seed_buckets" -> d57Sql,
     "d55_pair_cost_model" -> d55Sql,
     "d54_cap_sweep" -> d54Sql,

@@ -4321,7 +4321,7 @@ object Events {
       .withColumn("row_n", sum(col("n")).over(Window.partitionBy("event_type")))
       .select(col("event_type").as("i"), col("next_type").as("j"),
         (dbl(col("n")) / dbl(col("row_n"))).as("p"))
-      .localCheckpoint()
+      .transform(d => Memo.tracked(spark, d.localCheckpoint()))
     val nTypes = Tables.events(spark, dir).select("event_type").distinct()
     val v0 = nTypes.crossJoin(broadcast(
         nTypes.agg(count(lit(1)).as("k"))))
@@ -4561,7 +4561,274 @@ object Events {
       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS autocorr
       |FROM m ORDER BY lag""".stripMargin
 
+
+  // ---------------------------------------------------------------- e106
+  /** LTV persistence: does a user's first-half spend predict their
+    * second-half spend? Each user's lifetime is split at its own
+    * midpoint (integer-ms midpoint of first/last event — exact in both
+    * engines); per user the two half-spends are DECIMAL-exact cents;
+    * the output is ONE exact-moment Pearson over users plus the
+    * count — the number a retention team needs before trusting early
+    * LTV as a targeting signal (e63 correlates lifespan with value;
+    * this correlates value with value).
+    *
+    * Scale: one user-partitioned min/max (map-combinable), one
+    * conditional cents rollup per user, one global moment rollup —
+    * no window, 1-row output. */
+  def e106(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("ms"),
+        when(col("event_type") === "purchase",
+          (dec(col("value")) * 100).cast("long")).otherwise(0L).as("cents"))
+      .withColumn("first_ms", min(col("ms")).over(Window.partitionBy("user_id")))
+      .withColumn("last_ms", max(col("ms")).over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg(sum(when(col("ms") * 2 <= col("first_ms") + col("last_ms"),
+          col("cents")).otherwise(0L)).as("v1"),
+        sum(when(col("ms") * 2 > col("first_ms") + col("last_ms"),
+          col("cents")).otherwise(0L)).as("v2"))
+    perUser
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("v1")).as("sx"), sum(col("v2")).as("sy"),
+        sum(col("v1") * col("v2")).as("sxy"),
+        sum(col("v1") * col("v1")).as("sx2"),
+        sum(col("v2") * col("v2")).as("sy2"))
+      .select(col("n_users"),
+        round((dbl(col("n_users")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+          (sqrt(dbl(col("n_users")) * dbl(col("sx2")) - dbl(col("sx")) * dbl(col("sx"))) *
+           sqrt(dbl(col("n_users")) * dbl(col("sy2")) - dbl(col("sy")) * dbl(col("sy")))), 6)
+          .as("value_persistence"))
+  }
+  val e106Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END AS cents
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, ms, cents,
+      |    MIN(ms) OVER (PARTITION BY user_id) AS first_ms,
+      |    MAX(ms) OVER (PARTITION BY user_id) AS last_ms
+      |  FROM e),
+      |u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN ms * 2 <= first_ms + last_ms THEN cents ELSE 0 END)::BIGINT AS v1,
+      |    SUM(CASE WHEN ms * 2 > first_ms + last_ms THEN cents ELSE 0 END)::BIGINT AS v2
+      |  FROM b GROUP BY 1),
+      |m AS (
+      |  SELECT COUNT(*)::BIGINT AS n_users,
+      |    SUM(v1)::BIGINT AS sx, SUM(v2)::BIGINT AS sy,
+      |    SUM(v1 * v2)::BIGINT AS sxy,
+      |    SUM(v1 * v1)::BIGINT AS sx2, SUM(v2 * v2)::BIGINT AS sy2
+      |  FROM u)
+      |SELECT n_users,
+      |  ROUND((CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n_users AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n_users AS DOUBLE) * CAST(sy2 AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS value_persistence
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- e107
+  /** Value by position-in-session: purchase count, conversion share and
+    * DECIMAL-exact average purchase value at each event position within
+    * its session (capped at 10; later positions pool into band 10) —
+    * does money arrive on the first click or after browsing? (e89 times
+    * the steps; this prices them.)
+    *
+    * Scale: the session index is the house user-partitioned prefix-sum
+    * sessionizer; position is a row_number within (user, session) —
+    * entity-partitioned windows only; final rollup is ≤ 10 rows. */
+  /** Per-event position within its 30-min-gap session — e107's core
+    * frame, shared with the streaming SessionPositionStage's parity
+    * spec (one definition of "position" for the live tracker and the
+    * batch rollup). Columns: user_id, event_id, ms, event_type, value,
+    * pos. */
+  private[graft] def sessionPositionFrame(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"), col("value"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(wr))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("user_id", "sess_idx").orderBy(col("ms"), col("event_id"))).cast("long"))
+      .drop("prev_ms", "new_sess")
+  }
+
+  def e107(spark: SparkSession, dir: String): DataFrame = {
+    val pos = sessionPositionFrame(Tables.events(spark, dir))
+      .withColumn("pos_band", least(col("pos"), lit(10L)))
+    pos.groupBy("pos_band")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(col("event_type") === "purchase",
+          (dec(col("value")) * 100).cast("long")).otherwise(0L)).as("cents"))
+      .select(col("pos_band"), col("n_events"), col("n_purchases"),
+        round(dbl(col("n_purchases")) / dbl(col("n_events")), 6).as("purchase_rate"),
+        round(when(col("n_purchases") > 0,
+          dbl(col("cents")) / dbl(col("n_purchases")) / 100).otherwise(0d), 6)
+          .as("avg_purchase_value"))
+      .orderBy("pos_band")
+  }
+  val e107Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value,
+      |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |s AS (
+      |  SELECT *, SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+      |    THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM e),
+      |p AS (
+      |  SELECT event_type, value,
+      |    LEAST(CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY user_id, sess_idx ORDER BY ms, event_id) AS BIGINT), 10) AS pos_band
+      |  FROM s)
+      |SELECT pos_band, COUNT(*)::BIGINT AS n_events,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+      |  ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS purchase_rate,
+      |  ROUND(CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+      |    THEN CAST(SUM(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS DOUBLE)
+      |      / SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / 100
+      |    ELSE 0.0 END, 6) AS avg_purchase_value
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- e108
+  /** The LTV curve: per user-age week (weeks since the user's first
+    * event, integer-ms arithmetic), how many users are that old at all,
+    * how many were active, and the DECIMAL-exact average purchase value
+    * per ACTIVE user — the curve a finance model integrates to price
+    * acquisition (e44 fixes the calendar cohort; this aligns cohorts by
+    * age so curves stack).
+    *
+    * Scale: one min-agg per user joined back (uniform hash shuffle),
+    * one (user, age-week) rollup, one \|weeks\|-bounded rollup. The
+    * eligible-user denominator reuses the per-user frame (max age). */
+  def e108(spark: SparkSession, dir: String): DataFrame = {
+    val WeekMs = 7L * 86400000L
+    val firsts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(min(col("ms")).as("first_ms"))
+    val aged = Tables.events(spark, dir)
+      .select(col("user_id"), col("ms"), col("event_type"), col("value"))
+      .join(firsts, "user_id")
+      // floor BEFORE the long cast: Spark's double->long cast truncates
+      // toward zero while DuckDB's CAST rounds — floor is the one shared
+      // semantic (ages are non-negative, so floor == truncate here, and
+      // the SQL mirrors FLOOR explicitly)
+      .withColumn("age_wk", floor((col("ms") - col("first_ms")) / lit(WeekMs)).cast("long"))
+    val active = aged.groupBy("age_wk")
+      .agg(count_distinct(col("user_id")).as("n_active"),
+        sum(when(col("event_type") === "purchase",
+          (dec(col("value")) * 100).cast("long")).otherwise(0L)).as("cents"))
+    // users ELIGIBLE to be age w = users whose lifespan reaches w:
+    // broadcast the |weeks|-bounded distinct-age frame against the
+    // per-user max (bounded-build nested loop, the allow-listed shape)
+    val mx = aged.groupBy("user_id").agg(max(col("age_wk")).as("max_wk"))
+    val elig = broadcast(aged.select("age_wk").distinct())
+      .join(mx, col("max_wk") >= col("age_wk"))
+      .groupBy("age_wk").agg(count(lit(1)).as("n_eligible"))
+    active.join(elig, Seq("age_wk"))
+      .select(col("age_wk"), col("n_eligible"), col("n_active"),
+        round(dbl(col("n_active")) / dbl(col("n_eligible")), 6).as("active_rate"),
+        round(dbl(col("cents")) / dbl(col("n_active")) / 100, 6)
+          .as("value_per_active"))
+      .orderBy("age_wk")
+  }
+  val e108Sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type, value FROM events),
+      |f AS (SELECT user_id, MIN(ms) AS first_ms FROM e GROUP BY 1),
+      |aged AS (
+      |  SELECT e.user_id, CAST(FLOOR((ms - first_ms) / 604800000.0) AS BIGINT) AS age_wk,
+      |    event_type, value
+      |  FROM e JOIN f USING (user_id)),
+      |act AS (
+      |  SELECT age_wk, COUNT(DISTINCT user_id)::BIGINT AS n_active,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END)::BIGINT AS cents
+      |  FROM aged GROUP BY 1),
+      |mx AS (SELECT user_id, MAX(age_wk) AS max_wk FROM aged GROUP BY 1),
+      |elig AS (
+      |  SELECT a.age_wk, COUNT(*)::BIGINT AS n_eligible
+      |  FROM (SELECT DISTINCT age_wk FROM aged) a JOIN mx ON mx.max_wk >= a.age_wk
+      |  GROUP BY 1)
+      |SELECT act.age_wk, n_eligible, n_active,
+      |  ROUND(CAST(n_active AS DOUBLE) / CAST(n_eligible AS DOUBLE), 6) AS active_rate,
+      |  ROUND(CAST(cents AS DOUBLE) / CAST(n_active AS DOUBLE) / 100, 6) AS value_per_active
+      |FROM act JOIN elig ON act.age_wk = elig.age_wk
+      |ORDER BY act.age_wk""".stripMargin
+
+  // ---------------------------------------------------------------- e109
+  /** Purchase regularity census: users with >= 3 purchases banded by the
+    * coefficient of variation of their inter-purchase gaps — CV < 0.5
+    * is a subscription-like rhythm, CV > 1.5 is bursty windfall buying;
+    * the replenishment-vs-impulse split (e67 measures the latency level,
+    * this its stability). Exact integer-ms moments per user, one sqrt +
+    * one division at the end; band edges are double compares.
+    *
+    * Scale: user-partitioned lag window over purchases only (pushed
+    * filter), per-user moment rollup, 4-row census. */
+  def e109(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"), col("event_id"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .filter(col("prev_ms").isNotNull)
+      .withColumn("gap", (col("ms") - col("prev_ms")).cast("long"))
+    val perUser = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sg2"))
+      .filter(col("n_gaps") >= 2) // >= 3 purchases
+      .withColumn("mean_gap", dbl(col("sg")) / dbl(col("n_gaps")))
+      .withColumn("cv",
+        sqrt(greatest(dbl(col("n_gaps")) * dbl(col("sg2")) - dbl(col("sg")) * dbl(col("sg")),
+          lit(0d))) / dbl(col("n_gaps")) / (dbl(col("sg")) / dbl(col("n_gaps"))))
+    val band = when(col("cv") < 0.5, "a_clockwork")
+      .when(col("cv") < 1.0, "b_regular")
+      .when(col("cv") < 1.5, "c_loose")
+      .otherwise("d_bursty")
+    perUser.groupBy(band.as("regularity"))
+      .agg(count(lit(1)).as("n_users"),
+        round(dbl(sum(floor(col("mean_gap")))) / count(lit(1)) / 3600000d, 6)
+          .as("avg_mean_gap_hours"))
+      .orderBy("regularity")
+  }
+  val e109Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+      |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT user_id, CAST(ms - prev_ms AS BIGINT) AS gap FROM p WHERE prev_ms IS NOT NULL),
+      |u AS (
+      |  SELECT user_id, COUNT(*)::BIGINT AS n_gaps, SUM(gap)::BIGINT AS sg,
+      |    SUM(gap * gap)::BIGINT AS sg2
+      |  FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+      |c AS (
+      |  SELECT CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap,
+      |    sqrt(GREATEST(CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+      |        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 0.0))
+      |      / CAST(n_gaps AS DOUBLE)
+      |      / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS cv
+      |  FROM u)
+      |SELECT CASE WHEN cv < 0.5 THEN 'a_clockwork' WHEN cv < 1.0 THEN 'b_regular'
+      |  WHEN cv < 1.5 THEN 'c_loose' ELSE 'd_bursty' END AS regularity,
+      |  COUNT(*)::BIGINT AS n_users,
+      |  ROUND(CAST(SUM(CAST(FLOOR(mean_gap) AS BIGINT)) AS DOUBLE) / COUNT(*) / 3600000, 6) AS avg_mean_gap_hours
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e109_purchase_regularity" -> (e109 _),
+    "e108_age_value_curve" -> (e108 _),
+    "e107_session_position_value" -> (e107 _),
+    "e106_value_persistence" -> (e106 _),
     "e105_hourly_autocorr" -> (e105 _),
     "e104_exponential_fit" -> (e104 _),
     "e103_kmv_audit" -> (e103 _),
@@ -4670,6 +4937,10 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e109_purchase_regularity" -> e109Sql,
+    "e108_age_value_curve" -> e108Sql,
+    "e107_session_position_value" -> e107Sql,
+    "e106_value_persistence" -> e106Sql,
     "e105_hourly_autocorr" -> e105Sql,
     "e104_exponential_fit" -> e104Sql,
     "e103_kmv_audit" -> e103Sql,

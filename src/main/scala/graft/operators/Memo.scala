@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Per-(session, dataset-path) materialized-frame memo — the
   * common-subexpression reuse a production curation run gets by
@@ -10,29 +11,113 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Stays correct in long-lived processes: entries whose SparkSession
   * has stopped are evicted (no pinned sessions / persisted frames
-  * leaking across jobs), and a hit whose persistence was dropped by
+  * leaking across jobs), a hit whose persistence was dropped by
   * `spark.catalog.clearCache()` (Bench runs it between queries)
   * rebuilds instead of silently handing back an unpersisted frame that
-  * every consumer would then recompute from scratch. */
+  * every consumer would then recompute from scratch, and a concurrent
+  * double-build resolves atomically (the losing build unpersists, so
+  * the race never pins a second copy of the frame).
+  *
+  * LIFECYCLE: a long-lived session (an operator server, not the
+  * one-shot Verify/Bench harness) should call [[release]] between
+  * report batches — it unpersists and forgets every memoized AND
+  * [[tracked]] frame of that session, returning storage to baseline
+  * instead of waiting for LRU eviction pressure. Operators register
+  * their own large ad-hoc `.cache()` frames through [[tracked]] so
+  * release covers them too. */
 private[operators] object Memo {
   type Table = scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
 
   def table(): Table =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Every memo table that has served a lookup — so [[release]] can
+    * sweep the per-object tables (sharedPairs', scored frames', …)
+    * without each operator module exporting its private memo. IDENTITY
+    * set (two empty TrieMaps compare structurally equal); bounded by
+    * the number of `Memo.table()` call SITES, not by data. */
+  private val allTables = scala.collection.mutable.ArrayBuffer.empty[Table]
+  private def registerTable(t: Table): Unit = allTables.synchronized {
+    if (!allTables.exists(_ eq t)) allTables += t
+  }
+  private def tablesSnapshot(): Seq[Table] =
+    allTables.synchronized(allTables.toSeq)
+
+  /** Ad-hoc persisted frames registered for session-scoped release
+    * (operators' large `.cache()` frames that aren't keyed memo hits). */
+  private val adHoc =
+    scala.collection.concurrent.TrieMap.empty[SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]
+
   def memoized(memo: Table, spark: SparkSession, dir: String,
                requirePersisted: Boolean)(build: => DataFrame): DataFrame = {
+    registerTable(memo)
     memo.keysIterator.foreach { k =>
       if (k._1.sparkContext.isStopped) memo.remove(k)
     }
     val key = (spark, dir)
     memo.get(key) match {
       case Some(df) if !requirePersisted ||
-          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE => df
-      case _ =>
+          df.storageLevel != StorageLevel.NONE => df
+      case stale =>
         val df = build
-        memo.put(key, df)
-        df
+        // atomic claim: if another thread built concurrently, keep the
+        // winner and unpersist ours — never two pinned copies
+        memo.putIfAbsent(key, df) match {
+          case None => df
+          case Some(w) if stale.isEmpty =>
+            // lost a genuine race to a fresh winner
+            if (w.storageLevel != StorageLevel.NONE) { df.unpersist(); w }
+            else { memo.put(key, df); df }
+          case Some(_) =>
+            // the existing entry is the stale one we chose to rebuild
+            memo.put(key, df); df
+        }
     }
+  }
+
+  /** Register `df` (already persisted by the caller) for session-scoped
+    * [[release]]. Returns `df` for chaining. */
+  def tracked(spark: SparkSession, df: DataFrame): DataFrame = {
+    adHoc.getOrElseUpdate(spark,
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+    df
+  }
+
+  /** Free a frame's storage NOW, whatever pinned it: `unpersist()` only
+    * drops CacheManager entries, but a localCheckpoint-backed frame pins
+    * its blocks at the RDD level (they otherwise wait for GC + the
+    * ContextCleaner), so also unpersist any LogicalRDD leaf. The frame
+    * must not be used afterwards — a checkpointed lineage cannot
+    * recompute. */
+  private[operators] def hardUnpersist(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+  }
+
+  /** Unpersist and forget every memoized + tracked frame of `spark`,
+    * and clear the context's cached plans — storage returns to baseline
+    * for a long-lived session (an operator server between report
+    * batches; the one-shot Verify/Bench harness uses clearCache
+    * directly). The clearCache sweep covers the operators' ad-hoc
+    * mid-plan `.cache()` frames (CacheManager-backed); the memo/tracked
+    * sweep covers checkpoint-backed frames, whose blocks clearCache
+    * cannot see. Frames previously handed out must not be reused after
+    * release: checkpoint-backed frames cannot recompute. */
+  def release(spark: SparkSession): Unit = {
+    tablesSnapshot().foreach { t =>
+      t.keysIterator.foreach { k =>
+        if (k._1 eq spark) t.remove(k).foreach(hardUnpersist)
+        else if (k._1.sparkContext.isStopped) t.remove(k)
+      }
+    }
+    adHoc.remove(spark).foreach { q =>
+      q.forEach(hardUnpersist(_))
+    }
+    spark.catalog.clearCache()
   }
 }

@@ -1206,7 +1206,82 @@ object Multimodal {
       |  ROUND(CAST(n_bytes AS DOUBLE) / tb - 1.0 / 16.0, 6) AS byte_share_dev
       |FROM p CROSS JOIN t ORDER BY shard""".stripMargin
 
+
+  // ---------------------------------------------------------------- m29
+  /** Per-modality size CDF on a fixed byte grid (64 B · 4^i): the
+    * storage-planning curve behind m12's quartiles — exact CDF values
+    * at known grid points compare across corpora and rounds, where
+    * quantile VALUES drift with the data. Exact-integer counts, ONE
+    * division per cell (q116's two-sample recipe, per modality).
+    *
+    * Scale: one scan, |modalities| × |grid| bounded output; the grid
+    * explode multiplies rows by 6 BEFORE the map-combinable rollup —
+    * constant factor, no shuffle growth. */
+  def m29(spark: SparkSession, dir: String): DataFrame = {
+    val grid = (0 to 5).map(i => 64L << (2 * i)).toArray // 64 B .. 64 KiB
+    val base = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", routeModality(col("payload"), col("text")))
+      .select(col("modality"), octet_length(col("payload")).cast("long").as("nb"))
+    val n1 = base.groupBy("modality").agg(count(lit(1)).as("n_docs"))
+    base.select(col("modality"), col("nb"), explode(lit(grid)).as("t"))
+      .groupBy("modality", "t")
+      .agg(sum(when(col("nb") <= col("t"), 1L).otherwise(0L)).as("le"))
+      .join(broadcast(n1), "modality")
+      .select(col("modality"), col("t").as("size_le_bytes"), col("le").as("n_le"),
+        col("n_docs"), round(dbl(col("le")) / dbl(col("n_docs")), 6).as("cdf"))
+      .orderBy("modality", "size_le_bytes")
+  }
+  val m29Sql: String =
+    s"""WITH base AS (
+       |  SELECT $modalitySqlCase AS modality,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+       |  FROM documents),
+       |grid AS (SELECT CAST(t AS BIGINT) AS t
+       |         FROM (VALUES (64), (256), (1024), (4096), (16384), (65536)) g(t)),
+       |n1 AS (SELECT modality, COUNT(*)::BIGINT AS n_docs FROM base GROUP BY 1)
+       |SELECT base.modality, t AS size_le_bytes,
+       |  SUM(CASE WHEN nb <= t THEN 1 ELSE 0 END)::BIGINT AS n_le,
+       |  MAX(n_docs) AS n_docs,
+       |  ROUND(CAST(SUM(CASE WHEN nb <= t THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(MAX(n_docs) AS DOUBLE), 6) AS cdf
+       |FROM base CROSS JOIN grid JOIN n1 ON base.modality = n1.modality
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- m30
+  /** Magic-byte coverage per source: how much of each source's payload
+    * stream the router RECOGNIZES (named modality) vs routes to the
+    * 'binary'/'empty' fallback — the ingestion-health gate that says
+    * whether m06's routing table still fits the incoming mix (m24
+    * watches drift of known prefixes; this watches the unknown share).
+    *
+    * Scale: ONE map-combinable groupBy over (source); |sources| rows. */
+  def m30(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", routeModality(col("payload"), col("text")))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("modality") === "binary" || col("modality") === "empty",
+          0L).otherwise(1L)).as("n_recognized"),
+        sum(when(col("modality") === "empty", 1L).otherwise(0L)).as("n_empty"))
+      .select(col("source"), col("n_docs"), col("n_recognized"),
+        round(dbl(col("n_recognized")) / dbl(col("n_docs")), 6).as("coverage"),
+        col("n_empty"))
+      .orderBy("source")
+  }
+  val m30Sql: String =
+    s"""WITH r AS (SELECT source, $modalitySqlCase AS modality FROM documents)
+       |SELECT source, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(CASE WHEN modality IN ('binary', 'empty') THEN 0 ELSE 1 END)::BIGINT AS n_recognized,
+       |  ROUND(CAST(SUM(CASE WHEN modality IN ('binary', 'empty') THEN 0 ELSE 1 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS coverage,
+       |  SUM(CASE WHEN modality = 'empty' THEN 1 ELSE 0 END)::BIGINT AS n_empty
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m30_magic_coverage" -> (m30 _),
+    "m29_size_cdf" -> (m29 _),
     "m28_store_shard_balance" -> (m28 _),
     "m27_size_band_matrix" -> (m27 _),
     "m26_truncation_screen" -> (m26 _),
@@ -1238,6 +1313,8 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m30_magic_coverage" -> m30Sql,
+    "m29_size_cdf" -> m29Sql,
     "m28_store_shard_balance" -> m28Sql,
     "m27_size_band_matrix" -> m27Sql,
     "m26_truncation_screen" -> m26Sql,

@@ -49,10 +49,12 @@ object Pipeline {
       .filter(col("doc_id") === col("min_id"))
       .drop("min_id", "fp")
       .cache()
+      .transform(Memo.tracked(spark, _))
     // 4: near-dup removal via shingle inverted index (no cross join)
-    val sh = keep.select(col("doc_id"), expr("word_ngrams(text, 3)").as("grams"))
-      .filter(size(col("grams")) >= 1)
-      .cache()
+    val sh = Memo.tracked(spark,
+      keep.select(col("doc_id"), expr("word_ngrams(text, 3)").as("grams"))
+        .filter(size(col("grams")) >= 1)
+        .cache())
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
     val inter = posting.as("a").join(posting.as("b"),
@@ -64,7 +66,8 @@ object Pipeline {
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
       .select(col("doc_b").as("doc_id")).distinct()
-    val surv = keep.join(dropped, Seq("doc_id"), "left_anti").cache()
+    val surv = Memo.tracked(spark,
+      keep.join(dropped, Seq("doc_id"), "left_anti").cache())
     // 5: deterministic stratified sample on the predicted language
     val nib = substring(md5(col("text")), 1, 1)
     val sampled = surv
@@ -1988,7 +1991,238 @@ object Pipeline {
        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+
+  // ---------------------------------------------------------------- p39
+  /** Stage-ordering A/B for dedup × decontamination: dedup→decontam
+    * (order A: pick the min-id keeper per exact-dup group, THEN drop it
+    * if it shares a 4-gram with the d11 eval split) vs decontam→dedup
+    * (order B: drop contaminated docs first, then keep the min-id CLEAN
+    * member) — order B rescues every group whose keeper was contaminated
+    * but that has a clean twin, so the right order is B and this 1-row
+    * verdict prices exactly how much B buys (p23 settles quality×dedup;
+    * this settles the other pair).
+    *
+    * Scale: the eval posting list is the broadcast side (d11's shape —
+    * the corpus side never shuffles for the hit test); the group math is
+    * one fingerprint groupBy with min-id keepers joined back by
+    * (fp, doc_id) — two uniform hash shuffles. */
+  def p39(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    VectorFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 =!= 0)
+    val post = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr("word_ngrams(text, 4)")).as("g"))
+    val hits = post.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(post.filter(col("doc_id") % 20 === 0).select(col("g")).distinct()), "g")
+      .select(col("doc_id")).distinct()
+    val base = docs
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .select(col("doc_id"), col("fp"),
+        size(expr("word_tokens(text)")).cast("long").as("nt"))
+      .join(hits.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .withColumn("clean", col("hit").isNull)
+    val keeperA = base.groupBy("fp").agg(min(col("doc_id")).as("a_id"))
+      .join(base.select(col("fp"), col("doc_id").as("a_id"),
+        col("clean").as("a_clean"), col("nt").as("a_nt")), Seq("fp", "a_id"))
+    val keeperB = base.filter(col("clean"))
+      .groupBy("fp").agg(min(col("doc_id")).as("b_id"))
+      .join(base.select(col("fp"), col("doc_id").as("b_id"), col("nt").as("b_nt")),
+        Seq("fp", "b_id"))
+    keeperA.join(keeperB, Seq("fp"), "left")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("a_clean"), 1L).otherwise(0L)).as("docs_dedup_first"),
+        sum(when(col("b_id").isNotNull, 1L).otherwise(0L)).as("docs_decontam_first"),
+        sum(when(col("a_clean"), col("a_nt")).otherwise(0L)).as("tokens_dedup_first"),
+        sum(coalesce(col("b_nt"), lit(0L))).as("tokens_decontam_first"))
+      .select(col("n_groups"), col("docs_dedup_first"), col("docs_decontam_first"),
+        (col("docs_decontam_first") - col("docs_dedup_first")).as("groups_rescued"),
+        col("tokens_dedup_first"), col("tokens_decontam_first"))
+  }
+  val p39Sql: String =
+    """WITH w AS (SELECT doc_id, text,
+      |    list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS grams
+      |  FROM w WHERE len(w) >= 4),
+      |p AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+      |ev AS (SELECT DISTINCT g FROM p WHERE doc_id % 20 = 0),
+      |hits AS (SELECT DISTINCT doc_id FROM p JOIN ev USING (g) WHERE doc_id % 20 <> 0),
+      |base AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+      |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS nt,
+      |    doc_id NOT IN (SELECT doc_id FROM hits) AS clean
+      |  FROM documents WHERE doc_id % 20 <> 0),
+      |ka AS (
+      |  SELECT b.fp, b.clean AS a_clean, b.nt AS a_nt
+      |  FROM (SELECT fp, MIN(doc_id) AS a_id FROM base GROUP BY 1) g
+      |  JOIN base b ON b.fp = g.fp AND b.doc_id = g.a_id),
+      |kb AS (
+      |  SELECT b.fp, b.nt AS b_nt
+      |  FROM (SELECT fp, MIN(doc_id) AS b_id FROM base WHERE clean GROUP BY 1) g
+      |  JOIN base b ON b.fp = g.fp AND b.doc_id = g.b_id)
+      |SELECT COUNT(*)::BIGINT AS n_groups,
+      |  SUM(CASE WHEN a_clean THEN 1 ELSE 0 END)::BIGINT AS docs_dedup_first,
+      |  SUM(CASE WHEN b_nt IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS docs_decontam_first,
+      |  (SUM(CASE WHEN b_nt IS NOT NULL THEN 1 ELSE 0 END)
+      |    - SUM(CASE WHEN a_clean THEN 1 ELSE 0 END))::BIGINT AS groups_rescued,
+      |  SUM(CASE WHEN a_clean THEN a_nt ELSE 0 END)::BIGINT AS tokens_dedup_first,
+      |  SUM(COALESCE(b_nt, 0))::BIGINT AS tokens_decontam_first
+      |FROM ka LEFT JOIN kb USING (fp)""".stripMargin
+
+  // ---------------------------------------------------------------- p40
+  /** Temperature-budget rebalance: under the α = 0.5 sampling
+    * temperature (p33's sqrt-chain weights — the parity-safe recipe) and
+    * a training budget of HALF the corpus tokens, each source's target
+    * allocation, its deficit or surplus vs what it actually has, and the
+    * repeat factor the sampler must apply — p35 prices the uniform-mix
+    * gap per language; this prices the temperature mix per source,
+    * which is what the sampler actually runs.
+    *
+    * Parity: weights are √tokens floor-quantized to BIGINT micro-units
+    * (exact order-independent Σw); targets are floor(budget · w / Σw) —
+    * floor of identical doubles. No pow, no ROUND. */
+  def p40(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    VectorFunctions.register(spark)
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), size(expr("word_tokens(text)")).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("tokens"))
+      .withColumn("w", floor(sqrt(dbl(col("tokens"))) * lit(1e6d)).cast("long"))
+    val tot = tok.agg(sum(col("tokens")).as("tot"), sum(col("w")).as("tot_w"))
+    tok.join(broadcast(tot))
+      .withColumn("budget", expr("tot div 2"))
+      .withColumn("target_tokens",
+        floor(dbl(col("budget")) * (dbl(col("w")) / dbl(col("tot_w")))).cast("long"))
+      .select(col("source"), col("tokens"), col("target_tokens"),
+        greatest(col("target_tokens") - col("tokens"), lit(0L)).as("deficit"),
+        greatest(col("tokens") - col("target_tokens"), lit(0L)).as("surplus"),
+        (floor(dbl(col("target_tokens")) / dbl(col("tokens")) * lit(1e6d)) / lit(1e6d))
+          .as("repeat_factor"))
+      .orderBy("source")
+  }
+  val p40Sql: String = {
+    import TextAnalysis.wordsSql
+    s"""WITH tok AS (
+       |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT)) AS tokens
+       |  FROM documents GROUP BY 1),
+       |wq AS (SELECT source, tokens,
+       |    CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w FROM tok),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot,
+       |               CAST(SUM(w) AS BIGINT) AS tot_w FROM wq)
+       |SELECT source, tokens,
+       |  CAST(FLOOR(CAST(tot // 2 AS DOUBLE)
+       |    * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) AS BIGINT) AS target_tokens,
+       |  GREATEST(CAST(FLOOR(CAST(tot // 2 AS DOUBLE)
+       |    * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) AS BIGINT) - tokens, 0) AS deficit,
+       |  GREATEST(tokens - CAST(FLOOR(CAST(tot // 2 AS DOUBLE)
+       |    * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) AS BIGINT), 0) AS surplus,
+       |  FLOOR(CAST(FLOOR(CAST(tot // 2 AS DOUBLE)
+       |      * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) AS BIGINT)
+       |    / CAST(tokens AS DOUBLE) * 1e6) / 1e6 AS repeat_factor
+       |FROM wq CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- p41
+  /** Token-accounting drift: each source's corpus share under WORD
+    * accounting vs CHARACTER accounting (chars/word varies by source —
+    * code-ish and terse sources pack more chars per word), and the share
+    * drift a budget planner inherits by picking one unit — the cheap
+    * proxy for tokenizer-fertility drift (t66 measures real fertility;
+    * this prices its budget effect corpus-wide with exact integers).
+    *
+    * Scale: ONE map-combinable rollup; |sources| rows; single
+    * divisions. */
+  def p41(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    VectorFunctions.register(spark)
+    val src = Tables.documents(spark, dir)
+      .select(col("source"), size(expr("word_tokens(text)")).cast("long").as("nw"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy("source").agg(sum(col("nw")).as("words"), sum(col("nc")).as("chars"))
+    val tot = src.agg(sum(col("words")).as("tw"), sum(col("chars")).as("tc"))
+    src.join(broadcast(tot))
+      .select(col("source"), col("words"), col("chars"),
+        round(dbl(col("chars")) / dbl(col("words")), 6).as("chars_per_word"),
+        round(dbl(col("words")) / dbl(col("tw")), 6).as("word_share"),
+        round(dbl(col("chars")) / dbl(col("tc")), 6).as("char_share"),
+        round(dbl(col("chars")) / dbl(col("tc")) - dbl(col("words")) / dbl(col("tw")), 6)
+          .as("share_drift"))
+      .orderBy("source")
+  }
+  val p41Sql: String = {
+    import TextAnalysis.wordsSql
+    s"""WITH src AS (
+       |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT)) AS words,
+       |    SUM(CAST(LENGTH(text) AS BIGINT)) AS chars
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(words) AS BIGINT) AS tw,
+       |               CAST(SUM(chars) AS BIGINT) AS tc FROM src)
+       |SELECT source, words, chars,
+       |  ROUND(CAST(chars AS DOUBLE) / CAST(words AS DOUBLE), 6) AS chars_per_word,
+       |  ROUND(CAST(words AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS word_share,
+       |  ROUND(CAST(chars AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS char_share,
+       |  ROUND(CAST(chars AS DOUBLE) / CAST(tc AS DOUBLE)
+       |    - CAST(words AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS share_drift
+       |FROM src CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- p42
+  /** Quality-gate threshold sweep: survivor documents, tokens, and token
+    * share at every gate setting on a fixed gate grid {0.30 … 0.80} —
+    * the table that turns p01's hard-coded 0.5 gate into a priced
+    * decision (p18 sweeps the BUDGET at fixed quality ordering; this
+    * sweeps the GATE itself). Quality is t02's round6 score; the gate
+    * compare is a double compare of identical operands.
+    *
+    * Scale: quality is computed once per doc (one scan); the 6-point
+    * grid explodes rows by a constant BEFORE the map-combinable rollup.
+    * 6-row output. */
+  def p42(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    VectorFunctions.register(spark)
+    val grid = Array(0.30d, 0.40d, 0.50d, 0.60d, 0.70d, 0.80d)
+    val q = TextAnalysis.addQuality(Tables.documents(spark, dir))
+      .select(col("quality"), col("n_tok"))
+    val tot = q.agg(count(lit(1)).as("n_docs_all"), sum(col("n_tok")).as("tokens_all"))
+    q.select(col("quality"), col("n_tok"), explode(lit(grid)).as("gate"))
+      .groupBy("gate")
+      .agg(sum(when(col("quality") >= col("gate"), 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("quality") >= col("gate"), col("n_tok")).otherwise(0L)).as("tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("gate"), col("n_docs"), col("tokens"),
+        round(dbl(col("n_docs")) / dbl(col("n_docs_all")), 6).as("doc_share"),
+        round(dbl(col("tokens")) / dbl(col("tokens_all")), 6).as("token_share"))
+      .orderBy("gate")
+  }
+  val p42Sql: String = {
+    import TextAnalysis.{wordsSql, stopSqlIn, qualitySqlExpr}
+    s"""WITH m AS (
+       |  SELECT CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM (SELECT text, $wordsSql AS w FROM documents) WHERE len(w) >= 1),
+       |q AS (SELECT n_tok, $qualitySqlExpr AS quality FROM m),
+       |tot AS (SELECT COUNT(*)::BIGINT AS n_docs_all, SUM(n_tok)::BIGINT AS tokens_all FROM q),
+       |grid AS (SELECT CAST(gate AS DOUBLE) AS gate
+       |         FROM (VALUES (0.30), (0.40), (0.50), (0.60), (0.70), (0.80)) g(gate))
+       |SELECT gate,
+       |  SUM(CASE WHEN quality >= gate THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       |  SUM(CASE WHEN quality >= gate THEN n_tok ELSE 0 END)::BIGINT AS tokens,
+       |  ROUND(CAST(SUM(CASE WHEN quality >= gate THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(MAX(n_docs_all) AS DOUBLE), 6) AS doc_share,
+       |  ROUND(CAST(SUM(CASE WHEN quality >= gate THEN n_tok ELSE 0 END) AS DOUBLE)
+       |    / CAST(MAX(tokens_all) AS DOUBLE), 6) AS token_share
+       |FROM q CROSS JOIN grid CROSS JOIN tot
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p42_quality_gate_sweep" -> (p42 _),
+    "p41_accounting_drift" -> (p41 _),
+    "p40_temperature_rebalance" -> (p40 _),
+    "p39_decontam_order_ab" -> (p39 _),
     "p38_context_fill" -> (p38 _),
     "p37_holdout_drift" -> (p37 _),
     "p36_shard_skew" -> (p36 _),
@@ -2029,6 +2263,10 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p42_quality_gate_sweep" -> p42Sql,
+    "p41_accounting_drift" -> p41Sql,
+    "p40_temperature_rebalance" -> p40Sql,
+    "p39_decontam_order_ab" -> p39Sql,
     "p38_context_fill" -> p38Sql,
     "p37_holdout_drift" -> p37Sql,
     "p36_shard_skew" -> p36Sql,

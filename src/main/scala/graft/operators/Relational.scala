@@ -4215,7 +4215,237 @@ object Relational {
       |  ROUND(ABS(cdf_customer - cdf_supplier), 6) AS gap
       |FROM c JOIN s ON c.t = s.t ORDER BY c.t""".stripMargin
 
+
+  // ---------------------------------------------------------------- q117
+  /** Supplier-redundancy pricing: parts sourced from >= 2 distinct
+    * suppliers, with the unit-price spread across those suppliers — the
+    * table a procurement review reads to find parts whose multi-sourcing
+    * is (or is not) buying price competition. Unit price per
+    * (part, supplier) is total extended price / total quantity — one
+    * IEEE division of DECIMAL-exact sums, never a per-row division that
+    * a decimal cast could round differently mid-stream.
+    *
+    * Scale: two map-combinable rollups (lineitem → (part, supp) →
+    * part); output bounded by \|parts\|. No window, no join until the
+    * final broadcast of `part` for the brand label. */
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    val unit = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg((dbl(sum(dec(col("l_extendedprice")))) /
+        dbl(sum(dec(col("l_quantity"))))).as("unit"))
+    val spread = unit.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        min(col("unit")).as("unit_min"), max(col("unit")).as("unit_max"))
+      .filter(col("n_suppliers") >= 2)
+    spread.join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("n_suppliers"),
+        round(col("unit_min"), 6).as("unit_min"),
+        round(col("unit_max"), 6).as("unit_max"),
+        round((col("unit_max") - col("unit_min")) / col("unit_min"), 6)
+          .as("rel_spread"))
+      .orderBy("p_partkey")
+  }
+  val q117Sql: String =
+    """WITH unit AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |      / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS unit
+      |  FROM lineitem GROUP BY 1, 2),
+      |spread AS (
+      |  SELECT l_partkey, COUNT(*)::BIGINT AS n_suppliers,
+      |    MIN(unit) AS unit_min, MAX(unit) AS unit_max
+      |  FROM unit GROUP BY 1 HAVING COUNT(*) >= 2)
+      |SELECT p_partkey, p_brand, n_suppliers,
+      |  ROUND(unit_min, 6) AS unit_min, ROUND(unit_max, 6) AS unit_max,
+      |  ROUND((unit_max - unit_min) / unit_min, 6) AS rel_spread
+      |FROM spread JOIN part ON l_partkey = p_partkey
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q118
+  /** Discount × tax interaction matrix: line counts, DECIMAL-exact
+    * revenue, and average quantity per (discount-percent, tax-percent)
+    * cell — q51 prices the discount knob alone; the pricing team reads
+    * this to see whether high-discount lines also cluster in high-tax
+    * cells (compounding margin erosion). Integer-percent bands via the
+    * q51 ROUND recipe (identical double multiply in both engines).
+    *
+    * Scale: ONE map-combinable groupBy over lineitem; output bounded by
+    * \|discount pcts\| × \|tax pcts\| (~11 × 9). */
+  def q118(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("disc_pct", round(col("l_discount") * 100, 0).cast("long"))
+      .withColumn("tax_pct", round(col("l_tax") * 100, 0).cast("long"))
+      .groupBy("disc_pct", "tax_pct")
+      .agg(count(lit(1)).as("n_lines"),
+        davg(col("l_quantity")).as("avg_qty"),
+        dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy("disc_pct", "tax_pct")
+  val q118Sql: String =
+    s"""SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+       |  CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS tax_pct,
+       |  COUNT(*) AS n_lines,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q119
+  /** Brand share by ship year: each brand's revenue share WITHIN its
+    * year — the market-share trend view (q32 slices one nation's share;
+    * q76 ranks brands across halves; this is the full year × brand
+    * share matrix a category review reads). Share = one IEEE division
+    * of the cell's DECIMAL-exact revenue by the year's.
+    *
+    * Scale: lineitem ⋈ broadcast(part) then ONE map-combinable rollup;
+    * year totals are a second tiny rollup of the first's output joined
+    * back by year (broadcast — \|years\| rows). */
+  def q119(spark: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("yr", year(col("l_shipdate")).cast("long"))
+      .groupBy("yr", "p_brand")
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val yrTot = cell.groupBy("yr").agg(sum(col("rev")).as("yr_rev"))
+    cell.join(broadcast(yrTot), "yr")
+      .select(col("yr"), col("p_brand"), dbl(col("rev")).as("revenue"),
+        round(dbl(col("rev")) / dbl(col("yr_rev")), 6).as("share"))
+      .orderBy("yr", "p_brand")
+  }
+  val q119Sql: String =
+    s"""WITH cell AS (
+       |  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr, p_brand,
+       |    SUM($revenueSql) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |yt AS (SELECT yr, SUM(rev) AS yr_rev FROM cell GROUP BY 1)
+       |SELECT cell.yr, p_brand, CAST(rev AS DOUBLE) AS revenue,
+       |  ROUND(CAST(rev AS DOUBLE) / CAST(yr_rev AS DOUBLE), 6) AS share
+       |FROM cell JOIN yt ON cell.yr = yt.yr
+       |ORDER BY cell.yr, p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q120
+  /** Order-price audit: per order year, how many orders' `o_totalprice`
+    * reconciles against the DECIMAL-exact sum of line charges
+    * (extendedprice × (1−discount) × (1+tax)) within 1% — the
+    * fact-to-fact integrity check q79 (FK integrity) doesn't cover.
+    * The within-1% test is a double compare of identical operands in
+    * both engines; the max relative gap is a MAX (exact, no sum of
+    * rounded terms).
+    *
+    * Scale: one lineitem rollup by orderkey (map-combinable), one join
+    * to orders on the SAME key (co-partitioned shuffle join at scale),
+    * then a \|years\|-bounded rollup. */
+  def q120(spark: SparkSession, dir: String): DataFrame = {
+    val charge = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")) *
+        dec(lit(1) + col("l_tax"))).as("charge"))
+    Tables.orders(spark, dir)
+      .join(charge, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("rel", abs(col("o_totalprice") - dbl(col("charge"))) / col("o_totalprice"))
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("rel") <= 0.01, 1L).otherwise(0L)).as("n_within_1pct"),
+        round(max(col("rel")), 6).as("max_rel_gap"))
+      .select(col("yr"), col("n_orders"), col("n_within_1pct"),
+        round(dbl(col("n_within_1pct")) / dbl(col("n_orders")), 6).as("share_within"),
+        col("max_rel_gap"))
+      .orderBy("yr")
+  }
+  val q120Sql: String =
+    s"""WITH charge AS (
+       |  SELECT l_orderkey,
+       |    SUM($revenueSql * CAST(1 + l_tax AS DECIMAL(12,2))) AS charge
+       |  FROM lineitem GROUP BY 1),
+       |j AS (
+       |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       |    ABS(o_totalprice - CAST(charge AS DOUBLE)) / o_totalprice AS rel
+       |  FROM orders JOIN charge ON o_orderkey = l_orderkey)
+       |SELECT yr, COUNT(*)::BIGINT AS n_orders,
+       |  SUM(CASE WHEN rel <= 0.01 THEN 1 ELSE 0 END)::BIGINT AS n_within_1pct,
+       |  ROUND(CAST(SUM(CASE WHEN rel <= 0.01 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS share_within,
+       |  ROUND(MAX(rel), 6) AS max_rel_gap
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q121
+  /** Quantity × unit-price heatmap: line counts and DECIMAL-exact
+    * revenue per (quantity decade, unit-price band) cell — the 2-D
+    * volume/price mix view behind q46's 1-D price histogram. Bands are
+    * integer CASE edges (no div-truncation ambiguity); unit price is
+    * extendedprice/quantity, the same double in both engines.
+    *
+    * Scale: ONE map-combinable groupBy over lineitem; ≤ 5 × 6 cells. */
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    val unit = col("l_extendedprice") / col("l_quantity")
+    val qb = (floor((col("l_quantity") - 1) / 10) + 1).cast("long")
+    val pb = when(unit < 500, 0L).when(unit < 1000, 1L).when(unit < 1500, 2L)
+      .when(unit < 2000, 3L).when(unit < 2500, 4L).otherwise(5L)
+    Tables.lineitem(spark, dir)
+      .withColumn("qty_decade", qb).withColumn("price_band", pb)
+      .groupBy("qty_decade", "price_band")
+      .agg(count(lit(1)).as("n_lines"),
+        dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy("qty_decade", "price_band")
+  }
+  val q121Sql: String =
+    s"""SELECT CAST(FLOOR((l_quantity - 1) / 10) + 1 AS BIGINT) AS qty_decade,
+       |  CAST(CASE WHEN l_extendedprice / l_quantity < 500 THEN 0
+       |       WHEN l_extendedprice / l_quantity < 1000 THEN 1
+       |       WHEN l_extendedprice / l_quantity < 1500 THEN 2
+       |       WHEN l_extendedprice / l_quantity < 2000 THEN 3
+       |       WHEN l_extendedprice / l_quantity < 2500 THEN 4
+       |       ELSE 5 END AS BIGINT) AS price_band,
+       |  COUNT(*) AS n_lines,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q122
+  /** Per-brand quarterly seasonality: each brand's revenue share across
+    * the four calendar quarters and the seasonality index (share × 4;
+    * 1.0 = flat) — q77 indexes the whole business by month, this finds
+    * the brands that swing. Shares are one IEEE division of
+    * DECIMAL-exact sums.
+    *
+    * Scale: lineitem ⋈ broadcast(part), one map-combinable rollup to
+    * \|brands\| × 4 cells, brand totals joined back by broadcast. */
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("qtr", quarter(col("l_shipdate")).cast("long"))
+      .groupBy("p_brand", "qtr")
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val brandTot = cell.groupBy("p_brand").agg(sum(col("rev")).as("b_rev"))
+    cell.join(broadcast(brandTot), "p_brand")
+      .select(col("p_brand"), col("qtr"), dbl(col("rev")).as("revenue"),
+        round(dbl(col("rev")) / dbl(col("b_rev")), 6).as("share"),
+        round(dbl(col("rev")) / dbl(col("b_rev")) * 4, 6).as("season_index"))
+      .orderBy("p_brand", "qtr")
+  }
+  val q122Sql: String =
+    s"""WITH cell AS (
+       |  SELECT p_brand, CAST(EXTRACT(quarter FROM l_shipdate) AS BIGINT) AS qtr,
+       |    SUM($revenueSql) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |bt AS (SELECT p_brand, SUM(rev) AS b_rev FROM cell GROUP BY 1)
+       |SELECT cell.p_brand, qtr, CAST(rev AS DOUBLE) AS revenue,
+       |  ROUND(CAST(rev AS DOUBLE) / CAST(b_rev AS DOUBLE), 6) AS share,
+       |  ROUND(CAST(rev AS DOUBLE) / CAST(b_rev AS DOUBLE) * 4, 6) AS season_index
+       |FROM cell JOIN bt ON cell.p_brand = bt.p_brand
+       |ORDER BY cell.p_brand, qtr""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q122_brand_quarter_share" -> (q122 _),
+    "q121_qty_price_heatmap" -> (q121 _),
+    "q120_order_price_audit" -> (q120 _),
+    "q119_year_brand_share" -> (q119 _),
+    "q118_promo_tax_matrix" -> (q118 _),
+    "q117_multi_supplier_parts" -> (q117 _),
     "q116_balance_two_sample" -> (q116 _),
     "q115_rfm_octants" -> (q115 _),
     "q114_seasonality_strength" -> (q114 _),
@@ -4335,6 +4565,12 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q122_brand_quarter_share" -> q122Sql,
+    "q121_qty_price_heatmap" -> q121Sql,
+    "q120_order_price_audit" -> q120Sql,
+    "q119_year_brand_share" -> q119Sql,
+    "q118_promo_tax_matrix" -> q118Sql,
+    "q117_multi_supplier_parts" -> q117Sql,
     "q116_balance_two_sample" -> q116Sql,
     "q115_rfm_octants" -> q115Sql,
     "q114_seasonality_strength" -> q114Sql,

@@ -81,10 +81,12 @@ object Similarity {
     * clearCache() between queries doesn't evict the blocks — the reuse
     * a production evaluation run gets by materializing truth once. */
   private val truthMemo = Memo.table()
-  private def sharedTruth(spark: SparkSession, dir: String): DataFrame =
+  private def sharedTruthCos(spark: SparkSession, dir: String): DataFrame =
     Memo.memoized(truthMemo, spark, dir, requirePersisted = false)(
-      s01(spark, dir).select(col("q_id"), col("n_id"), col("rnk"))
+      s01(spark, dir).select(col("q_id"), col("n_id"), col("rnk"), col("cos"))
         .localCheckpoint())
+  private def sharedTruth(spark: SparkSession, dir: String): DataFrame =
+    sharedTruthCos(spark, dir).select(col("q_id"), col("n_id"), col("rnk"))
 
   /** s03's IVF top-5 (q_id, n_id, rnk) under the shipped probe budget,
     * memoized for the recall-audit family (s09/s31/s32) on the same
@@ -2003,9 +2005,9 @@ object Similarity {
     val mu = u.groupBy("pos").agg((dbl(sum(col("vq"))) / count(lit(1))).as("mu"))
     // materialize once: both sides of the self-join read cen, and without
     // truncation each side re-runs the explode + centering chain
-    val cen = u.join(broadcast(mu), Seq("pos"))
+    val cen = Memo.tracked(spark, u.join(broadcast(mu), Seq("pos"))
       .select(col("vec_id"), col("pos"), (dbl(col("vq")) - col("mu")).as("x"))
-      .localCheckpoint()
+      .localCheckpoint())
     // c in real units: exact BIGINT sum of floor(x_p·x_q·1e9), one
     // double division by n, one 1e-9 descale — identical IEEE ops
     val cov = cen.as("a").join(cen.as("b"), Seq("vec_id"))
@@ -2016,7 +2018,7 @@ object Similarity {
       .crossJoin(broadcast(n1))
       .select(col("p"), col("q"),
         (dbl(col("s")) / dbl(col("n")) * lit(1.0e-9d)).as("c"))
-      .localCheckpoint()
+      .transform(d => Memo.tracked(spark, d.localCheckpoint()))
     // Infinity-norm power iteration: normalizing by max|w| (exact MAX of
     // BIGINTs — no sum, no rounding) keeps v in [−1e9, 1e9] fixed-point.
     // The scale factor converges to λ₁·1e9.
@@ -2029,11 +2031,12 @@ object Similarity {
       // 2^rounds times (measured 35 s at sf0.1; 2 s with the checkpoint)
       // coalesce(1): the round frame is |dims| rows — 32 shuffle tasks of
       // 2 rows each cost more scheduler time than the arithmetic
-      val w = cov.join(v.select(col("pos").as("q"), col("vi")), Seq("q"))
-        .select(col("p"), floor(col("c") * dbl(col("vi"))).as("cv"))
-        .groupBy(col("p")).agg(sum(col("cv")).as("w"))
-        .coalesce(1)
-        .localCheckpoint()
+      val w = Memo.tracked(spark,
+        cov.join(v.select(col("pos").as("q"), col("vi")), Seq("q"))
+          .select(col("p"), floor(col("c") * dbl(col("vi"))).as("cv"))
+          .groupBy(col("p")).agg(sum(col("cv")).as("w"))
+          .coalesce(1)
+          .localCheckpoint())
       val mx = w.agg(max(abs(col("w"))).as("mx"))
       w.crossJoin(broadcast(mx))
         .select(col("p").as("pos"),
@@ -2097,7 +2100,119 @@ object Similarity {
        |FROM v8 CROSS JOIN l2 CROSS JOIN tr ORDER BY dim""".stripMargin
   }
 
+
+  // ---------------------------------------------------------------- s44
+  /** Hubness census of the exact kNN graph: the IN-degree distribution —
+    * how often each vector appears in OTHER vectors' top-5 (0 = never
+    * retrieved, 20+ = a hub). High-dimensional spaces concentrate
+    * retrievals on hubs, which silently skews every kNN consumer (s05's
+    * labels, d05's near-dup evidence, s38's propagation); this is the
+    * one-table check. Rides the memoized exact truth (zero extra brute
+    * passes); anti-join restores the never-retrieved vectors.
+    *
+    * Scale: truth is |V|·5 rows; one in-degree rollup + a ≤ 6-row
+    * census. At 100 TB the same census runs over the ANN result. */
+  def s44(spark: SparkSession, dir: String): DataFrame = {
+    val truth = sharedTruth(spark, dir)
+    val indeg = truth.groupBy(col("n_id")).agg(count(lit(1)).as("in_deg"))
+    val all = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val full = all.join(indeg, col("vec_id") === col("n_id"), "left")
+      .select(col("vec_id"), coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+    val band = when(col("in_deg") === 0, "a_never")
+      .when(col("in_deg") <= 4, "b_1_4")
+      .when(col("in_deg") <= 9, "c_5_9")
+      .when(col("in_deg") <= 19, "d_10_19")
+      .otherwise("e_hub_20plus")
+    val tot = full.agg(count(lit(1)).as("n_vecs"))
+    full.groupBy(band.as("in_degree_band"))
+      .agg(count(lit(1)).as("n_vectors"), max(col("in_deg")).as("max_in_degree"))
+      .crossJoin(broadcast(tot))
+      .select(col("in_degree_band"), col("n_vectors"), col("max_in_degree"),
+        round(dbl(col("n_vectors")) / dbl(col("n_vecs")), 6).as("share"))
+      .orderBy("in_degree_band")
+  }
+  val s44Sql: String = knnCte +
+    """,
+      |k AS (SELECT n_id FROM r WHERE rnk <= 5),
+      |indeg AS (SELECT n_id, COUNT(*)::BIGINT AS in_deg FROM k GROUP BY 1),
+      |fl AS (
+      |  SELECT e.vec_id, COALESCE(in_deg, 0)::BIGINT AS in_deg
+      |  FROM (SELECT vec_id FROM embeddings) e
+      |  LEFT JOIN indeg ON e.vec_id = indeg.n_id),
+      |tot AS (SELECT COUNT(*)::BIGINT AS n_vecs FROM fl)
+      |SELECT CASE WHEN in_deg = 0 THEN 'a_never' WHEN in_deg <= 4 THEN 'b_1_4'
+      |    WHEN in_deg <= 9 THEN 'c_5_9' WHEN in_deg <= 19 THEN 'd_10_19'
+      |    ELSE 'e_hub_20plus' END AS in_degree_band,
+      |  COUNT(*)::BIGINT AS n_vectors, MAX(in_deg)::BIGINT AS max_in_degree,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_vecs) AS DOUBLE), 6) AS share
+      |FROM fl CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- s45
+  /** Density-hubness confound: the exact-moment Pearson between a
+    * vector's neighborhood DENSITY (its mean top-5 cosine as a query)
+    * and its kNN-graph IN-degree — dense-region vectors being retrieved
+    * everywhere is the classic hubness mechanism, and a high correlation
+    * says s44's hubs are a density artifact (fixable by reachability-
+    * style reranking) rather than noise. Mean cosines are DECIMAL-exact
+    * sums of the round6 cos, floor-quantized to integer micro-units
+    * before the cross-vector moment sums (order-independence); the
+    * degenerate zero-variance corner returns 0 in both engines instead
+    * of tripping ANSI divide-by-zero.
+    *
+    * Scale: two rollups over the memoized truth — no second brute pass;
+    * 1-row output. */
+  def s45(spark: SparkSession, dir: String): DataFrame = {
+    val t = sharedTruthCos(spark, dir)
+    val dens = t.groupBy(col("q_id"))
+      .agg((dbl(sum(col("cos").cast("decimal(9,6)"))) / count(lit(1))).as("mq"))
+      .select(col("q_id"), floor(col("mq") * lit(1e6d)).cast("long").as("x"))
+    val indeg = t.groupBy(col("n_id")).agg(count(lit(1)).as("in_deg"))
+    val j = dens.join(indeg, col("q_id") === col("n_id"), "left")
+      .select(col("x"), coalesce(col("in_deg"), lit(0L)).as("d"))
+    val den1 = sqrt(dbl(col("n_vecs")) * dbl(col("sx2")) - dbl(col("sx")) * dbl(col("sx")))
+    val den2 = sqrt(dbl(col("n_vecs")) * dbl(col("sy2")) - dbl(col("sy")) * dbl(col("sy")))
+    j.agg(count(lit(1)).as("n_vecs"),
+        sum(col("x")).as("sx"), sum(col("d")).as("sy"),
+        sum(col("x") * col("d")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"), sum(col("d") * col("d")).as("sy2"))
+      .select(col("n_vecs"),
+        round(when(den1 * den2 > 0,
+          (dbl(col("n_vecs")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+            (den1 * den2)).otherwise(0d), 6).as("density_hubness_corr"))
+  }
+  val s45Sql: String = knnCte +
+    """,
+      |k AS (SELECT q_id, n_id, cos FROM r WHERE rnk <= 5),
+      |dens AS (
+      |  SELECT q_id, CAST(FLOOR((CAST(SUM(CAST(cos AS DECIMAL(9,6))) AS DOUBLE)
+      |    / COUNT(*)) * 1e6) AS BIGINT) AS x
+      |  FROM k GROUP BY 1),
+      |indeg AS (SELECT n_id, COUNT(*)::BIGINT AS in_deg FROM k GROUP BY 1),
+      |j AS (
+      |  SELECT x, COALESCE(in_deg, 0)::BIGINT AS d
+      |  FROM dens LEFT JOIN indeg ON dens.q_id = indeg.n_id),
+      |m AS (
+      |  SELECT COUNT(*)::BIGINT AS n_vecs,
+      |    SUM(x)::BIGINT AS sx, SUM(d)::BIGINT AS sy, SUM(x * d)::BIGINT AS sxy,
+      |    SUM(x * x)::BIGINT AS sx2, SUM(d * d)::BIGINT AS sy2
+      |  FROM j)
+      |SELECT n_vecs,
+      |  ROUND(CASE WHEN sqrt(CAST(n_vecs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * sqrt(CAST(n_vecs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+      |    THEN (CAST(n_vecs AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |      (sqrt(CAST(n_vecs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |       sqrt(CAST(n_vecs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    ELSE 0.0 END, 6) AS density_hubness_corr
+      |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s45_density_hubness" -> (s45 _),
+    "s44_hub_census" -> (s44 _),
     "s43_power_iteration" -> (s43 _),
     "s42_clustering_coeff" -> (s42 _),
     "s41_centroid_margin" -> (s41 _),
@@ -2144,6 +2259,8 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s45_density_hubness" -> s45Sql,
+    "s44_hub_census" -> s44Sql,
     "s43_power_iteration" -> s43Sql,
     "s42_clustering_coeff" -> s42Sql,
     "s41_centroid_margin" -> s41Sql,

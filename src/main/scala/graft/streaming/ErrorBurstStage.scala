@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Error-burst detection — the streaming twin of the batch e97 screen:
@@ -10,8 +11,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * instead of in tomorrow's batch sweep).
   *
   * State per user is the timestamps inside one trailing window —
-  * bounded by window width × the user's error rate, NOT by history
-  * (every event prunes the buffer), so state stays O(active bursts).
+  * bounded by window width × the user's error rate PER LIVE KEY.
+  * Plain [[detect]] runs NoTimeout (needed for watermark-free exact
+  * replay/parity), so dead keys hold their last window forever and
+  * total state grows with the key space over a job's lifetime; a
+  * production deployment should use [[detectWithTimeout]], which
+  * evicts a user once the event-time watermark passes their newest
+  * error + windowMs — provably past the point where the buffer could
+  * influence any future on-time count.
   *
   * Out-of-order arrivals: within a batch, events are processed in
   * event-time order (intra-batch disorder repaired exactly); a
@@ -56,4 +63,51 @@ object ErrorBurstStage {
   def alerts(events: Dataset[Ev], threshold: Long = 3L,
              windowMs: Long = WindowMs): Dataset[Burst] =
     detect(events, windowMs).filter(_.count >= threshold)
+
+  /** [[detect]] with EVENT-TIME state eviction — the production shape.
+    * `events` must carry `user_id` and an `ets` timestamp column (the
+    * watermark source, same contract as SessionPipeline's
+    * sessionizeWithTimeout). A user's state is removed once the
+    * watermark passes their newest stored error + windowMs: at that
+    * point every buffered timestamp is older than any on-time event's
+    * trailing window, so eviction cannot change a future on-time count.
+    * The one divergence from NoTimeout: an extremely late error (older
+    * than an already-evicted buffer) restarts a fresh window of 1
+    * instead of being recognized as older-than-newest and dropped —
+    * visible only beyond the watermark delay + windowMs horizon. */
+  def detectWithTimeout(events: DataFrame, windowMs: Long = WindowMs,
+                        watermark: String = "10 minutes"): Dataset[Burst] = {
+    implicit val stEnc = Encoders.product[BurstState]
+    implicit val outEnc = Encoders.product[Burst]
+    implicit val tupEnc = Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP)
+    events
+      .withWatermark("ets", watermark)
+      .select(col("user_id"), col("ets"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[BurstState, Burst](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[BurstState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var buf = state.getOption.map(_.recent).getOrElse(Seq.empty)
+            val out = Seq.newBuilder[Burst]
+            evs.map(_._2.getTime).toSeq.sorted.foreach { ts =>
+              if (buf.isEmpty || ts >= buf.last) {
+                buf = (buf :+ ts).dropWhile(_ < ts - windowMs)
+                out += Burst(userId, ts, buf.size.toLong)
+              } // else: late beyond the newest stored event — dropped
+            }
+            state.update(BurstState(buf))
+            // never set a horizon at/behind the current watermark (Spark
+            // rejects it); a replayed old key just times out next batch
+            state.setTimeoutTimestamp(
+              math.max(buf.last + windowMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Same-type run tracking — the streaming twin of the batch e98
@@ -10,7 +11,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the event that crosses the line instead of in tomorrow's sweep).
   *
   * State per user is (last type, current run length, last event time)
-  * — three fields regardless of event volume or run length.
+  * — three fields regardless of event volume or run length, PER LIVE
+  * KEY. Plain [[detect]] runs NoTimeout (needed for watermark-free
+  * exact replay/parity), so total state grows with the key space over
+  * a job's lifetime; a production deployment should use
+  * [[detectWithTimeout]], which evicts users idle past a configurable
+  * horizon (a run resuming after that horizon restarts at 1 — a
+  * semantic choice, not an approximation: a "run" separated by a day
+  * of silence is two behavioral episodes).
   *
   * Out-of-order arrivals: within a batch, events are processed in
   * (event-time, event-id) order — the same total order the batch
@@ -50,4 +58,55 @@ object RunLengthStage {
   /** Runs at or above the alert threshold. */
   def alerts(events: Dataset[Ev], threshold: Long = 5L): Dataset[Run] =
     detect(events).filter(_.runLen >= threshold)
+
+  /** [[detect]] with EVENT-TIME state eviction — the production shape.
+    * `events` must carry `user_id`, `event_id`, `event_type`, and an
+    * `ets` timestamp column (watermark source). A user idle past
+    * `idleTimeoutMs` of event time is evicted; if they return with the
+    * same event type, the run restarts at 1 (see the class doc — runs
+    * are episodes, and the idle horizon defines the episode). Default
+    * 24 h: far past any behavioral burst, so alert semantics match
+    * [[detect]] on real traffic while dead keys stop accumulating. */
+  def detectWithTimeout(events: DataFrame,
+                        idleTimeoutMs: Long = 24L * 3600 * 1000,
+                        watermark: String = "10 minutes"): Dataset[Run] = {
+    implicit val stEnc = Encoders.product[RunState]
+    implicit val outEnc = Encoders.product[Run]
+    implicit val inEnc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.TIMESTAMP, Encoders.STRING)
+    events
+      .withWatermark("ets", watermark)
+      .select(col("user_id"), col("event_id"), col("ets"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[RunState, Run](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[(Long, Long, java.sql.Timestamp, String)],
+         state: GroupState[RunState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[Run]
+            evs.toSeq.sortBy(e => (e._3.getTime, e._2)).foreach { e =>
+              val ts = e._3.getTime
+              if (st == null || ts >= st.lastMs) {
+                val len =
+                  if (st != null && st.lastType == e._4) st.runLen + 1 else 1L
+                st = RunState(e._4, len, ts)
+                out += Run(userId, ts, e._4, len)
+              } // else: late beyond the newest processed event — dropped
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.lastMs + idleTimeoutMs,
+                  state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -17,9 +17,11 @@ object BenchFew {
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM/codegen warm
     val qs = graft.SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq.sortBy(_._1)
     (1 to runs).foreach { i =>
-      val (res, failed, _) = graft.Bench.run(spark, sfDir, qs)
+      val (res, failed, _, probes) = graft.Bench.run(spark, sfDir, qs)
       println(s"[benchfew] run$i: " +
-        res.map { case (n, v) => f"$n=$v%.2f" }.mkString(" ") +
+        res.map { case (n, v) =>
+          f"$n=$v%.2f(probe=${probes.getOrElse(n, 0.0)}%.2f)"
+        }.mkString(" ") +
         (if (failed.nonEmpty) s" FAILED=${failed.mkString(",")}" else ""))
     }
     spark.stop()

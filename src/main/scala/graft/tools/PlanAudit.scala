@@ -82,6 +82,17 @@ object PlanAudit {
     "e57_power_user_share",
     // m15: 1-row corpus-total broadcast (prefix-share denominator)
     "m15_prefix_census",
+    // d60: 1-row pair-cost-total broadcast (cost-share denominator)
+    "d60_posting_skew",
+    // e108: bounded |weeks|-list broadcast against per-user max ages
+    // (eligible-user denominator) — q70/e48's band-offset shape
+    "e108_age_value_curve",
+    // p40/p41: 1-row corpus-total broadcasts (budget/share denominators)
+    "p40_temperature_rebalance", "p41_accounting_drift",
+    // p42: bounded 6-point gate-grid explode + 1-row corpus totals
+    "p42_quality_gate_sweep",
+    // s44: 1-row vector-count broadcast (share denominator)
+    "s44_hub_census",
     // p18: bounded 10×10 quality-decile broadcast join + 1-row totals
     "p18_quality_budget_curve",
     // q77: 1-row revenue-total broadcast (seasonality denominator)

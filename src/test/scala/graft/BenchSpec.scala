@@ -77,7 +77,7 @@ class BenchSpec extends SparkSpec {
       (s, _) => s.range(10).toDF("id")
     val boom: (SparkSession, String) => DataFrame =
       (s, _) => s.range(10).toDF("id").selectExpr("no_such_column + 1")
-    val (results, failed, runs) = Bench.run(spark, sf, Seq("good" -> ok, "bad" -> boom))
+    val (results, failed, runs, probes) = Bench.run(spark, sf, Seq("good" -> ok, "bad" -> boom))
     assert(failed == Seq("bad"))
     assert(results.map(_._1) == Seq("good", "bad"))
     // every query carries both raw samples and the reported value is
@@ -86,9 +86,13 @@ class BenchSpec extends SparkSpec {
     runs.foreach { case (n, rs) =>
       assert(rs.size == 2 && results.toMap.apply(n) == rs.min)
     }
-    val full = mapper.readTree(Bench.fullLine(results, sf, failed, runs))
+    // the contention probe ran once per query and lands in bench_full
+    assert(probes.keySet == Set("good", "bad"))
+    assert(probes.valuesIterator.forall(_ > 0.0))
+    val full = mapper.readTree(Bench.fullLine(results, sf, failed, runs, probes))
     assert(full.get("failed").get(0).asText() == "bad")
     assert(full.get("n_runs").asInt() == 2)
     assert(full.get("runs").get("good").size() == 2)
+    assert(full.get("probe").get("good").asDouble() > 0.0)
   }
 }

@@ -33,4 +33,20 @@ class GraftSpec extends SparkSpec {
     // and one name from a different operator family round-trips too
     assert(Graft.run(spark, sf, "d01_exact_dedup").count() > 0L)
   }
+
+  test("every advertised operator runs end-to-end through the facade") {
+    // the user-facing contract: each name in Graft.operators executes
+    // against a warehouse dir — not just key-set consistency (which the
+    // dispatch test pins) but an actual run. sf0.001 keeps the full
+    // sweep cheap; Verify covers value correctness separately.
+    val failures = Graft.operators.flatMap { name =>
+      try { Graft.run(spark, sf, name).count(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} operators failed via the facade:\n${failures.mkString("\n")}")
+    graft.operators.Lifecycle.release(spark) // don't pin the whole sweep's frames
+  }
 }

@@ -48,5 +48,53 @@ class KmvDistinctSpec extends SparkSpec {
     val rse = 1.0 / math.sqrt(62.0) // ~ 1/sqrt(k-2)
     val rel = math.abs(r.getDouble(1) - n.toDouble) / n.toDouble
     assert(rel <= 3 * rse, s"relative error $rel beyond 3x${rse}")
+    // documented operating range (SketchAggregates scaladoc / SCALE.md):
+    // estimates degrade approaching p = 2^31-1; every cardinality this
+    // suite and e103 exercise sits orders of magnitude inside the
+    // <= 1e8 per-group bound
+    assert(n < 100000000L)
+  }
+
+  test("integral input types widen; non-integral input is a clear analysis error") {
+    VectorFunctions.register(spark)
+    // INT column: round 6 this threw ClassCastException at runtime
+    val ints = spark.range(0L, 30L).selectExpr("CAST(id AS INT) AS u")
+    val ri = ints.agg(expr("kmv_distinct(u, 64)").as("s"))
+      .selectExpr("s.n_kept").collect()(0)
+    assert(ri.getLong(0) == 30L)
+    // negative ids: floorMod keeps hashes in [0, P) so the estimator
+    // stays sane (a sign-preserving % yielded negative hashes that
+    // collapsed the k-th minimum)
+    val neg = spark.range(0L, 3000L).selectExpr("-(id + 1) AS u")
+    val rn = neg.agg(expr("kmv_distinct(u, 64)").as("s"))
+      .selectExpr("s.kth_hash", "s.est_distinct").collect()(0)
+    assert(rn.getLong(0) > 0L)
+    val rel = math.abs(rn.getDouble(1) - 3000.0) / 3000.0
+    assert(rel <= 3.0 / math.sqrt(62.0), s"negative-id estimate off: $rn")
+    // non-integral input: named analysis failure, not a runtime CCE
+    val strs = spark.range(0L, 5L).selectExpr("CAST(id AS STRING) AS u")
+    val e = intercept[Exception](
+      strs.agg(expr("kmv_distinct(u, 64)")).collect())
+    assert(e.getMessage.contains("integral") || e.getMessage.contains("TINYINT"),
+      s"unhelpful error: ${e.getMessage}")
+  }
+
+  test("k argument accepts any integral literal and rejects bad shapes by name") {
+    VectorFunctions.register(spark)
+    val df = spark.range(0L, 30L).selectExpr("id AS u")
+    // BIGINT literal k: round 6 this threw ClassCastException
+    val rl = df.agg(expr("kmv_distinct(u, CAST(64 AS BIGINT))").as("s"))
+      .selectExpr("s.n_kept").collect()(0)
+    assert(rl.getLong(0) == 30L)
+    // non-foldable k names the argument contract instead of an NPE
+    val e1 = intercept[Exception](
+      df.agg(expr("kmv_distinct(u, u)")).collect())
+    assert(e1.getMessage.contains("kmv_distinct") &&
+      e1.getMessage.contains("foldable"), s"unhelpful error: ${e1.getMessage}")
+    // non-integer literal k
+    val e2 = intercept[Exception](
+      df.agg(expr("kmv_distinct(u, 'x')")).collect())
+    assert(e2.getMessage.contains("kmv_distinct"),
+      s"unhelpful error: ${e2.getMessage}")
   }
 }

@@ -176,7 +176,17 @@ class OperatorSmokeSpec extends SparkSpec {
       "e104_exponential_fit", "s43_power_iteration",
       "q114_seasonality_strength", "t66_fertility", "q115_rfm_octants",
       "d59_sketch_agreement", "q116_balance_two_sample",
-      "e105_hourly_autocorr")
+      "e105_hourly_autocorr",
+      "q117_multi_supplier_parts", "q118_promo_tax_matrix",
+      "q119_year_brand_share", "q120_order_price_audit",
+      "q121_qty_price_heatmap", "q122_brand_quarter_share",
+      "e106_value_persistence", "e107_session_position_value",
+      "e108_age_value_curve", "e109_purchase_regularity",
+      "d60_posting_skew", "d61_distinct_shingle_sketch",
+      "s44_hub_census", "s45_density_hubness",
+      "m29_size_cdf", "m30_magic_coverage",
+      "p39_decontam_order_ab", "p40_temperature_rebalance",
+      "p41_accounting_drift", "p42_quality_gate_sweep")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -192,7 +202,23 @@ class OperatorSmokeSpec extends SparkSpec {
         "d52_band_sweep", "s31_label_recall", "d53_minhash_error",
         "s32_recall_at_k", "s33_norm_recall", "q108_approx_quantiles",
         "d56_lsh_s_curve", "e101_hll_audit", "d58_perm_sweep",
-        "d59_sketch_agreement"))
+        "d59_sketch_agreement", "d61_distinct_shingle_sketch"))
+  }
+
+  test("d61 kmv_distinct64 estimates corpus distinct shingles inside the KMV envelope") {
+    val rows = Dedup.d61(spark, sf).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Double]("rel_err"))).toMap
+    assert(rows.keySet == Set(256L, 1024L))
+    rows.foreach { case (k, (exact, err)) =>
+      assert(exact > k, s"audit only meaningful above k (exact=$exact, k=$k)")
+      // 4-sigma KMV envelope: sigma ~ 1/sqrt(k-2)
+      assert(err <= 4.0 / math.sqrt((k - 2).toDouble),
+        s"k=$k rel_err=$err beyond the 4-sigma envelope")
+    }
+    // wider sketch, tighter estimate (the reason k is a knob)
+    assert(rows(1024L)._2 <= rows(256L)._2,
+      s"k=1024 should not be worse than k=256: $rows")
   }
 
   test("d59 sketch agreement: exact partition identity, LSH recall holds d56's posture") {

@@ -74,4 +74,44 @@ class ErrorBurstParitySpec extends SparkSpec {
       Burst(1L, 10 * m, 1L), Burst(1L, 12 * m, 2L), Burst(1L, 14 * m, 3L),
       Burst(1L, 20 * m, 1L)), s"got $streamed")
   }
+
+  test("detectWithTimeout matches detect on on-time data and evicts idle state") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val m = 60000L
+    val input = MemoryStream[Ev]
+    val events = input.toDS()
+      .select(col("userId").as("user_id"),
+        timestamp_millis(col("tsMs")).as("ets"))
+    val query = ErrorBurstStage.detectWithTimeout(events).writeStream
+      .format("memory").queryName("burst_evict")
+      .outputMode(OutputMode.Append())
+      .start()
+    def stateRows: Long =
+      query.lastProgress.stateOperators(0).numRowsTotal
+    val streamed =
+      try {
+        input.addData(Ev(1L, 10 * m), Ev(1L, 12 * m))
+        query.processAllAvailable()
+        assert(stateRows == 1L, s"user 1 live: $stateRows")
+        // u2@60m advances the watermark to 50m; user 1's horizon was
+        // 12m + 5m = 17m < 50m, so the follow-up micro-batch
+        // processAllAvailable drains fires their timeout — state holds
+        // ONLY u2 afterwards (u1's row evicted, proven by the count
+        // staying 1 while u2's burst output below proves u2 is live)
+        input.addData(Ev(2L, 60 * m))
+        query.processAllAvailable()
+        assert(stateRows == 1L, s"idle user 1 not evicted: $stateRows")
+        // u2's state survived the eviction sweep: its count continues
+        input.addData(Ev(2L, 61 * m))
+        query.processAllAvailable()
+        assert(stateRows == 1L, s"unexpected state rows: $stateRows")
+        spark.table("burst_evict").as[Burst].collect().toSeq
+          .sortBy(b => (b.userId, b.tsMs))
+      } finally query.stop()
+    // burst counts identical to the NoTimeout path on this on-time replay
+    assert(streamed == Seq(
+      Burst(1L, 10 * m, 1L), Burst(1L, 12 * m, 2L),
+      Burst(2L, 60 * m, 1L), Burst(2L, 61 * m, 2L)), s"got $streamed")
+  }
 }

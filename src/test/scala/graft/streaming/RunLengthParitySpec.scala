@@ -70,4 +70,47 @@ class RunLengthParitySpec extends SparkSpec {
       Run(1, 100, "view", 1), Run(1, 200, "view", 2), Run(1, 300, "view", 3),
       Run(1, 400, "click", 1), Run(1, 500, "click", 2)), s"got $streamed")
   }
+
+  test("detectWithTimeout continues runs within the horizon and evicts idle state") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val m = 60000L
+    val input = MemoryStream[Ev]
+    val events = input.toDS()
+      .select(col("userId").as("user_id"), col("eventId").as("event_id"),
+        timestamp_millis(col("tsMs")).as("ets"),
+        col("eventType").as("event_type"))
+    val query = RunLengthStage
+      .detectWithTimeout(events, idleTimeoutMs = 5 * m).writeStream
+      .format("memory").queryName("runs_evict")
+      .outputMode(OutputMode.Append())
+      .start()
+    def stateRows: Long =
+      query.lastProgress.stateOperators(0).numRowsTotal
+    val streamed =
+      try {
+        input.addData(Ev(1, 1, 10 * m, "view"), Ev(1, 2, 12 * m, "view"))
+        query.processAllAvailable()
+        // run continues across the batch boundary, inside the horizon
+        input.addData(Ev(1, 3, 13 * m, "view"))
+        query.processAllAvailable()
+        assert(stateRows == 1L, s"user 1 live: $stateRows")
+        // u2@60m advances the watermark to 50m; user 1's horizon was
+        // 13m + 5m = 18m < 50m, so the follow-up micro-batch fires
+        // their timeout — state holds ONLY u2 afterwards
+        input.addData(Ev(2, 4, 60 * m, "view"))
+        query.processAllAvailable()
+        assert(stateRows == 1L, s"idle user 1 not evicted: $stateRows")
+        // u2's state survived the eviction sweep: its run continues
+        input.addData(Ev(2, 5, 61 * m, "view"))
+        query.processAllAvailable()
+        assert(stateRows == 1L, s"unexpected state rows: $stateRows")
+        spark.table("runs_evict").as[Run].collect().toSeq
+          .sortBy(r => (r.userId, r.tsMs))
+      } finally query.stop()
+    assert(streamed == Seq(
+      Run(1, 10 * m, "view", 1), Run(1, 12 * m, "view", 2),
+      Run(1, 13 * m, "view", 3),
+      Run(2, 60 * m, "view", 1), Run(2, 61 * m, "view", 2)), s"got $streamed")
+  }
 }
