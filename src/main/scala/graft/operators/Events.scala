@@ -4824,7 +4824,120 @@ object Events {
       |  ROUND(CAST(SUM(CAST(FLOOR(mean_gap) AS BIGINT)) AS DOUBLE) / COUNT(*) / 3600000, 6) AS avg_mean_gap_hours
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+
+  // ---------------------------------------------------------------- e110
+  /** Bounce census by entry type: per session-ENTRY event type, how many
+    * sessions start there, how many bounce (exactly one event), and the
+    * bounce rate — the landing-surface health table (e35 histograms
+    * session sizes; e53 counts entries; this ties entry to outcome).
+    *
+    * Scale: the house prefix-sum sessionizer (user-partitioned windows
+    * only); entry = min(struct(ms, event_id, type)) per session —
+    * map-combinable; \|types\|-row output. */
+  def e110(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(wr))
+      .groupBy("user_id", "sess_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ms"), col("event_id"), col("event_type"))).as("entry"))
+      .select(col("entry").getField("event_type").as("entry_type"), col("n_events"))
+    sess.groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        round(dbl(col("n_bounces")) / dbl(col("n_sessions")), 6).as("bounce_rate"))
+      .orderBy("entry_type")
+  }
+  val e110Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+      |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |s AS (
+      |  SELECT *, SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+      |    THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM e),
+      |g AS (
+      |  SELECT
+      |    CAST(COUNT(*) OVER (PARTITION BY user_id, sess_idx) AS BIGINT) AS n_events,
+      |    FIRST_VALUE(event_type) OVER (PARTITION BY user_id, sess_idx
+      |      ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS entry_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, sess_idx ORDER BY ms, event_id) AS rn
+      |  FROM s),
+      |x AS (SELECT entry_type, n_events FROM g WHERE rn = 1)
+      |SELECT entry_type, COUNT(*)::BIGINT AS n_sessions,
+      |  SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+      |  ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS bounce_rate
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- e111
+  /** LTV Gini: revenue concentration over users' lifetime purchase cents
+    * (e48's event-count Gini pointed at MONEY — "what share of revenue
+    * sits on the top users" in one exact coefficient). Same banded
+    * prefix-sum construction: per-distinct-value counts, within-band
+    * cumulative windows + a broadcast band-offset join — never a global
+    * rank; DECIMAL(38,0) moments, ONE division.
+    *
+    * Zero-purchase users are INCLUDED (their cents are 0 — excluding
+    * them would understate concentration). */
+  def e111(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val sc = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        (dec(col("value")) * 100).cast("long")).otherwise(0L)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("nc"))
+      .withColumn("band", expr("c div 1048576"))
+      .cache()
+    val wIn = Window.partitionBy("band").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBelow = sc.withColumn("ibelow", coalesce(sum(col("nc")).over(wIn), lit(0L)))
+    val bt = sc.groupBy("band").agg(sum(col("nc")).as("bc"))
+    val off = bt.as("a")
+      .join(broadcast(bt.select(col("band").as("lb"), col("bc").as("lc"))),
+        col("lb") < col("band"), "left")
+      .groupBy("band").agg(coalesce(sum(col("lc")), lit(0L)).as("off"))
+    val cD = col("c").cast(d38); val ncD = col("nc").cast(d38)
+    val mD = (col("ibelow") + col("off")).cast(d38)
+    inBelow.join(broadcast(off), "band")
+      .agg(sum(col("nc")).as("n"),
+           sum(cD * ncD).as("s"),
+           sum(cD * (lit(2).cast(d38) * ncD * mD + ncD * (ncD + lit(1).cast(d38)))).as("w2"))
+      .select(col("n").as("n_users"), col("s").cast("long").as("total_cents"),
+        round(dbl(col("w2") - (col("n").cast(d38) + lit(1).cast(d38)) * col("s"))
+          / dbl(col("n").cast(d38) * col("s")), 6).as("value_gini"))
+  }
+  val e111Sql: String =
+    """WITH uc AS (
+      |  SELECT user_id, SUM(CASE WHEN event_type = 'purchase'
+      |    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |    ELSE 0 END)::BIGINT AS c
+      |  FROM events GROUP BY 1),
+      |sc AS (SELECT c, COUNT(*)::BIGINT AS nc FROM uc GROUP BY 1),
+      |cum AS (SELECT c, nc, COALESCE(SUM(nc) OVER (
+      |    ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m
+      |  FROM sc),
+      |agg AS (SELECT SUM(nc)::BIGINT AS n,
+      |    SUM(CAST(c AS HUGEINT) * nc) AS s,
+      |    SUM(CAST(c AS HUGEINT) * (2 * nc * m + nc * (nc + 1))) AS w2
+      |  FROM cum)
+      |SELECT n AS n_users, CAST(s AS BIGINT) AS total_cents,
+      |  ROUND(CAST(w2 - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE), 6) AS value_gini
+      |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e111_value_gini" -> (e111 _),
+    "e110_bounce_by_entry" -> (e110 _),
     "e109_purchase_regularity" -> (e109 _),
     "e108_age_value_curve" -> (e108 _),
     "e107_session_position_value" -> (e107 _),
@@ -4937,6 +5050,8 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e111_value_gini" -> e111Sql,
+    "e110_bounce_by_entry" -> e110Sql,
     "e109_purchase_regularity" -> e109Sql,
     "e108_age_value_curve" -> e108Sql,
     "e107_session_position_value" -> e107Sql,

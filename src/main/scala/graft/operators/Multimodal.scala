@@ -1279,7 +1279,57 @@ object Multimodal {
        |  SUM(CASE WHEN modality = 'empty' THEN 1 ELSE 0 END)::BIGINT AS n_empty
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+
+  // ---------------------------------------------------------------- m31
+  /** Shard-width sweep for the content-addressed store: byte imbalance
+    * at 16 vs 256 md5-prefix shards — max and min shard's byte share
+    * relative to uniform, the two-row table that picks the shard fanout
+    * (m28 shows the 16-shard distribution; this prices widening it).
+    * Exact integers, single divisions.
+    *
+    * Scale: two map-combinable groupBys (16- and 256-key), 2 rows out. */
+  def m31(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.documents(spark, dir)
+      .select(substring(md5(col("text")), 1, 2).as("s2"),
+        octet_length(col("text").cast("binary")).cast("long").as("nb"))
+      .cache()
+    def level(width: Int, key: org.apache.spark.sql.Column): DataFrame = {
+      val per = b.select(key.as("shard"), col("nb"))
+        .groupBy("shard").agg(sum(col("nb")).as("bytes"))
+      val tot = per.agg(sum(col("bytes")).as("tb"), count(lit(1)).as("n_used"))
+      per.crossJoin(broadcast(tot))
+        .agg(max(col("n_used")).as("shards_used"),
+          round(max(dbl(col("bytes")) / dbl(col("tb"))) * width, 6).as("max_vs_uniform"),
+          round(min(dbl(col("bytes")) / dbl(col("tb"))) * width, 6).as("min_vs_uniform"))
+        .select(lit(width.toLong).as("n_shards"), col("shards_used"),
+          col("max_vs_uniform"), col("min_vs_uniform"))
+    }
+    level(16, substring(col("s2"), 1, 1))
+      .unionByName(level(256, col("s2")))
+      .orderBy("n_shards")
+  }
+  val m31Sql: String =
+    """WITH b AS (
+      |  SELECT substring(md5(text), 1, 2) AS s2,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+      |  FROM documents),
+      |l16 AS (SELECT substring(s2, 1, 1) AS shard, SUM(nb)::BIGINT AS bytes
+      |        FROM b GROUP BY 1),
+      |l256 AS (SELECT s2 AS shard, SUM(nb)::BIGINT AS bytes FROM b GROUP BY 1),
+      |a16 AS (
+      |  SELECT CAST(16 AS BIGINT) AS n_shards, COUNT(*)::BIGINT AS shards_used,
+      |    ROUND(MAX(CAST(bytes AS DOUBLE) / (SELECT SUM(bytes) FROM l16)) * 16, 6) AS max_vs_uniform,
+      |    ROUND(MIN(CAST(bytes AS DOUBLE) / (SELECT SUM(bytes) FROM l16)) * 16, 6) AS min_vs_uniform
+      |  FROM l16),
+      |a256 AS (
+      |  SELECT CAST(256 AS BIGINT) AS n_shards, COUNT(*)::BIGINT AS shards_used,
+      |    ROUND(MAX(CAST(bytes AS DOUBLE) / (SELECT SUM(bytes) FROM l256)) * 256, 6) AS max_vs_uniform,
+      |    ROUND(MIN(CAST(bytes AS DOUBLE) / (SELECT SUM(bytes) FROM l256)) * 256, 6) AS min_vs_uniform
+      |  FROM l256)
+      |SELECT * FROM a16 UNION ALL SELECT * FROM a256 ORDER BY n_shards""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m31_shard_width_sweep" -> (m31 _),
     "m30_magic_coverage" -> (m30 _),
     "m29_size_cdf" -> (m29 _),
     "m28_store_shard_balance" -> (m28 _),
@@ -1313,6 +1363,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m31_shard_width_sweep" -> m31Sql,
     "m30_magic_coverage" -> m30Sql,
     "m29_size_cdf" -> m29Sql,
     "m28_store_shard_balance" -> m28Sql,

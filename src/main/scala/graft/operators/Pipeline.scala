@@ -2218,7 +2218,110 @@ object Pipeline {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+
+  // ---------------------------------------------------------------- p43
+  /** Duplicate exposure per epoch plan: p10's capped repeat factors
+    * joined with each source's WITHIN-SOURCE exact-dup share — a source
+    * repeated 4× whose corpus is 30% duplicates shows the model each
+    * duplicated text ~4×(extra copies) times; this 1-table audit prices
+    * the memorization risk of the mixture plan (p11 prices dedup's
+    * savings; this prices NOT deduping under repeats).
+    *
+    * Scale: one fingerprint groupBy per source (map-combinable) + p10's
+    * bounded rollups; \|sources\| rows. */
+  def p43(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    VectorFunctions.register(spark)
+    val per = Tables.documents(spark, dir)
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .select(col("source"), col("fp"),
+        size(expr("word_tokens(text)")).cast("long").as("nt"))
+    val src = per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), count_distinct(col("fp")).as("n_groups"),
+        sum(col("nt")).as("tokens"))
+    val tot = src.agg(sum(col("tokens")).as("corpus_tokens"),
+      count(lit(1)).as("n_sources"))
+    src.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("corpus_tokens div n_sources"))
+      .withColumn("repeat_capped",
+        least(round(dbl(col("target_tokens")) / dbl(col("tokens")), 6), lit(4.0d)))
+      .withColumn("dup_share", dbl(col("n_docs") - col("n_groups")) / dbl(col("n_docs")))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("n_groups")).as("n_dup_docs"),
+        round(col("dup_share"), 6).as("dup_share"),
+        col("repeat_capped"),
+        round(col("repeat_capped") * col("dup_share"), 6).as("dup_exposure_per_epoch"))
+      .orderBy("source")
+  }
+  val p43Sql: String = {
+    import TextAnalysis.wordsSql
+    s"""WITH per AS (
+       |  SELECT source,
+       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+       |    CAST(len($wordsSql) AS BIGINT) AS nt
+       |  FROM documents),
+       |src AS (
+       |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+       |    COUNT(DISTINCT fp)::BIGINT AS n_groups, SUM(nt)::BIGINT AS tokens
+       |  FROM per GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+       |               COUNT(*)::BIGINT AS n_sources FROM src)
+       |SELECT source, n_docs, (n_docs - n_groups)::BIGINT AS n_dup_docs,
+       |  ROUND(CAST(n_docs - n_groups AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_share,
+       |  LEAST(ROUND(CAST(corpus_tokens // n_sources AS DOUBLE)
+       |    / CAST(tokens AS DOUBLE), 6), 4.0) AS repeat_capped,
+       |  ROUND(LEAST(ROUND(CAST(corpus_tokens // n_sources AS DOUBLE)
+       |      / CAST(tokens AS DOUBLE), 6), 4.0)
+       |    * (CAST(n_docs - n_groups AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)
+       |    AS dup_exposure_per_epoch
+       |FROM src CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- p44
+  /** Holdout-size leakage sweep: the cross-split near-dup leak rate
+    * (J ≥ 0.5 pairs with exactly one endpoint in the eval split) at
+    * id-hash holdout fractions 1/10, 1/20, 1/50 — p28 measures the leak
+    * at the shipped 1/20; this shows how the leak scales with holdout
+    * size, the number a benchmark-design review asks for before picking
+    * the split. Exact-integer classification over the memoized pair
+    * stream; 3 literal rows.
+    *
+    * Scale: rides [[graft.operators.Dedup.sharedPairs]] (inverted-index
+    * bounded); per-m work is one map-combinable conditional rollup. */
+  def p44(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    val pairs = Dedup.sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    Seq(10L, 20L, 50L).map { m =>
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("doc_a") % m === 0) =!= (col("doc_b") % m === 0), 1L)
+          .otherwise(0L)).as("n_cross"))
+        .select(lit(m).as("holdout_mod"), col("n_pairs"), col("n_cross"),
+          round(when(col("n_pairs") > 0, dbl(col("n_cross")) / dbl(col("n_pairs")))
+            .otherwise(0d), 6).as("leak_rate"))
+    }.reduce(_.unionByName(_)).orderBy("holdout_mod")
+  }
+  val p44Sql: String = {
+    val pairSql = Dedup.jaccardPairsSql(1, 2)
+      .replace("ORDER BY doc_a, doc_b", "")
+    val per = Seq(10, 20, 50).map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS holdout_mod,
+         |  COUNT(*)::BIGINT AS n_pairs,
+         |  SUM(CASE WHEN (doc_a % $m = 0) <> (doc_b % $m = 0)
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_cross,
+         |  ROUND(CASE WHEN COUNT(*) > 0
+         |    THEN CAST(SUM(CASE WHEN (doc_a % $m = 0) <> (doc_b % $m = 0)
+         |        THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         |    ELSE 0.0 END, 6) AS leak_rate
+         |FROM pairs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pairs AS ($pairSql)
+       |$per
+       |ORDER BY holdout_mod""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p44_holdout_sweep" -> (p44 _),
+    "p43_epoch_dup_exposure" -> (p43 _),
     "p42_quality_gate_sweep" -> (p42 _),
     "p41_accounting_drift" -> (p41 _),
     "p40_temperature_rebalance" -> (p40 _),
@@ -2263,6 +2366,8 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p44_holdout_sweep" -> p44Sql,
+    "p43_epoch_dup_exposure" -> p43Sql,
     "p42_quality_gate_sweep" -> p42Sql,
     "p41_accounting_drift" -> p41Sql,
     "p40_temperature_rebalance" -> p40Sql,

@@ -4439,7 +4439,89 @@ object Relational {
        |FROM cell JOIN bt ON cell.p_brand = bt.p_brand
        |ORDER BY cell.p_brand, qtr""".stripMargin
 
+
+  // ---------------------------------------------------------------- q123
+  /** Return rate by unit-price band: does expensive merchandise come
+    * back more? Counts, RETURN share (l_returnflag = 'R'), and exact
+    * revenue per q121 price band — the pricing complement to q84's
+    * discount-axis return screen. One map-combinable groupBy, ≤6 rows,
+    * single divisions.
+    */
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    val unit = col("l_extendedprice") / col("l_quantity")
+    val pb = when(unit < 500, 0L).when(unit < 1000, 1L).when(unit < 1500, 2L)
+      .when(unit < 2000, 3L).when(unit < 2500, 4L).otherwise(5L)
+    Tables.lineitem(spark, dir)
+      .withColumn("price_band", pb)
+      .groupBy("price_band")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+        dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .select(col("price_band"), col("n_lines"), col("n_returned"),
+        round(dbl(col("n_returned")) / dbl(col("n_lines")), 6).as("return_rate"),
+        col("revenue"))
+      .orderBy("price_band")
+  }
+  val q123Sql: String =
+    s"""SELECT CAST(CASE WHEN l_extendedprice / l_quantity < 500 THEN 0
+       |       WHEN l_extendedprice / l_quantity < 1000 THEN 1
+       |       WHEN l_extendedprice / l_quantity < 1500 THEN 2
+       |       WHEN l_extendedprice / l_quantity < 2000 THEN 3
+       |       WHEN l_extendedprice / l_quantity < 2500 THEN 4
+       |       ELSE 5 END AS BIGINT) AS price_band,
+       |  COUNT(*) AS n_lines,
+       |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_returned,
+       |  ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS return_rate,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q124
+  /** Customer revenue concentration per nation: the HHI of customer
+    * revenue shares within each nation (q67's supplier recipe pointed at
+    * the demand side) — a nation whose revenue hangs on three whale
+    * customers is a different risk than one with a thousand small ones.
+    * Exact: revenue ×10000 into DECIMAL(38,0), Σshare² as one division
+    * of exact sums.
+    *
+    * Scale: custkey rollup (map-combinable) ⋈ customer on its own key ⋈
+    * broadcast nation; \|nations\| output rows. */
+  def q124(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"),
+        revenueTerm(col("l_extendedprice"), col("l_discount")).as("rv"))
+      .groupBy("o_custkey").agg(sum(col("rv")).as("r"))
+    rev
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), (col("r") * 10000).cast(d38).as("ri"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("ri") * col("ri")).as("num"), sum(col("ri")).as("tot"))
+      .select(col("n_name"), col("n_customers"),
+        round(dbl(col("num")) / dbl(col("tot") * col("tot")), 6).as("hhi"))
+      .orderBy("n_name")
+  }
+  val q124Sql: String =
+    s"""WITH r AS (
+       |  SELECT o_custkey, SUM($revenueSql) AS rv
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+       |b AS (
+       |  SELECT n_name, CAST(rv * 10000 AS HUGEINT) AS ri
+       |  FROM r JOIN customer ON o_custkey = c_custkey
+       |         JOIN nation ON c_nationkey = n_nationkey)
+       |SELECT n_name, COUNT(*) AS n_customers,
+       |  ROUND(CAST(SUM(ri*ri) AS DOUBLE) / CAST(SUM(ri)*SUM(ri) AS DOUBLE), 6) AS hhi
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q124_nation_customer_hhi" -> (q124 _),
+    "q123_price_band_returns" -> (q123 _),
     "q122_brand_quarter_share" -> (q122 _),
     "q121_qty_price_heatmap" -> (q121 _),
     "q120_order_price_audit" -> (q120 _),
@@ -4565,6 +4647,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q124_nation_customer_hhi" -> q124Sql,
+    "q123_price_band_returns" -> q123Sql,
     "q122_brand_quarter_share" -> q122Sql,
     "q121_qty_price_heatmap" -> q121Sql,
     "q120_order_price_audit" -> q120Sql,

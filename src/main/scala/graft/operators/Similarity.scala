@@ -2210,7 +2210,39 @@ object Similarity {
       |    ELSE 0.0 END, 6) AS density_hubness_corr
       |FROM m""".stripMargin
 
+
+  // ---------------------------------------------------------------- s46
+  /** IVF recall by target hubness: the truth pairs (exact top-5) banded
+    * by their TARGET's kNN in-degree (s44's bands collapsed to
+    * low/mid/hub), each band's IVF hit rate — hubs live near centroids
+    * and recall easily; the isolated tail is where ANN recall quietly
+    * dies, and this is the table that shows it (s31 slices recall by
+    * label, s33 by query norm; this by target popularity).
+    *
+    * Rows-only: the IVF side is the rows-only s03 ranking. Rides BOTH
+    * memoized rankings — zero extra passes.
+    *
+    * Scale: truth is \|V\|·5 rows; two key joins + a 3-row rollup. */
+  def s46(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf.dbl
+    val truth = sharedTruth(spark, dir)
+    val ivf = sharedIvf(spark, dir).select(col("q_id"), col("n_id"))
+      .withColumn("hit", lit(1L))
+    val indeg = truth.groupBy(col("n_id")).agg(count(lit(1)).as("in_deg"))
+    val band = when(col("in_deg") <= 4, "a_low")
+      .when(col("in_deg") <= 9, "b_mid").otherwise("c_hub")
+    truth.join(indeg, "n_id")
+      .join(ivf, Seq("q_id", "n_id"), "left")
+      .groupBy(band.as("target_band"))
+      .agg(count(lit(1)).as("n_truth_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_recalled"))
+      .select(col("target_band"), col("n_truth_pairs"), col("n_recalled"),
+        round(dbl(col("n_recalled")) / dbl(col("n_truth_pairs")), 6).as("recall"))
+      .orderBy("target_band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s46_hub_recall" -> (s46 _),
     "s45_density_hubness" -> (s45 _),
     "s44_hub_census" -> (s44 _),
     "s43_power_iteration" -> (s43 _),

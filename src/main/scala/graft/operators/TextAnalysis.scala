@@ -2766,7 +2766,67 @@ object TextAnalysis {
        |  ROUND(CAST(total_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS token_share
        |FROM p CROSS JOIN t ORDER BY lang""".stripMargin
 
+
+  // ---------------------------------------------------------------- t67
+  /** Punctuation-style fingerprint per source: each source's share of
+    * periods / commas / exclamations / questions / semicolons+colons
+    * among its sentence punctuation, plus punct-per-kchar density —
+    * register drift (marketing copy exclaims, reference prose semicolons)
+    * that survives paraphrase, so it complements t27/t56's exact
+    * template matching as a provenance signal. Counts are exact
+    * (LENGTH minus the char-stripped LENGTH), shares single divisions.
+    *
+    * Scale: ONE map-combinable groupBy over documents; \|sources\| rows. */
+  def t67(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(ch: String): org.apache.spark.sql.Column =
+      (length(col("text")) - length(regexp_replace(col("text"), ch, ""))).cast("long")
+    val src = Tables.documents(spark, dir)
+      .select(col("source"), length(col("text")).cast("long").as("nc"),
+        cnt("[.]").as("np"), cnt("[,]").as("ncm"), cnt("[!]").as("nx"),
+        cnt("[?]").as("nq"), cnt("[;:]").as("nsc"))
+      .groupBy("source")
+      .agg(sum(col("nc")).as("chars"), sum(col("np")).as("n_period"),
+        sum(col("ncm")).as("n_comma"), sum(col("nx")).as("n_exclaim"),
+        sum(col("nq")).as("n_question"), sum(col("nsc")).as("n_semi"))
+      .withColumn("n_punct", col("n_period") + col("n_comma") + col("n_exclaim")
+        + col("n_question") + col("n_semi"))
+    def share(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(when(col("n_punct") > 0, dbl(c) / dbl(col("n_punct"))).otherwise(0d), 6)
+    src.select(col("source"), col("n_punct"),
+      round(dbl(col("n_punct")) * 1000 / dbl(col("chars")), 6).as("punct_per_kchar"),
+      share(col("n_period")).as("period_share"),
+      share(col("n_comma")).as("comma_share"),
+      share(col("n_exclaim")).as("exclaim_share"),
+      share(col("n_question")).as("question_share"),
+      share(col("n_semi")).as("semi_share"))
+      .orderBy("source")
+  }
+  val t67Sql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(LENGTH(text) AS BIGINT) AS nc,
+      |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.]', '', 'g')) AS BIGINT) AS np,
+      |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[,]', '', 'g')) AS BIGINT) AS ncm,
+      |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[!]', '', 'g')) AS BIGINT) AS nx,
+      |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[?]', '', 'g')) AS BIGINT) AS nq,
+      |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[;:]', '', 'g')) AS BIGINT) AS nsc
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, SUM(nc)::BIGINT AS chars, SUM(np)::BIGINT AS n_period,
+      |    SUM(ncm)::BIGINT AS n_comma, SUM(nx)::BIGINT AS n_exclaim,
+      |    SUM(nq)::BIGINT AS n_question, SUM(nsc)::BIGINT AS n_semi
+      |  FROM d GROUP BY 1),
+      |w AS (SELECT *, (n_period + n_comma + n_exclaim + n_question + n_semi)::BIGINT AS n_punct FROM s)
+      |SELECT source, n_punct,
+      |  ROUND(CAST(n_punct AS DOUBLE) * 1000 / CAST(chars AS DOUBLE), 6) AS punct_per_kchar,
+      |  ROUND(CASE WHEN n_punct > 0 THEN CAST(n_period AS DOUBLE) / CAST(n_punct AS DOUBLE) ELSE 0.0 END, 6) AS period_share,
+      |  ROUND(CASE WHEN n_punct > 0 THEN CAST(n_comma AS DOUBLE) / CAST(n_punct AS DOUBLE) ELSE 0.0 END, 6) AS comma_share,
+      |  ROUND(CASE WHEN n_punct > 0 THEN CAST(n_exclaim AS DOUBLE) / CAST(n_punct AS DOUBLE) ELSE 0.0 END, 6) AS exclaim_share,
+      |  ROUND(CASE WHEN n_punct > 0 THEN CAST(n_question AS DOUBLE) / CAST(n_punct AS DOUBLE) ELSE 0.0 END, 6) AS question_share,
+      |  ROUND(CASE WHEN n_punct > 0 THEN CAST(n_semi AS DOUBLE) / CAST(n_punct AS DOUBLE) ELSE 0.0 END, 6) AS semi_share
+      |FROM w ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t67_punct_style" -> (t67 _),
     "t66_fertility" -> (t66 _),
     "t65_rank_correlation" -> (t65 _),
     "t64_ocr_noise" -> (t64 _),
@@ -2834,6 +2894,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t67_punct_style" -> t67Sql,
     "t66_fertility" -> t66Sql,
     "t65_rank_correlation" -> t65Sql,
     "t64_ocr_noise" -> t64Sql,

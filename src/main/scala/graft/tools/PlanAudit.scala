@@ -93,6 +93,13 @@ object PlanAudit {
     "p42_quality_gate_sweep",
     // s44: 1-row vector-count broadcast (share denominator)
     "s44_hub_census",
+    // e111: e48's band-offset broadcast over the bounded distinct-cents
+    // frame (the Gini construction) + 1-row totals
+    "e111_value_gini",
+    // m31: 1-row byte-total broadcasts (one per shard width)
+    "m31_shard_width_sweep",
+    // p43: 1-row corpus-total broadcast (p10's epoch-target shape)
+    "p43_epoch_dup_exposure",
     // p18: bounded 10×10 quality-decile broadcast join + 1-row totals
     "p18_quality_budget_curve",
     // q77: 1-row revenue-total broadcast (seasonality denominator)

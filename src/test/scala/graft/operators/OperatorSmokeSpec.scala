@@ -186,7 +186,11 @@ class OperatorSmokeSpec extends SparkSpec {
       "s44_hub_census", "s45_density_hubness",
       "m29_size_cdf", "m30_magic_coverage",
       "p39_decontam_order_ab", "p40_temperature_rebalance",
-      "p41_accounting_drift", "p42_quality_gate_sweep")
+      "p41_accounting_drift", "p42_quality_gate_sweep",
+      "q123_price_band_returns", "q124_nation_customer_hhi",
+      "e110_bounce_by_entry", "e111_value_gini",
+      "t67_punct_style", "m31_shard_width_sweep",
+      "p43_epoch_dup_exposure", "p44_holdout_sweep", "s46_hub_recall")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -202,7 +206,20 @@ class OperatorSmokeSpec extends SparkSpec {
         "d52_band_sweep", "s31_label_recall", "d53_minhash_error",
         "s32_recall_at_k", "s33_norm_recall", "q108_approx_quantiles",
         "d56_lsh_s_curve", "e101_hll_audit", "d58_perm_sweep",
-        "d59_sketch_agreement", "d61_distinct_shingle_sketch"))
+        "d59_sketch_agreement", "d61_distinct_shingle_sketch",
+        "s46_hub_recall"))
+  }
+
+  test("s46 hub-recall bands partition the truth set with recalls in [0,1]") {
+    val rows = Similarity.s46(spark, sf).collect()
+    val nTruth = rows.map(_.getAs[Long]("n_truth_pairs")).sum
+    val truthTotal = graft.SparkEntry.queries("s01_ann_brute_topk")(spark, sf).count()
+    assert(nTruth == truthTotal, s"bands must partition truth: $nTruth vs $truthTotal")
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $r")
+      assert(r.getAs[Long]("n_recalled") <= r.getAs[Long]("n_truth_pairs"), s"$r")
+    }
   }
 
   test("d61 kmv_distinct64 estimates corpus distinct shingles inside the KMV envelope") {
