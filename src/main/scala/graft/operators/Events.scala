@@ -4935,7 +4935,114 @@ object Events {
       |  ROUND(CAST(w2 - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE), 6) AS value_gini
       |FROM agg""".stripMargin
 
+
+  // ---------------------------------------------------------------- e112
+  /** LTV by FIRST-touch event type: users grouped by the type of their
+    * first-ever event (the acquisition-surface proxy), with count, mean
+    * lifetime purchase value, and each group's share of corpus revenue —
+    * e64 scores per-session entries; this prices the lifetime by the
+    * original landing (what a marketing-mix model actually wants).
+    *
+    * Scale: one min(struct) per user + one cents rollup (both
+    * map-combinable), \|types\| rows, single divisions. */
+  def e112(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("ms"), col("event_id"), col("event_type"),
+        when(col("event_type") === "purchase",
+          (dec(col("value")) * 100).cast("long")).otherwise(0L).as("cents"))
+      .groupBy("user_id")
+      .agg(min(struct(col("ms"), col("event_id"), col("event_type"))).as("f"),
+        sum(col("cents")).as("c"))
+      .select(col("f").getField("event_type").as("first_type"), col("c"))
+    val tot = perUser.agg(sum(col("c")).as("tc"))
+    perUser.groupBy("first_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("first_type"), col("n_users"),
+        round(dbl(col("cents")) / dbl(col("n_users")) / 100, 6).as("mean_ltv"),
+        round(dbl(col("cents")) / dbl(col("tc")), 6).as("revenue_share"))
+      .orderBy("first_type")
+  }
+  val e112Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END AS cents
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS rn,
+      |    SUM(cents) OVER (PARTITION BY user_id) AS c
+      |  FROM e),
+      |f AS (SELECT first_type, CAST(c AS BIGINT) AS c FROM u WHERE rn = 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM f)
+      |SELECT first_type, COUNT(*)::BIGINT AS n_users,
+      |  ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*) / 100, 6) AS mean_ltv,
+      |  ROUND(CAST(SUM(c) AS DOUBLE) / CAST(MAX(tc) AS DOUBLE), 6) AS revenue_share
+      |FROM f CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- e113
+  /** Whale census: users whose lifetime purchase value sits more than 3
+    * population standard deviations above the mean, their head-count
+    * share, and — the number that matters — their share of total revenue
+    * (e111 gives the whole concentration curve; this is the single
+    * actionable cut a risk/VIP program keys on). Exact DECIMAL(38,0)
+    * moments; the threshold compare uses identically-computed doubles.
+    *
+    * Scale: one per-user cents rollup, 1-row moment broadcast, one
+    * conditional rollup — 1 row out. */
+  def e113(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val u = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        (dec(col("value")) * 100).cast("long")).otherwise(0L)).as("c"))
+    val m = u.agg(count(lit(1)).as("n"),
+      sum(col("c").cast(d38)).as("s"),
+      sum((col("c") * col("c")).cast(d38)).as("s2"))
+    val mu = dbl(col("s")) / dbl(col("n"))
+    val sigma = sqrt(greatest(
+      (dbl(col("n")) * dbl(col("s2")) - dbl(col("s")) * dbl(col("s"))), lit(0d))) / dbl(col("n"))
+    u.crossJoin(broadcast(m))
+      .withColumn("is_whale", dbl(col("c")) > mu + lit(3d) * sigma)
+      .agg(max(col("n")).as("n_users"),
+        sum(when(col("is_whale"), 1L).otherwise(0L)).as("n_whales"),
+        sum(when(col("is_whale"), col("c")).otherwise(0L)).as("whale_cents"),
+        max(col("s")).as("total"))
+      .select(col("n_users"), col("n_whales"),
+        round(dbl(col("n_whales")) / dbl(col("n_users")), 6).as("whale_user_share"),
+        round(dbl(col("whale_cents")) / dbl(col("total")), 6).as("whale_value_share"))
+  }
+  val e113Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, SUM(CASE WHEN event_type = 'purchase'
+      |    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |    ELSE 0 END)::BIGINT AS c
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT COUNT(*)::BIGINT AS n, SUM(CAST(c AS HUGEINT)) AS s,
+      |    SUM(CAST(c AS HUGEINT) * c) AS s2
+      |  FROM u),
+      |f AS (
+      |  SELECT c, n, s,
+      |    CAST(c AS DOUBLE) > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + 3 * (sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0.0)) / CAST(n AS DOUBLE))
+      |      AS is_whale
+      |  FROM u CROSS JOIN m)
+      |SELECT MAX(n) AS n_users,
+      |  SUM(CASE WHEN is_whale THEN 1 ELSE 0 END)::BIGINT AS n_whales,
+      |  ROUND(CAST(SUM(CASE WHEN is_whale THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(MAX(n) AS DOUBLE), 6) AS whale_user_share,
+      |  ROUND(CAST(SUM(CASE WHEN is_whale THEN c ELSE 0 END) AS DOUBLE)
+      |    / CAST(MAX(s) AS DOUBLE), 6) AS whale_value_share
+      |FROM f""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e113_whale_census" -> (e113 _),
+    "e112_first_touch_ltv" -> (e112 _),
     "e111_value_gini" -> (e111 _),
     "e110_bounce_by_entry" -> (e110 _),
     "e109_purchase_regularity" -> (e109 _),
@@ -5050,6 +5157,8 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e113_whale_census" -> e113Sql,
+    "e112_first_touch_ltv" -> e112Sql,
     "e111_value_gini" -> e111Sql,
     "e110_bounce_by_entry" -> e110Sql,
     "e109_purchase_regularity" -> e109Sql,

@@ -4519,7 +4519,40 @@ object Relational {
        |  ROUND(CAST(SUM(ri*ri) AS DOUBLE) / CAST(SUM(ri)*SUM(ri) AS DOUBLE), 6) AS hhi
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+
+  // ---------------------------------------------------------------- q125
+  /** Discount depth by market segment and year: who actually gets the
+    * discounts — DECIMAL-exact average discount, revenue, and line count
+    * per (segment, ship year), the negotiated-pricing equity view (q90
+    * screens per-customer favoritism; this is the segment-level trend).
+    *
+    * Scale: the 3-way key join (customer⋈orders⋈lineitem) shuffles on
+    * natural keys both sides already carry; ONE bounded rollup
+    * (5 segments × \|years\|). */
+  def q125(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("yr", year(col("l_shipdate")).cast("long"))
+      .groupBy("c_mktsegment", "yr")
+      .agg(count(lit(1)).as("n_lines"),
+        davg(col("l_discount")).as("avg_discount"),
+        dbl(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy("c_mktsegment", "yr")
+  val q125Sql: String =
+    s"""SELECT c_mktsegment, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+       |  COUNT(*) AS n_lines,
+       |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_discount,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q125_segment_discount_depth" -> (q125 _),
     "q124_nation_customer_hhi" -> (q124 _),
     "q123_price_band_returns" -> (q123 _),
     "q122_brand_quarter_share" -> (q122 _),
@@ -4647,6 +4680,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q125_segment_discount_depth" -> q125Sql,
     "q124_nation_customer_hhi" -> q124Sql,
     "q123_price_band_returns" -> q123Sql,
     "q122_brand_quarter_share" -> q122Sql,

@@ -2825,7 +2825,65 @@ object TextAnalysis {
       |  ROUND(CASE WHEN n_punct > 0 THEN CAST(n_semi AS DOUBLE) / CAST(n_punct AS DOUBLE) ELSE 0.0 END, 6) AS semi_share
       |FROM w ORDER BY source""".stripMargin
 
+
+  // ---------------------------------------------------------------- t68
+  /** Source vocabulary-overlap matrix: Jaccard of each source pair's
+    * top-200 word vocabularies — near-identical vocabularies flag
+    * mirrored/syndicated sources BEFORE any pair join runs (t13 overlaps
+    * documents, t23 compares distributions; this compares the lexicons
+    * themselves, the cheapest cross-source signal there is). Ties rank
+    * deterministically by (count DESC, word).
+    *
+    * Scale: the rank window partitions by source over the per-source
+    * vocab frame (vocab-bounded, not corpus-bounded; at extreme vocab a
+    * df-threshold prefilter caps the frame); the top-200 sets self-join
+    * on word (≤ 200·\|sources\| rows per side), |sources|²/2 output. */
+  def t68(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(expr("word_tokens(text)")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    val top = counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("cnt").desc, col("word"))))
+      .filter(col("rn") <= 200)
+      .select(col("source"), col("word"))
+    val sizes = top.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = top.as("a").join(top.as("b"),
+        col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        round(dbl(col("inter")) / dbl(col("na") + col("nb") - col("inter")), 6)
+          .as("vocab_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+  val t68Sql: String =
+    s"""WITH counts AS (
+       |  SELECT source, UNNEST($wordsSql) AS word, 1 AS one FROM documents),
+       |c AS (SELECT source, word, COUNT(*)::BIGINT AS cnt FROM counts GROUP BY 1, 2),
+       |top AS (
+       |  SELECT source, word FROM (
+       |    SELECT source, word,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rn
+       |    FROM c)
+       |  WHERE rn <= 200),
+       |sizes AS (SELECT source, COUNT(*)::BIGINT AS n FROM top GROUP BY 1),
+       |i AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*)::BIGINT AS inter
+       |  FROM top a JOIN top b ON a.word = b.word AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, inter,
+       |  ROUND(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS vocab_jaccard
+       |FROM i JOIN sizes sa ON i.source_a = sa.source
+       |       JOIN sizes sb ON i.source_b = sb.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t68_source_vocab_jaccard" -> (t68 _),
     "t67_punct_style" -> (t67 _),
     "t66_fertility" -> (t66 _),
     "t65_rank_correlation" -> (t65 _),
@@ -2894,6 +2952,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t68_source_vocab_jaccard" -> t68Sql,
     "t67_punct_style" -> t67Sql,
     "t66_fertility" -> t66Sql,
     "t65_rank_correlation" -> t65Sql,

@@ -100,6 +100,9 @@ object PlanAudit {
     "m31_shard_width_sweep",
     // p43: 1-row corpus-total broadcast (p10's epoch-target shape)
     "p43_epoch_dup_exposure",
+    // e112/e113: 1-row revenue-total / moment broadcasts (share + whale
+    // threshold denominators)
+    "e112_first_touch_ltv", "e113_whale_census",
     // p18: bounded 10×10 quality-decile broadcast join + 1-row totals
     "p18_quality_budget_curve",
     // q77: 1-row revenue-total broadcast (seasonality denominator)

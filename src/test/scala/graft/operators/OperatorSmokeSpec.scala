@@ -190,7 +190,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q123_price_band_returns", "q124_nation_customer_hhi",
       "e110_bounce_by_entry", "e111_value_gini",
       "t67_punct_style", "m31_shard_width_sweep",
-      "p43_epoch_dup_exposure", "p44_holdout_sweep", "s46_hub_recall")
+      "p43_epoch_dup_exposure", "p44_holdout_sweep", "s46_hub_recall",
+      "q125_segment_discount_depth", "e112_first_touch_ltv",
+      "e113_whale_census", "t68_source_vocab_jaccard")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
