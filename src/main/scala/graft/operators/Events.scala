@@ -5040,7 +5040,47 @@ object Events {
       |    / CAST(MAX(s) AS DOUBLE), 6) AS whale_value_share
       |FROM f""".stripMargin
 
+
+  // ---------------------------------------------------------------- e114
+  /** Peak hour per weekday: each day-of-week's busiest hour, its event
+    * count, and its share of the day's traffic — the one-line-per-day
+    * capacity view distilled from e54's full 7×24 heatmap (argmax by
+    * max(struct(n, -hour)) so ties break to the EARLIER hour in both
+    * engines; dow is e42's pure-integer epoch-day formula, 0 = Sunday).
+    * Exact integers, ONE division per row.
+    *
+    * Scale: one 168-cell map-combinable rollup, 7 rows out. */
+  def e114(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(((floor(col("ms") / 86400000L) + 4) % 7).cast("long").as("dow"),
+        expr("(ms % 86400000) div 3600000").as("hr"))
+      .groupBy("dow", "hr").agg(count(lit(1)).as("n"))
+    cells.groupBy("dow")
+      .agg(max(struct(col("n"), (-col("hr")).as("nh"))).as("pk"),
+        sum(col("n")).as("day_total"))
+      .select(col("dow"), (-col("pk").getField("nh")).as("peak_hour"),
+        col("pk").getField("n").as("peak_events"), col("day_total"),
+        round(dbl(col("pk").getField("n")) / dbl(col("day_total")), 6)
+          .as("peak_share"))
+      .orderBy("dow")
+  }
+  val e114Sql: String =
+    """WITH c AS (
+      |  SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+      |    (epoch_ms(ts) % 86400000) // 3600000 AS hr,
+      |    COUNT(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT dow, hr, n, SUM(n) OVER (PARTITION BY dow) AS day_total,
+      |    ROW_NUMBER() OVER (PARTITION BY dow ORDER BY n DESC, hr) AS rn
+      |  FROM c)
+      |SELECT dow, hr AS peak_hour, n AS peak_events,
+      |  CAST(day_total AS BIGINT) AS day_total,
+      |  ROUND(CAST(n AS DOUBLE) / CAST(day_total AS DOUBLE), 6) AS peak_share
+      |FROM r WHERE rn = 1 ORDER BY dow""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e114_dow_peak_hour" -> (e114 _),
     "e113_whale_census" -> (e113 _),
     "e112_first_touch_ltv" -> (e112 _),
     "e111_value_gini" -> (e111 _),
@@ -5157,6 +5197,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e114_dow_peak_hour" -> e114Sql,
     "e113_whale_census" -> e113Sql,
     "e112_first_touch_ltv" -> e112Sql,
     "e111_value_gini" -> e111Sql,

@@ -4551,7 +4551,47 @@ object Relational {
        |JOIN customer ON o_custkey = c_custkey
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+
+  // ---------------------------------------------------------------- q126
+  /** Brand momentum: month-over-month revenue growth per brand — q39
+    * tracks the whole business year-over-year; this is the
+    * brand-granular series a category manager watches. The lag window
+    * partitions by brand over the bounded brand×month rollup (≤ 25×84
+    * rows at any corpus size), growth is ONE division of exact sums.
+    *
+    * Scale: lineitem ⋈ broadcast(part) → one map-combinable rollup;
+    * the window never sees raw rows. */
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy("p_brand", "month")
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val w = Window.partitionBy("p_brand").orderBy("month")
+    cell.withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("p_brand"), col("month"), dbl(col("rev")).as("revenue"),
+        when(col("prev").isNotNull,
+          round((dbl(col("rev")) - dbl(col("prev"))) / dbl(col("prev")), 6))
+          .as("mom_growth"))
+      .orderBy("p_brand", "month")
+  }
+  val q126Sql: String =
+    s"""WITH cell AS (
+       |  SELECT p_brand, strftime(l_shipdate, '%Y-%m') AS month,
+       |    SUM($revenueSql) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2)
+       |SELECT p_brand, month, CAST(rev AS DOUBLE) AS revenue,
+       |  CASE WHEN LAG(rev) OVER (PARTITION BY p_brand ORDER BY month) IS NOT NULL
+       |    THEN ROUND((CAST(rev AS DOUBLE)
+       |        - CAST(LAG(rev) OVER (PARTITION BY p_brand ORDER BY month) AS DOUBLE))
+       |      / CAST(LAG(rev) OVER (PARTITION BY p_brand ORDER BY month) AS DOUBLE), 6)
+       |  END AS mom_growth
+       |FROM cell ORDER BY p_brand, month""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q126_brand_mom_growth" -> (q126 _),
     "q125_segment_discount_depth" -> (q125 _),
     "q124_nation_customer_hhi" -> (q124 _),
     "q123_price_band_returns" -> (q123 _),
@@ -4680,6 +4720,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q126_brand_mom_growth" -> q126Sql,
     "q125_segment_discount_depth" -> q125Sql,
     "q124_nation_customer_hhi" -> q124Sql,
     "q123_price_band_returns" -> q123Sql,

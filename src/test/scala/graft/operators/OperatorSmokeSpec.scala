@@ -192,7 +192,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "t67_punct_style", "m31_shard_width_sweep",
       "p43_epoch_dup_exposure", "p44_holdout_sweep", "s46_hub_recall",
       "q125_segment_discount_depth", "e112_first_touch_ltv",
-      "e113_whale_census", "t68_source_vocab_jaccard")
+      "e113_whale_census", "t68_source_vocab_jaccard",
+      "q126_brand_mom_growth", "e114_dow_peak_hour")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
