@@ -2707,7 +2707,10 @@ object Dedup {
     * if not, it is free insurance.
     *
     * Scale: one gram-count rollup (map-combinable) + a ≤ 6-row census;
-    * the pair-cost sum is exact integer arithmetic. */
+    * every output column is exact integer arithmetic — pair counts via
+    * integral division (df·(df−1) is always even, so `div 2` is exact)
+    * and the cost share as parts-per-million BIGINT, never a double
+    * (the round-7 driver hash-fail class: CORRECTNESS_r07 d60). */
   def d60(spark: SparkSession, dir: String): DataFrame = {
     val dft = shingled(spark, dir)
       .select(explode(col("grams")).as("g"))
@@ -2721,11 +2724,12 @@ object Dedup {
     val cell = dft.groupBy(band.as("df_band"))
       .agg(count(lit(1)).as("n_grams"),
         sum(col("df")).as("n_postings"),
-        sum(col("df") * (col("df") - 1) / 2).as("pair_cost"))
+        sum(expr("(cast(df as decimal(38,0)) * (df - 1)) div 2")).as("pair_cost"))
     val tot = cell.agg(sum(col("pair_cost")).as("tot_cost"))
     cell.crossJoin(broadcast(tot))
       .select(col("df_band"), col("n_grams"), col("n_postings"), col("pair_cost"),
-        round(dbl(col("pair_cost")) / dbl(col("tot_cost")), 6).as("cost_share"))
+        expr("(cast(pair_cost as decimal(38,0)) * 1000000) div tot_cost")
+          .as("cost_share_ppm"))
       .orderBy("df_band")
   }
   val d60Sql: String =
@@ -2738,11 +2742,11 @@ object Dedup {
        |      WHEN df <= 5 THEN 'c_df3_5' WHEN df <= 10 THEN 'd_df6_10'
        |      WHEN df <= 50 THEN 'e_df11_50' ELSE 'f_df_gt50' END AS df_band,
        |    COUNT(*)::BIGINT AS n_grams, SUM(df)::BIGINT AS n_postings,
-       |    SUM(df * (df - 1) / 2)::BIGINT AS pair_cost
+       |    CAST(SUM((df::HUGEINT * (df - 1)) // 2) AS BIGINT) AS pair_cost
        |  FROM dft GROUP BY 1),
        |tot AS (SELECT SUM(pair_cost)::BIGINT AS tot_cost FROM cell)
        |SELECT df_band, n_grams, n_postings, pair_cost,
-       |  ROUND(CAST(pair_cost AS DOUBLE) / CAST(tot_cost AS DOUBLE), 6) AS cost_share
+       |  CAST((pair_cost::HUGEINT * 1000000) // tot_cost AS BIGINT) AS cost_share_ppm
        |FROM cell CROSS JOIN tot ORDER BY df_band""".stripMargin
 
   // ---------------------------------------------------------------- d61

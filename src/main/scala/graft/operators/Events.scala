@@ -4587,12 +4587,16 @@ object Events {
           col("cents")).otherwise(0L)).as("v1"),
         sum(when(col("ms") * 2 > col("first_ms") + col("last_ms"),
           col("cents")).otherwise(0L)).as("v2"))
+    // widen each factor BEFORE the product: lifetime half-cents past
+    // ~3e9 would wrap v*v in LONG silently (DuckDB raises) — decimal
+    // first keeps both engines exact at any whale size
+    val d38 = "decimal(38,0)"
     perUser
       .agg(count(lit(1)).as("n_users"),
         sum(col("v1")).as("sx"), sum(col("v2")).as("sy"),
-        sum(col("v1") * col("v2")).as("sxy"),
-        sum(col("v1") * col("v1")).as("sx2"),
-        sum(col("v2") * col("v2")).as("sy2"))
+        sum(col("v1").cast(d38) * col("v2").cast(d38)).as("sxy"),
+        sum(col("v1").cast(d38) * col("v1").cast(d38)).as("sx2"),
+        sum(col("v2").cast(d38) * col("v2").cast(d38)).as("sy2"))
       .select(col("n_users"),
         round((dbl(col("n_users")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
           (sqrt(dbl(col("n_users")) * dbl(col("sx2")) - dbl(col("sx")) * dbl(col("sx"))) *
@@ -4618,8 +4622,8 @@ object Events {
       |m AS (
       |  SELECT COUNT(*)::BIGINT AS n_users,
       |    SUM(v1)::BIGINT AS sx, SUM(v2)::BIGINT AS sy,
-      |    SUM(v1 * v2)::BIGINT AS sxy,
-      |    SUM(v1 * v1)::BIGINT AS sx2, SUM(v2 * v2)::BIGINT AS sy2
+      |    SUM(v1::HUGEINT * v2) AS sxy,
+      |    SUM(v1::HUGEINT * v1) AS sx2, SUM(v2::HUGEINT * v2) AS sy2
       |  FROM u)
       |SELECT n_users,
       |  ROUND((CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -4783,9 +4787,12 @@ object Events {
       .withColumn("prev_ms", lag(col("ms"), 1).over(w))
       .filter(col("prev_ms").isNotNull)
       .withColumn("gap", (col("ms") - col("prev_ms")).cast("long"))
+    // widen before multiplying: a gap past ~35 days (√Long.Max ms)
+    // would wrap gap*gap in LONG silently while DuckDB raises
     val perUser = gaps.groupBy("user_id")
       .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sg"),
-        sum(col("gap") * col("gap")).as("sg2"))
+        sum(col("gap").cast("decimal(38,0)") * col("gap").cast("decimal(38,0)"))
+          .as("sg2"))
       .filter(col("n_gaps") >= 2) // >= 3 purchases
       .withColumn("mean_gap", dbl(col("sg")) / dbl(col("n_gaps")))
       .withColumn("cv",
@@ -4809,7 +4816,7 @@ object Events {
       |g AS (SELECT user_id, CAST(ms - prev_ms AS BIGINT) AS gap FROM p WHERE prev_ms IS NOT NULL),
       |u AS (
       |  SELECT user_id, COUNT(*)::BIGINT AS n_gaps, SUM(gap)::BIGINT AS sg,
-      |    SUM(gap * gap)::BIGINT AS sg2
+      |    SUM(gap::HUGEINT * gap) AS sg2
       |  FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
       |c AS (
       |  SELECT CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap,
@@ -5001,7 +5008,10 @@ object Events {
         (dec(col("value")) * 100).cast("long")).otherwise(0L)).as("c"))
     val m = u.agg(count(lit(1)).as("n"),
       sum(col("c").cast(d38)).as("s"),
-      sum((col("c") * col("c")).cast(d38)).as("s2"))
+      // widen BEFORE multiplying (the oracle casts HUGEINT first): a
+      // whale's c > ~3e9 cents would silently wrap c*c in LONG here
+      // while DuckDB raises — widen-first keeps both engines exact
+      sum(col("c").cast(d38) * col("c").cast(d38)).as("s2"))
     val mu = dbl(col("s")) / dbl(col("n"))
     val sigma = sqrt(greatest(
       (dbl(col("n")) * dbl(col("s2")) - dbl(col("s")) * dbl(col("s"))), lit(0d))) / dbl(col("n"))

@@ -62,16 +62,27 @@ private[operators] object Memo {
       case stale =>
         val df = build
         // atomic claim: if another thread built concurrently, keep the
-        // winner and unpersist ours — never two pinned copies
+        // winner and HARD-unpersist the loser — plain unpersist() would
+        // leak the checkpoint-backed blocks a sharedSig-style build
+        // pins at the RDD level, and never two pinned copies
         memo.putIfAbsent(key, df) match {
           case None => df
           case Some(w) if stale.isEmpty =>
             // lost a genuine race to a fresh winner
-            if (w.storageLevel != StorageLevel.NONE) { df.unpersist(); w }
-            else { memo.put(key, df); df }
+            if (w.storageLevel != StorageLevel.NONE) { hardUnpersist(df); w }
+            else if (memo.replace(key, w, df)) df
+            else { hardUnpersist(df); memo.getOrElse(key, df) }
           case Some(_) =>
-            // the existing entry is the stale one we chose to rebuild
-            memo.put(key, df); df
+            // the existing entry is the stale one we chose to rebuild —
+            // CAS so a concurrent FRESH winner is never overwritten
+            // (overwriting would pin two copies); whichever frame loses
+            // the CAS is hard-unpersisted
+            stale match {
+              case Some(s) if memo.replace(key, s, df) =>
+                hardUnpersist(s); df
+              case _ =>
+                hardUnpersist(df); memo.getOrElse(key, df)
+            }
         }
     }
   }

@@ -1640,73 +1640,77 @@ object Pipeline {
     * run reads to pick how hard to upsample low-resource sources
     * before p10/p13 turn shares into epoch plans.
     *
-    * Parity: tokens^α is computed as a sqrt CHAIN (x^0.25 =
-    * √√x, x^0.75 = √x·√√x) — sqrt/×/÷ are correctly rounded per
-    * IEEE-754 in every engine, so the doubles are bit-identical
-    * cross-engine; libm `pow` is NOT (the round-6 failure of this
-    * operator in round 6 was environment-dependent: the same data
-    * passed against a local DuckDB and failed the driver's build).
-    * Weights are floor-quantized to BIGINT micro-units BEFORE the Σw
-    * sum (exact + order-independent), and the output shares use the
-    * same fixed-point floor — no ROUND(double) boundary anywhere.
+    * Parity: integer-pure BY CONSTRUCTION — round 7 proved no double
+    * survives the driver gate even when every IEEE op is individually
+    * correctly rounded (CORRECTNESS_r07 p33 failed with sqrt chains +
+    * fixed-point floors, bit-exact on local DuckDB 1.0.0). So tokens^α
+    * micro-unit weights are EXACT integer square roots ([[Qf.isqrt]]:
+    * double only seeds, a ±2 integer correction decides):
+    * w(0.5) = isqrt(n·10¹²) = ⌊√n·10⁶⌋ exactly, w(0.25) =
+    * isqrt(w(0.5)·10⁶), w(0.75) = isqrt(n·w(0.5)·10⁶), w(1) = n·10⁶;
+    * α itself ships as an integer percent and every share/boost as
+    * parts-per-million via integral division. Both engines run the
+    * same integer recurrence → identical BIGINTs on any libm.
     *
     * Scale: ONE token rollup over the corpus (map-combinable, cached
     * |sources|-frame), then per-α arithmetic on the bounded frame.
-    * Output |α|×|sources|. */
+    * Output |α|×|sources|. (boost_ppm's widest operand is
+    * w·Σtokens·10⁶ ≈ 10³⁹ only past ~10¹³ tokens/source; decimal(38,0)
+    * covers every realistic corpus, and the weights could drop to
+    * milli-units if one ever exceeds it.) */
   def p33(spark: SparkSession, dir: String): DataFrame = {
-    import graft.engine.Qf.dbl
+    import graft.engine.Qf
     VectorFunctions.register(spark)
     val tok = Tables.documents(spark, dir)
       .select(col("source"), size(expr("word_tokens(text)")).cast("long").as("nt"))
       .groupBy("source").agg(sum(col("nt")).as("tokens"))
+      .withColumn("s6", Qf.isqrt(col("tokens").cast(Qf.D38) * lit(1000000000000L)))
       .cache()
-    val tot = tok.agg(sum(col("tokens")).as("tot_tokens"))
-    val td = dbl(col("tokens"))
-    val grid: Seq[(Double, Column)] = Seq(
-      0.25 -> sqrt(sqrt(td)),
-      0.5 -> sqrt(td),
-      0.75 -> sqrt(td) * sqrt(sqrt(td)),
-      1.0 -> td)
-    def q6(c: Column): Column = floor(c * lit(1e6d)) / lit(1e6d)
-    grid.map { case (a, wRaw) =>
-      val t = tok.withColumn("w", floor(wRaw * lit(1e6d)).cast("long"))
+    val tot = tok.agg(sum(col("tokens")).cast(Qf.D38).as("tot_tokens"))
+    val grid: Seq[(Long, Column)] = Seq(
+      25L -> Qf.isqrt(col("s6") * lit(1000000L)),
+      50L -> col("s6"),
+      75L -> Qf.isqrt(col("tokens").cast(Qf.D38) * col("s6") * lit(1000000L)),
+      100L -> col("tokens").cast(Qf.D38) * lit(1000000L))
+    grid.map { case (a, wCol) =>
+      val t = tok.withColumn("w", wCol.cast(Qf.D38))
       val tw = t.agg(sum(col("w")).as("tot_w"))
-      val natShare = dbl(col("tokens")) / dbl(col("tot_tokens"))
-      val tempShare = dbl(col("w")) / dbl(col("tot_w"))
       t.join(broadcast(tw)).join(broadcast(tot))
-        .select(lit(a).as("alpha"), col("source"), col("tokens"),
-          q6(natShare).as("nat_share"),
-          q6(tempShare).as("temp_share"),
-          q6(tempShare / natShare).as("boost"))
-    }.reduce(_.unionByName(_)).orderBy("alpha", "source")
+        .select(lit(a).as("alpha_pct"), col("source"), col("tokens"),
+          expr("(cast(tokens as decimal(38,0)) * 1000000) div tot_tokens")
+            .as("nat_share_ppm"),
+          expr("(w * 1000000) div tot_w").as("temp_share_ppm"),
+          expr("(w * tot_tokens * 1000000) div (tot_w * cast(tokens as decimal(38,0)))")
+            .as("boost_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("alpha_pct", "source")
   }
   val p33Sql: String = {
     import TextAnalysis.wordsSql
+    import graft.engine.Qf.isqrtSql
     val chains = Seq(
-      "0.25" -> "sqrt(sqrt(CAST(tokens AS DOUBLE)))",
-      "0.5" -> "sqrt(CAST(tokens AS DOUBLE))",
-      "0.75" -> "sqrt(CAST(tokens AS DOUBLE)) * sqrt(sqrt(CAST(tokens AS DOUBLE)))",
-      "1.0" -> "CAST(tokens AS DOUBLE)")
+      "25" -> isqrtSql("s6 * 1000000"),
+      "50" -> "s6",
+      "75" -> isqrtSql("CAST(tokens AS HUGEINT) * s6 * 1000000"),
+      "100" -> "CAST(tokens AS HUGEINT) * 1000000")
     val per = chains.map { case (a, chain) =>
-      s"""SELECT CAST($a AS DOUBLE) AS alpha, source, tokens,
-         |  FLOOR((CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) * 1e6) / 1e6 AS nat_share,
-         |  FLOOR((CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) * 1e6) / 1e6 AS temp_share,
-         |  FLOOR(((CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
-         |      / (CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))) * 1e6) / 1e6 AS boost
-         |FROM (
-         |  SELECT source, tokens, CAST(FLOOR(($chain) * 1e6) AS BIGINT) AS w
-         |  FROM tok) t
+      s"""SELECT CAST($a AS BIGINT) AS alpha_pct, source, tokens,
+         |  CAST((CAST(tokens AS HUGEINT) * 1000000) // tot_tokens AS BIGINT) AS nat_share_ppm,
+         |  CAST((w * 1000000) // tot_w AS BIGINT) AS temp_share_ppm,
+         |  CAST((w * tot_tokens * 1000000) // (tot_w * CAST(tokens AS HUGEINT)) AS BIGINT) AS boost_ppm
+         |FROM (SELECT source, tokens, CAST(($chain) AS HUGEINT) AS w FROM t0) t
          |CROSS JOIN (
-         |  SELECT CAST(SUM(CAST(FLOOR(($chain) * 1e6) AS BIGINT)) AS BIGINT) AS tw
-         |  FROM tok) s
+         |  SELECT CAST(SUM(CAST(($chain) AS HUGEINT)) AS HUGEINT) AS tot_w
+         |  FROM t0) s
          |CROSS JOIN tot""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH tok AS (
        |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT)) AS tokens
        |  FROM documents GROUP BY 1),
-       |tot AS (SELECT SUM(tokens)::BIGINT AS tot_tokens FROM tok)
+       |tot AS (SELECT SUM(tokens)::HUGEINT AS tot_tokens FROM tok),
+       |t0 AS (SELECT source, tokens,
+       |    ${isqrtSql("CAST(tokens AS HUGEINT) * 1000000000000")} AS s6 FROM tok)
        |$per
-       |ORDER BY alpha, source""".stripMargin
+       |ORDER BY alpha_pct, source""".stripMargin
   }
 
   // ---------------------------------------------------------------- p34
@@ -2079,48 +2083,49 @@ object Pipeline {
     * gap per language; this prices the temperature mix per source,
     * which is what the sampler actually runs.
     *
-    * Parity: weights are √tokens floor-quantized to BIGINT micro-units
-    * (exact order-independent Σw); targets are floor(budget · w / Σw) —
-    * floor of identical doubles. No pow, no ROUND. */
+    * Parity: integer-pure end to end (round 7's floor(x·1e6)/1e6
+    * double outputs were the driver hash-fail class, CORRECTNESS_r07
+    * p40). Weights are the EXACT integer √(tokens·10¹²) ([[Qf.isqrt]]
+    * — floor(√tokens·1e6) with the ±2 integer correction, so no libm
+    * value survives into the hashed chain); targets are
+    * (budget·w) div Σw in exact decimal arithmetic; the repeat factor
+    * ships as parts-per-million BIGINT, never divided back to DOUBLE. */
   def p40(spark: SparkSession, dir: String): DataFrame = {
-    import graft.engine.Qf.dbl
+    import graft.engine.Qf
     VectorFunctions.register(spark)
     val tok = Tables.documents(spark, dir)
       .select(col("source"), size(expr("word_tokens(text)")).cast("long").as("nt"))
       .groupBy("source").agg(sum(col("nt")).as("tokens"))
-      .withColumn("w", floor(sqrt(dbl(col("tokens"))) * lit(1e6d)).cast("long"))
+      .withColumn("w", Qf.isqrt(col("tokens").cast(Qf.D38) * lit(1000000000000L)))
     val tot = tok.agg(sum(col("tokens")).as("tot"), sum(col("w")).as("tot_w"))
     tok.join(broadcast(tot))
       .withColumn("budget", expr("tot div 2"))
       .withColumn("target_tokens",
-        floor(dbl(col("budget")) * (dbl(col("w")) / dbl(col("tot_w")))).cast("long"))
+        expr("(cast(budget as decimal(38,0)) * w) div tot_w"))
       .select(col("source"), col("tokens"), col("target_tokens"),
         greatest(col("target_tokens") - col("tokens"), lit(0L)).as("deficit"),
         greatest(col("tokens") - col("target_tokens"), lit(0L)).as("surplus"),
-        (floor(dbl(col("target_tokens")) / dbl(col("tokens")) * lit(1e6d)) / lit(1e6d))
-          .as("repeat_factor"))
+        expr("(cast(target_tokens as decimal(38,0)) * 1000000) div tokens")
+          .as("repeat_ppm"))
       .orderBy("source")
   }
   val p40Sql: String = {
     import TextAnalysis.wordsSql
+    val isq = graft.engine.Qf.isqrtSql("CAST(tokens AS HUGEINT) * 1000000000000")
     s"""WITH tok AS (
        |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT)) AS tokens
        |  FROM documents GROUP BY 1),
-       |wq AS (SELECT source, tokens,
-       |    CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w FROM tok),
-       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot,
-       |               CAST(SUM(w) AS BIGINT) AS tot_w FROM wq)
-       |SELECT source, tokens,
-       |  CAST(FLOOR(CAST(tot // 2 AS DOUBLE)
-       |    * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) AS BIGINT) AS target_tokens,
-       |  GREATEST(CAST(FLOOR(CAST(tot // 2 AS DOUBLE)
-       |    * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) AS BIGINT) - tokens, 0) AS deficit,
-       |  GREATEST(tokens - CAST(FLOOR(CAST(tot // 2 AS DOUBLE)
-       |    * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) AS BIGINT), 0) AS surplus,
-       |  FLOOR(CAST(FLOOR(CAST(tot // 2 AS DOUBLE)
-       |      * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) AS BIGINT)
-       |    / CAST(tokens AS DOUBLE) * 1e6) / 1e6 AS repeat_factor
-       |FROM wq CROSS JOIN tot ORDER BY source""".stripMargin
+       |wq AS (SELECT source, tokens, $isq AS w FROM tok),
+       |tot AS (SELECT CAST(SUM(tokens) AS HUGEINT) AS tot,
+       |               CAST(SUM(w) AS HUGEINT) AS tot_w FROM wq),
+       |tt AS (SELECT source, tokens,
+       |    CAST(((tot // 2) * w) // tot_w AS BIGINT) AS target_tokens
+       |  FROM wq CROSS JOIN tot)
+       |SELECT source, tokens, target_tokens,
+       |  GREATEST(target_tokens - tokens, 0) AS deficit,
+       |  GREATEST(tokens - target_tokens, 0) AS surplus,
+       |  CAST((target_tokens::HUGEINT * 1000000) // tokens AS BIGINT) AS repeat_ppm
+       |FROM tt ORDER BY source""".stripMargin
   }
 
   // ---------------------------------------------------------------- p41
@@ -2131,10 +2136,15 @@ object Pipeline {
     * proxy for tokenizer-fertility drift (t66 measures real fertility;
     * this prices its budget effect corpus-wide with exact integers).
     *
+    * Parity: every output is a BIGINT — ratios and shares as
+    * parts-per-million via exact integral division (round 7's
+    * `round(x, 6)` doubles were the driver hash-fail class,
+    * CORRECTNESS_r07 p41), and the drift as a DIFFERENCE of two ppm
+    * integers so no negative-operand division semantics are in play.
+    *
     * Scale: ONE map-combinable rollup; |sources| rows; single
     * divisions. */
   def p41(spark: SparkSession, dir: String): DataFrame = {
-    import graft.engine.Qf.dbl
     VectorFunctions.register(spark)
     val src = Tables.documents(spark, dir)
       .select(col("source"), size(expr("word_tokens(text)")).cast("long").as("nw"),
@@ -2142,12 +2152,11 @@ object Pipeline {
       .groupBy("source").agg(sum(col("nw")).as("words"), sum(col("nc")).as("chars"))
     val tot = src.agg(sum(col("words")).as("tw"), sum(col("chars")).as("tc"))
     src.join(broadcast(tot))
-      .select(col("source"), col("words"), col("chars"),
-        round(dbl(col("chars")) / dbl(col("words")), 6).as("chars_per_word"),
-        round(dbl(col("words")) / dbl(col("tw")), 6).as("word_share"),
-        round(dbl(col("chars")) / dbl(col("tc")), 6).as("char_share"),
-        round(dbl(col("chars")) / dbl(col("tc")) - dbl(col("words")) / dbl(col("tw")), 6)
-          .as("share_drift"))
+      .selectExpr("source", "words", "chars",
+        "(cast(chars as decimal(38,0)) * 1000000) div words as chars_per_word_ppm",
+        "(cast(words as decimal(38,0)) * 1000000) div tw as word_share_ppm",
+        "(cast(chars as decimal(38,0)) * 1000000) div tc as char_share_ppm")
+      .withColumn("share_drift_ppm", col("char_share_ppm") - col("word_share_ppm"))
       .orderBy("source")
   }
   val p41Sql: String = {
@@ -2157,14 +2166,16 @@ object Pipeline {
        |    SUM(CAST(LENGTH(text) AS BIGINT)) AS chars
        |  FROM documents GROUP BY 1),
        |tot AS (SELECT CAST(SUM(words) AS BIGINT) AS tw,
-       |               CAST(SUM(chars) AS BIGINT) AS tc FROM src)
-       |SELECT source, words, chars,
-       |  ROUND(CAST(chars AS DOUBLE) / CAST(words AS DOUBLE), 6) AS chars_per_word,
-       |  ROUND(CAST(words AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS word_share,
-       |  ROUND(CAST(chars AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS char_share,
-       |  ROUND(CAST(chars AS DOUBLE) / CAST(tc AS DOUBLE)
-       |    - CAST(words AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS share_drift
-       |FROM src CROSS JOIN tot ORDER BY source""".stripMargin
+       |               CAST(SUM(chars) AS BIGINT) AS tc FROM src),
+       |ppm AS (
+       |  SELECT source, words, chars,
+       |    CAST((chars::HUGEINT * 1000000) // words AS BIGINT) AS chars_per_word_ppm,
+       |    CAST((words::HUGEINT * 1000000) // tw AS BIGINT) AS word_share_ppm,
+       |    CAST((chars::HUGEINT * 1000000) // tc AS BIGINT) AS char_share_ppm
+       |  FROM src CROSS JOIN tot)
+       |SELECT source, words, chars, chars_per_word_ppm, word_share_ppm,
+       |  char_share_ppm, char_share_ppm - word_share_ppm AS share_drift_ppm
+       |FROM ppm ORDER BY source""".stripMargin
   }
 
   // ---------------------------------------------------------------- p42

@@ -12,13 +12,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State per user is the timestamps inside one trailing window —
   * bounded by window width × the user's error rate PER LIVE KEY.
-  * Plain [[detect]] runs NoTimeout (needed for watermark-free exact
-  * replay/parity), so dead keys hold their last window forever and
-  * total state grows with the key space over a job's lifetime; a
-  * production deployment should use [[detectWithTimeout]], which
-  * evicts a user once the event-time watermark passes their newest
-  * error + windowMs — provably past the point where the buffer could
-  * influence any future on-time count.
+  * The DEFAULT [[detect]] evicts a user once the event-time watermark
+  * passes their newest error + windowMs — provably past the point
+  * where the buffer could influence any future on-time count, so
+  * total state is bounded by the LIVE key set. [[detectUnbounded]]
+  * is the NoTimeout parity/test twin (watermark-free exact replay —
+  * dead keys hold their last window forever); do not deploy it.
   *
   * Out-of-order arrivals: within a batch, events are processed in
   * event-time order (intra-batch disorder repaired exactly); a
@@ -37,7 +36,9 @@ object ErrorBurstStage {
 
   val WindowMs: Long = 5L * 60 * 1000
 
-  def detect(events: Dataset[Ev], windowMs: Long = WindowMs): Dataset[Burst] = {
+  /** NoTimeout parity/replay twin of [[detect]] — state is never
+    * evicted (grows with the key space); test/parity use only. */
+  def detectUnbounded(events: Dataset[Ev], windowMs: Long = WindowMs): Dataset[Burst] = {
     implicit val evEnc = Encoders.product[Ev]
     implicit val stEnc = Encoders.product[BurstState]
     implicit val outEnc = Encoders.product[Burst]
@@ -59,12 +60,15 @@ object ErrorBurstStage {
       }
   }
 
-  /** Bursts at or above the alert threshold (e97's ≥3-in-5-min shape). */
+  /** Bursts at or above the alert threshold (e97's ≥3-in-5-min shape),
+    * on the unbounded parity twin — production alerting filters
+    * [[detect]]'s output the same way. */
   def alerts(events: Dataset[Ev], threshold: Long = 3L,
              windowMs: Long = WindowMs): Dataset[Burst] =
-    detect(events, windowMs).filter(_.count >= threshold)
+    detectUnbounded(events, windowMs).filter(_.count >= threshold)
 
-  /** [[detect]] with EVENT-TIME state eviction — the production shape.
+  /** Burst detection with EVENT-TIME state eviction — the production
+    * DEFAULT (bounded state).
     * `events` must carry `user_id` and an `ets` timestamp column (the
     * watermark source, same contract as SessionPipeline's
     * sessionizeWithTimeout). A user's state is removed once the
@@ -75,8 +79,8 @@ object ErrorBurstStage {
     * than an already-evicted buffer) restarts a fresh window of 1
     * instead of being recognized as older-than-newest and dropped —
     * visible only beyond the watermark delay + windowMs horizon. */
-  def detectWithTimeout(events: DataFrame, windowMs: Long = WindowMs,
-                        watermark: String = "10 minutes"): Dataset[Burst] = {
+  def detect(events: DataFrame, windowMs: Long = WindowMs,
+             watermark: String = "10 minutes"): Dataset[Burst] = {
     implicit val stEnc = Encoders.product[BurstState]
     implicit val outEnc = Encoders.product[Burst]
     implicit val tupEnc = Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP)

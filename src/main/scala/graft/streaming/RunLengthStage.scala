@@ -12,13 +12,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State per user is (last type, current run length, last event time)
   * — three fields regardless of event volume or run length, PER LIVE
-  * KEY. Plain [[detect]] runs NoTimeout (needed for watermark-free
-  * exact replay/parity), so total state grows with the key space over
-  * a job's lifetime; a production deployment should use
-  * [[detectWithTimeout]], which evicts users idle past a configurable
+  * KEY. The DEFAULT [[detect]] evicts users idle past a configurable
   * horizon (a run resuming after that horizon restarts at 1 — a
   * semantic choice, not an approximation: a "run" separated by a day
-  * of silence is two behavioral episodes).
+  * of silence is two behavioral episodes), so total state is bounded
+  * by the LIVE key set. [[detectUnbounded]] is the NoTimeout
+  * parity/test twin (watermark-free exact replay — state grows with
+  * the key space); do not deploy it.
   *
   * Out-of-order arrivals: within a batch, events are processed in
   * (event-time, event-id) order — the same total order the batch
@@ -32,7 +32,9 @@ object RunLengthStage {
   final case class Run(userId: Long, tsMs: Long, eventType: String, runLen: Long)
   final case class RunState(lastType: String, runLen: Long, lastMs: Long)
 
-  def detect(events: Dataset[Ev]): Dataset[Run] = {
+  /** NoTimeout parity/replay twin of [[detect]] — state is never
+    * evicted (grows with the key space); test/parity use only. */
+  def detectUnbounded(events: Dataset[Ev]): Dataset[Run] = {
     implicit val evEnc = Encoders.product[Ev]
     implicit val stEnc = Encoders.product[RunState]
     implicit val outEnc = Encoders.product[Run]
@@ -55,11 +57,14 @@ object RunLengthStage {
       }
   }
 
-  /** Runs at or above the alert threshold. */
+  /** Runs at or above the alert threshold, on the unbounded parity
+    * twin — production alerting filters [[detect]]'s output the same
+    * way. */
   def alerts(events: Dataset[Ev], threshold: Long = 5L): Dataset[Run] =
-    detect(events).filter(_.runLen >= threshold)
+    detectUnbounded(events).filter(_.runLen >= threshold)
 
-  /** [[detect]] with EVENT-TIME state eviction — the production shape.
+  /** Run tracking with EVENT-TIME state eviction — the production
+    * DEFAULT (bounded state).
     * `events` must carry `user_id`, `event_id`, `event_type`, and an
     * `ets` timestamp column (watermark source). A user idle past
     * `idleTimeoutMs` of event time is evicted; if they return with the
@@ -67,9 +72,9 @@ object RunLengthStage {
     * are episodes, and the idle horizon defines the episode). Default
     * 24 h: far past any behavioral burst, so alert semantics match
     * [[detect]] on real traffic while dead keys stop accumulating. */
-  def detectWithTimeout(events: DataFrame,
-                        idleTimeoutMs: Long = 24L * 3600 * 1000,
-                        watermark: String = "10 minutes"): Dataset[Run] = {
+  def detect(events: DataFrame,
+             idleTimeoutMs: Long = 24L * 3600 * 1000,
+             watermark: String = "10 minutes"): Dataset[Run] = {
     implicit val stEnc = Encoders.product[RunState]
     implicit val outEnc = Encoders.product[Run]
     implicit val inEnc =

@@ -28,7 +28,7 @@ class ErrorBurstParitySpec extends SparkSpec {
       .sortBy(_.tsMs)
 
     val input = MemoryStream[Ev]
-    val query = ErrorBurstStage.detect(input.toDS()).writeStream
+    val query = ErrorBurstStage.detectUnbounded(input.toDS()).writeStream
       .format("memory").queryName("parity_burst")
       .outputMode(OutputMode.Append())
       .start()
@@ -54,7 +54,7 @@ class ErrorBurstParitySpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val m = 60000L
     val input = MemoryStream[Ev]
-    val query = ErrorBurstStage.detect(input.toDS()).writeStream
+    val query = ErrorBurstStage.detectUnbounded(input.toDS()).writeStream
       .format("memory").queryName("burst_sem")
       .outputMode(OutputMode.Append())
       .start()
@@ -75,7 +75,7 @@ class ErrorBurstParitySpec extends SparkSpec {
       Burst(1L, 20 * m, 1L)), s"got $streamed")
   }
 
-  test("detectWithTimeout matches detect on on-time data and evicts idle state") {
+  test("default detect (event-time eviction) matches detectUnbounded on on-time data and evicts idle state") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{col, timestamp_millis}
     val m = 60000L
@@ -83,7 +83,7 @@ class ErrorBurstParitySpec extends SparkSpec {
     val events = input.toDS()
       .select(col("userId").as("user_id"),
         timestamp_millis(col("tsMs")).as("ets"))
-    val query = ErrorBurstStage.detectWithTimeout(events).writeStream
+    val query = ErrorBurstStage.detect(events).writeStream
       .format("memory").queryName("burst_evict")
       .outputMode(OutputMode.Append())
       .start()

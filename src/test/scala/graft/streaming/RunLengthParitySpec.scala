@@ -28,7 +28,7 @@ class RunLengthParitySpec extends SparkSpec {
       .sortBy(e => (e.tsMs, e.eventId))
 
     val input = MemoryStream[Ev]
-    val query = RunLengthStage.detect(input.toDS()).writeStream
+    val query = RunLengthStage.detectUnbounded(input.toDS()).writeStream
       .format("memory").queryName("parity_runs")
       .outputMode(OutputMode.Append())
       .start()
@@ -50,7 +50,7 @@ class RunLengthParitySpec extends SparkSpec {
   test("run reset, continuation across batches, and late-drop semantics") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Ev]
-    val query = RunLengthStage.detect(input.toDS()).writeStream
+    val query = RunLengthStage.detectUnbounded(input.toDS()).writeStream
       .format("memory").queryName("runs_sem")
       .outputMode(OutputMode.Append())
       .start()
@@ -71,7 +71,7 @@ class RunLengthParitySpec extends SparkSpec {
       Run(1, 400, "click", 1), Run(1, 500, "click", 2)), s"got $streamed")
   }
 
-  test("detectWithTimeout continues runs within the horizon and evicts idle state") {
+  test("default detect (event-time eviction) continues runs within the horizon and evicts idle state") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{col, timestamp_millis}
     val m = 60000L
@@ -81,7 +81,7 @@ class RunLengthParitySpec extends SparkSpec {
         timestamp_millis(col("tsMs")).as("ets"),
         col("eventType").as("event_type"))
     val query = RunLengthStage
-      .detectWithTimeout(events, idleTimeoutMs = 5 * m).writeStream
+      .detect(events, idleTimeoutMs = 5 * m).writeStream
       .format("memory").queryName("runs_evict")
       .outputMode(OutputMode.Append())
       .start()

@@ -11,12 +11,14 @@ construction, not by a local re-pass) before SURVEY/commit messages claim
 a number. SURVEY §8 numbers must cite the artifact they were measured
 from.
 
-Usage: artifact_diff.py [--oracle <verifyOutDir>/oracle_sql.json]
+Usage: artifact_diff.py --oracle <verifyOutDir>/oracle_sql.json
                         [CORRECTNESS_rNN.json ...]
   With no artifact args, picks the highest-numbered CORRECTNESS_r*.json
-  in the repo root. With --oracle, keys that HAVE an oracle but lost
-  their hash are reported as FLIP (exit 1); without it they print as
-  NOHASH for manual triage. ERR / row / schema failures always exit 1.
+  in the repo root. --oracle is MANDATORY (round 7 shipped a false
+  450/450 claim by running this tool bare: shipped-oracle keys whose
+  driver hash failed printed as NOHASH and the tool exited 0): keys
+  that HAVE an oracle but lost their hash are FLIP -> exit 1.
+  ERR / row / schema failures always exit 1.
 """
 import glob
 import json
@@ -27,12 +29,15 @@ import sys
 
 def main():
     args = sys.argv[1:]
-    oracle_keys = None
-    if "--oracle" in args:
-        i = args.index("--oracle")
-        with open(args[i + 1]) as f:
-            oracle_keys = set(json.load(f).keys())
-        del args[i:i + 2]
+    if "--oracle" not in args:
+        print("artifact_diff.py: --oracle <outDir>/oracle_sql.json is "
+              "mandatory (a bare run cannot classify FLIPs and would "
+              "green-light a false claim)")
+        sys.exit(2)
+    i = args.index("--oracle")
+    with open(args[i + 1]) as f:
+        oracle_keys = set(json.load(f).keys())
+    del args[i:i + 2]
     paths = args
     if not paths:
         rootdir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -66,11 +71,7 @@ def main():
                       f"schema_match={v.get('schema_match')}")
                 bad += 1
             elif not v.get("hash_match"):
-                if oracle_keys is None:
-                    print(f"  NOHASH {k}: rows+schema ok, hash_match=false "
-                          f"(rows-only by design, or a FLIP — pass --oracle "
-                          f"to classify)")
-                elif k in oracle_keys:
+                if k in oracle_keys:
                     print(f"  FLIP {k}: has an oracle but the driver's hash "
                           f"failed — a local pass does NOT clear this; the "
                           f"fix must be deterministic by construction")

@@ -32,6 +32,16 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # stamp the gate environment next to the verify artifact: "N/N
+    # hash-exact" claims are only meaningful scoped to the DuckDB build
+    # they were measured against (the driver's build differs — rounds
+    # 6/7 both shipped claims its engine then falsified)
+    meta = {"duckdb_version": duckdb.__version__,
+            "python": sys.version.split()[0], "sf_dir": sf_dir}
+    with open(f"{out_dir}/_local_gate_meta.json", "w") as f:
+        json.dump(meta, f)
+    print(f"[localcheck] DuckDB {duckdb.__version__} "
+          f"(claims must cite this version; driver artifact is ground truth)")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
