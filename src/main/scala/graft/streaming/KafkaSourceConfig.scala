@@ -33,6 +33,11 @@ object KafkaSourceConfig {
       c.groupIdPrefix.map("groupIdPrefix" -> _)
   }
 
-  def reader(spark: SparkSession, c: Config): DataStreamReader =
-    spark.readStream.format("kafka").options(options(c))
+  /** `format` defaults to the real connector; tests pass
+    * `classOf[graft.sources.FakeKafkaSource].getName` to run the SAME
+    * subscribe→parse→watermark plan against the wire double (the kafka
+    * jar is env-blocked in this image — see FakeKafkaSource). */
+  def reader(spark: SparkSession, c: Config,
+             format: String = "kafka"): DataStreamReader =
+    spark.readStream.format(format).options(options(c))
 }
