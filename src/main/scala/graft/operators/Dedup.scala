@@ -1945,9 +1945,15 @@ object Dedup {
     * mass invariant Σrank = \|nodes\| and per-row bounds. */
   def d47(spark: SparkSession, dir: String): DataFrame = {
     val pairs = sharedPairs(spark, dir).select("doc_a", "doc_b")
+    // ONE exchange for the whole loop: hash-partition the edge list by
+    // src before caching, so each of the five contribution joins (all
+    // keyed on src) reuses the cached layout instead of re-shuffling
+    // the edges every round — the only remaining per-round shuffle is
+    // the groupBy(dst) that the algorithm inherently needs
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .repartition(col("src"))
       .cache()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
     var rank = Memo.tracked(spark,

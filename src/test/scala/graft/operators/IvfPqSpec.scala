@@ -42,4 +42,12 @@ class IvfPqSpec extends SparkSpec {
     val inline = Similarity.s04(spark, sf).collect().map(_.toString)
     assert(fromModel.sameElements(inline))
   }
+
+  test("session-memoized s04 equals the train-in-query twin bit-for-bit") {
+    // training is deterministic, so the benched (memoized-model) form
+    // must reproduce the spec-only in-query-training form exactly
+    val memoized = Similarity.s04(spark, sf).collect().map(_.toString)
+    val fresh = Similarity.s04TrainInQuery(spark, sf).collect().map(_.toString)
+    assert(memoized.sameElements(fresh))
+  }
 }
