@@ -37,9 +37,11 @@ object Dedup {
       |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
       |WHERE len(w) >= 3""".stripMargin
 
-  /** Inverted-index all-pairs Jaccard (exact for J >= any threshold > 0):
-    * docs sharing no shingle can never reach the threshold. */
-  private[operators] def jaccardPairs(sh: DataFrame, num: Int, den: Int): DataFrame = {
+  /** Inverted-index all-pairs Jaccard with the INTEGER evidence kept
+    * (doc_a, doc_b, inter, un) — the exact-arithmetic core jaccardPairs
+    * projects the double ratio from; d64 reads the integers directly so
+    * its ppm output never touches a float. */
+  private[operators] def jaccardPairCounts(sh: DataFrame, num: Int, den: Int): DataFrame = {
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
     val inter = posting.as("a").join(posting.as("b"),
@@ -51,9 +53,15 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("un", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * den >= col("un") * num)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("un"))
+  }
+
+  /** Inverted-index all-pairs Jaccard (exact for J >= any threshold > 0):
+    * docs sharing no shingle can never reach the threshold. */
+  private[operators] def jaccardPairs(sh: DataFrame, num: Int, den: Int): DataFrame =
+    jaccardPairCounts(sh, num, den)
       .select(col("doc_a"), col("doc_b"), (dbl(col("inter")) / dbl(col("un"))).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   private[operators] def jaccardPairsSql(num: Int, den: Int): String =
     s"""WITH sh AS ($shingledSql),
@@ -2787,7 +2795,166 @@ object Dedup {
       .orderBy("k")
   }
 
+  // ---------------------------------------------------------------- d62
+  /** Decontamination n-gram-width sweep: the d11 screen at n ∈ {4, 8, 13}
+    * (13 is the published LLM-decontam standard; 4 is this library's
+    * strict default) — flagged training docs, their token bill, and ppm
+    * shares per width. The table that prices the screen's width knob:
+    * small n over-flags (generic phrases), large n under-flags
+    * (paraphrase survives), and the budget owner needs the token delta.
+    *
+    * Scale: per width, the eval posting list is the broadcast side
+    * (benchmarks are thousands of docs) and the training corpus streams
+    * map-side, exactly d11's envelope ×3; all outputs exact integers
+    * (ppm via integral division). */
+  def d62(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val docs = Memo.tracked(spark, Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(expr("word_tokens(text)")).cast("long").as("nt"))
+      .cache())
+    val trainTot = docs.filter(col("doc_id") % 20 =!= 0)
+      .agg(count(lit(1)).as("train_docs"), sum(col("nt")).as("train_tokens"))
+    Seq(4, 8, 13).map { n =>
+      val post = docs
+        .select(col("doc_id"), explode(expr(s"word_ngrams(text, $n)")).as("g"))
+      val ev = post.filter(col("doc_id") % 20 === 0).select("g").distinct()
+      val flagged = post.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(ev), "g").select("doc_id").distinct()
+      flagged.join(docs.select("doc_id", "nt"), "doc_id")
+        .agg(count(lit(1)).as("flagged_docs"),
+          coalesce(sum(col("nt")), lit(0L)).as("flagged_tokens"))
+        .crossJoin(broadcast(trainTot))
+        .selectExpr(s"cast($n as bigint) as gram_n",
+          "flagged_docs", "flagged_tokens",
+          "(cast(flagged_docs as decimal(38,0)) * 1000000) div train_docs as flagged_doc_ppm",
+          "(cast(flagged_tokens as decimal(38,0)) * 1000000) div train_tokens as flagged_token_ppm")
+    }.reduce(_.unionByName(_)).orderBy("gram_n")
+  }
+  val d62Sql: String = {
+    val per = Seq(4, 8, 13).map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS gram_n,
+         |  (SELECT COUNT(*)::BIGINT FROM fl$n) AS flagged_docs,
+         |  (SELECT COALESCE(SUM(nt), 0)::BIGINT
+         |     FROM toks WHERE doc_id IN (SELECT doc_id FROM fl$n)) AS flagged_tokens,
+         |  CAST(((SELECT COUNT(*)::HUGEINT FROM fl$n) * 1000000)
+         |    // (SELECT train_docs FROM tt) AS BIGINT) AS flagged_doc_ppm,
+         |  CAST(((SELECT COALESCE(SUM(nt), 0)::HUGEINT
+         |         FROM toks WHERE doc_id IN (SELECT doc_id FROM fl$n)) * 1000000)
+         |    // (SELECT train_tokens FROM tt) AS BIGINT) AS flagged_token_ppm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val ctes = Seq(4, 8, 13).map { n =>
+      s"""p$n AS (SELECT doc_id, UNNEST(grams) AS g FROM (${shingledKSql(n)})),
+         |fl$n AS (
+         |  SELECT DISTINCT t.doc_id FROM p$n t
+         |  JOIN (SELECT DISTINCT g FROM p$n WHERE doc_id % 20 = 0) e USING (g)
+         |  WHERE t.doc_id % 20 <> 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
+       |  FROM documents),
+       |tt AS (SELECT COUNT(*)::HUGEINT AS train_docs, SUM(nt)::HUGEINT AS train_tokens
+       |       FROM toks WHERE doc_id % 20 <> 0),
+       |$ctes
+       |$per
+       |ORDER BY gram_n""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d63
+  /** Shingle-width pair-join cost census: at widths k ∈ {1, 2, 3, 5},
+    * the inverted index's gram count, posting volume, and candidate-pair
+    * cost Σ df·(df−1)/2 — d60 prices the df bands at the shipped width;
+    * this prices the WIDTH itself (wider shingles → rarer grams → the
+    * pair join collapses; k=1 shows the uncapped bag-of-words blowup the
+    * cap exists for). d51 measures result sensitivity; this measures
+    * compute cost. All-integer output.
+    *
+    * Scale: one map-combinable gram rollup per width (4 bounded scans),
+    * 4-row output; nothing joins. */
+  def d63(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    Seq(1, 2, 3, 5).map { k =>
+      docs.select(explode(expr(s"word_ngrams(text, $k)")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("df")).as("n_postings"),
+          sum(expr("(cast(df as decimal(38,0)) * (df - 1)) div 2")).as("pair_cost"))
+        .selectExpr(s"cast($k as bigint) as shingle_k", "n_grams", "n_postings",
+          "pair_cost",
+          "(cast(pair_cost as decimal(38,0)) * 1000000) div greatest(n_postings, 1) as cost_per_posting_ppm")
+    }.reduce(_.unionByName(_)).orderBy("shingle_k")
+  }
+  val d63Sql: String = {
+    val per = Seq(1, 2, 3, 5).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS shingle_k, COUNT(*)::BIGINT AS n_grams,
+         |  SUM(df)::BIGINT AS n_postings,
+         |  CAST(SUM((df::HUGEINT * (df - 1)) // 2) AS BIGINT) AS pair_cost,
+         |  CAST((CAST(SUM((df::HUGEINT * (df - 1)) // 2) AS HUGEINT) * 1000000)
+         |    // GREATEST(SUM(df)::HUGEINT, 1) AS BIGINT) AS cost_per_posting_ppm
+         |FROM (SELECT g, COUNT(*)::BIGINT AS df
+         |      FROM (SELECT UNNEST(grams) AS g FROM (${shingledKSql(k)}))
+         |      GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$per\nORDER BY shingle_k"
+  }
+
+  // ---------------------------------------------------------------- d64
+  /** Near-dup cluster tightness census: every d10 cluster's size, the
+    * J ≥ 0.5 pairs it actually contains, its min/max pair Jaccard (ppm),
+    * and whether it is CHAINED (pairs < n·(n−1)/2 — members related only
+    * transitively). Chained clusters are where keep-one-per-cluster
+    * dedup is most aggressive (two kept-apart docs may share nothing);
+    * this table is the audit that decision reads. Integer-pure: Jaccard
+    * ppm from the pair stream's exact (inter, union) counts via
+    * integral division — no float anywhere.
+    *
+    * Scale: rides the memoized pair counts + CC labels; the rollup is
+    * one groupBy over pairs (bounded by the pair stream) + one over
+    * members. */
+  def d64(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
+    val pc = jaccardPairCounts(sh, 1, 2)
+      .withColumn("j_ppm", expr("(cast(inter as decimal(38,0)) * 1000000) div un"))
+    val cc = sharedClusters(spark, dir)
+    val byA = pc.join(cc.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    val perCluster = byA.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("j_ppm")).as("min_j_ppm"), max(col("j_ppm")).as("max_j_ppm"))
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+    sizes.join(perCluster, "cluster_id")
+      .withColumn("chained",
+        col("n_pairs") * 2 < col("n_docs") * (col("n_docs") - 1))
+      .select(col("cluster_id"), col("n_docs"), col("n_pairs"),
+        col("min_j_ppm"), col("max_j_ppm"), col("chained"))
+      .orderBy("cluster_id")
+  }
+  val d64Sql: String = {
+    val pairSql = jaccardPairsSql(1, 2).replace("ORDER BY doc_a, doc_b", "")
+      .replace(
+        """SELECT doc_a, doc_b,
+          |  CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard""".stripMargin,
+        """SELECT doc_a, doc_b,
+          |  CAST((inter::HUGEINT * 1000000) // (na.n + nb.n - inter) AS BIGINT) AS j_ppm""".stripMargin)
+    val ccSql = d10Sql.replace("ORDER BY doc_id", "")
+    s"""WITH pc AS ($pairSql),
+       |cc AS ($ccSql),
+       |per AS (
+       |  SELECT cc.cluster_id, COUNT(*)::BIGINT AS n_pairs,
+       |    MIN(j_ppm)::BIGINT AS min_j_ppm, MAX(j_ppm)::BIGINT AS max_j_ppm
+       |  FROM pc JOIN cc ON pc.doc_a = cc.doc_id
+       |  GROUP BY 1),
+       |sz AS (SELECT cluster_id, COUNT(*)::BIGINT AS n_docs FROM cc GROUP BY 1)
+       |SELECT sz.cluster_id, n_docs, n_pairs, min_j_ppm, max_j_ppm,
+       |  n_pairs * 2 < n_docs * (n_docs - 1) AS chained
+       |FROM sz JOIN per USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d64_cluster_diameter" -> (d64 _),
+    "d63_shingle_len_cost" -> (d63 _),
+    "d62_decontam_gram_sweep" -> (d62 _),
     "d61_distinct_shingle_sketch" -> (d61 _),
     "d60_posting_skew" -> (d60 _),
     "d59_sketch_agreement" -> (d59 _),
@@ -2851,6 +3018,9 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d64_cluster_diameter" -> d64Sql,
+    "d63_shingle_len_cost" -> d63Sql,
+    "d62_decontam_gram_sweep" -> d62Sql,
     "d60_posting_skew" -> d60Sql,
     "d57_seed_buckets" -> d57Sql,
     "d55_pair_cost_model" -> d55Sql,

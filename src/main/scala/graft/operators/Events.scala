@@ -5089,7 +5089,98 @@ object Events {
       |  ROUND(CAST(n AS DOUBLE) / CAST(day_total AS DOUBLE), 6) AS peak_share
       |FROM r WHERE rn = 1 ORDER BY dow""".stripMargin
 
+  // ---------------------------------------------------------------- e115
+  /** Seasonal-naive forecast error: predict each traffic hour by the SAME
+    * hour one week earlier (the 168-hour lag — the baseline every real
+    * forecaster must beat) and report per-weekday absolute error as ppm
+    * of actual volume. The capacity-planning sanity table: a dow whose
+    * seasonal-naive error is low is schedulable from last week's curve;
+    * a high-error dow needs a real model. Integer-pure: |Δ| sums and one
+    * integral division per row; hours compared only where BOTH weeks had
+    * traffic (inner join — identical semantics in both engines).
+    *
+    * Scale: ONE hourly rollup (map-combinable, bounded by observed
+    * hours), a self-join on hour−168 (bounded by hours, not events),
+    * 7-row output. */
+  def e115(spark: SparkSession, dir: String): DataFrame = {
+    val hours = Tables.events(spark, dir)
+      .select(expr("ms div 3600000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+    val lagged = hours.select((col("h") + 168).as("h"), col("n").as("n_prev"))
+    hours.join(lagged, "h")
+      .select(expr("((h * 3600000) div 86400000 + 4) % 7").cast("long").as("dow"),
+        col("n"), col("n_prev"))
+      .withColumn("abs_err",
+        when(col("n") >= col("n_prev"), col("n") - col("n_prev"))
+          .otherwise(col("n_prev") - col("n")))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("actual_events"),
+        sum(col("abs_err")).as("abs_err_total"))
+      .selectExpr("dow", "n_hours", "actual_events", "abs_err_total",
+        "(cast(abs_err_total as decimal(38,0)) * 1000000) div actual_events as mae_ppm")
+      .orderBy("dow")
+  }
+  val e115Sql: String =
+    """WITH hours AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS h, COUNT(*)::BIGINT AS n
+      |  FROM events GROUP BY 1),
+      |j AS (
+      |  SELECT a.h, a.n, b.n AS n_prev
+      |  FROM hours a JOIN hours b ON a.h = b.h + 168),
+      |e AS (
+      |  SELECT ((h * 3600000) // 86400000 + 4) % 7 AS dow, n,
+      |    CASE WHEN n >= n_prev THEN n - n_prev ELSE n_prev - n END AS abs_err
+      |  FROM j)
+      |SELECT CAST(dow AS BIGINT) AS dow, COUNT(*)::BIGINT AS n_hours,
+      |  SUM(n)::BIGINT AS actual_events, SUM(abs_err)::BIGINT AS abs_err_total,
+      |  CAST((SUM(abs_err)::HUGEINT * 1000000) // SUM(n) AS BIGINT) AS mae_ppm
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- e116
+  /** Weekly stickiness: per epoch-week, weekly actives, summed daily
+    * actives, and the DAU/WAU ratio as ppm — e69's monthly stickiness at
+    * the weekly cadence ops actually reviews (ratio near 1e6/7 ≈ "users
+    * visit once a week"; near 1e6 ≈ "users visit daily"). Integer-pure:
+    * two distinct-user rollups and one integral division; the ratio
+    * denominator is wau × days-with-traffic so a partial week is not
+    * penalized for days that don't exist in the data.
+    *
+    * Scale: two map-combinable distinct aggregations keyed by
+    * (week[, day]); output is one row per week. */
+  def e116(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(expr("ms div 86400000").as("day"), col("user_id"))
+      .withColumn("week", expr("day div 7"))
+    val daily = base.groupBy("week", "day")
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("active_days"), sum(col("dau")).as("dau_sum"))
+    val weekly = base.groupBy("week")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    weekly.join(daily, "week")
+      .selectExpr("week", "active_days", "wau", "dau_sum",
+        "(cast(dau_sum as decimal(38,0)) * 1000000) div (wau * active_days) as stickiness_ppm")
+      .orderBy("week")
+  }
+  val e116Sql: String =
+    """WITH base AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day,
+      |    (epoch_ms(ts) // 86400000) // 7 AS week, user_id
+      |  FROM events),
+      |daily AS (
+      |  SELECT week, COUNT(*)::BIGINT AS active_days, SUM(dau)::BIGINT AS dau_sum
+      |  FROM (SELECT week, day, COUNT(DISTINCT user_id)::BIGINT AS dau
+      |        FROM base GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |weekly AS (SELECT week, COUNT(DISTINCT user_id)::BIGINT AS wau FROM base GROUP BY 1)
+      |SELECT CAST(week AS BIGINT) AS week, active_days, wau, dau_sum,
+      |  CAST((dau_sum::HUGEINT * 1000000) // (wau * active_days) AS BIGINT) AS stickiness_ppm
+      |FROM weekly JOIN daily USING (week)
+      |ORDER BY week""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e116_weekly_stickiness" -> (e116 _),
+    "e115_seasonal_naive_error" -> (e115 _),
     "e114_dow_peak_hour" -> (e114 _),
     "e113_whale_census" -> (e113 _),
     "e112_first_touch_ltv" -> (e112 _),
@@ -5207,6 +5298,8 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e116_weekly_stickiness" -> e116Sql,
+    "e115_seasonal_naive_error" -> e115Sql,
     "e114_dow_peak_hour" -> e114Sql,
     "e113_whale_census" -> e113Sql,
     "e112_first_touch_ltv" -> e112Sql,

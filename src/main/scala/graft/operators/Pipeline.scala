@@ -2330,7 +2330,203 @@ object Pipeline {
        |ORDER BY holdout_mod""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p45
+  /** Length-bucketed padding bill at context 2048: documents (truncated
+    * at 2048 tokens) are batched by length bucket — B ∈ {1, 4, 16}
+    * equal-width buckets over the context — and every doc pads to its
+    * BUCKET's max length. B=1 is naive global batching (everything pads
+    * to the longest survivor); more buckets approach zero waste. This is
+    * the table that prices the batcher's bucket knob before the 100 TB
+    * tokenization run (p38 prices the CONTEXT length; this prices the
+    * batching scheme at a fixed context). Integer-pure ppm outputs.
+    *
+    * Scale: ONE tokenize pass; the per-(B, bucket) max/sum rollup is
+    * map-combinable; 3-row output. */
+  def p45(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val L = 2048L
+    val toks = Tables.documents(spark, dir)
+      .select(least(size(expr("word_tokens(text)")).cast("long"), lit(L)).as("nt"))
+      .filter(col("nt") >= 1)
+      .cache()
+    Seq(1, 4, 16).map { b =>
+      val w = L / b // equal-width bucket span
+      val bucketed = toks
+        .withColumn("bucket", least(expr(s"(nt - 1) div $w"), lit(b - 1L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("real_toks"),
+          max(col("nt")).as("bmax"))
+      bucketed
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("real_toks")).as("real_tokens"),
+          sum(col("n_docs") * col("bmax")).as("padded_tokens"))
+        .selectExpr(s"cast($b as bigint) as n_buckets", "n_docs", "real_tokens",
+          "padded_tokens",
+          "((padded_tokens - real_tokens) * cast(1000000 as decimal(38,0))) div padded_tokens as waste_ppm")
+    }.reduce(_.unionByName(_)).orderBy("n_buckets")
+  }
+  val p45Sql: String = {
+    import TextAnalysis.wordsSql
+    val per = Seq(1, 4, 16).map { b =>
+      val w = 2048L / b
+      s"""SELECT CAST($b AS BIGINT) AS n_buckets,
+         |  SUM(n_docs)::BIGINT AS n_docs, SUM(real_toks)::BIGINT AS real_tokens,
+         |  SUM(n_docs * bmax)::BIGINT AS padded_tokens,
+         |  CAST(((SUM(n_docs * bmax) - SUM(real_toks))::HUGEINT * 1000000)
+         |    // SUM(n_docs * bmax) AS BIGINT) AS waste_ppm
+         |FROM (
+         |  SELECT LEAST((nt - 1) // $w, ${b - 1}) AS bucket,
+         |    COUNT(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS real_toks,
+         |    MAX(nt)::BIGINT AS bmax
+         |  FROM toks GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT LEAST(CAST(len($wordsSql) AS BIGINT), 2048) AS nt
+       |  FROM documents WHERE len($wordsSql) >= 1)
+       |$per
+       |ORDER BY n_buckets""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- p46
+  /** Water-filling token allocation at a half-corpus budget: the unique
+    * level LVL with Σ min(tokens_s, LVL) ≈ budget — small sources keep
+    * everything, large sources are capped at the level (the fair-cap
+    * mixture: no source starves, surplus flows to the rest). Emits per
+    * source its allocation and fill rate, plus the level itself. The
+    * planner complement to p40's temperature targets (p40 reweights
+    * smoothly; this caps hard).
+    *
+    * Integer-pure: the level is found on the \|sources\|-bounded sorted
+    * frame by checking each saturation boundary m with exact integer
+    * arithmetic (LVL = (budget − prefix_m) div (k − m), valid when it
+    * lands in [t_m, t_{m+1})); integral division means the filled total
+    * undershoots the budget by < k−m tokens — exact, documented, and
+    * identical in both engines. Windows run on the \|sources\| frame
+    * only, never the corpus. */
+  def p46(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), size(expr("word_tokens(text)")).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("tokens"))
+      .cache()
+    val w = Window.orderBy(col("tokens"), col("source")) // |sources| rows
+    val ranked = tok
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prefix",
+        sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_tokens", lag(col("tokens"), 1).over(w))
+    val tot = ranked.agg(max(col("rn")).as("k"), sum(col("tokens")).as("tot"))
+    // candidate level at every saturation boundary m = rn-1 (level sits
+    // between this row's tokens and the next row's); pick the smallest
+    // valid m for determinism
+    val cand = ranked.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("tot div 2"))
+      .withColumn("m", col("rn") - 1)
+      .withColumn("prefix_m", col("prefix") - col("tokens"))
+      .withColumn("lvl", expr("(budget - prefix_m) div (k - m)"))
+      .filter(col("lvl") < col("tokens") &&
+        (col("m") === 0 || col("lvl") >= col("prev_tokens")))
+      .select(col("lvl"), col("m"))
+      .orderBy(col("m")).limit(1)
+    tok.crossJoin(broadcast(cand))
+      .withColumn("alloc", least(col("tokens"), col("lvl")))
+      .selectExpr("source", "tokens", "lvl as level", "alloc",
+        "(cast(alloc as decimal(38,0)) * 1000000) div tokens as fill_ppm")
+      .orderBy("source")
+  }
+  val p46Sql: String = {
+    import TextAnalysis.wordsSql
+    s"""WITH tok AS (
+       |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT)) AS tokens
+       |  FROM documents GROUP BY 1),
+       |ranked AS (
+       |  SELECT source, tokens,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY tokens, source) AS BIGINT) AS rn,
+       |    SUM(tokens) OVER (ORDER BY tokens, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+       |    LAG(tokens) OVER (ORDER BY tokens, source) AS prev_tokens
+       |  FROM tok),
+       |tot AS (SELECT MAX(rn) AS k, SUM(tokens)::BIGINT AS tot FROM ranked),
+       |cand AS (
+       |  SELECT ((tot // 2) - (prefix - tokens)) // (k - (rn - 1)) AS lvl,
+       |    rn - 1 AS m
+       |  FROM ranked CROSS JOIN tot
+       |  WHERE ((tot // 2) - (prefix - tokens)) // (k - (rn - 1)) < tokens
+       |    AND (rn = 1 OR ((tot // 2) - (prefix - tokens)) // (k - (rn - 1)) >= prev_tokens)
+       |  ORDER BY m LIMIT 1)
+       |SELECT source, tokens, CAST(lvl AS BIGINT) AS level,
+       |  LEAST(tokens, CAST(lvl AS BIGINT)) AS alloc,
+       |  CAST((LEAST(tokens, CAST(lvl AS BIGINT))::HUGEINT * 1000000) // tokens AS BIGINT) AS fill_ppm
+       |FROM tok CROSS JOIN cand
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- p47
+  /** Dedup × temperature interaction: the α=0.5 sampling shares (p33's
+    * integer-isqrt weights) computed on RAW tokens vs EXACT-DEDUPED
+    * tokens (d01's keep-min-id survivors), per source, with the share
+    * shift — duplicate-heavy sources steal mixture weight from clean
+    * ones, and this is the bill. Integer-pure: isqrt micro-weights, ppm
+    * shares via integral division, shift as a ppm difference.
+    *
+    * Scale: one tokenize pass with a per-fingerprint min-id window
+    * (d01's shape), two bounded per-source rollups. */
+  def p47(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Qf
+    VectorFunctions.register(spark)
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+        size(expr("word_tokens(text)")).cast("long").as("nt"))
+      .withColumn("keep",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy("fp")))
+    val per = d.groupBy("source")
+      .agg(sum(col("nt")).as("raw_tokens"),
+        sum(when(col("keep"), col("nt")).otherwise(0L)).as("dedup_tokens"))
+      .withColumn("w_raw", Qf.isqrt(col("raw_tokens").cast(Qf.D38) * lit(1000000000000L)))
+      .withColumn("w_dedup", Qf.isqrt(col("dedup_tokens").cast(Qf.D38) * lit(1000000000000L)))
+    val tw = per.agg(sum(col("w_raw")).as("tw_raw"), sum(col("w_dedup")).as("tw_dedup"))
+    per.crossJoin(broadcast(tw))
+      .selectExpr("source", "raw_tokens", "dedup_tokens",
+        "(w_raw * 1000000) div tw_raw as raw_share_ppm",
+        "(w_dedup * 1000000) div tw_dedup as dedup_share_ppm")
+      .withColumn("shift_ppm", col("dedup_share_ppm") - col("raw_share_ppm"))
+      .orderBy("source")
+  }
+  val p47Sql: String = {
+    import TextAnalysis.wordsSql
+    import graft.engine.Qf.isqrtSql
+    s"""WITH d AS (
+       |  SELECT doc_id, source, md5(text) AS fp,
+       |    CAST(len($wordsSql) AS BIGINT) AS nt
+       |  FROM documents),
+       |k AS (
+       |  SELECT source, nt,
+       |    doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep
+       |  FROM d),
+       |per AS (
+       |  SELECT source, SUM(nt)::BIGINT AS raw_tokens,
+       |    SUM(CASE WHEN keep THEN nt ELSE 0 END)::BIGINT AS dedup_tokens
+       |  FROM k GROUP BY 1),
+       |wq AS (
+       |  SELECT source, raw_tokens, dedup_tokens,
+       |    ${isqrtSql("CAST(raw_tokens AS HUGEINT) * 1000000000000")} AS w_raw,
+       |    ${isqrtSql("CAST(dedup_tokens AS HUGEINT) * 1000000000000")} AS w_dedup
+       |  FROM per),
+       |tw AS (SELECT SUM(w_raw)::HUGEINT AS tw_raw,
+       |              SUM(w_dedup)::HUGEINT AS tw_dedup FROM wq),
+       |ppm AS (
+       |  SELECT source, raw_tokens, dedup_tokens,
+       |    CAST((w_raw * 1000000) // tw_raw AS BIGINT) AS raw_share_ppm,
+       |    CAST((w_dedup * 1000000) // tw_dedup AS BIGINT) AS dedup_share_ppm
+       |  FROM wq CROSS JOIN tw)
+       |SELECT source, raw_tokens, dedup_tokens, raw_share_ppm, dedup_share_ppm,
+       |  dedup_share_ppm - raw_share_ppm AS shift_ppm
+       |FROM ppm ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p47_dedup_temp_shift" -> (p47 _),
+    "p46_water_filling" -> (p46 _),
+    "p45_bucketed_padding" -> (p45 _),
     "p44_holdout_sweep" -> (p44 _),
     "p43_epoch_dup_exposure" -> (p43 _),
     "p42_quality_gate_sweep" -> (p42 _),
@@ -2377,6 +2573,9 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p47_dedup_temp_shift" -> p47Sql,
+    "p46_water_filling" -> p46Sql,
+    "p45_bucketed_padding" -> p45Sql,
     "p44_holdout_sweep" -> p44Sql,
     "p43_epoch_dup_exposure" -> p43Sql,
     "p42_quality_gate_sweep" -> p42Sql,

@@ -4590,7 +4590,90 @@ object Relational {
        |  END AS mom_growth
        |FROM cell ORDER BY p_brand, month""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+  /** Part-size pricing & demand curve: per p_size, catalog breadth
+    * (parts), DECIMAL-exact average list price in CENTS, line-item
+    * demand (lines, quantity ×100), and each size's revenue share (ppm
+    * of discounted revenue, scaled ×10⁴ so the 4-decimal revenue term
+    * stays an exact integer). The merchandising view of whether price
+    * tracks size and where demand actually sits. Integer-pure outputs.
+    *
+    * Scale: one part rollup + one lineitem⋈part key join (AQE
+    * broadcasts part while it fits; both sides prune to 3 columns),
+    * \|sizes\|-bounded result. */
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_size"),
+      col("p_retailprice"))
+    val cat = p.groupBy("p_size").agg(count(lit(1)).as("n_parts"),
+      sum(dec(col("p_retailprice"))).as("price_sum"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .join(p.select(col("p_partkey").as("l_partkey"), col("p_size")), "l_partkey")
+      .groupBy("p_size")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(dec(col("l_quantity"))) * 100).cast("long").as("qty_x100"),
+        (sum(revenueTerm(col("l_extendedprice"), col("l_discount"))) * 10000)
+          .cast("decimal(38,0)").as("rev_x1e4"))
+    val tot = li.agg(sum(col("rev_x1e4")).as("tot_rev"))
+    cat.join(li, "p_size").crossJoin(broadcast(tot))
+      .selectExpr("cast(p_size as bigint) as p_size", "n_parts",
+        "cast(price_sum * 100 as decimal(38,0)) div n_parts as avg_price_cents",
+        "n_lines", "qty_x100",
+        "cast(rev_x1e4 as decimal(38,0)) as rev_x1e4",
+        "(rev_x1e4 * 1000000) div tot_rev as rev_share_ppm")
+      .orderBy("p_size")
+  }
+  val q127Sql: String =
+    s"""WITH cat AS (
+       |  SELECT p_size, COUNT(*)::BIGINT AS n_parts,
+       |    SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS price_sum
+       |  FROM part GROUP BY 1),
+       |li AS (
+       |  SELECT p_size, COUNT(*)::BIGINT AS n_lines,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS qty_x100,
+       |    CAST(SUM($revenueSql) * 10000 AS HUGEINT) AS rev_x1e4
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1),
+       |tot AS (SELECT SUM(rev_x1e4)::HUGEINT AS tot_rev FROM li)
+       |SELECT CAST(p_size AS BIGINT) AS p_size, n_parts,
+       |  CAST(CAST(price_sum * 100 AS HUGEINT) // n_parts AS BIGINT) AS avg_price_cents,
+       |  n_lines, qty_x100, CAST(rev_x1e4 AS BIGINT) AS rev_x1e4,
+       |  CAST((rev_x1e4 * 1000000) // tot_rev AS BIGINT) AS rev_share_ppm
+       |FROM cat JOIN li USING (p_size) CROSS JOIN tot
+       |ORDER BY p_size""".stripMargin
+
+  // ---------------------------------------------------------------- q128
+  /** Brand catalog span: per brand, how wide the catalog is (distinct
+    * types and sizes), its price floor/ceiling in exact CENTS and the
+    * spread — the assortment-breadth audit beside q61's price book
+    * (which prices brand×type cells; this sizes the brand's whole
+    * envelope). Pure part scan, all-integer output.
+    *
+    * Scale: one map-combinable rollup over part; \|brands\| rows. */
+  def q128(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        countDistinct(col("p_size")).as("n_sizes"),
+        (min(dec(col("p_retailprice"))) * 100).cast("long").as("min_price_cents"),
+        (max(dec(col("p_retailprice"))) * 100).cast("long").as("max_price_cents"))
+      .withColumn("span_cents", col("max_price_cents") - col("min_price_cents"))
+      .orderBy("p_brand")
+  val q128Sql: String =
+    """SELECT p_brand, COUNT(*)::BIGINT AS n_parts,
+      |  COUNT(DISTINCT p_type)::BIGINT AS n_types,
+      |  COUNT(DISTINCT p_size)::BIGINT AS n_sizes,
+      |  CAST(MIN(CAST(p_retailprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS min_price_cents,
+      |  CAST(MAX(CAST(p_retailprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS max_price_cents,
+      |  CAST(MAX(CAST(p_retailprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+      |    - CAST(MIN(CAST(p_retailprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS span_cents
+      |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q128_brand_catalog_span" -> (q128 _),
+    "q127_size_price_curve" -> (q127 _),
     "q126_brand_mom_growth" -> (q126 _),
     "q125_segment_discount_depth" -> (q125 _),
     "q124_nation_customer_hhi" -> (q124 _),
@@ -4720,6 +4803,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q128_brand_catalog_span" -> q128Sql,
+    "q127_size_price_curve" -> q127Sql,
     "q126_brand_mom_growth" -> q126Sql,
     "q125_segment_discount_depth" -> q125Sql,
     "q124_nation_customer_hhi" -> q124Sql,

@@ -2281,7 +2281,37 @@ object Similarity {
       .orderBy("target_band")
   }
 
+  // ---------------------------------------------------------------- s47
+  /** Rank-displacement profile of the ANN index: for every TRUE top-5
+    * rank (s01's exact baseline), how many of those neighbors the
+    * shipped IVF configuration returns at all, how many at exactly the
+    * right rank, and the total rank displacement among the found — the
+    * per-position quality readout behind s09's single recall number
+    * (rank-1 neighbors surviving matters more than rank-5). Rows-only
+    * (IVF has no SQL twin); IvfPqSpec pins the bounds. Integer-pure.
+    *
+    * Scale: rides the memoized truth + IVF top-5 frames (both already
+    * shared by the recall-audit family); one key join, 5-row output. */
+  def s47(spark: SparkSession, dir: String): DataFrame = {
+    val truth = sharedTruth(spark, dir).select(
+      col("q_id"), col("n_id"), col("rnk").as("true_rnk"))
+    val ivf = sharedIvf(spark, dir).select(
+      col("q_id"), col("n_id"), col("rnk").as("ivf_rnk"))
+    truth.join(ivf, Seq("q_id", "n_id"), "left")
+      .groupBy("true_rnk")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("ivf_rnk").isNotNull, 1L).otherwise(0L)).as("n_found"),
+        sum(when(col("ivf_rnk") === col("true_rnk"), 1L).otherwise(0L))
+          .as("n_exact_rank"),
+        sum(when(col("ivf_rnk").isNotNull,
+          abs(col("ivf_rnk") - col("true_rnk"))).otherwise(0L)).as("disp_sum"))
+      .selectExpr("true_rnk", "n_true", "n_found", "n_exact_rank", "disp_sum",
+        "(cast(n_found as decimal(38,0)) * 1000000) div n_true as found_ppm")
+      .orderBy("true_rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s47_rank_displacement" -> (s47 _),
     "s46_hub_recall" -> (s46 _),
     "s45_density_hubness" -> (s45 _),
     "s44_hub_census" -> (s44 _),

@@ -2882,7 +2882,163 @@ object TextAnalysis {
        |       JOIN sizes sb ON i.source_b = sb.source
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ---------------------------------------------------------------- t69
+  /** PII-density band census per source: documents banded by redaction
+    * density (clean / ≤5 PII spans per kChar / heavier), with doc counts,
+    * total spans, and each band's doc share — t05 totals the scrub; this
+    * is the DROP-vs-SCRUB decision table (a source whose heavy band
+    * dominates gets dropped, not redacted). Bands are exact integer
+    * cross-multiplied compares; shares are ppm BIGINTs.
+    *
+    * Scale: one scan with two regexp extract counts (codegen'd), one
+    * map-combinable rollup; \|sources\|×3 rows. */
+  def t69(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("n_pii",
+        (size(regexp_extract_all(col("text"), lit(numPat), lit(0))) +
+         size(regexp_extract_all(col("text"), lit(mailPat), lit(0)))).cast("long"))
+      .withColumn("chars", length(col("text")).cast("long"))
+      .withColumn("band",
+        when(col("n_pii") === 0, "a_clean")
+          .when(col("n_pii") * 1000 <= col("chars") * 5, "b_light")
+          .otherwise("c_heavy"))
+    val per = d.groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_pii")).as("n_pii_total"))
+    val tot = d.groupBy("source").agg(count(lit(1)).as("src_docs"))
+    per.join(broadcast(tot), "source")
+      .selectExpr("source", "band", "n_docs", "n_pii_total",
+        "(cast(n_docs as decimal(38,0)) * 1000000) div src_docs as doc_share_ppm")
+      .orderBy("source", "band")
+  }
+  val t69Sql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(text, '$numPat'))
+       |       + len(regexp_extract_all(text, '$mailPat')) AS BIGINT) AS n_pii,
+       |    CAST(LENGTH(text) AS BIGINT) AS chars
+       |  FROM documents),
+       |b AS (SELECT source,
+       |    CASE WHEN n_pii = 0 THEN 'a_clean'
+       |         WHEN n_pii * 1000 <= chars * 5 THEN 'b_light'
+       |         ELSE 'c_heavy' END AS band, n_pii FROM d),
+       |per AS (SELECT source, band, COUNT(*)::BIGINT AS n_docs,
+       |        SUM(n_pii)::BIGINT AS n_pii_total FROM b GROUP BY 1, 2),
+       |tot AS (SELECT source, COUNT(*)::BIGINT AS src_docs FROM d GROUP BY 1)
+       |SELECT source, band, n_docs, n_pii_total,
+       |  CAST((n_docs::HUGEINT * 1000000) // src_docs AS BIGINT) AS doc_share_ppm
+       |FROM per JOIN tot USING (source) ORDER BY source, band""".stripMargin
+
+  // ---------------------------------------------------------------- t70
+  /** Affix-boilerplate census per source: docs sharing their first-64-char
+    * prefix with another doc of the SAME source (scrape headers, licence
+    * banners) and likewise their last-64-char suffix (footers), with
+    * distinct-affix counts and ppm rates — the boilerplate-TRIM audit
+    * that precedes d43's shingle-level view (an affix census is one
+    * rollup; shingle evidence costs a posting join). Exact integers.
+    *
+    * Scale: two map-combinable (source, affix) rollups; suffix uses an
+    * explicit length guard so both engines slice identically. */
+  def t70(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("pre", substring(col("text"), 1, 64))
+      .withColumn("suf", when(length(col("text")) <= 64, col("text"))
+        .otherwise(expr("substring(text, length(text) - 63, 64)")))
+    def dupStats(affix: String, dupName: String, distName: String): DataFrame =
+      d.groupBy(col("source"), col(affix)).agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(dupName),
+          count(lit(1)).as(distName))
+    val tot = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    tot.join(dupStats("pre", "pre_dup_docs", "distinct_prefixes"), "source")
+      .join(dupStats("suf", "suf_dup_docs", "distinct_suffixes"), "source")
+      .selectExpr("source", "n_docs",
+        "distinct_prefixes", "pre_dup_docs",
+        "(cast(pre_dup_docs as decimal(38,0)) * 1000000) div n_docs as pre_dup_ppm",
+        "distinct_suffixes", "suf_dup_docs",
+        "(cast(suf_dup_docs as decimal(38,0)) * 1000000) div n_docs as suf_dup_ppm")
+      .orderBy("source")
+  }
+  val t70Sql: String =
+    """WITH d AS (
+      |  SELECT source, substr(text, 1, 64) AS pre,
+      |    CASE WHEN LENGTH(text) <= 64 THEN text
+      |         ELSE substr(text, LENGTH(text) - 63, 64) END AS suf
+      |  FROM documents),
+      |pg AS (SELECT source, pre, COUNT(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+      |p AS (SELECT source,
+      |    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS pre_dup_docs,
+      |    COUNT(*)::BIGINT AS distinct_prefixes FROM pg GROUP BY 1),
+      |sg AS (SELECT source, suf, COUNT(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+      |s AS (SELECT source,
+      |    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS suf_dup_docs,
+      |    COUNT(*)::BIGINT AS distinct_suffixes FROM sg GROUP BY 1),
+      |tot AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM d GROUP BY 1)
+      |SELECT source, n_docs, distinct_prefixes, pre_dup_docs,
+      |  CAST((pre_dup_docs::HUGEINT * 1000000) // n_docs AS BIGINT) AS pre_dup_ppm,
+      |  distinct_suffixes, suf_dup_docs,
+      |  CAST((suf_dup_docs::HUGEINT * 1000000) // n_docs AS BIGINT) AS suf_dup_ppm
+      |FROM tot JOIN p USING (source) JOIN s USING (source)
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- t71
+  /** Quality-gate × LM-gate confusion matrix: every scored doc cross-
+    * classified by the heuristic t02 gate (quality ≥ 0.5, p01's shipped
+    * setting) and the corpus-LM gate (t11's avg_logp above its
+    * DECIMAL-exact corpus mean), with doc and token bills per cell —
+    * the table that says whether the cheap heuristic can stand in for
+    * the LM screen and what the disagreement costs in tokens. Gate
+    * compares are identical-operand double compares (both quantities
+    * are round6-quantized the same way in both engines); the hashed
+    * outputs are booleans and BIGINTs only.
+    *
+    * Scale: rides the memoized LM-scored frame (the expensive kernel is
+    * already shared with t11/t14/p03) + one quality scan; 4-row output. */
+  def t71(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val q = addQuality(Tables.documents(spark, dir)).select(col("doc_id"), col("quality"))
+    val lm = scoredDocs(spark, dir).select(col("doc_id"), col("n_tok"), col("avg_logp"))
+    val j = q.join(lm, "doc_id")
+    val thr = j.agg((sum(col("avg_logp").cast("decimal(18,6)")).cast("double")
+      / count(lit(1))).as("lm_thr"))
+    j.crossJoin(broadcast(thr))
+      .select((col("quality") >= 0.5d).as("q_keep"),
+        (col("avg_logp") >= col("lm_thr")).as("lm_keep"),
+        col("n_tok"))
+      .groupBy("q_keep", "lm_keep")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      .orderBy("q_keep", "lm_keep")
+  }
+  val t71Sql: String =
+    s"""WITH base AS (SELECT doc_id, text, $wordsSql AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> x IN $stopSqlIn)) AS BIGINT) AS n_stop,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |    LENGTH(text) AS n_char
+       |  FROM base WHERE len(w) >= 1),
+       |q AS (SELECT doc_id, $qualitySqlExpr AS quality FROM m),
+       |toks AS (SELECT doc_id, UNNEST($wordsSql) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+       |model AS (SELECT word, SUM(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+       |n AS (SELECT SUM(cnt)::BIGINT AS n FROM model),
+       |lm AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+       |    ROUND(CAST(SUM(CAST(tf AS DECIMAL(10,0))
+       |            * CAST(ROUND(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+       |                   AS DECIMAL(18,9))) AS DOUBLE)
+       |          / CAST(SUM(tf) AS DOUBLE), 6) AS avg_logp
+       |  FROM tf JOIN model USING (word) CROSS JOIN n GROUP BY 1),
+       |j AS (SELECT q.doc_id, quality, lm.n_tok, avg_logp FROM q JOIN lm USING (doc_id)),
+       |thr AS (SELECT CAST(SUM(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE)
+       |          / COUNT(*) AS lm_thr FROM j)
+       |SELECT quality >= 0.5 AS q_keep, avg_logp >= lm_thr AS lm_keep,
+       |  COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS tokens
+       |FROM j CROSS JOIN thr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t71_gate_confusion" -> (t71 _),
+    "t70_affix_boilerplate" -> (t70 _),
+    "t69_pii_density_bands" -> (t69 _),
     "t68_source_vocab_jaccard" -> (t68 _),
     "t67_punct_style" -> (t67 _),
     "t66_fertility" -> (t66 _),
@@ -2952,6 +3108,9 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t71_gate_confusion" -> t71Sql,
+    "t70_affix_boilerplate" -> t70Sql,
+    "t69_pii_density_bands" -> t69Sql,
     "t68_source_vocab_jaccard" -> t68Sql,
     "t67_punct_style" -> t67Sql,
     "t66_fertility" -> t66Sql,

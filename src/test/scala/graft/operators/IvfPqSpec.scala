@@ -43,6 +43,21 @@ class IvfPqSpec extends SparkSpec {
     assert(fromModel.sameElements(inline))
   }
 
+  test("s47 rank-displacement bounds: one row per true rank, counts nested, displacement bounded") {
+    val rows = Similarity.s47(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("true_rnk")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    rows.foreach { r =>
+      val (nTrue, nFound, nExact, disp) =
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_found"),
+         r.getAs[Long]("n_exact_rank"), r.getAs[Long]("disp_sum"))
+      assert(nTrue > 0 && nFound <= nTrue && nExact <= nFound,
+        s"count nesting violated: $r")
+      // a found neighbor sits at some rank 1..5, so its displacement <= 4
+      assert(disp <= nFound * 4, s"displacement out of bounds: $r")
+      assert(r.getAs[Long]("found_ppm") == nFound * 1000000L / nTrue)
+    }
+  }
+
   test("session-memoized s04 equals the train-in-query twin bit-for-bit") {
     // training is deterministic, so the benched (memoized-model) form
     // must reproduce the spec-only in-query-training form exactly

@@ -193,7 +193,13 @@ class OperatorSmokeSpec extends SparkSpec {
       "p43_epoch_dup_exposure", "p44_holdout_sweep", "s46_hub_recall",
       "q125_segment_discount_depth", "e112_first_touch_ltv",
       "e113_whale_census", "t68_source_vocab_jaccard",
-      "q126_brand_mom_growth", "e114_dow_peak_hour")
+      "q126_brand_mom_growth", "e114_dow_peak_hour",
+      "d62_decontam_gram_sweep", "d63_shingle_len_cost", "d64_cluster_diameter",
+      "t69_pii_density_bands", "t70_affix_boilerplate", "t71_gate_confusion",
+      "e115_seasonal_naive_error", "e116_weekly_stickiness",
+      "q127_size_price_curve", "q128_brand_catalog_span",
+      "s47_rank_displacement",
+      "p45_bucketed_padding", "p46_water_filling", "p47_dedup_temp_shift")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -210,7 +216,7 @@ class OperatorSmokeSpec extends SparkSpec {
         "s32_recall_at_k", "s33_norm_recall", "q108_approx_quantiles",
         "d56_lsh_s_curve", "e101_hll_audit", "d58_perm_sweep",
         "d59_sketch_agreement", "d61_distinct_shingle_sketch",
-        "s46_hub_recall"))
+        "s46_hub_recall", "s47_rank_displacement"))
   }
 
   test("s46 hub-recall bands partition the truth set with recalls in [0,1]") {
