@@ -259,3 +259,125 @@ case class KmvDistinct64(
     copy(child = newChild)
   override def prettyName: String = "kmv_distinct64"
 }
+
+/** Deterministic distributed bottom-k sampling — `bottomk_sample(priority,
+  * value, k)` keeps the k (priority, value) pairs with the LEXICOGRAPHICALLY
+  * smallest priority (ties broken by value) and returns the values in that
+  * order. With priority = md5(content) this is priority sampling: the same
+  * k exemplars come back on every run, at any parallelism, after any
+  * re-ingest — the reproducible "show me 5 docs from this shard" primitive
+  * a 100 TB curation pipeline needs where rand()-sampling would churn.
+  *
+  * Like the KMV sketches, the merge is a lattice join (union, keep k
+  * smallest), so the aggregate is order- and partitioning-independent and
+  * partial-aggregates map-side: a billion-row group ships k strings.
+  * Fully ANSI-expressible (md5 + ROW_NUMBER), so the DuckDB oracle checks
+  * it hash-exact (p48).
+  *
+  * Priorities must not contain U+0001 (the internal separator, chosen
+  * below every hex/ASCII char so concatenated ordering equals tuple
+  * ordering — md5 hex in every shipped caller); both children are strings
+  * (cast ids/structs to string at the call site). */
+case class BottomKSample(
+    priority: Expression,
+    value: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[String]] {
+
+  require(k >= 1, "bottomk_sample needs k >= 1")
+  private val Sep: Char = '\u0001'
+
+  override def children: Seq[Expression] = Seq(priority, value)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (priority.dataType, value.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (p, v) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bottomk_sample requires (STRING priority, STRING value), got " +
+            s"(${p.catalogString}, ${v.catalogString})")
+    }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[String] =
+    new java.util.TreeSet[String]()
+
+  private def offer(buf: java.util.TreeSet[String], s: String): Unit =
+    if (buf.size < k) { buf.add(s); () }
+    else if (s.compareTo(buf.last) < 0) {
+      if (buf.add(s)) { buf.remove(buf.last); () }
+    }
+
+  override def update(buf: java.util.TreeSet[String],
+                      input: InternalRow): java.util.TreeSet[String] = {
+    val p = priority.eval(input)
+    val v = value.eval(input)
+    if (p != null && v != null) offer(buf, s"${p.toString}$Sep${v.toString}")
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[String],
+                     other: java.util.TreeSet[String]): java.util.TreeSet[String] = {
+    val it = other.iterator()
+    while (it.hasNext) offer(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[String]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val s = it.next()
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(s.substring(s.indexOf(Sep.toInt) + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] = {
+    val entries = new Array[Array[Byte]](buf.size)
+    var total = 4
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val b = it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      entries(i) = b; total += 4 + b.length; i += 1
+    }
+    val bb = ByteBuffer.allocate(total)
+    bb.putInt(entries.length)
+    entries.foreach { b => bb.putInt(b.length); bb.put(b) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[String]()
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.add(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomKSample =
+    copy(priority = newChildren(0), value = newChildren(1))
+  override def prettyName: String = "bottomk_sample"
+}

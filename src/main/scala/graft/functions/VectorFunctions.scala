@@ -83,6 +83,9 @@ object VectorFunctions {
     // corpus-scale 64-bit-domain variant (rows-only — see its scaladoc)
     ensure("kmv_distinct64")(exprs => KmvDistinct64(exprs.head,
       intArg("kmv_distinct64", 1, exprs)))
+    // deterministic bottom-k priority sampling (oracle-checked via p48)
+    ensure("bottomk_sample")(exprs => BottomKSample(exprs.head, exprs(1),
+      intArg("bottomk_sample", 2, exprs)))
   }
 
   private[functions] def elemGetter(et: DataType, arr: String, i: String): String = et match {

@@ -2523,7 +2523,40 @@ object Pipeline {
        |FROM ppm ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p48
+  /** Deterministic corpus exemplars: 5 sample documents per source picked
+    * by the custom `bottomk_sample` aggregate (priority = md5(text), ties
+    * by doc id) — the reproducible "show me what this feed looks like"
+    * table for dataset cards and incident triage. The same exemplars come
+    * back on every run, at any parallelism, after any re-ingest; a
+    * rand()-sample would churn and be un-oracle-able.
+    *
+    * Scale: ONE map-combinable aggregation whose state is 5 strings per
+    * source regardless of corpus size (the aggregate's lattice-join
+    * merge) — no window, no sort of the corpus. */
+  def p48(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(expr("bottomk_sample(md5(text), cast(doc_id as string), 5)").as("sample"))
+      .select(col("source"), posexplode(col("sample")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("sample_rank"),
+        col("col").cast("long").as("doc_id"))
+      .orderBy("source", "sample_rank")
+  }
+  val p48Sql: String =
+    """WITH d AS (SELECT source, doc_id, md5(text) AS pr FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY pr, CAST(doc_id AS VARCHAR)) AS rnk
+      |  FROM d)
+      |SELECT source, CAST(rnk AS BIGINT) AS sample_rank,
+      |  CAST(doc_id AS BIGINT) AS doc_id
+      |FROM r WHERE rnk <= 5 ORDER BY source, sample_rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p48_shard_exemplars" -> (p48 _),
     "p47_dedup_temp_shift" -> (p47 _),
     "p46_water_filling" -> (p46 _),
     "p45_bucketed_padding" -> (p45 _),
@@ -2573,6 +2606,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p48_shard_exemplars" -> p48Sql,
     "p47_dedup_temp_shift" -> p47Sql,
     "p46_water_filling" -> p46Sql,
     "p45_bucketed_padding" -> p45Sql,

@@ -199,7 +199,8 @@ class OperatorSmokeSpec extends SparkSpec {
       "e115_seasonal_naive_error", "e116_weekly_stickiness",
       "q127_size_price_curve", "q128_brand_catalog_span",
       "s47_rank_displacement",
-      "p45_bucketed_padding", "p46_water_filling", "p47_dedup_temp_shift")
+      "p45_bucketed_padding", "p46_water_filling", "p47_dedup_temp_shift",
+      "p48_shard_exemplars")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
