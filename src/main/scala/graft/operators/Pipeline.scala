@@ -2400,20 +2400,25 @@ object Pipeline {
     * arithmetic (LVL = (budget − prefix_m) div (k − m), valid when it
     * lands in [t_m, t_{m+1})); integral division means the filled total
     * undershoots the budget by < k−m tokens — exact, documented, and
-    * identical in both engines. Windows run on the \|sources\| frame
-    * only, never the corpus. */
+    * identical in both engines. NO window anywhere: rank/prefix/prev
+    * come from the house bounded non-equi cumulative self-join (p34's
+    * shape, \|sources\|² ≈ 400 rows), never a global sort. */
   def p46(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val tok = Tables.documents(spark, dir)
       .select(col("source"), size(expr("word_tokens(text)")).cast("long").as("nt"))
       .groupBy("source").agg(sum(col("nt")).as("tokens"))
       .cache()
-    val w = Window.orderBy(col("tokens"), col("source")) // |sources| rows
-    val ranked = tok
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("prefix",
-        sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("prev_tokens", lag(col("tokens"), 1).over(w))
+    val a = tok.select(col("source").as("s_a"), col("tokens").as("t_a"))
+    val b = tok.select(col("source").as("s_b"), col("tokens").as("t_b"))
+    val upToMe = col("t_b") < col("t_a") ||
+      (col("t_b") === col("t_a") && col("s_b") <= col("s_a"))
+    val strictlyBefore = col("t_b") < col("t_a") ||
+      (col("t_b") === col("t_a") && col("s_b") < col("s_a"))
+    val ranked = a.join(b, upToMe)
+      .groupBy(col("s_a").as("source"), col("t_a").as("tokens"))
+      .agg(count(lit(1)).as("rn"), sum(col("t_b")).as("prefix"),
+        max(when(strictlyBefore, col("t_b"))).as("prev_tokens"))
     val tot = ranked.agg(max(col("rn")).as("k"), sum(col("tokens")).as("tot"))
     // candidate level at every saturation boundary m = rn-1 (level sits
     // between this row's tokens and the next row's); pick the smallest

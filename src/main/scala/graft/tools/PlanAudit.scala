@@ -226,7 +226,20 @@ object PlanAudit {
     // q115: 1-row global-mean broadcasts (max date, mean F/M, mean R)
     "q115_rfm_octants",
     // q116: 1-row population-count broadcasts (CDF denominators)
-    "q116_balance_two_sample")
+    "q116_balance_two_sample",
+    // d62: per-width 1-row (flagged docs/tokens) aggregates joined onto
+    // the 1-row train-totals broadcast — the whole report is 3 rows
+    "d62_decontam_gram_sweep",
+    // t71: 1-row corpus-mean LM-threshold broadcast (gate denominator)
+    "t71_gate_confusion",
+    // q127: 1-row discounted-revenue-total broadcast (share denominator)
+    "q127_size_price_curve",
+    // p46: p34's bounded |sources|² non-equi cumulative self-join (the
+    // rank/prefix/prev computation — no window) + the 1-row budget and
+    // 1-row water-level broadcasts
+    "p46_water_filling",
+    // p47: 1-row (Σw_raw, Σw_dedup) weight-total broadcast
+    "p47_dedup_temp_shift")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
