@@ -5178,7 +5178,52 @@ object Events {
       |FROM weekly JOIN daily USING (week)
       |ORDER BY week""".stripMargin
 
+  // ---------------------------------------------------------------- e117
+  /** Forecast-lag sweep: the naive baseline at horizons 24 h
+    * (yesterday-same-hour) and 168 h (last-week-same-hour) — corpus-wide
+    * hours compared, absolute error, and MAE as ppm of actual volume
+    * per lag. The one-table answer to "does weekly seasonality beat
+    * daily?" before anyone builds a model (e115 breaks the weekly lag
+    * down by weekday; this picks the lag). Integer-pure.
+    *
+    * Scale: ONE hourly rollup reused by both lags; self-joins bounded
+    * by observed hours; 2-row output. */
+  def e117(spark: SparkSession, dir: String): DataFrame = {
+    val hours = Tables.events(spark, dir)
+      .select(expr("ms div 3600000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+      .cache()
+    Seq(24, 168).map { lag =>
+      val lagged = hours.select((col("h") + lag).as("h"), col("n").as("n_prev"))
+      hours.join(lagged, "h")
+        .withColumn("abs_err",
+          when(col("n") >= col("n_prev"), col("n") - col("n_prev"))
+            .otherwise(col("n_prev") - col("n")))
+        .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("actual_events"),
+          sum(col("abs_err")).as("abs_err_total"))
+        .selectExpr(s"cast($lag as bigint) as lag_hours", "n_hours",
+          "actual_events", "abs_err_total",
+          "(cast(abs_err_total as decimal(38,0)) * 1000000) div actual_events as mae_ppm")
+    }.reduce(_.unionByName(_)).orderBy("lag_hours")
+  }
+  val e117Sql: String = {
+    val per = Seq(24, 168).map { lag =>
+      s"""SELECT CAST($lag AS BIGINT) AS lag_hours, COUNT(*)::BIGINT AS n_hours,
+         |  SUM(n)::BIGINT AS actual_events,
+         |  SUM(CASE WHEN n >= n_prev THEN n - n_prev ELSE n_prev - n END)::BIGINT AS abs_err_total,
+         |  CAST((SUM(CASE WHEN n >= n_prev THEN n - n_prev ELSE n_prev - n END)::HUGEINT * 1000000)
+         |    // SUM(n) AS BIGINT) AS mae_ppm
+         |FROM (SELECT a.n, b.n AS n_prev FROM hours a JOIN hours b ON a.h = b.h + $lag)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH hours AS (
+       |  SELECT epoch_ms(ts) // 3600000 AS h, COUNT(*)::BIGINT AS n
+       |  FROM events GROUP BY 1)
+       |$per
+       |ORDER BY lag_hours""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "e117_lag_sweep" -> (e117 _),
     "e116_weekly_stickiness" -> (e116 _),
     "e115_seasonal_naive_error" -> (e115 _),
     "e114_dow_peak_hour" -> (e114 _),
@@ -5298,6 +5343,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e117_lag_sweep" -> e117Sql,
     "e116_weekly_stickiness" -> e116Sql,
     "e115_seasonal_naive_error" -> e115Sql,
     "e114_dow_peak_hour" -> e114Sql,

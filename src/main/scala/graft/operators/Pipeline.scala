@@ -2560,7 +2560,65 @@ object Pipeline {
       |  CAST(doc_id AS BIGINT) AS doc_id
       |FROM r WHERE rnk <= 5 ORDER BY source, sample_rank""".stripMargin
 
+  // ---------------------------------------------------------------- p49
+  /** Repeat-cap sweep: p10's equal-share mixture at caps ∈ {1, 2, 4, 8}
+    * — per cap the EFFECTIVE epoch tokens Σ min(target, cap·tokens),
+    * the fill vs the equal-share plan (ppm), and how many sources are
+    * STARVED (their cap binds). p10 hard-codes cap 4; this prices the
+    * knob: a low cap protects against memorizing tiny sources but
+    * leaves the epoch short of plan. Integer-pure throughout (the
+    * capped effective tokens are min of exact integers — no repeat
+    * RATIO is ever materialized).
+    *
+    * Scale: one token rollup + per-cap arithmetic on the
+    * \|sources\|-bounded frame; 4-row output. */
+  def p49(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(expr("word_tokens(text)")).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("tokens"))
+      .cache()
+    val tot = per.agg(sum(col("tokens")).as("corpus_tokens"),
+      count(lit(1)).as("n_sources"))
+    val based = per.crossJoin(broadcast(tot))
+      .withColumn("target", expr("corpus_tokens div n_sources"))
+    Seq(1, 2, 4, 8).map { cap =>
+      based
+        .withColumn("eff", least(col("target"), col("tokens") * cap))
+        .withColumn("starved", (col("target") > col("tokens") * cap).cast("long"))
+        .agg(sum(col("eff")).as("epoch_tokens"),
+          sum(col("starved")).as("starved_sources"),
+          max(col("target") * col("n_sources")).as("plan_tokens"))
+        .selectExpr(s"cast($cap as bigint) as repeat_cap",
+          "epoch_tokens", "plan_tokens", "starved_sources",
+          "(cast(epoch_tokens as decimal(38,0)) * 1000000) div plan_tokens as fill_ppm")
+    }.reduce(_.unionByName(_)).orderBy("repeat_cap")
+  }
+  val p49Sql: String = {
+    import TextAnalysis.wordsSql
+    val per = Seq(1, 2, 4, 8).map { cap =>
+      s"""SELECT CAST($cap AS BIGINT) AS repeat_cap,
+         |  SUM(LEAST(target, tokens * $cap))::BIGINT AS epoch_tokens,
+         |  MAX(target * n_sources)::BIGINT AS plan_tokens,
+         |  SUM(CASE WHEN target > tokens * $cap THEN 1 ELSE 0 END)::BIGINT AS starved_sources,
+         |  CAST((SUM(LEAST(target, tokens * $cap))::HUGEINT * 1000000)
+         |    // MAX(target * n_sources) AS BIGINT) AS fill_ppm
+         |FROM based""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH per AS (
+       |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT)) AS tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT SUM(tokens)::BIGINT AS corpus_tokens,
+       |               COUNT(*)::BIGINT AS n_sources FROM per),
+       |based AS (SELECT source, tokens, corpus_tokens // n_sources AS target,
+       |                 n_sources
+       |          FROM per CROSS JOIN tot)
+       |$per
+       |ORDER BY repeat_cap""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p49_repeat_cap_sweep" -> (p49 _),
     "p48_shard_exemplars" -> (p48 _),
     "p47_dedup_temp_shift" -> (p47 _),
     "p46_water_filling" -> (p46 _),
@@ -2611,6 +2669,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p49_repeat_cap_sweep" -> p49Sql,
     "p48_shard_exemplars" -> p48Sql,
     "p47_dedup_temp_shift" -> p47Sql,
     "p46_water_filling" -> p46Sql,

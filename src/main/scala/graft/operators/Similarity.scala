@@ -2310,7 +2310,56 @@ object Similarity {
       .orderBy("true_rnk")
   }
 
+  // ---------------------------------------------------------------- s48
+  /** IVF probe-count sweep — the nprobe knob priced: at probes ∈
+    * {1, 2, 4} over ONE trained 16-cell model, the EXACT candidate-pair
+    * volume (the compute bill: Σ_cell members·probers − self-matches,
+    * computed from two cell-size rollups — the pair stream itself is
+    * never materialized for the cost column) next to recall@5 vs the
+    * exact s01 truth (ppm). s03 ships probes=2; this is the table that
+    * justifies it — recall is monotone in probes (spec-pinned) while
+    * cost grows ~linearly. Rows-only (IVF has no SQL twin).
+    *
+    * Scale: one centroid training (k×dim collect, the iterative-ML
+    * exception), one ranked cell pass cached and re-filtered per probe
+    * count; costs come from |cells|-bounded rollups. */
+  def s48(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = withNormVec(Tables.embeddings(spark, dir))
+    val cents = centroidFrame(spark, e, k = 16, iters = 2)
+    val truth = sharedTruth(spark, dir).select(col("q_id"), col("n_id"))
+    val nT = truth.agg(count(lit(1)).as("truth_pairs"))
+    val nV = e.agg(count(lit(1)).as("n_vecs"))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val ranked = spread(e.select(col("vec_id"), col("v"), col("nrm")))
+      .join(broadcast(cents), lit(true))
+      .withColumn("ccos", expr("vec_dot(v, vc)") / (col("nrm") * col("nc")))
+      .withColumn("rk", row_number().over(wCell))
+      .select(col("vec_id"), col("cent_id").as("cell"), col("rk"))
+      .filter(col("rk") <= 4)
+      .cache()
+    val memberCounts = ranked.filter(col("rk") === 1)
+      .groupBy("cell").agg(count(lit(1)).as("m_c"))
+    Seq(1, 2, 4).map { p =>
+      val ivf = ivfSearch(spark, e, cents, nProbes = p)
+        .select(col("q_id"), col("n_id"))
+      val recalled = ivf.join(truth, Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("recalled"))
+      val probeCounts = ranked.filter(col("rk") <= p)
+        .groupBy("cell").agg(count(lit(1)).as("p_c"))
+      val cand = memberCounts.join(probeCounts, "cell")
+        .agg(sum(col("m_c") * col("p_c")).as("cand_raw"))
+      cand.crossJoin(broadcast(nV)).crossJoin(broadcast(nT))
+        .crossJoin(broadcast(recalled))
+        .selectExpr(s"cast($p as bigint) as n_probes",
+          "cand_raw - n_vecs as candidate_pairs",
+          "truth_pairs", "recalled",
+          "(cast(recalled as decimal(38,0)) * 1000000) div truth_pairs as recall_ppm")
+    }.reduce(_.unionByName(_)).orderBy("n_probes")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s48_probe_sweep" -> (s48 _),
     "s47_rank_displacement" -> (s47 _),
     "s46_hub_recall" -> (s46 _),
     "s45_density_hubness" -> (s45 _),

@@ -3035,7 +3035,57 @@ object TextAnalysis {
        |  COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS tokens
        |FROM j CROSS JOIN thr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- t72
+  /** Mojibake / encoding-damage census per source: documents carrying
+    * U+FFFD replacement characters (a decoder already gave up), stray C0
+    * control characters (binary bleed, broken escapes), and the
+    * non-ASCII character load (ppm of chars) — the cheap screen that
+    * catches a mis-decoded feed BEFORE tokenization garbles it (a
+    * real-corpus staple; on clean synthetic data the damage columns
+    * read zero, which is the point of a sentinel). Exact integers.
+    *
+    * Scale: one scan, three codegen'd regexp counts, one map-combinable
+    * rollup; \|sources\| rows. */
+  private val replPat = "�"
+  private val ctlPat = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+  private val nonAsciiPat = "[^\\x00-\\x7f]"
+  def t72(spark: SparkSession, dir: String): DataFrame = {
+    def nMatch(pat: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"), pat, ""))).cast("long")
+    Tables.documents(spark, dir)
+      .withColumn("n_repl", nMatch(replPat))
+      .withColumn("n_ctl", nMatch(ctlPat))
+      .withColumn("n_nonascii", nMatch(nonAsciiPat))
+      .withColumn("chars", length(col("text")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_repl") > 0, 1L).otherwise(0L)).as("docs_with_replacement"),
+        sum(when(col("n_ctl") > 0, 1L).otherwise(0L)).as("docs_with_control"),
+        sum(col("n_nonascii")).as("nonascii_chars"),
+        sum(col("chars")).as("chars"))
+      .selectExpr("source", "n_docs", "docs_with_replacement",
+        "docs_with_control", "nonascii_chars", "chars",
+        "(cast(nonascii_chars as decimal(38,0)) * 1000000) div chars as nonascii_ppm")
+      .orderBy("source")
+  }
+  val t72Sql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '$replPat', '', 'g')) AS BIGINT) AS n_repl,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '$ctlPat', '', 'g')) AS BIGINT) AS n_ctl,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '$nonAsciiPat', '', 'g')) AS BIGINT) AS n_nonascii,
+       |    CAST(LENGTH(text) AS BIGINT) AS chars
+       |  FROM documents)
+       |SELECT source, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_replacement,
+       |  SUM(CASE WHEN n_ctl > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_control,
+       |  SUM(n_nonascii)::BIGINT AS nonascii_chars,
+       |  SUM(chars)::BIGINT AS chars,
+       |  CAST((SUM(n_nonascii)::HUGEINT * 1000000) // SUM(chars) AS BIGINT) AS nonascii_ppm
+       |FROM d GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t72_mojibake_census" -> (t72 _),
     "t71_gate_confusion" -> (t71 _),
     "t70_affix_boilerplate" -> (t70 _),
     "t69_pii_density_bands" -> (t69 _),
@@ -3108,6 +3158,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t72_mojibake_census" -> t72Sql,
     "t71_gate_confusion" -> t71Sql,
     "t70_affix_boilerplate" -> t70Sql,
     "t69_pii_density_bands" -> t69Sql,

@@ -239,7 +239,12 @@ object PlanAudit {
     // 1-row water-level broadcasts
     "p46_water_filling",
     // p47: 1-row (Σw_raw, Σw_dedup) weight-total broadcast
-    "p47_dedup_temp_shift")
+    "p47_dedup_temp_shift",
+    // p49: 1-row (corpus total, |sources|) broadcast — p10's shape ×4 caps
+    "p49_repeat_cap_sweep",
+    // s48: s03's vector × 16-centroid ranking pass (model broadcast)
+    // plus per-probe 1-row (cand/truth/recalled) count crossJoins
+    "s48_probe_sweep")
 
   /** Returns flagged (name, reason) pairs; empty = clean. */
   def audit(spark: SparkSession, sfDir: String): Seq[(String, String)] =

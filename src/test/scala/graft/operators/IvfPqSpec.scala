@@ -58,6 +58,23 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("s48 probe sweep: recall and candidate volume both monotone in probes, recall bounded") {
+    val rows = Similarity.s48(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_probes"), r.getAs[Long]("candidate_pairs"),
+        r.getAs[Long]("truth_pairs"), r.getAs[Long]("recalled"),
+        r.getAs[Long]("recall_ppm"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    rows.foreach { case (_, cand, nT, rec, ppm) =>
+      assert(cand > 0 && rec <= nT)
+      assert(ppm == rec * 1000000L / nT)
+    }
+    // widening the probe list can only ADD candidates and recalled pairs
+    assert(rows.toSeq.sliding(2).forall {
+      case Seq(a, b) => a._2 <= b._2 && a._4 <= b._4
+      case _ => true
+    })
+  }
+
   test("session-memoized s04 equals the train-in-query twin bit-for-bit") {
     // training is deterministic, so the benched (memoized-model) form
     // must reproduce the spec-only in-query-training form exactly

@@ -200,7 +200,9 @@ class OperatorSmokeSpec extends SparkSpec {
       "q127_size_price_curve", "q128_brand_catalog_span",
       "s47_rank_displacement",
       "p45_bucketed_padding", "p46_water_filling", "p47_dedup_temp_shift",
-      "p48_shard_exemplars")
+      "p48_shard_exemplars",
+      "s48_probe_sweep", "p49_repeat_cap_sweep", "e117_lag_sweep",
+      "t72_mojibake_census")
     assert(SparkEntry.queries.keySet == expected)
     // oracle keys must be a subset of query keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(expected))
@@ -217,7 +219,7 @@ class OperatorSmokeSpec extends SparkSpec {
         "s32_recall_at_k", "s33_norm_recall", "q108_approx_quantiles",
         "d56_lsh_s_curve", "e101_hll_audit", "d58_perm_sweep",
         "d59_sketch_agreement", "d61_distinct_shingle_sketch",
-        "s46_hub_recall", "s47_rank_displacement"))
+        "s46_hub_recall", "s47_rank_displacement", "s48_probe_sweep"))
   }
 
   test("s46 hub-recall bands partition the truth set with recalls in [0,1]") {
