@@ -37,24 +37,37 @@ object Dedup {
       |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
       |WHERE len(w) >= 3""".stripMargin
 
+  /** Posting list with the doc's (distinct) gram-set size carried on
+    * every row — the size is a per-doc constant, so downstream pair
+    * aggregations recover it with a map-combinable min() instead of
+    * re-joining a sizes frame onto the (much larger) pair stream. */
+  private[operators] def postingWithSize(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"),
+      explode(col("grams")).as("g"))
+
+  /** Co-posting pair counts with both docs' set sizes recovered IN the
+    * pair aggregation (min over the per-doc constant `n` carried on the
+    * posting rows) — the shared join+groupBy core of the pair family.
+    * Versus the old shape (aggregate, then join a sizes frame twice on
+    * doc_a/doc_b) this removes two exchanges/joins OF THE PAIR STREAM,
+    * the biggest frame in the plan, at the cost of one extra long on
+    * each posting row (guide §2.3/§2.4). */
+  private[operators] def coPairCounts(posting: DataFrame): DataFrame =
+    posting.as("a").join(posting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+
   /** Inverted-index all-pairs Jaccard with the INTEGER evidence kept
     * (doc_a, doc_b, inter, un) — the exact-arithmetic core jaccardPairs
     * projects the double ratio from; d64 reads the integers directly so
     * its ppm output never touches a float. */
-  private[operators] def jaccardPairCounts(sh: DataFrame, num: Int, den: Int): DataFrame = {
-    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
-    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
-    val inter = posting.as("a").join(posting.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+  private[operators] def jaccardPairCounts(sh: DataFrame, num: Int, den: Int): DataFrame =
+    coPairCounts(postingWithSize(sh))
       .withColumn("un", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * den >= col("un") * num)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("un"))
-  }
 
   /** Inverted-index all-pairs Jaccard (exact for J >= any threshold > 0):
     * docs sharing no shingle can never reach the threshold. */
@@ -199,9 +212,15 @@ object Dedup {
     * per dataset path; on a cluster the persist level spills to disk. */
   private val pairMemo = Memo.table()
 
+  // Built UNSORTED: every sharedPairs consumer re-aggregates or joins, so
+  // d03's output orderBy would be a wasted range-exchange + sort in the
+  // materialized frame (guide §2.4 — an orderBy used only for output
+  // determinism does not belong in a shared intermediate).
   private[operators] def sharedPairs(spark: SparkSession, dir: String): DataFrame =
     Memo.memoized(pairMemo, spark, dir, requirePersisted = true)(
-      jaccardPairs(Memo.tracked(spark, shingled(spark, dir).cache()), 1, 2)
+      jaccardPairCounts(Memo.tracked(spark, shingled(spark, dir).cache()), 1, 2)
+        .select(col("doc_a"), col("doc_b"),
+          (dbl(col("inter")) / dbl(col("un"))).as("jaccard"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   // ---------------------------------------------------------------- d06
@@ -216,19 +235,13 @@ object Dedup {
   def d06(spark: SparkSession, dir: String): DataFrame = {
     val maxDf = 50
     val sh = Memo.tracked(spark, shingled(spark, dir).cache())
-    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val posting = postingWithSize(sh)
     val rare = posting.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("g")
+    // the df filter drops posting ROWS; `n` (per-doc set size) rides along
     val rarePosting = posting.join(rare, "g")
-    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
-    val inter = rarePosting.as("a").join(rarePosting.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    coPairCounts(rarePosting)
       .withColumn("un", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 2 >= col("un"))
       .select(col("doc_a"), col("doc_b"), (dbl(col("inter")) / dbl(col("un"))).as("jaccard"))
@@ -536,17 +549,29 @@ object Dedup {
       .withColumn("label", col("doc_id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), "dst")
-        .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("mnl"))
-      val stepped = labels.join(neighborMin, "doc_id")
-        .select(col("doc_id"), least(col("label"), col("mnl")).as("label"),
-                (col("mnl") < col("label")).cast("long").as("chg"))
+      // min over (own label ∪ neighbor labels) in ONE aggregation: the
+      // neighbor stream joins labels once (on dst) and the own-label row
+      // rides a union into the same min() — the old separate
+      // labels⋈neighborMin join is gone (guide §2.4: one exchange fewer
+      // per round). `own` is null on neighbor rows, so max(own) recovers
+      // the node's previous label for the change count.
+      val stepped = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("l")), "dst")
+        .select(col("src").as("doc_id"), col("l"),
+          lit(null).cast("long").as("own"))
+        .unionByName(labels.select(col("doc_id"), col("label").as("l"),
+          col("label").as("own")))
+        .groupBy("doc_id")
+        .agg(min(col("l")).as("label"), max(col("own")).as("old"))
+        .select(col("doc_id"), col("label"),
+          (col("label") < col("old")).cast("long").as("chg"))
       // pointer jumping: label := label(label). Every label is itself a
       // node id in `labels`, so the self-join is total; doubling the hop
       // each round turns O(diameter) convergence into O(log diameter) —
       // the byte-SimHash graph (m07) has ~400-node chains of diameter
-      // ~23, which plain propagation walked one hop per barrier.
+      // ~23, which plain propagation walked one hop per barrier. (Both
+      // sides are the same subplan; Spark's ReusedExchange computes the
+      // stepped shuffle once.)
       val next = stepped.as("x")
         .join(stepped.select(col("doc_id").as("lid"), col("label").as("ll")).as("y"),
           col("x.label") === col("y.lid"))
@@ -711,7 +736,7 @@ object Dedup {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"), expr("vec_norm(embedding)").as("nrm"))
-    val cents = Similarity.centroidFrame(spark, e, k = 16, iters = 2)
+    val cents = Similarity.sharedCents(spark, dir)
     val assigned = e.join(broadcast(cents), lit(true))
       .withColumn("ccos", expr("vec_dot(v, vc)") / (col("nrm") * col("nc")))
       .groupBy("vec_id")
@@ -834,14 +859,7 @@ object Dedup {
     * cross-multiplied threshold is exact at any scale. */
   def d16(spark: SparkSession, dir: String): DataFrame = {
     val sh = Memo.tracked(spark, shingled(spark, dir).cache())
-    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
-    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
-    posting.as("a").join(posting.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    coPairCounts(postingWithSize(sh))
       .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
       .select(col("doc_a"), col("doc_b"),
         when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("contained"),
@@ -877,18 +895,12 @@ object Dedup {
   def d17(spark: SparkSession, dir: String): DataFrame = {
     val maxDf = 50
     val sh = Memo.tracked(spark, shingled(spark, dir).cache())
-    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val posting = postingWithSize(sh)
     val rare = posting.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("g")
     val rarePosting = posting.join(rare, "g")
-    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
-    rarePosting.as("a").join(rarePosting.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    coPairCounts(rarePosting)
       .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
       .select(col("doc_a"), col("doc_b"),
         when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("contained"),
@@ -1304,14 +1316,7 @@ object Dedup {
     * compares are exact integer cross multiplications. */
   def d31(spark: SparkSession, dir: String): DataFrame = {
     val sh = Memo.tracked(spark, shingled(spark, dir).cache())
-    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
-    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
-    val pairs = posting.as("a").join(posting.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    val pairs = coPairCounts(postingWithSize(sh))
       .withColumn("mn", least(col("na"), col("nb")))
       .filter(col("inter") * 2 >= col("mn"))
     def c(k: Int) = coalesce(sum(
@@ -1662,14 +1667,7 @@ object Dedup {
     * near-dup dedup; subset-heavy means quote/excerpt removal. */
   def d40(spark: SparkSession, dir: String): DataFrame = {
     val sh = Memo.tracked(spark, shingled(spark, dir).cache())
-    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
-    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
-    posting.as("a").join(posting.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    coPairCounts(postingWithSize(sh))
       .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
       .agg(count(lit(1)).as("n_pairs"),
            count(when(least(col("na"), col("nb")) * 2 <= greatest(col("na"), col("nb")),
@@ -1820,18 +1818,21 @@ object Dedup {
     * \|sources\|²-bounded output. */
   def d44(spark: SparkSession, dir: String): DataFrame = {
     val sh = Memo.tracked(spark, shingled(spark, dir).cache())
-    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
-    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
     val src = Tables.documents(spark, dir).select("doc_id", "source")
+    // source and set size are per-doc CONSTANTS: attach them before the
+    // posting fan-out (one doc-keyed join of the small per-doc frame) and
+    // recover them with min() in the pair aggregation — zero joins of the
+    // pair stream (was 4: sizes x2 + source x2)
+    val posting = sh.join(src, "doc_id")
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n"),
+        col("source"), explode(col("grams")).as("g"))
     posting.as("a").join(posting.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"),
+        min(col("a.source")).as("sa"), min(col("b.source")).as("sb"))
       .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
-      .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
-      .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
       .select(
         when(col("na") >= col("nb"), col("sa")).otherwise(col("sb")).as("container_source"),
         when(col("na") >= col("nb"), col("sb")).otherwise(col("sa")).as("contained_source"),
@@ -2056,39 +2057,47 @@ object Dedup {
   /** d48's pair kernel with the df-cap exposed (None = exact/uncapped —
     * the baseline D48CapSpec bounds the capped path against). */
   private[operators] def d48Pairs(spark: SparkSession, dir: String,
-                                  maxDf: Option[Long]): DataFrame = {
+                                  maxDf: Option[Long]): DataFrame =
+    d48Evidence(spark, dir, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        round(dbl(col("iw")) / dbl(col("uw")), 6).as("weighted_j"),
+        round(dbl(col("inter")) /
+          dbl(col("na") + col("nb") - col("inter")), 6).as("plain_j"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The filtered weighted-pair evidence (doc_a, doc_b, iw, uw, inter,
+    * na, nb) BEFORE d48's output projection/sort — d49 consumes the bare
+    * keys, so it skips the round()s and the output range-sort. */
+  private def d48Evidence(spark: SparkSession, dir: String,
+                          maxDf: Option[Long]): DataFrame = {
     val sh = Memo.tracked(spark, shingled(spark, dir).cache())
-    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val posting = postingWithSize(sh)
     val nDocs = sh.agg(count(lit(1)).as("nd"))
     val wg = posting.groupBy("g").agg(count(lit(1)).as("df"))
       .join(broadcast(nDocs))
       .select(col("g"), col("df"),
         round(log(dbl(col("nd")) / col("df")), 9).cast("decimal(18,9)").as("w"))
     val wpost = posting.join(wg, "g")
-    // doc totals over the FULL posting list: capping must not shrink the
-    // union weight, or a dropped non-shared hot gram could promote a pair
-    val docw = wpost.groupBy("doc_id")
-      .agg(sum(col("w")).as("wt"), count(lit(1)).as("n"))
+    // doc WEIGHT totals over the FULL posting list: capping must not
+    // shrink the union weight, or a dropped non-shared hot gram could
+    // promote a pair. Set sizes ride the posting rows instead (grams are
+    // distinct, so n == the full per-doc posting count even on the
+    // capped join side).
+    val docw = wpost.groupBy("doc_id").agg(sum(col("w")).as("wt"))
     val joinSide = maxDf.fold(wpost)(cap => wpost.filter(col("df") <= cap))
     val inter = joinSide.as("a").join(joinSide.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(sum(col("a.w")).as("iw"), count(lit(1)).as("inter"))
+      .agg(sum(col("a.w")).as("iw"), count(lit(1)).as("inter"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
     inter
-      .join(docw.select(col("doc_id").as("doc_a"), col("wt").as("wa"),
-        col("n").as("na")), "doc_a")
-      .join(docw.select(col("doc_id").as("doc_b"), col("wt").as("wb"),
-        col("n").as("nb")), "doc_b")
+      .join(docw.select(col("doc_id").as("doc_a"), col("wt").as("wa")), "doc_a")
+      .join(docw.select(col("doc_id").as("doc_b"), col("wt").as("wb")), "doc_b")
       .withColumn("uw", col("wa") + col("wb") - col("iw"))
       // uw = 0 only when every gram of both docs is corpus-ubiquitous
       // (idf exactly 0): weighted_j would be 0/0 — NaN in Spark, an
       // engine-parity trap vs the oracle. Zero evidence is no pair.
       .filter(col("iw") * 2 >= col("uw") && col("uw") > 0)
-      .select(col("doc_a"), col("doc_b"),
-        round(dbl(col("iw")) / dbl(col("uw")), 6).as("weighted_j"),
-        round(dbl(col("inter")) /
-          dbl(col("na") + col("nb") - col("inter")), 6).as("plain_j"))
-      .orderBy("doc_a", "doc_b")
   }
   val d48Sql: String =
     s"""WITH sh AS ($shingledSql),
@@ -2129,9 +2138,15 @@ object Dedup {
     * Full-outer join of two pair frames on the ordered key; 1-row
     * output. */
   def d49(spark: SparkSession, dir: String): DataFrame = {
-    val p = d03(spark, dir).select(col("doc_a"), col("doc_b"), lit(1).as("pl"))
-    val w = d48(spark, dir).select(col("doc_a").as("wa"), col("doc_b").as("wb"),
-      lit(1).as("wt"))
+    // keys-only sides: the census needs pair MEMBERSHIP, not d03/d48's
+    // projected ratios or output sorts — both range-exchanges and all
+    // round()s drop out of the plan (results identical: same pair sets)
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
+    val p = jaccardPairCounts(sh, 1, 2)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("pl"))
+    val w = d48Evidence(spark, dir, maxDf = Some(D48MaxDf))
+      .select(col("doc_a").as("wa"), col("doc_b").as("wb"),
+        lit(1).as("wt"))
     p.join(w, col("doc_a") === col("wa") && col("doc_b") === col("wb"),
         "full_outer")
       .agg(sum(when(col("pl").isNotNull && col("wt").isNotNull, 1L)
@@ -2216,16 +2231,10 @@ object Dedup {
         .select(col("doc_id"), expr(s"word_ngrams(text, $k)").as("grams"))
         .filter(size(col("grams")) >= 1)
         .cache() // posting + sizes + n_docs read it; tiny per-width frame
-      val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+      val posting = postingWithSize(sh)
       val dfc = posting.groupBy("g").agg(count(lit(1)).as("df"))
       val rare = posting.join(dfc.filter(col("df") <= maxDf).select("g"), "g")
-      val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
-      val pairs = rare.as("a").join(rare.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      val pairs = coPairCounts(rare)
         .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
         .agg(count(lit(1)).as("n_pairs"))
       sh.agg(count(lit(1)).as("n_docs")).join(broadcast(dfc.agg(
@@ -2288,30 +2297,58 @@ object Dedup {
   def d52(spark: SparkSession, dir: String): DataFrame = {
     val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val sig = sharedSig(spark, dir)
-    val exact = jaccardPairs(sh, 4, 5).select("doc_a", "doc_b").cache()
+    // keys-only exact side (the sweep never reads the ratio, so d03's
+    // output projection + range-sort drop out of this plan)
+    val exact = Memo.tracked(spark,
+      jaccardPairCounts(sh, 4, 5).select("doc_a", "doc_b").cache())
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val rows = Seq((16, 8), (32, 4), (64, 2)).map { case (b, r) =>
-      val bands = bandsOf(sig, b, r)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct().cache()
-      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-      val nVer = cand.join(exact, Seq("doc_a", "doc_b"))
-        .agg(count(lit(1)).as("n_verified"))
-      nCand.join(broadcast(nVer)).join(broadcast(nExact))
-        .select(lit(b).cast("int").as("n_bands"),
-          lit(r).cast("int").as("rows_per_band"),
-          col("n_candidates"), col("n_verified"), col("n_exact"),
-          when(col("n_candidates") > 0,
-            round(dbl(col("n_verified")) / col("n_candidates"), 6))
-            .otherwise(lit(0.0d)).as("precision"),
-          when(col("n_exact") > 0,
-            round(dbl(col("n_verified")) / col("n_exact"), 6))
-            .otherwise(lit(0.0d)).as("recall"))
+    val configs = Seq((0, 16, 8), (1, 32, 4), (2, 64, 2))
+    // ONE banded self-join for all three configs: every band struct is
+    // tagged with its config id and the join keys on (cfg, band, key) —
+    // identical candidate sets per config, same 112-row/doc total
+    // fan-out, but one exchange + one distinct + one verify join instead
+    // of three of each (guide §2.4)
+    val bandCols = configs.flatMap { case (ci, b, r) =>
+      require(b * r <= 128, "banding exceeds the 128-perm signature")
+      (0 until b).map { j =>
+        struct(lit(ci).as("cfg"), lit(j).as("band"),
+          xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*).as("key"))
+      }
     }
-    rows.reduce(_.unionByName(_)).orderBy("n_bands")
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.cfg").as("cfg"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = Memo.tracked(spark, bands.as("x").join(bands.as("y"),
+        col("x.cfg") === col("y.cfg") && col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.cfg").as("cfg"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .distinct().cache())
+    val nCand = cand.groupBy("cfg").agg(count(lit(1)).as("n_candidates"))
+    val nVer = cand.join(exact, Seq("doc_a", "doc_b"))
+      .groupBy("cfg").agg(count(lit(1)).as("n_verified"))
+    val cfgRows = spark.range(1).select(explode(array(configs.map {
+      case (ci, b, r) => struct(lit(ci).as("cfg"), lit(b).cast("int").as("n_bands"),
+        lit(r).cast("int").as("rows_per_band"))
+    }: _*)).as("c"))
+      .select(col("c.cfg").as("cfg"), col("c.n_bands").as("n_bands"),
+        col("c.rows_per_band").as("rows_per_band"))
+    // left joins + zero-coalesce keep the "no candidates at this config"
+    // row present, exactly like the old per-config 1-row aggregates
+    cfgRows.join(nCand, Seq("cfg"), "left").join(nVer, Seq("cfg"), "left")
+      .join(broadcast(nExact))
+      .select(col("n_bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        col("n_exact"),
+        when(coalesce(col("n_candidates"), lit(0L)) > 0,
+          round(dbl(coalesce(col("n_verified"), lit(0L))) /
+            col("n_candidates"), 6))
+          .otherwise(lit(0.0d)).as("precision"),
+        when(col("n_exact") > 0,
+          round(dbl(coalesce(col("n_verified"), lit(0L))) / col("n_exact"), 6))
+          .otherwise(lit(0.0d)).as("recall"))
+      .orderBy("n_bands")
   }
 
   // ---------------------------------------------------------------- d53
@@ -2386,32 +2423,43 @@ object Dedup {
     * Output 4 rows. */
   def d54(spark: SparkSession, dir: String): DataFrame = {
     val sh = Memo.tracked(spark, shingled(spark, dir).cache())
-    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val posting = postingWithSize(sh)
+    // ONE pair join at the loosest cap (df <= 100) instead of three: a
+    // shared gram's df decides which caps it counts under, so the three
+    // capped intersection sizes are conditional sums of the same
+    // aggregation, and each cap's threshold test runs on its own i_c
+    // (a pair invisible under a tighter cap has i_c = 0 and can never
+    // pass inter·2 ≥ union > 0 — exactly the old per-cap join's output).
+    // Guide §2.4/§1.2: three full posting self-joins collapse to one.
     val wdf = posting.join(
-      posting.groupBy("g").agg(count(lit(1)).as("df")), "g").cache()
-    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
-    def pairCount(maxDf: Long): DataFrame = {
-      val p = wdf.filter(col("df") <= maxDf)
-      p.as("a").join(p.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
-        .agg(count(lit(1)).as("n_pairs"))
-    }
+      posting.groupBy("g").agg(count(lit(1)).as("df")), "g")
+    val p = wdf.filter(col("df") <= 100L)
+    val perPair = p.as("a").join(p.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(when(col("a.df") <= 25L, 1L).otherwise(0L)).as("i25"),
+        sum(when(col("a.df") <= 50L, 1L).otherwise(0L)).as("i50"),
+        count(lit(1)).as("i100"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+    def pass(i: Column) = i * 2 >= col("na") + col("nb") - i
+    val counts = perPair.agg(
+      sum(when(pass(col("i100")), 1L).otherwise(0L)).as("c100"),
+      sum(when(pass(col("i50")), 1L).otherwise(0L)).as("c50"),
+      sum(when(pass(col("i25")), 1L).otherwise(0L)).as("c25"))
     val exact = sharedPairs(spark, dir).agg(count(lit(1)).as("n_exact"))
-    val rows = Seq(("a_exact", None: Option[Long]), ("b_cap100", Some(100L)),
-      ("c_cap50", Some(50L)), ("d_cap25", Some(25L))).map { case (label, cap) =>
-      cap.fold(exact.select(lit(label).as("cap"),
-          col("n_exact").as("n_pairs"), lit(0L).as("pairs_lost"))) { c =>
-        pairCount(c).join(broadcast(exact))
-          .select(lit(label).as("cap"), col("n_pairs"),
-            (col("n_exact") - col("n_pairs")).as("pairs_lost"))
-      }
-    }
-    rows.reduce(_.unionByName(_)).orderBy("cap")
+    counts.join(broadcast(exact))
+      .select(explode(array(
+        struct(lit("a_exact").as("cap"), col("n_exact").as("n_pairs"),
+          lit(0L).as("pairs_lost")),
+        struct(lit("b_cap100").as("cap"), col("c100").as("n_pairs"),
+          (col("n_exact") - col("c100")).as("pairs_lost")),
+        struct(lit("c_cap50").as("cap"), col("c50").as("n_pairs"),
+          (col("n_exact") - col("c50")).as("pairs_lost")),
+        struct(lit("d_cap25").as("cap"), col("c25").as("n_pairs"),
+          (col("n_exact") - col("c25")).as("pairs_lost")))).as("s"))
+      .select(col("s.cap").as("cap"), col("s.n_pairs").as("n_pairs"),
+        col("s.pairs_lost").as("pairs_lost"))
+      .orderBy("cap")
   }
   val d54Sql: String = {
     def pairSql(cap: Option[Long]): String = {
@@ -2549,12 +2597,16 @@ object Dedup {
     * postings; the bucket self-join is df-bounded per bucket as argued
     * above; the exact stream is the memoized [[sharedPairs]]. */
   def d57(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
+    // cache sh (feeds posting twice via the seed build + the n_docs agg)
+    // and seed (read by BOTH self-join sides and the bucket count —
+    // uncached it re-ran the posting⋈df join + argmin three times)
+    val sh = Memo.tracked(spark, shingled(spark, dir).cache())
     val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
     val dft = posting.groupBy("g").agg(count(lit(1)).as("df"))
-    val seed = posting.join(dft, "g")
+    val seed = Memo.tracked(spark, posting.join(dft, "g")
       .groupBy("doc_id").agg(min(struct(col("df"), col("g"))).as("m"))
       .select(col("doc_id"), col("m").getField("g").as("g"))
+      .cache())
     val cand = seed.as("a").join(seed.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -55,15 +55,16 @@ object Pipeline {
       keep.select(col("doc_id"), expr("word_ngrams(text, 3)").as("grams"))
         .filter(size(col("grams")) >= 1)
         .cache())
-    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
-    val sizes = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
-    val inter = posting.as("a").join(posting.as("b"),
+    // set sizes carried through the pair aggregation (min over the
+    // per-doc constant) — no joins of the pair stream (Dedup.coPairCounts
+    // recipe, guide §2.3/§2.4)
+    val posting = sh.select(col("doc_id"),
+      size(col("grams")).cast("long").as("n"), explode(col("grams")).as("g"))
+    val dropped = posting.as("a").join(posting.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val dropped = inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
       .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
       .select(col("doc_b").as("doc_id")).distinct()
     val surv = Memo.tracked(spark,
