@@ -13,15 +13,38 @@ object Tables {
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The driver's single-file inputs hold ONE parquet row group, so the
+    * scan is one unsplittable partition and every per-row kernel above
+    * it (word_ngrams, winnowing, md5, LM scoring, vector math) runs on
+    * one core while the rest idle. Spread the fact tables right after
+    * the read (guide §2.5: "one huge unsplittable file … repartition
+    * immediately after the read") — ADAPTIVELY: only when the scan is
+    * narrower than the cluster, so a real multi-file corpus (scan
+    * already wide) never pays a gratuitous full-corpus shuffle, and the
+    * added exchange is a round-robin of the small single-file input.
+    * Catalyst pushes filters/pruning through Repartition, so
+    * PushedFilters/ReadSchema at the scan are unchanged (PlanReport
+    * asserts this per query). */
+  private def spreadIfNarrow(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 < target) df.repartition(target) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
+  // lineitem/orders deliberately NOT spread: their operators are cheap
+  // scan+aggregate pipelines where partial aggregation in the scan stage
+  // beats paying a round-robin exchange first (measured: q01 0.26→0.66s,
+  // q33 0.65→1.05s, q112 0.44→1.03s with the spread; reverted).
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spreadIfNarrow(spark, load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spreadIfNarrow(spark, load(spark, dir, "embeddings"))
 
   /** Events table carries a parquet timestamp whose logical annotation
     * has drifted across driver rounds (TIMESTAMP NANOS originally,
