@@ -73,6 +73,14 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE partition coalescing stays on its defaults (parallelismFirst
+      // =true): an r8-optimization experiment with parallelismFirst=false
+      // + 16m advisory (guide §2.2's "coalesce to size" posture) was
+      // MEASURED SLOWER here — compute-dense small shuffles (d51's
+      // per-width pair joins, e01's session windows) lost more to
+      // single-task stages than the scheduler overhead saved (d51
+      // 2.4→6.6 s, e01 0.4→1.2 s); reverted. On a production cluster the
+      // advisory size is the knob to revisit per guide §2.2.
       // wide aggregations (minhash: 128 min() columns) must stay inside
       // whole-stage codegen; the 100-field default silently drops them out
       .config("spark.sql.codegen.maxFields", "256")

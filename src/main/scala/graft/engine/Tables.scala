@@ -30,6 +30,22 @@ object Tables {
     if (df.rdd.getNumPartitions * 4 < target) df.repartition(target) else df
   }
 
+  /** Partition count for SMALL derived frames (pair streams, CC label
+    * generations, LM-scored frames): when the corpus input is a narrow
+    * single-file scan, those frames are orders smaller still, and
+    * persisting them at full shuffle width makes every downstream stage
+    * pay a `cores`-task launch wave for KB-sized partitions (measured:
+    * six 0.57 s 32-task stages per pair-stream consumer, ~15 ms/task of
+    * pure scheduling). Derived from the INPUT's width, not a constant:
+    * on a real multi-file corpus this returns None and the frames keep
+    * full parallelism (guide §2: partitioning must be scale-adaptive). */
+  def smallFrameParts(spark: SparkSession, dir: String): Option[Int] = {
+    val target = spark.sparkContext.defaultParallelism
+    if (load(spark, dir, "documents").rdd.getNumPartitions * 4 < target)
+      Some(math.max(2, target / 16))
+    else None
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
@@ -43,8 +59,12 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def documents(spark: SparkSession, dir: String): DataFrame =
     spreadIfNarrow(spark, load(spark, dir, "documents"))
+  // embeddings deliberately NOT spread: the table is tiny and its heavy
+  // fan-out points already call Similarity.spread() explicitly — the
+  // blanket loader repartition only added an exchange to every subplan
+  // (measured: s04 2.7→3.8s, s28 0.6→1.3s, s02 0.8→1.2s; reverted).
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spreadIfNarrow(spark, load(spark, dir, "embeddings"))
+    load(spark, dir, "embeddings")
 
   /** Events table carries a parquet timestamp whose logical annotation
     * has drifted across driver rounds (TIMESTAMP NANOS originally,

@@ -179,7 +179,9 @@ object Dedup {
   private val sigMemo = Memo.table()
   private def sharedSig(spark: SparkSession, dir: String): DataFrame =
     Memo.memoized(sigMemo, spark, dir, requirePersisted = false)(
-      minhashSig(Memo.tracked(spark, shingled(spark, dir).cache())).localCheckpoint())
+      minhashSig(Memo.tracked(spark, shingled(spark, dir).cache()))
+        .transform(d => Tables.smallFrameParts(spark, dir).fold(d)(d.coalesce))
+        .localCheckpoint())
 
   /** Exact J ≥ 0.8 verification of a candidate pair stream. */
   private def d02Verify(sh: DataFrame, candidates: DataFrame): DataFrame = {
@@ -221,6 +223,10 @@ object Dedup {
       jaccardPairCounts(Memo.tracked(spark, shingled(spark, dir).cache()), 1, 2)
         .select(col("doc_a"), col("doc_b"),
           (dbl(col("inter")) / dbl(col("un"))).as("jaccard"))
+        // narrow input → tiny pair stream: persist it at a few partitions
+        // so each of its ~15 consumers' stages isn't a full task wave
+        // over KB-sized cached partitions (Tables.smallFrameParts doc)
+        .transform(d => Tables.smallFrameParts(spark, dir).fold(d)(d.coalesce))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   // ---------------------------------------------------------------- d06
@@ -525,18 +531,26 @@ object Dedup {
   // invalidate it — only session stop evicts.
   private def sharedClusters(spark: SparkSession, dir: String): DataFrame =
     Memo.memoized(ccMemo, spark, dir, requirePersisted = false)(
-      connectedComponents(sharedPairs(spark, dir).select("doc_a", "doc_b")))
+      connectedComponents(sharedPairs(spark, dir).select("doc_a", "doc_b"),
+        Tables.smallFrameParts(spark, dir)))
 
   /** Min-label propagation to fixpoint over an undirected (doc_a, doc_b)
     * pair graph — d10's core, shared with the multimodal cluster view
     * (m07). Per round: one join + one map-combinable min-agg per node;
     * real dup graphs are short chains so rounds ≈ 2-3 (see SCALE.md for
     * the alternating-star variant that bounds adversarial diameters). */
-  private[operators] def connectedComponents(pairFrame: DataFrame): DataFrame = {
+  private[operators] def connectedComponents(pairFrame: DataFrame,
+                                             parts: Option[Int] = None): DataFrame = {
+    // parts (Tables.smallFrameParts): on narrow single-file inputs the
+    // edge list and every label generation are tiny — persist them at a
+    // few partitions so each of the O(log diameter) rounds' stages isn't
+    // a full `cores`-task wave over KB-sized partitions. None on a real
+    // corpus (full parallelism).
+    val shrink: DataFrame => DataFrame = d => parts.fold(d)(d.coalesce)
     val pairs = pairFrame.cache()
-    val edges = pairs.unionByName(
+    val edges = shrink(pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst"))
       .cache()
     // localCheckpoint (not just cache) per generation: each round's plan
     // would otherwise reference the previous round's FULL lineage, so a
@@ -545,8 +559,8 @@ object Dedup {
     // lineage to the materialized partitions — memory stays flat per
     // round at any diameter. (At cluster scale: checkpoint to reliable
     // storage instead; same call shape.)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    var labels = shrink(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       // min over (own label ∪ neighbor labels) in ONE aggregation: the
@@ -572,11 +586,11 @@ object Dedup {
       // ~23, which plain propagation walked one hop per barrier. (Both
       // sides are the same subplan; Spark's ReusedExchange computes the
       // stepped shuffle once.)
-      val next = stepped.as("x")
+      val next = shrink(stepped.as("x")
         .join(stepped.select(col("doc_id").as("lid"), col("label").as("ll")).as("y"),
           col("x.label") === col("y.lid"))
         .select(col("x.doc_id"), least(col("x.label"), col("y.ll")).as("label"),
-                (col("x.chg") + (col("y.ll") < col("x.label")).cast("long")).as("chg"))
+                (col("x.chg") + (col("y.ll") < col("x.label")).cast("long")).as("chg")))
         .localCheckpoint() // materializes next, drops lineage
       changed = next.agg(sum(col("chg"))).head().getLong(0)
       Memo.hardUnpersist(labels) // superseded generation (checkpoint blocks too)
@@ -924,7 +938,8 @@ object Dedup {
     * over the same exact-Jaccard pair set (d02's output is spec-equal to
     * exact all-pairs at J ≥ 0.8). */
   def d18(spark: SparkSession, dir: String): DataFrame = {
-    val cc = connectedComponents(d02(spark, dir).select("doc_a", "doc_b"))
+    val cc = connectedComponents(d02(spark, dir).select("doc_a", "doc_b"),
+      Tables.smallFrameParts(spark, dir))
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
     cc.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("n_members"))
@@ -1958,11 +1973,17 @@ object Dedup {
     // src before caching, so each of the five contribution joins (all
     // keyed on src) reuses the cached layout instead of re-shuffling
     // the edges every round — the only remaining per-round shuffle is
-    // the groupBy(dst) that the algorithm inherently needs
+    // the groupBy(dst) that the algorithm inherently needs. On a narrow
+    // single-file input the edge list is tiny: hash it into the SMALL
+    // partition count directly (coalesce would erase the partitioning
+    // joins reuse), so five rounds of stages aren't full task waves.
+    val nSmall = Tables.smallFrameParts(spark, dir)
+    val shrink: DataFrame => DataFrame = d => nSmall.fold(d)(d.coalesce)
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-      .repartition(col("src"))
+      .transform(d =>
+        nSmall.fold(d.repartition(col("src")))(n => d.repartition(n, col("src"))))
       .cache()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
     var rank = Memo.tracked(spark,
@@ -1980,6 +2001,7 @@ object Dedup {
         .select(col("doc_id"),
           (lit(0.15d) + lit(0.85d) *
             coalesce(dbl(col("s")), lit(0.0d))).as("r"))
+        .transform(shrink)
         .transform(d => Memo.tracked(spark, d.localCheckpoint()))
       Memo.hardUnpersist(rank) // superseded generation (checkpoint blocks too)
       rank = next
@@ -2226,8 +2248,14 @@ object Dedup {
   def d51(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val maxDf = 50
+    // ONE scan (+ spread) shared by all three widths: each width's
+    // shingle frame re-reads the cached 2-column doc projection instead
+    // of re-running the scan + repartition chain per width (and per
+    // broadcast-build job inside each width)
+    val docs = Memo.tracked(spark,
+      Tables.documents(spark, dir).select("doc_id", "text").cache())
     val rows = Seq(2, 3, 4).map { k =>
-      val sh = Tables.documents(spark, dir)
+      val sh = docs
         .select(col("doc_id"), expr(s"word_ngrams(text, $k)").as("grams"))
         .filter(size(col("grams")) >= 1)
         .cache() // posting + sizes + n_docs read it; tiny per-width frame
@@ -2732,17 +2760,19 @@ object Dedup {
     VectorFunctions.register(spark)
     val exact = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val bands = d02Bands(spark, dir)
-    val lsh = bands.as("x").join(bands.as("y"),
+    // both candidate sets are read TWICE (the census left-join and the
+    // extra-volume anti-join) — uncached, each self-join ran twice
+    val lsh = Memo.tracked(spark, bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .distinct().cache())
     val sig = Tables.documents(spark, dir)
       .filter(trim(col("text")) =!= "")
       .select(col("doc_id"), expr("simhash64(word_tokens(text))").as("simhash"))
       .cache()
-    val sim = hammingBandPairs(sig, "simhash", maxHamming = 8)
-      .select(col("doc_a"), col("doc_b"))
+    val sim = Memo.tracked(spark, hammingBandPairs(sig, "simhash", maxHamming = 8)
+      .select(col("doc_a"), col("doc_b")).cache())
     val census = exact
       .join(lsh.withColumn("in_lsh", lit(1L)), Seq("doc_a", "doc_b"), "left")
       .join(sim.withColumn("in_sim", lit(1L)), Seq("doc_a", "doc_b"), "left")

@@ -278,7 +278,8 @@ object Multimodal {
     * and containment of every m05 pair inside one cluster. */
   def m07(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-      sharedPayloadPairs(spark, dir).select("doc_a", "doc_b"))
+      sharedPayloadPairs(spark, dir).select("doc_a", "doc_b"),
+      Tables.smallFrameParts(spark, dir))
 
   // ---------------------------------------------------------------- m08
   /** Byte-level entropy screen: Shannon entropy (nats) of the HIGH-nibble

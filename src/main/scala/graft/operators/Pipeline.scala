@@ -1502,7 +1502,8 @@ object Pipeline {
     val firstPairs = pairs
       .join(firstDocs.select(col("doc_id").as("doc_a")), "doc_a")
       .join(firstDocs.select(col("doc_id").as("doc_b")), "doc_b")
-    val clFirst = Dedup.connectedComponents(firstPairs)
+    val clFirst = Dedup.connectedComponents(firstPairs,
+      Tables.smallFrameParts(spark, dir))
       .select(col("doc_id"), col("cluster_id").as("cl_first"))
     val clFull = Dedup.d10(spark, dir)
       .select(col("doc_id"), col("cluster_id").as("cl_full"))
@@ -2303,14 +2304,22 @@ object Pipeline {
   def p44(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.Qf.dbl
     val pairs = Dedup.sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-    Seq(10L, 20L, 50L).map { m =>
-      pairs.agg(count(lit(1)).as("n_pairs"),
-        sum(when((col("doc_a") % m === 0) =!= (col("doc_b") % m === 0), 1L)
-          .otherwise(0L)).as("n_cross"))
-        .select(lit(m).as("holdout_mod"), col("n_pairs"), col("n_cross"),
-          round(when(col("n_pairs") > 0, dbl(col("n_cross")) / dbl(col("n_pairs")))
-            .otherwise(0d), 6).as("leak_rate"))
-    }.reduce(_.unionByName(_)).orderBy("holdout_mod")
+    // ONE pass: the three moduli are conditional sums of the same
+    // aggregation, unpacked from a struct array (was three independent
+    // aggregation jobs over the pair stream, unioned)
+    def cross(m: Long) = sum(
+      when((col("doc_a") % m === 0) =!= (col("doc_b") % m === 0), 1L)
+        .otherwise(0L)).as(s"c$m")
+    pairs.agg(count(lit(1)).as("n_pairs"), cross(10L), cross(20L), cross(50L))
+      .select(explode(array(Seq(10L, 20L, 50L).map(m =>
+        struct(lit(m).as("holdout_mod"), col("n_pairs").as("n_pairs"),
+          col(s"c$m").as("n_cross"))): _*)).as("s"))
+      .select(col("s.holdout_mod").as("holdout_mod"),
+        col("s.n_pairs").as("n_pairs"), col("s.n_cross").as("n_cross"),
+        round(when(col("s.n_pairs") > 0,
+          dbl(col("s.n_cross")) / dbl(col("s.n_pairs")))
+          .otherwise(0d), 6).as("leak_rate"))
+      .orderBy("holdout_mod")
   }
   val p44Sql: String = {
     val pairSql = Dedup.jaccardPairsSql(1, 2)

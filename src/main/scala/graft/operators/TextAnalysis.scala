@@ -421,6 +421,9 @@ object TextAnalysis {
   private[operators] def scoredDocs(spark: SparkSession, dir: String): DataFrame =
     Memo.memoized(scoredMemo, spark, dir, requirePersisted = true)(
       scoredFrame(spark, dir)
+        // narrow input → one row per doc: persist at a few partitions so
+        // consumer stages aren't full task waves (Tables.smallFrameParts)
+        .transform(d => Tables.smallFrameParts(spark, dir).fold(d)(d.coalesce))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def scoredFrame(spark: SparkSession, dir: String): DataFrame = {
