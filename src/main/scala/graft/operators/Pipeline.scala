@@ -313,7 +313,11 @@ object Pipeline {
     * the same parquet so the oracle can see them. */
   def p06(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
-    val docs = Tables.documents(spark, dir)
+    // cache the base scan: three independent subplans read it (the
+    // delta gate, the corpus hash set, the corpus shingle side — the
+    // last via Dedup.shingled, whose identical scan subplan hits this
+    // cache by plan-equality), each otherwise re-paying scan + spread
+    val docs = Memo.tracked(spark, Tables.documents(spark, dir).cache())
     val isDelta = col("doc_id") % 5 === 0
     val gated = TextAnalysis.addQuality(docs.filter(isDelta))
       .filter(col("quality") >= lit(0.5d))
@@ -329,13 +333,16 @@ object Pipeline {
     val shD = exact.select(col("doc_id"), expr("word_ngrams(text, 3)").as("grams"))
       .filter(size(col("grams")) >= 1)
     val shC = Dedup.shingled(spark, dir).filter(!isDelta)
-    val pd = shD.select(col("doc_id").as("d_id"), explode(col("grams")).as("g"))
-    val pc = shC.select(col("doc_id").as("c_id"), explode(col("grams")).as("g"))
-    val nd = shD.select(col("doc_id").as("d_id"), size(col("grams")).cast("long").as("nd"))
-    val nc = shC.select(col("doc_id").as("c_id"), size(col("grams")).cast("long").as("nc"))
+    // set sizes ride the posting rows and come back via min() in the
+    // pair aggregation (coPairCounts recipe) — no joins of the pair
+    // stream
+    val pd = shD.select(col("doc_id").as("d_id"),
+      size(col("grams")).cast("long").as("nd"), explode(col("grams")).as("g"))
+    val pc = shC.select(col("doc_id").as("c_id"),
+      size(col("grams")).cast("long").as("nc"), explode(col("grams")).as("g"))
     val nearHit = pd.join(pc, "g")
-      .groupBy("d_id", "c_id").agg(count(lit(1)).as("inter"))
-      .join(nd, "d_id").join(nc, "c_id")
+      .groupBy("d_id", "c_id").agg(count(lit(1)).as("inter"),
+        min(col("nd")).as("nd"), min(col("nc")).as("nc"))
       .filter(col("inter") * 5 >= (col("nd") + col("nc") - col("inter")) * 4)
       .select(col("d_id").as("doc_id")).distinct()
     exact.join(nearHit, Seq("doc_id"), "left_anti")
@@ -1184,15 +1191,20 @@ object Pipeline {
     * bounded full-outer join. */
   def p26(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.Qf.dbl
-    val docs = Tables.documents(spark, dir)
+    // cache docs (three subplans: the dup-family rollup, the corpus max,
+    // the half census — each otherwise re-pays scan + md5 + spread) and
+    // the tiny half census (read once per output side)
+    val docs = Memo.tracked(spark, Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"), md5(col("text")).as("h"))
+      .cache())
     val keep = docs.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
     val mx = docs.agg(max(col("doc_id")).as("max_id"))
-    val half = docs.join(keep, "h").join(broadcast(mx))
+    val half = Memo.tracked(spark, docs.join(keep, "h").join(broadcast(mx))
       .withColumn("half", least(expr("doc_id * 2 div (max_id + 1)"), lit(1L)))
       .groupBy("source", "half")
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
            sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("dups"))
+      .cache())
     val a = half.filter(col("half") === 0)
       .select(col("source"), col("docs").as("docs_a"),
         col("chars").as("chars_a"), col("dups").as("dups_a"))

@@ -249,9 +249,12 @@ object TextAnalysis {
   def t08(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val maxDf = 50
-    val fps = Tables.documents(spark, dir)
+    // cache: the boilerplate-df count and the kept-posting join BOTH
+    // explode this frame — uncached, the winnow kernel ran twice
+    val fps = Memo.tracked(spark, Tables.documents(spark, dir)
       .select(col("doc_id"), expr("winnow_fps(text, 8, 4)").as("fps"))
       .filter(size(col("fps")) >= 1)
+      .cache())
     val posting0 = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
     // boilerplate filter: one map-side-combinable count per fp, then an
     // equi-join (AQE broadcasts the small keep-list at gate scale)

@@ -26,9 +26,13 @@ object JobProfile {
         done(je.jobId) = je.time
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
+        val m = si.taskMetrics
+        val detail = f"run=${m.executorRunTime / 1000.0}%.2f " +
+          f"cpu=${m.executorCpuTime / 1e9}%.2f deser=${m.executorDeserializeTime / 1000.0}%.2f " +
+          f"gc=${m.jvmGCTime / 1000.0}%.2f sub=${si.submissionTime.getOrElse(0L)}"
         stages += ((si.stageId,
           si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
-          si.numTasks, si.name.split("\n").head.take(90)))
+          si.numTasks, detail + "  " + si.name.split("\n").head.take(60)))
       }
     })
     (1 to 2).foreach { run =>
