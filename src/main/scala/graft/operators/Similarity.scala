@@ -1358,10 +1358,12 @@ object Similarity {
     * keeper flag joins doc-keyed (uniform); means are s24's quantized
     * exact sums; the final compare joins two \|dim\|-row frames. */
   def s28(spark: SparkSession, dir: String): DataFrame = {
-    val keep = Tables.documents(spark, dir)
-      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("keep_id"))
-    val flags = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("h"))
+    // one hashed projection serves the keeper rollup AND the flag join
+    // (uncached, the scan + md5 + spread chain ran twice)
+    val hashed = Memo.tracked(spark, Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h")).cache())
+    val keep = hashed.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+    val flags = hashed
       .join(keep, "h")
       .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_keeper"))
     val q = quantized(spark, dir)
