@@ -2248,30 +2248,46 @@ object Dedup {
   def d51(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val maxDf = 50
-    // ONE scan (+ spread) shared by all three widths: each width's
-    // shingle frame re-reads the cached 2-column doc projection instead
-    // of re-running the scan + repartition chain per width (and per
-    // broadcast-build job inside each width)
+    // ONE pipeline for all three widths (the d52 sweep recipe): the
+    // shingle frames union with a width tag, so the df count, the rare
+    // filter, the pair self-join and every census aggregation run ONCE
+    // keyed on (k, …) instead of three separate five-stage plans — same
+    // per-width computation (join keys carry k), same 3-row output.
     val docs = Memo.tracked(spark,
       Tables.documents(spark, dir).select("doc_id", "text").cache())
-    val rows = Seq(2, 3, 4).map { k =>
-      val sh = docs
-        .select(col("doc_id"), expr(s"word_ngrams(text, $k)").as("grams"))
+    val sh = Memo.tracked(spark, Seq(2, 3, 4).map { k =>
+      docs.select(lit(k).as("k"), col("doc_id"),
+          expr(s"word_ngrams(text, $k)").as("grams"))
         .filter(size(col("grams")) >= 1)
-        .cache() // posting + sizes + n_docs read it; tiny per-width frame
-      val posting = postingWithSize(sh)
-      val dfc = posting.groupBy("g").agg(count(lit(1)).as("df"))
-      val rare = posting.join(dfc.filter(col("df") <= maxDf).select("g"), "g")
-      val pairs = coPairCounts(rare)
-        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
-        .agg(count(lit(1)).as("n_pairs"))
-      sh.agg(count(lit(1)).as("n_docs")).join(broadcast(dfc.agg(
-          count(lit(1)).as("n_grams"))))
-        .join(broadcast(pairs))
-        .select(lit(k).cast("int").as("k"), col("n_docs"), col("n_grams"),
-          col("n_pairs"))
-    }
-    rows.reduce(_.unionByName(_)).orderBy("k")
+    }.reduce(_.unionByName(_)).cache())
+    val posting = sh.select(col("k"), col("doc_id"),
+      size(col("grams")).cast("long").as("n"), explode(col("grams")).as("g"))
+    val dfc = posting.groupBy("k", "g").agg(count(lit(1)).as("df"))
+    val rare = posting.join(
+      dfc.filter(col("df") <= maxDf).select("k", "g"), Seq("k", "g"))
+    val pairs = rare.as("a").join(rare.as("b"),
+        col("a.k") === col("b.k") && col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.k").as("k"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .groupBy("k").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = sh.groupBy("k").agg(count(lit(1)).as("n_docs"))
+    val nGrams = dfc.groupBy("k").agg(count(lit(1)).as("n_grams"))
+    // a literal k frame + zero-coalesced left joins keep the old
+    // per-width 1-row-aggregate semantics (a width with no qualifying
+    // docs/pairs still emits its row with exact zeros)
+    spark.range(1)
+      .select(explode(array(lit(2), lit(3), lit(4))).as("k"))
+      .join(nDocs, Seq("k"), "left").join(nGrams, Seq("k"), "left")
+      .join(pairs, Seq("k"), "left")
+      .select(col("k").cast("int").as("k"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("k")
   }
   /** DuckDB mirror of `shingled` generalized to width k. */
   private def shingledKSql(k: Int): String = {

@@ -35,10 +35,16 @@ object Pipeline {
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     VectorFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-    // 1+2: quality gate, then language ID on survivors
-    val scored = TextAnalysis.addPredicted(TextAnalysis.addQuality(docs))
-      .filter(col("quality") >= lit(0.5d))
-      .select(col("doc_id"), col("text"), col("predicted").as("pred_lang"), col("quality"))
+    // 1+2: quality gate, then language ID on survivors. Cached: the
+    // gated frame feeds the dedup window AND the per-stage census reads
+    // (p14/p17/p22/p37 count it as stage b) — uncached, the
+    // quality+langid scan chain ran once per consumer.
+    val scored = Memo.tracked(spark,
+      TextAnalysis.addPredicted(TextAnalysis.addQuality(docs))
+        .filter(col("quality") >= lit(0.5d))
+        .select(col("doc_id"), col("text"), col("predicted").as("pred_lang"),
+          col("quality"))
+        .cache())
     // 3: exact normalized-fingerprint dedup, keep-min-id (one shuffle on fp)
     // cache: the dedup survivors feed the pair-join's two posting sides,
     // two size joins AND the final anti-join — uncached, the whole
