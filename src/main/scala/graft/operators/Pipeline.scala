@@ -1724,7 +1724,7 @@ object Pipeline {
          |CROSS JOIN tot""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH tok AS (
-       |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT)) AS tokens
+       |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT))::BIGINT AS tokens
        |  FROM documents GROUP BY 1),
        |tot AS (SELECT SUM(tokens)::HUGEINT AS tot_tokens FROM tok),
        |t0 AS (SELECT source, tokens,
@@ -2133,7 +2133,7 @@ object Pipeline {
     import TextAnalysis.wordsSql
     val isq = graft.engine.Qf.isqrtSql("CAST(tokens AS HUGEINT) * 1000000000000")
     s"""WITH tok AS (
-       |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT)) AS tokens
+       |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT))::BIGINT AS tokens
        |  FROM documents GROUP BY 1),
        |wq AS (SELECT source, tokens, $isq AS w FROM tok),
        |tot AS (SELECT CAST(SUM(tokens) AS HUGEINT) AS tot,
@@ -2142,8 +2142,8 @@ object Pipeline {
        |    CAST(((tot // 2) * w) // tot_w AS BIGINT) AS target_tokens
        |  FROM wq CROSS JOIN tot)
        |SELECT source, tokens, target_tokens,
-       |  GREATEST(target_tokens - tokens, 0) AS deficit,
-       |  GREATEST(tokens - target_tokens, 0) AS surplus,
+       |  GREATEST(target_tokens - tokens, 0)::BIGINT AS deficit,
+       |  GREATEST(tokens - target_tokens, 0)::BIGINT AS surplus,
        |  CAST((target_tokens::HUGEINT * 1000000) // tokens AS BIGINT) AS repeat_ppm
        |FROM tt ORDER BY source""".stripMargin
   }
@@ -2182,8 +2182,8 @@ object Pipeline {
   val p41Sql: String = {
     import TextAnalysis.wordsSql
     s"""WITH src AS (
-       |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT)) AS words,
-       |    SUM(CAST(LENGTH(text) AS BIGINT)) AS chars
+       |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT))::BIGINT AS words,
+       |    SUM(CAST(LENGTH(text) AS BIGINT))::BIGINT AS chars
        |  FROM documents GROUP BY 1),
        |tot AS (SELECT CAST(SUM(words) AS BIGINT) AS tw,
        |               CAST(SUM(chars) AS BIGINT) AS tc FROM src),
@@ -2469,7 +2469,7 @@ object Pipeline {
   val p46Sql: String = {
     import TextAnalysis.wordsSql
     s"""WITH tok AS (
-       |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT)) AS tokens
+       |  SELECT source, SUM(CAST(len($wordsSql) AS BIGINT))::BIGINT AS tokens
        |  FROM documents GROUP BY 1),
        |ranked AS (
        |  SELECT source, tokens,
@@ -2487,7 +2487,7 @@ object Pipeline {
        |    AND (rn = 1 OR ((tot // 2) - (prefix - tokens)) // (k - (rn - 1)) >= prev_tokens)
        |  ORDER BY m LIMIT 1)
        |SELECT source, tokens, CAST(lvl AS BIGINT) AS level,
-       |  LEAST(tokens, CAST(lvl AS BIGINT)) AS alloc,
+       |  LEAST(tokens, CAST(lvl AS BIGINT))::BIGINT AS alloc,
        |  CAST((LEAST(tokens, CAST(lvl AS BIGINT))::HUGEINT * 1000000) // tokens AS BIGINT) AS fill_ppm
        |FROM tok CROSS JOIN cand
        |ORDER BY source""".stripMargin

