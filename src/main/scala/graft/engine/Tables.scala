@@ -25,9 +25,24 @@ object Tables {
     * Catalyst pushes filters/pruning through Repartition, so
     * PushedFilters/ReadSchema at the scan are unchanged (PlanReport
     * asserts this per query). */
-  private def spreadIfNarrow(spark: SparkSession, df: DataFrame): DataFrame = {
+  /** Scan partition count per (session, input file), computed once: the
+    * `.rdd.getNumPartitions` probe triggers file listing + physical
+    * planning, and the loaders run on every operator build — dozens of
+    * times per query. The width of an immutable input file never
+    * changes within a session, so cache the probe (stopped sessions are
+    * evicted so the map cannot pin SparkContexts across runs). */
+  private val scanWidth =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+  private def scanParts(spark: SparkSession, df: => DataFrame, key: String): Int = {
+    scanWidth.keysIterator.foreach { k =>
+      if (k._1.sparkContext.isStopped) scanWidth.remove(k)
+    }
+    scanWidth.getOrElseUpdate((spark, key), df.rdd.getNumPartitions)
+  }
+
+  private def spreadIfNarrow(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 < target) df.repartition(target) else df
+    if (scanParts(spark, df, key) * 4 < target) df.repartition(target) else df
   }
 
   /** Partition count for SMALL derived frames (pair streams, CC label
@@ -41,7 +56,7 @@ object Tables {
     * full parallelism (guide §2: partitioning must be scale-adaptive). */
   def smallFrameParts(spark: SparkSession, dir: String): Option[Int] = {
     val target = spark.sparkContext.defaultParallelism
-    if (load(spark, dir, "documents").rdd.getNumPartitions * 4 < target)
+    if (scanParts(spark, load(spark, dir, "documents"), s"$dir/documents") * 4 < target)
       Some(math.max(2, target / 16))
     else None
   }
@@ -58,7 +73,7 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spreadIfNarrow(spark, load(spark, dir, "documents"))
+    spreadIfNarrow(spark, load(spark, dir, "documents"), s"$dir/documents")
   // embeddings deliberately NOT spread: the table is tiny and its heavy
   // fan-out points already call Similarity.spread() explicitly — the
   // blanket loader repartition only added an exchange to every subplan

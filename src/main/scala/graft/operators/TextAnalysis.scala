@@ -579,11 +579,25 @@ object TextAnalysis {
     // the memoized scored frame feeds the cutoff aggregation AND the
     // final bucket join — and is shared with t11/p03 across queries
     val scored = scoredDocs(spark, dir) // doc_id, lang, n_tok, avg_logp (round6)
+    // The (lang, score) count frame is bounded by |lang| × the round6
+    // quantization domain, so everything downstream of it is tiny: pin
+    // it to ONE small hash(lang) exchange and let the running-sum
+    // window, the per-lang total (an unbounded-frame window — no second
+    // pass over `scored`) and the cuts aggregation all reuse that
+    // partitioning (guide §2.4). Width is scale-adaptive: full
+    // parallelism on a real corpus, a few partitions on a narrow one —
+    // previously this chain was four full-width exchanges of KB data
+    // plus an extra scan of `scored`, a pure task-wave tax that grows
+    // with core count (the t14 anti-scaling row in PERF_r08).
+    val scParts = Tables.smallFrameParts(spark, dir)
+      .getOrElse(spark.sparkContext.defaultParallelism)
     val sc = scored.groupBy("lang", "avg_logp").agg(count(lit(1)).as("c"))
-    val cum = sc.withColumn("cum",
-      sum(col("c")).over(Window.partitionBy("lang").orderBy(col("avg_logp").desc)))
-    val n = scored.groupBy("lang").agg(count(lit(1)).as("n"))
-    val cuts = cum.join(n, "lang").groupBy("lang")
+      .repartition(scParts, col("lang"))
+    val cum = sc
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("lang").orderBy(col("avg_logp").desc)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("lang")))
+    val cuts = cum.groupBy("lang")
       .agg(max(when(col("cum") * 3 >= col("n"), col("avg_logp"))).as("head_cut"),
            max(when(col("cum") * 3 >= col("n") * 2, col("avg_logp"))).as("mid_cut"))
     scored.join(broadcast(cuts), "lang")
