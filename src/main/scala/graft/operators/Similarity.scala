@@ -450,22 +450,29 @@ object Similarity {
       .filter(col("rk") <= 2)
       .select(col("vec_id"), col("nrm"), col("cent_id").as("cell"), col("rk"))
       .cache()
-    // encode the member side as (n_id, m, code): same min-struct argmin
+    // ONE subvector × codebook dot pass serves BOTH the member encode
+    // (argmin over d2 = |c|² − 2·dot) and the per-query ADC table (the
+    // dot itself) — previously two independent subvecs(e) ⋈ books joins
+    // each ran the full M × k vec_dot kernel over every vector
+    // (guide §2.4/§1.2: the encode and score passes share their heavy
+    // compute). Cached once; `codes` is a cheap argmin over it.
     val bookDf = broadcast(books
       .withColumn("ncv2", expr("vec_dot(cv, cv)")))
-    val codes = subvecs(e).join(bookDf, Seq("m"))
-      .withColumn("d2", col("ncv2") - lit(2.0d) * expr("vec_dot(sv, cv)"))
+    val sj = subvecs(e).join(bookDf, Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"), col("ncv2"),
+              expr("vec_dot(sv, cv)").as("qdot"))
+      .cache()
+    val codes = sj
+      .withColumn("d2", col("ncv2") - lit(2.0d) * col("qdot"))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d2"), col("code"), col("ncv2"))).as("b"))
       .select(col("vec_id").as("n_id"), col("m"),
               col("b.code").as("code"), col("b.ncv2").as("ncv2"))
-      .cache()
+      .cache() // feeds the ADC join and nNorm
     // reconstructed member norm: sqrt(sum_m |c_m,code|^2)
     val nNorm = codes.groupBy("n_id").agg(sqrt(sum(col("ncv2"))).as("napx"))
     // per-query ADC table: dot(query subvector, codeword) for all M x k
-    val qd = subvecs(e).join(bookDf, Seq("m"))
-      .select(col("vec_id").as("q_id"), col("m"), col("code"),
-              expr("vec_dot(sv, cv)").as("qdot"))
+    val qd = sj.select(col("vec_id").as("q_id"), col("m"), col("code"), col("qdot"))
     // candidates from 2-cell probing; ADC-score them WITHOUT raw vectors
     val members = ranked.filter(col("rk") === 1).select(col("vec_id").as("n_id"), col("cell"))
     val probes = ranked.select(col("vec_id").as("q_id"), col("nrm").as("na"), col("cell"))
