@@ -676,24 +676,14 @@ object Dedup {
     * verify joins, so the 100 TB training side is never shuffled —
     * candidate volume is bounded by the eval posting list. */
   def d12(spark: SparkSession, dir: String): DataFrame = {
-    val P = 2147483647L // 2^31 - 1 (Mersenne prime), as d02
-    val rnd = new scala.util.Random(42)
-    val perms = Array.fill(128)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
     val sh = Memo.tracked(spark, shingled(spark, dir).cache())
-    val posting = sh.select(col("doc_id"), explode(col("grams")).as("g"))
-      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
-    val minhashCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % P).as(s"m$i")
-    }
-    val sig = posting.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail.toIndexedSeq: _*)
-    val bandCols = (0 until 64).map { j =>
-      struct(lit(j).as("band"), xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("key"))
-    }
-    // cache: the eval/train filters below would otherwise recompute the
-    // 128-column signature aggregation once per side
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .cache()
+    // the 64x2 banding of the SAME 128-perm signature d02 aggregates
+    // (identical perms, hash and band keys — bandsOf(sig, 64, 2) keys on
+    // xxhash64(m_{2j}, m_{2j+1}) exactly as the inline version did):
+    // ride the session-memoized signature instead of re-aggregating the
+    // 128-column minhash in-query. Output bit-identical; cache because
+    // the eval/train filters below each consume the band table.
+    val bands = bandsOf(sharedSig(spark, dir), 64, 2).cache()
     val evalB = bands.filter(col("doc_id") % 20 === 0).withColumnRenamed("doc_id", "eval_id")
     val trainB = bands.filter(col("doc_id") % 20 =!= 0)
     val candidates = trainB.join(broadcast(evalB), Seq("band", "key"))
@@ -796,8 +786,13 @@ object Dedup {
       .select(col("doc_id"), expr("word_ngrams(text, 4)").as("grams"))
       .filter(size(col("grams")) >= 1)
       .select(col("doc_id"), explode(col("grams")).as("g"))
+    // cache the eval posting side: it is bounded by the eval corpus and
+    // feeds THREE consumers (the sketch-sizing count, the bloom
+    // aggregation, and the verify join) — uncached, each re-ran the
+    // eval split's scan + 4-gram kernel as its own job
     val eval_ = post.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("eval_id"), col("g"))
+      .cache()
     // Size the sketch from the eval split itself (one cheap distinct-count
     // over the SMALL side) at 16 bits/item => fp ~ 0.04%. A hard-coded
     // capacity would silently degrade toward a full join if the eval
