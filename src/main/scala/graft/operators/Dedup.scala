@@ -269,12 +269,20 @@ object Dedup {
       .select(col("doc_id"), expr("simhash64(word_tokens(text))").as("simhash"))
       .cache() // band self-join reads sig twice; don't re-tokenize per side
     hammingBandPairs(sig, "simhash", maxHamming = 8)
+      .orderBy("doc_a", "doc_b") // d04's own output contract
   }
 
   /** Banded Hamming near-dup pair join shared by d04 (word-level
     * signatures) and m05 (payload-level): 4 × 16-bit bands bucket the
     * candidates — only same-band-key signatures ever meet — and XOR
-    * popcount verifies. `sig` must carry (doc_id, `sigCol`). */
+    * popcount verifies. `sig` must carry (doc_id, `sigCol`).
+    *
+    * Built UNSORTED (guide §2.4 — an output sort does not belong in a
+    * shared kernel): d59 caches this stream and a baked-in orderBy was
+    * pinned into the cached copy as a range exchange + sort Catalyst
+    * cannot eliminate across the InMemoryRelation boundary. The
+    * output-contract consumers (d04, m05 via payloadNearDup) sort at
+    * their own edge. */
   private[operators] def hammingBandPairs(sig: DataFrame, sigCol: String,
                                           maxHamming: Int): DataFrame = {
     val bandCols = (0 until 4).map { b =>
@@ -289,7 +297,6 @@ object Dedup {
               bit_count(col(s"x.$sigCol").bitwiseXOR(col(s"y.$sigCol"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------------- d05

@@ -208,6 +208,7 @@ object Multimodal {
         expr("simhash64(winnow_fps(text, 4, 1))").as("phash"))
       .cache()
     Dedup.hammingBandPairs(sig, "phash", maxHamming = 8)
+      .orderBy("doc_a", "doc_b") // m05's output contract (kernel is unsorted)
   }
 
   // ---------------------------------------------------------------- m06
