@@ -39,11 +39,16 @@ object Pipeline {
     // gated frame feeds the dedup window AND the per-stage census reads
     // (p14/p17/p22/p37 count it as stage b) — uncached, the
     // quality+langid scan chain ran once per consumer.
+    // lang/source ride the cached stage frames: the per-stage census
+    // operators (p17 by source, p22 by lang) previously joined every
+    // stage's doc_id set back onto the corpus just to recover these two
+    // small dimension columns — 4-5 extra joins per census query
+    // (guide §2.4: don't re-derive what can ride along)
     val scored = Memo.tracked(spark,
       TextAnalysis.addPredicted(TextAnalysis.addQuality(docs))
         .filter(col("quality") >= lit(0.5d))
-        .select(col("doc_id"), col("text"), col("predicted").as("pred_lang"),
-          col("quality"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("predicted").as("pred_lang"), col("quality"))
         .cache())
     // 3: exact normalized-fingerprint dedup, keep-min-id (one shuffle on fp)
     // cache: the dedup survivors feed the pair-join's two posting sides,
@@ -819,10 +824,10 @@ object Pipeline {
     * frame, and the rollup is \|sources\|×5 bounded. */
   def p17(spark: SparkSession, dir: String): DataFrame = {
     val (docs, scored, keep, surv, sampled) = p01Stages(spark, dir)
-    val src = docs.select(col("doc_id"), col("source"))
+    // every stage frame carries `source` (p01Stages) — aggregate
+    // directly instead of joining each doc_id set back onto the corpus
     def lvl(label: String, df: DataFrame): DataFrame =
-      df.select("doc_id").join(src, "doc_id")
-        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      df.groupBy("source").agg(count(lit(1)).as("n_docs"))
         .withColumn("stage", lit(label))
     lvl("a_raw", docs)
       .unionByName(lvl("b_quality_lang", scored))
@@ -999,10 +1004,10 @@ object Pipeline {
     * bounded output. */
   def p22(spark: SparkSession, dir: String): DataFrame = {
     val (docs, scored, keep, surv, sampled) = p01Stages(spark, dir)
-    val lg = docs.select(col("doc_id"), col("lang"))
+    // every stage frame carries `lang` (p01Stages) — aggregate directly
+    // instead of joining each doc_id set back onto the corpus
     def lvl(label: String, df: DataFrame): DataFrame =
-      df.select("doc_id").join(lg, "doc_id")
-        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      df.groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .withColumn("stage", lit(label))
     lvl("a_raw", docs)
       .unionByName(lvl("b_quality_lang", scored))
@@ -1912,12 +1917,13 @@ object Pipeline {
     * share is a 1-row broadcast denominator. */
   def p37(spark: SparkSession, dir: String): DataFrame = {
     val (docs, scored, keep, surv, sampled) = p01Stages(spark, dir)
-    val hold = Tables.documents(spark, dir).select(col("doc_id"),
-      (substring(md5(col("text")), 1, 1) === "0").as("held"))
+    // every stage frame carries `text`, so the holdout flag is computed
+    // inline (one scan-speed md5 per row) instead of joining each stage
+    // back onto the corpus for a precomputed flag
     def lvl(label: String, df: DataFrame): DataFrame =
-      df.select("doc_id").join(hold, "doc_id")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("held"), 1L).otherwise(0L)).as("n_holdout"))
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(when(substring(md5(col("text")), 1, 1) === "0", 1L)
+            .otherwise(0L)).as("n_holdout"))
         .withColumn("stage", lit(label))
     val per = lvl("a_raw", docs)
       .unionByName(lvl("b_quality_lang", scored))
