@@ -1740,7 +1740,11 @@ object TextAnalysis {
     val tok = docs.select(col("doc_id"), explode(wordsCol).as("word"))
     val top = tok.groupBy("word").agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("word")).limit(100).select("word")
-    val fdw = tok.join(broadcast(top), "word").select("doc_id", "word").distinct()
+    // cache: fdw (bounded by n_docs × 100 top words) feeds BOTH
+    // self-join sides and the df rollup — uncached, each consumer
+    // re-ran the corpus explode + top-100 join
+    val fdw = graft.operators.Memo.tracked(spark,
+      tok.join(broadcast(top), "word").select("doc_id", "word").distinct().cache())
     val df = fdw.groupBy("word").agg(count(lit(1)).as("n_docs"))
     val nn = docs.agg(count(lit(1)).as("n"))
     fdw.as("a").join(fdw.as("b"),
@@ -2286,7 +2290,11 @@ object TextAnalysis {
       .select(col("source"), explode(expr("word_ngrams(text, 3)")).as("g"))
     val hot = posting.groupBy("g").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("g")).limit(20).select("g")
-    val ps = posting.join(hot, "g").select("g", "source").distinct()
+    // cache: ps (≤ 20 hot grams × |sources|) feeds both self-join
+    // sides — uncached, each side re-ran the corpus explode TWICE
+    // (once for itself, once inside its copy of the hot-20 subplan)
+    val ps = graft.operators.Memo.tracked(spark,
+      posting.join(hot, "g").select("g", "source").distinct().cache())
     ps.as("a").join(ps.as("b"),
         col("a.g") === col("b.g") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
@@ -3017,7 +3025,11 @@ object TextAnalysis {
     VectorFunctions.register(spark)
     val q = addQuality(Tables.documents(spark, dir)).select(col("doc_id"), col("quality"))
     val lm = scoredDocs(spark, dir).select(col("doc_id"), col("n_tok"), col("avg_logp"))
-    val j = q.join(lm, "doc_id")
+    // cache: j (4 narrow columns per doc) feeds the global-mean pass AND
+    // the confusion rollup — uncached, the quality kernel scan re-ran
+    val j = graft.operators.Memo.tracked(spark, q.join(lm, "doc_id")
+      .transform(d => Tables.smallFrameParts(spark, dir).fold(d)(d.coalesce))
+      .cache())
     val thr = j.agg((sum(col("avg_logp").cast("decimal(18,6)")).cast("double")
       / count(lit(1))).as("lm_thr"))
     j.crossJoin(broadcast(thr))
