@@ -73,17 +73,14 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // AQE's coalesce floor (default 1m) decides how many tasks a SMALL
-      // shuffle keeps: with parallelismFirst=true the target size is
-      // max(bytes/parallelism, minPartitionSize), so a compute-dense
-      // few-MB shuffle (a join or explode stage over a small input)
-      // coalesces to 2-3 tasks and the rest of the cluster idles — the
-      // measured q87/e27 shape: one 3-task stage is ~80% of the query.
-      // 64k keeps KB-sized shuffles coalescing to 1-2 tasks while letting
-      // MB-sized compute stages use the cores. Scale-neutral: once
-      // bytes/parallelism exceeds 1m (any real corpus) neither floor
-      // binds and the setting is a no-op.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // AQE's coalesce floor stays on its 1m default. An r9 experiment
+      // lowered it to 64k so few-MB compute stages keep more tasks
+      // (e27 0.65→0.46 s, e01 0.29→0.25 s), but the same extra tasks
+      // MEASURED SLOWER on the heavy pair-aggregation shuffles whose
+      // partitions carry real combine work (d49 2.71→3.63 s, d48
+      // 1.91→2.23 s, quiet-box best-of-3) — the map-side-combined
+      // pair stream loses more to smaller combine batches + wave
+      // overhead than idle cores cost. Net negative; reverted.
       // AQE partition coalescing stays on its defaults (parallelismFirst
       // =true): an r8-optimization experiment with parallelismFirst=false
       // + 16m advisory (guide §2.2's "coalesce to size" posture) was
