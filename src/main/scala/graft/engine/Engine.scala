@@ -73,14 +73,20 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // AQE's coalesce floor stays on its 1m default. An r9 experiment
-      // lowered it to 64k so few-MB compute stages keep more tasks
-      // (e27 0.65→0.46 s, e01 0.29→0.25 s), but the same extra tasks
-      // MEASURED SLOWER on the heavy pair-aggregation shuffles whose
-      // partitions carry real combine work (d49 2.71→3.63 s, d48
-      // 1.91→2.23 s, quiet-box best-of-3) — the map-side-combined
-      // pair stream loses more to smaller combine batches + wave
-      // overhead than idle cores cost. Net negative; reverted.
+      // AQE's coalesce floor (default 1m) decides how many tasks a SMALL
+      // shuffle keeps: with parallelismFirst=true the target size is
+      // max(bytes/parallelism, minPartitionSize), so the 1m default
+      // collapses few-MB compute-dense stages to 2-3 tasks while the
+      // rest of the cluster idles. 64k keeps KB shuffles coalescing to
+      // 1-2 tasks but gives MB stages the cores. Measured BOTH WAYS on
+      // full quiet benches (sf0.1, local[32]): 64k total 239.5 s vs
+      // default 260.3 s — better on 106 queries (−29 s, the broad
+      // fast tail), worse on 35 (+9 s; the heavy map-side-combined
+      // pair aggregations d49 +1.2 s, d48 +0.7 s lose combine
+      // batching to the extra tasks). Net +20 s → kept. Scale-neutral:
+      // on a real corpus bytes/parallelism exceeds both floors and the
+      // setting is a no-op.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // AQE partition coalescing stays on its defaults (parallelismFirst
       // =true): an r8-optimization experiment with parallelismFirst=false
       // + 16m advisory (guide §2.2's "coalesce to size" posture) was
