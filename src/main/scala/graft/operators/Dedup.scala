@@ -2101,7 +2101,10 @@ object Dedup {
       .join(broadcast(nDocs))
       .select(col("g"), col("df"),
         round(log(dbl(col("nd")) / col("df")), 9).cast("decimal(18,9)").as("w"))
-    val wpost = posting.join(wg, "g")
+    // cache: wpost feeds the doc-weight rollup AND both pair-join sides
+    // — uncached, the idf aggregation + weight join re-ran per consumer
+    // (same posture as the cached shingle frame it derives from)
+    val wpost = Memo.tracked(spark, posting.join(wg, "g").cache())
     // doc WEIGHT totals over the FULL posting list: capping must not
     // shrink the union weight, or a dropped non-shared hot gram could
     // promote a pair. Set sizes ride the posting rows instead (grams are
